@@ -3,8 +3,9 @@ package graft
 import graft.model.Dims
 import graft.ops._
 import graft.oracle.Oracles
+import graft.sinks.Sinks
 import graft.synth.VisSynth
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,9 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def roundComps(df: DataFrame, prefixIn: String = "v",
-                         prefixOut: String = "r"): Seq[org.apache.spark.sql.Column] =
+  private def roundComps(prefixIn: String = "v",
+                         prefixOut: String = "r"): Seq[Column] =
     (0 until 8).map(k => round(col(s"$prefixIn$k"), 6).as(s"$prefixOut$k"))
+
+  private def renameComps(prefixIn: String = "v",
+                          prefixOut: String = "r"): Seq[Column] =
+    (0 until 8).map(k => col(s"$prefixIn$k").as(s"$prefixOut$k"))
+
+  private def comps: Seq[Column] = (0 until 8).map(k => col(s"v$k"))
+
+  private def flagged(s: SparkSession, dir: String): DataFrame =
+    FlagOps.setFlags(VisSynth.vis(s, dir), Dims.timestep(s),
+      Dims.chan(s), Dims.baseline(s))
+
+  private def weighted(s: SparkSession, dir: String): DataFrame =
+    WeightOps.flagToWeight(flagged(s, dir))
 
   /** Flagship: the full preprocessing pipeline on sf0.001 —
     * synth scan → static flags → weights → cable correction → 2x/2x
@@ -26,47 +40,102 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val vis = VisSynth.vis(spark, dir)
-    val flagged = FlagOps.setFlags(vis, Dims.timestep(spark),
-      Dims.chan(spark), Dims.baseline(spark))
-    val weighted = WeightOps.flagToWeight(flagged)
-    val corrected = CableCorrection(weighted, Dims.antenna(spark))
+    val corrected = CableCorrection(weighted(spark, dir),
+      Dims.antenna(spark))
     Averaging.avgTimeFreq(corrected, 2, 2)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- sources / selection ------------------------------------------
     "q_s1_vis_synth" -> ((s, dir) => VisSynth.vis(s, dir)),
 
-    "q_f6_set_flags" -> ((s, dir) => {
-      val flagged = FlagOps.setFlags(VisSynth.vis(s, dir),
-        Dims.timestep(s), Dims.chan(s), Dims.baseline(s))
-      flagged.select("t", "bl", "chan", "flag")
+    "q_p1_sel_time" -> ((s, dir) =>
+      FlagOps.selTime(VisSynth.vis(s, dir), 3, 12)
+        .select(Seq(col("t"), col("bl"), col("chan")) ++ comps
+          :+ col("w"): _*)),
+
+    "q_p2_sel_ants" -> ((s, dir) =>
+      FlagOps.selAnts(VisSynth.vis(s, dir), Seq(0L, 1L, 2L, 4L, 5L))
+        .select("t", "ant1", "ant2", "bl", "chan")),
+
+    "q_p3_drop_flagged_ants" -> ((s, dir) =>
+      FlagOps.dropFlaggedAnts(VisSynth.vis(s, dir), Dims.antenna(s))
+        .select("t", "ant1", "ant2", "bl", "chan")),
+
+    "q_p4_no_autos" -> ((s, dir) =>
+      FlagOps.dropAutos(VisSynth.vis(s, dir))
+        .select("t", "ant1", "ant2", "bl", "chan")),
+
+    "q_p5_picket_ranges" -> ((s, dir) =>
+      FlagOps.picketRanges(
+        VisSynth.vis(s, dir).select("cc").where(col("cc") =!= 2)
+          .distinct())),
+
+    // -- flags / weights ----------------------------------------------
+    "q_f6_set_flags" -> ((s, dir) =>
+      flagged(s, dir).select("t", "bl", "chan", "flag")),
+
+    "q_f7_unflagged_ranges" -> ((s, dir) =>
+      FlagOps.unflaggedTimestepRanges(flagged(s, dir))),
+
+    "q_w2_weights" -> ((s, dir) =>
+      weighted(s, dir).select("t", "bl", "chan", "weight")),
+
+    // -- aggregation ---------------------------------------------------
+    "q_a1_avg" -> ((s, dir) =>
+      Averaging.avgTimeFreq(weighted(s, dir), 2, 2)),
+
+    // -- corrections ---------------------------------------------------
+    "q_c1_cable" -> ((s, dir) =>
+      CableCorrection(VisSynth.vis(s, dir), Dims.antenna(s))
+        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+
+    "q_c2_geometry" -> ((s, dir) => {
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      GeometryCorrection(VisSynth.vis(s, dir), uvw)
+        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)
     }),
 
-    "q_w2_weights" -> ((s, dir) => {
-      val flagged = FlagOps.setFlags(VisSynth.vis(s, dir),
-        Dims.timestep(s), Dims.chan(s), Dims.baseline(s))
-      WeightOps.flagToWeight(flagged).select("t", "bl", "chan", "weight")
-    }),
+    "q_c3_digital_gains" -> ((s, dir) =>
+      DigitalGains(VisSynth.vis(s, dir), Dims.digitalGain(s))
+        .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
 
-    "q_a1_avg" -> ((s, dir) => {
-      val flagged = FlagOps.setFlags(VisSynth.vis(s, dir),
-        Dims.timestep(s), Dims.chan(s), Dims.baseline(s))
-      Averaging.avgTimeFreq(WeightOps.flagToWeight(flagged), 2, 2)
-    }),
+    "q_c4_passband" -> ((s, dir) =>
+      PassbandGains(weighted(s, dir), Dims.pfbGain(s))
+        .select(col("t") +: col("bl") +: col("chan") +:
+          (renameComps() :+ col("weight").as("weight_pfb")): _*)),
 
-    "q_c1_cable" -> ((s, dir) => {
-      val corrected = CableCorrection(VisSynth.vis(s, dir), Dims.antenna(s))
-      corrected.select(col("t") +: col("bl") +: col("chan") +:
-        roundComps(corrected): _*)
-    }),
+    "q_c6_calibration" -> ((s, dir) =>
+      Calibration(VisSynth.vis(s, dir), Dims.calsol(s))
+        .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
+
+    // -- sinks ---------------------------------------------------------
+    "q_k1_uvfits_order" -> ((s, dir) =>
+      Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
+        Seq("t_out", "bl", "c_out"))),
+
+    "q_k3_mwaf_occupancy" -> ((s, dir) =>
+      Sinks.mwafOccupancy(flagged(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_vis_synth" -> Oracles.s1VisSynth,
+    "q_p1_sel_time" -> Oracles.p1SelTime,
+    "q_p2_sel_ants" -> Oracles.p2SelAnts,
+    "q_p3_drop_flagged_ants" -> Oracles.p3DropFlaggedAnts,
+    "q_p4_no_autos" -> Oracles.p4NoAutos,
+    "q_p5_picket_ranges" -> Oracles.p5PicketRanges,
     "q_f6_set_flags" -> Oracles.f6SetFlags,
+    "q_f7_unflagged_ranges" -> Oracles.f7UnflaggedRanges,
     "q_w2_weights" -> Oracles.w2Weights,
     "q_a1_avg" -> Oracles.a1Avg,
     "q_c1_cable" -> Oracles.c1Cable,
+    "q_c2_geometry" -> Oracles.c2Geometry,
+    "q_c3_digital_gains" -> Oracles.c3DigitalGains,
+    "q_c4_passband" -> Oracles.c4Passband,
+    "q_c6_calibration" -> Oracles.c6Calibration,
+    "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
+    "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
   )
 }

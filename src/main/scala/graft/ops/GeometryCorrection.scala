@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.model.Obs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C2 `correct_geometry` (/root/reference/src/corrections.rs:207-293).
+  *
+  * The reference computes, per timestep, per-antenna partial UVWs from
+  * precessed tile positions (`calc_part_uvws`, corrections.rs:652-676),
+  * then per baseline w = part_uvw[ant1].w - part_uvw[ant2].w
+  * (corrections.rs:277) and per channel vis *= exp(-j 2π w f / c)
+  * (corrections.rs:279-284).
+  *
+  * We keep that exact two-phase shape:
+  *  1. [[partUvw]] — a tiny (timestep x antenna) dimension computed with
+  *     the standard ENH→XYZ→UVW rotation at hour angle HA(t) and
+  *     declination δ of the phase centre. (The reference additionally
+  *     precesses positions to J2000 via ERFA; our phase model uses fixed
+  *     mean coordinates — the precession kernel is a driver-side table
+  *     producer by design, so an ephemeris-accurate variant can replace
+  *     [[partUvw]] without touching the correction operator.)
+  *  2. [[apply]] — broadcast-join the uvw dim on both antenna sides and
+  *     rotate all four pols by the same per-(t, bl, chan) phase.
+  *
+  * At 100 TB the uvw table stays O(timesteps x antennas) — thousands of
+  * rows — while the fact table never shuffles.
+  */
+object GeometryCorrection {
+
+  import Obs._
+
+  /** Array latitude (radians) — dyadic so both engines see exact inputs. */
+  val LatRad: Double = -15.0 / 32.0 // ~ -26.87°, MWA-like
+  /** Phase-centre declination (radians), dyadic. */
+  val DecRad: Double = 0.25
+  /** Hour angle at timestep 0 (radians), dyadic. */
+  val Ha0: Double = 0.5
+  /** Hour-angle increment per timestep (radians), dyadic. */
+  val DHa: Double = 1.0 / 1024.0
+
+  /** Per-(t, ant) partial UVW dimension (reference calc_part_uvws).
+    * XYZ from ENH: X = -N sinφ + H cosφ, Y = E, Z = N cosφ + H sinφ;
+    * then u = sinH·X + cosH·Y
+    *      v = -sinδ cosH·X + sinδ sinH·Y + cosδ·Z
+    *      w =  cosδ cosH·X - cosδ sinH·Y + sinδ·Z.
+    */
+  def partUvw(timestep: DataFrame, antenna: DataFrame): DataFrame = {
+    val t = timestep.select("t")
+    val a = antenna.select("ant", "east_m", "north_m", "height_m")
+    val ha = lit(Ha0) + col("t") * DHa
+    val xyz = t.crossJoin(a)
+      .withColumn("xc",
+        -col("north_m") * math.sin(LatRad)
+          + col("height_m") * math.cos(LatRad))
+      .withColumn("yc", col("east_m"))
+      .withColumn("zc",
+        col("north_m") * math.cos(LatRad)
+          + col("height_m") * math.sin(LatRad))
+      .withColumn("sh", sin(ha)).withColumn("ch", cos(ha))
+    xyz.select(col("t"), col("ant"),
+      (col("sh") * col("xc") + col("ch") * col("yc")).as("u_m"),
+      (lit(-math.sin(DecRad)) * col("ch") * col("xc")
+        + lit(math.sin(DecRad)) * col("sh") * col("yc")
+        + lit(math.cos(DecRad)) * col("zc")).as("v_m"),
+      (lit(math.cos(DecRad)) * col("ch") * col("xc")
+        - lit(math.cos(DecRad)) * col("sh") * col("yc")
+        + lit(math.sin(DecRad)) * col("zc")).as("w_m"))
+  }
+
+  private def theta(w: Column): Column =
+    lit(-2.0) * math.Pi * w * col("freq_hz") / SpeedOfLight
+
+  /** Rotate all pols by exp(-j 2π (w1-w2) f / c). */
+  def apply(vis: DataFrame, uvw: DataFrame): DataFrame = {
+    val u1 = broadcast(uvw.select(col("t"), col("ant").as("ant1"),
+      col("w_m").as("w1")))
+    val u2 = broadcast(uvw.select(col("t"), col("ant").as("ant2"),
+      col("w_m").as("w2")))
+    val joined = vis.join(u1, Seq("t", "ant1")).join(u2, Seq("t", "ant2"))
+    val th = theta(col("w1") - col("w2"))
+    val cs = cos(th)
+    val sn = sin(th)
+    val rotated = (0 until 4).foldLeft(
+      joined.withColumn("cs", cs).withColumn("sn", sn)) { (df, p) =>
+      val (ri, ii) = (2 * p, 2 * p + 1)
+      df.withColumn(s"n$ri",
+          col(s"v$ri") * col("cs") - col(s"v$ii") * col("sn"))
+        .withColumn(s"n$ii",
+          col(s"v$ri") * col("sn") + col(s"v$ii") * col("cs"))
+    }
+    val replaced = (0 until 8).foldLeft(rotated) { (df, k) =>
+      df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
+    }
+    replaced.drop("w1", "w2", "cs", "sn")
+  }
+}

@@ -1,5 +1,8 @@
 package graft.oracle
 
+import graft.functions.Num
+import graft.ops.{Calibration, GeometryCorrection}
+
 /** Per-query DuckDB oracle SQL. Each entry is the independent SQL twin of
   * a SparkEntry query — same column names, same operand order for every
   * floating-point expression (see OracleSql parity rules).
@@ -8,35 +11,82 @@ object Oracles {
 
   private val compList = (0 until 8).map(k => s"v$k").mkString(", ")
 
+  /** Render a Scala double as a DuckDB DOUBLE literal that parses to the
+    * identical binary64 (e-notation forces DOUBLE, 17 sig digits
+    * round-trip).
+    */
+  private def fmt(x: Double): String = f"$x%.17e"
+
+  // ---- sources / selection -------------------------------------------
+
   val s1VisSynth: String = OracleSql.query(
     s"SELECT t, ant1, ant2, bl, cc, fc, chan, freq_hz, $compList, w FROM vis")
+
+  val p1SelTime: String = OracleSql.query(
+    s"SELECT t, bl, chan, $compList, w FROM vis WHERE t BETWEEN 3 AND 12")
+
+  val p2SelAnts: String = OracleSql.query(
+    "SELECT t, ant1, ant2, bl, chan FROM vis " +
+      "WHERE ant1 IN (0, 1, 2, 4, 5) AND ant2 IN (0, 1, 2, 4, 5)")
+
+  val p3DropFlaggedAnts: String = OracleSql.query(
+    """SELECT v.t, v.ant1, v.ant2, v.bl, v.chan FROM vis v
+      |WHERE NOT EXISTS (SELECT 1 FROM antenna a
+      |                  WHERE a.ant_flagged AND a.ant = v.ant1)
+      |  AND NOT EXISTS (SELECT 1 FROM antenna a
+      |                  WHERE a.ant_flagged AND a.ant = v.ant2)"""
+      .stripMargin)
+
+  val p4NoAutos: String = OracleSql.query(
+    "SELECT t, ant1, ant2, bl, chan FROM vis WHERE ant1 <> ant2")
+
+  val p5PicketRanges: String = OracleSql.query(
+    """SELECT min(cc) AS cc_min, max(cc) AS cc_max,
+      |       count(*) AS n_coarse
+      |FROM (SELECT cc, cc - row_number() OVER (ORDER BY cc) AS grp
+      |      FROM (SELECT DISTINCT cc FROM vis WHERE cc <> 2))
+      |GROUP BY grp""".stripMargin)
+
+  // ---- flags / weights -----------------------------------------------
 
   val f6SetFlags: String = OracleSql.query(
     "SELECT t, bl, chan, flag FROM vis_flagged",
     OracleSql.visFlaggedCte)
 
+  val f7UnflaggedRanges: String = OracleSql.query(
+    """SELECT min(t) AS t_min, max(t) AS t_max
+      |FROM (SELECT t, t - row_number() OVER (ORDER BY t) AS grp
+      |      FROM (SELECT t FROM vis_flagged GROUP BY t
+      |            HAVING min(CAST(flag AS INT)) = 0))
+      |GROUP BY grp""".stripMargin,
+    OracleSql.visFlaggedCte)
+
   val w2Weights: String = OracleSql.queryWeighted(
     "SELECT t, bl, chan, weight FROM vis_weighted")
 
-  val a1Avg: String = {
+  // ---- aggregation ---------------------------------------------------
+
+  private val avgBody: String = {
     val comps = (0 until 8).map { k =>
       s"  coalesce(sum(CASE WHEN NOT flag THEN weight * v$k END)" +
         s" / sum(CASE WHEN NOT flag THEN weight END), avg(v$k)) AS a$k"
     }.mkString(",\n")
-    OracleSql.queryWeighted(
-      s"""SELECT bl, ant1, ant2, CAST(t // 2 AS BIGINT) AS t_out,
-         |       CAST(chan // 2 AS BIGINT) AS c_out,
-         |$comps,
-         |  bool_and(flag) AS flag_out,
-         |  coalesce(sum(CASE WHEN NOT flag THEN weight END), 0.0e0)
-         |    AS weight_out,
-         |  count(*) AS n_samples
-         |FROM vis_weighted
-         |GROUP BY 1, 2, 3, 4, 5""".stripMargin)
+    s"""SELECT bl, ant1, ant2, CAST(t // 2 AS BIGINT) AS t_out,
+       |       CAST(chan // 2 AS BIGINT) AS c_out,
+       |$comps,
+       |  bool_and(flag) AS flag_out,
+       |  coalesce(sum(CASE WHEN NOT flag THEN weight END), 0.0e0)
+       |    AS weight_out,
+       |  count(*) AS n_samples
+       |FROM vis_weighted
+       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
   }
 
+  val a1Avg: String = OracleSql.queryWeighted(avgBody)
+
+  // ---- corrections ---------------------------------------------------
+
   val c1Cable: String = {
-    // (re, im, ΔL-expr) per pol pair — mirrors CableCorrection.pols.
     val pols = Seq(
       (0, 1, "(lx2 - lx1)"), (2, 3, "(ly2 - lx1)"),
       (4, 5, "(lx2 - ly1)"), (6, 7, "(ly2 - ly1)"))
@@ -57,4 +107,109 @@ object Oracles {
          |  FROM vis v JOIN antenna a1 ON v.ant1 = a1.ant
          |             JOIN antenna a2 ON v.ant2 = a2.ant)""".stripMargin)
   }
+
+  val c2Geometry: String = {
+    import GeometryCorrection._
+    val sl = fmt(math.sin(LatRad)); val cl = fmt(math.cos(LatRad))
+    val sd = fmt(math.sin(DecRad)); val cd = fmt(math.cos(DecRad))
+    val ha = s"(0.5e0 + ts.t * ${fmt(DHa)})"
+    val uvwCte =
+      s"""uvw AS (
+         |  SELECT t, ant,
+         |         (sh * xc + ch * yc) AS u_m,
+         |         ((- $sd) * ch * xc + $sd * sh * yc + $cd * zc) AS v_m,
+         |         ($cd * ch * xc - $cd * sh * yc + $sd * zc) AS w_m
+         |  FROM (
+         |    SELECT ts.t, a.ant,
+         |           (- a.north_m) * $sl + a.height_m * $cl AS xc,
+         |           a.east_m AS yc,
+         |           a.north_m * $cl + a.height_m * $sl AS zc,
+         |           sin($ha) AS sh, cos($ha) AS ch
+         |    FROM timestep ts CROSS JOIN antenna a))"""
+        .stripMargin
+    val rot = (0 until 4).flatMap { p =>
+      val (ri, ii) = (2 * p, 2 * p + 1)
+      Seq(
+        s"  round(v$ri * cs - v$ii * sn, 6) AS r$ri",
+        s"  round(v$ri * sn + v$ii * cs, 6) AS r$ii")
+    }.mkString(",\n")
+    OracleSql.query(
+      s"""SELECT t, bl, chan,
+         |$rot
+         |FROM (
+         |  SELECT v.*,
+         |         cos(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
+         |             / 299792458.0e0) AS cs,
+         |         sin(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
+         |             / 299792458.0e0) AS sn
+         |  FROM vis v
+         |  JOIN uvw u1 ON v.t = u1.t AND v.ant1 = u1.ant
+         |  JOIN uvw u2 ON v.t = u2.t AND v.ant2 = u2.ant)""".stripMargin,
+      uvwCte)
+  }
+
+  val c3DigitalGains: String = {
+    val pols = Seq(
+      (Seq(0, 1), "(g1x * g2x)"), (Seq(2, 3), "(g1x * g2y)"),
+      (Seq(4, 5), "(g1y * g2x)"), (Seq(6, 7), "(g1y * g2y)"))
+    val outs = pols.flatMap { case (ks, g) =>
+      ks.map(k => s"  v$k / $g AS r$k")
+    }.mkString(",\n")
+    OracleSql.query(
+      s"""SELECT t, bl, chan,
+         |$outs
+         |FROM (
+         |  SELECT v.*, g1.gain_x AS g1x, g1.gain_y AS g1y,
+         |         g2.gain_x AS g2x, g2.gain_y AS g2y
+         |  FROM vis v
+         |  JOIN digital_gain g1 ON v.ant1 = g1.ant AND v.cc = g1.cc
+         |  JOIN digital_gain g2 ON v.ant2 = g2.ant AND v.cc = g2.cc)"""
+        .stripMargin)
+  }
+
+  val c4Passband: String = {
+    val outs = (0 until 8).map(k => s"  v$k / pfb_gain AS r$k")
+      .mkString(",\n")
+    OracleSql.queryWeighted(
+      s"""SELECT t, bl, chan,
+         |$outs,
+         |  weight * pfb_gain AS weight_pfb
+         |FROM vis_weighted v JOIN pfb_gain p ON v.fc = p.fc""".stripMargin)
+  }
+
+  val c6Calibration: String = {
+    val j1 = (0 until 8).map(k => s"j${k}_1")
+    val v = (0 until 8).map(k => s"v$k")
+    val j2 = (0 until 8).map(k => s"j${k}_2")
+    val comps = Calibration.sandwich(j1, v, j2)(Num.sqlNum)
+    val outs = comps.zipWithIndex
+      .map { case (e, k) => s"  $e AS r$k" }.mkString(",\n")
+    val jsel1 = (0 until 8).map(k => s"c1.j$k AS j${k}_1").mkString(", ")
+    val jsel2 = (0 until 8).map(k => s"c2.j$k AS j${k}_2").mkString(", ")
+    OracleSql.query(
+      s"""SELECT t, bl, chan,
+         |$outs
+         |FROM (
+         |  SELECT v.*, $jsel1, $jsel2
+         |  FROM vis v
+         |  JOIN calsol c1 ON v.ant1 = c1.ant AND v.cc = c1.cc
+         |  JOIN calsol c2 ON v.ant2 = c2.ant AND v.cc = c2.cc)"""
+        .stripMargin)
+  }
+
+  // ---- sinks ---------------------------------------------------------
+
+  val k1UvfitsOrder: String = OracleSql.queryWeighted(
+    s"""SELECT *,
+       |       row_number() OVER (ORDER BY t_out, bl, c_out) - 1 AS row_idx
+       |FROM avg""".stripMargin,
+    s"avg AS (\n$avgBody)")
+
+  val k3MwafOccupancy: String = OracleSql.query(
+    """SELECT cc, bl, count(*) AS n_cells,
+      |       sum(CASE WHEN flag THEN 1 ELSE 0 END) AS n_flagged,
+      |       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS occupancy
+      |FROM vis_flagged GROUP BY 1, 2""".stripMargin,
+    OracleSql.visFlaggedCte)
 }

@@ -1,0 +1,56 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Output-side operators (reference src/io/).
+  *
+  * The astronomy formats demand exact time-major-then-baseline row order
+  * and row-count invariants (uvfits: /root/reference/src/io/mod.rs:392-467;
+  * mwaf row-count check: /root/reference/src/io/mwaf.rs:504-510). In Spark
+  * the scale-correct way to get a global order is range partitioning +
+  * within-partition sort + partition-offset index assignment — NOT a
+  * global single-partition window, which would serialise the whole
+  * dataset through one task.
+  */
+object Sinks {
+
+  /** K1: assign the global uvfits row index in (keys...) order.
+    * Two-pass: range-partition + local sort puts partitions in global
+    * order; `zipWithIndex` then assigns contiguous indices using partition
+    * sizes only (one lightweight extra job) — each task writes its slice
+    * independently, exactly how a parallel FITS encoder would emit
+    * byte-offset slices.
+    */
+  def orderedRowIdx(df: DataFrame, keys: Seq[String],
+                    numParts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numParts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val schema = sorted.schema.add("row_idx", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** K3 mwaf occupancy statistics per (coarse_chan, baseline)
+    * (/root/reference/src/io/mwaf.rs:458-467): cell counts, flagged
+    * counts, occupancy fraction. One hash aggregate with map-side combine.
+    */
+  def mwafOccupancy(visFlagged: DataFrame): DataFrame =
+    visFlagged.groupBy("cc", "bl").agg(
+      count(lit(1)).as("n_cells"),
+      sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+      (sum(when(col("flag"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("occupancy"))
+
+  /** Write a frame as the parquet mirror of the uvfits sink: partitioned
+    * by coarse channel (mirrors one-gpubox-per-file granularity and the
+    * picket-fence fan-out, /root/reference/src/cli.rs:1524-1574).
+    */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("cc").parquet(path)
+}
