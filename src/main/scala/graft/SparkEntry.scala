@@ -110,6 +110,17 @@ object SparkEntry {
       Calibration(VisSynth.vis(s, dir), Dims.calsol(s))
         .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
 
+    "q_c5_van_vleck" -> ((s, dir) =>
+      VanVleck(VisSynth.vis(s, dir), flaggedAnts = Seq(7L),
+        sampleScale = 2.0)
+        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+
+    // -- RFI -----------------------------------------------------------
+    "q_r1_sumthreshold" -> ((s, dir) => RfiFlag(flagged(s, dir))),
+
+    "q_r1_threshold_flags" -> ((s, dir) =>
+      ThresholdFlag(VisSynth.vis(s, dir))),
+
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -135,6 +146,7 @@ object SparkEntry {
     "q_c3_digital_gains" -> Oracles.c3DigitalGains,
     "q_c4_passband" -> Oracles.c4Passband,
     "q_c6_calibration" -> Oracles.c6Calibration,
+    "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
   )

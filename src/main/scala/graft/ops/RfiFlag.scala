@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.functions.SumThresholdKernel
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** R1 RFI detection (/root/reference/src/flags.rs:368-437).
+  *
+  * The reference hands each baseline's full (time x chan) image set to
+  * AOFlagger (jones_baseline_view_to_imageset, flags.rs:236-273). The
+  * Spark-native shape is the same data movement: group the fact table by
+  * baseline — the ONE shuffle this operator needs — and run the
+  * deterministic SumThreshold kernel per group via `flatMapGroups`
+  * (Generator/UDTF-shaped: one group in, per-cell flags out).
+  *
+  * Scale: each group is (timesteps x channels) cells — for MWA-sized data
+  * a few MB — so groups stream through executors without memory pressure;
+  * 8k baselines spread over the cluster. If the source is already
+  * bucketed by bl, the shuffle disappears entirely.
+  */
+/** Encoder row types for [[RfiFlag]] — top-level because Spark's codegen
+  * cannot instantiate private nested case classes.
+  */
+case class RfiCell(bl: Long, t: Long, chan: Long, amp: Double,
+                   flag: Boolean)
+case class RfiFlagOut(bl: Long, t: Long, chan: Long, rfi: Boolean)
+
+object RfiFlag {
+
+  /** Flag RFI on XX amplitude. Input needs (bl, t, chan, v0, v1, flag).
+    * Returns (bl, t, chan, rfi) — OR of existing flag and detection,
+    * mirroring flags.rs:414-418's flag-OR mode.
+    */
+  def apply(visFlagged: DataFrame, madK: Double = 6.0): DataFrame = {
+    val spark = visFlagged.sparkSession
+    import spark.implicits._
+    val cells: Dataset[RfiCell] = visFlagged.select(
+      col("bl"), col("t"), col("chan"),
+      sqrt(col("v0") * col("v0") + col("v1") * col("v1")).as("amp"),
+      col("flag")).as[RfiCell]
+
+    cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
+      val rows = it.toArray
+      val ts = rows.map(_.t).distinct.sorted
+      val cs = rows.map(_.chan).distinct.sorted
+      val tIdx = ts.zipWithIndex.toMap
+      val cIdx = cs.zipWithIndex.toMap
+      val amp = Array.fill(ts.length, cs.length)(0.0)
+      val flg = Array.fill(ts.length, cs.length)(false)
+      val seen = Array.fill(ts.length, cs.length)(false)
+      rows.foreach { r =>
+        val (i, j) = (tIdx(r.t), cIdx(r.chan))
+        // repeated samples of a cell: max amplitude wins (conservative)
+        if (!seen(i)(j) || r.amp > amp(i)(j)) amp(i)(j) = r.amp
+        seen(i)(j) = true
+        flg(i)(j) = flg(i)(j) || r.flag
+      }
+      val unflaggedAmps = (for {
+        i <- ts.indices; j <- cs.indices if seen(i)(j) && !flg(i)(j)
+      } yield amp(i)(j)).toArray
+      val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps, madK)
+      val out = SumThresholdKernel.flagMatrix(amp, flg, chi1)
+      for {
+        i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)
+      } yield RfiFlagOut(bl, ts(i), cs(j), out(i)(j))
+    }.toDF()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.functions.VanVleckKernel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** C5 `correct_van_vleck` (/root/reference/src/van_vleck.rs:159-306) as a
+  * three-stage Spark dataflow:
+  *
+  *  1. '''sigma derivation''' — from the unflagged autocorrelation rows,
+  *     solve σ = σ̂⁻¹ per (t, ant, chan) and polarisation (XX_re, YY_re
+  *     are the σ̂² sources, van_vleck.rs:197-206). A deterministic scalar
+  *     UDF over the auto subset (the reference calls this the "one
+  *     genuinely UDF-shaped operator" — iterative Newton/erf math).
+  *  2. '''auto update''' — autos get XX_re/YY_re replaced by scale·σ²,
+  *     imaginary parts zeroed, and XY corrected by the cross kernel using
+  *     (σxx, σyy) of the same antenna; YX = conj(XY)
+  *     (van_vleck.rs:232-260).
+  *  3. '''cross update''' — crosses join the σ table on BOTH antennas at
+  *     the same (t, chan) (van_vleck.rs:263-296) and run the
+  *     Newton+Simpson cross kernel per component.
+  *
+  * Scale shape: the σ table has T×A×C rows — a factor A/2 smaller than
+  * the fact table — and joins on (t, chan, ant). At 100 TB the fact table
+  * arrives hash-partitioned by (t, chan) from the source, so both σ joins
+  * co-locate; AQE picks broadcast when the σ table fits.
+  */
+object VanVleck {
+
+  private val vvAutoUdf = udf((s: Double) => VanVleckKernel.vanVleckAuto(s))
+  private val vvCrossUdf = udf((k: Double, sx: Double, sy: Double) =>
+    VanVleckKernel.vanVleckCrossInt(k, sx, sy))
+
+  /** Derive the per-(t, ant, chan) σ table from auto rows.
+    * `sighatExpr` maps an auto component column to σ̂ (for real data:
+    * sqrt(component / sampleScale)).
+    */
+  def sigmaTable(vis: DataFrame, flaggedAnts: Seq[Long],
+                 sampleScale: Double): DataFrame = {
+    val autos = vis
+      .where(col("ant1") === col("ant2"))
+      .where(!col("ant1").isin(flaggedAnts: _*))
+    // one sigma per (t, ant, chan): repeated samples of a cell reduce by
+    // max BEFORE the iterative kernel, so the kernel runs once per cell
+    autos
+      .groupBy(col("t"), col("ant1").as("ant"), col("chan"))
+      .agg(max(abs(col("v0"))).as("pxx"), max(abs(col("v6"))).as("pyy"))
+      .select(col("t"), col("ant"), col("chan"),
+        vvAutoUdf(sqrt(col("pxx") / sampleScale)).as("sigma_x"),
+        vvAutoUdf(sqrt(col("pyy") / sampleScale)).as("sigma_y"))
+  }
+
+  /** Apply the full correction. Rows whose antennas lack σ (flagged) pass
+    * through unchanged, as in the reference's `_ => {}` arm
+    * (van_vleck.rs:298-300).
+    */
+  def apply(vis: DataFrame, flaggedAnts: Seq[Long],
+            sampleScale: Double): DataFrame = {
+    val sigma = sigmaTable(vis, flaggedAnts, sampleScale)
+    val s1 = sigma.select(col("t"), col("ant").as("ant1"), col("chan"),
+      col("sigma_x").as("sx1"), col("sigma_y").as("sy1"))
+    val s2 = sigma.select(col("t"), col("ant").as("ant2"), col("chan"),
+      col("sigma_x").as("sx2"), col("sigma_y").as("sy2"))
+    val joined = vis
+      .join(s1, Seq("t", "ant1", "chan"), "left")
+      .join(s2, Seq("t", "ant2", "chan"), "left")
+
+    val isAuto = col("ant1") === col("ant2")
+    val hasSigma = col("sx1").isNotNull && col("sx2").isNotNull
+    val scale = lit(sampleScale)
+
+    // autos: XX_re/YY_re <- scale*sigma^2, imag <- 0, XY via cross kernel
+    // with (sigma_xx, sigma_yy) of this antenna, YX = conj(XY).
+    val autoXy = vvCrossUdf(col("v2") / scale, col("sx1"), col("sy1"))
+    val autoXyIm = vvCrossUdf(col("v3") / scale, col("sx1"), col("sy1"))
+
+    // crosses: per-pol sigma pairing (van_vleck.rs:273-280):
+    // XX:(sx1,sx2) XY:(sx1,sy2) YX:(sy1,sx2) YY:(sy1,sy2)
+    val polSigma = Seq(
+      (0, 1, col("sx1"), col("sx2")), (2, 3, col("sx1"), col("sy2")),
+      (4, 5, col("sy1"), col("sx2")), (6, 7, col("sy1"), col("sy2")))
+
+    val corrected = polSigma.foldLeft(joined) {
+      case (df, (ri, ii, sa, sb)) =>
+        val crossRe = scale * vvCrossUdf(col(s"v$ri") / scale, sa, sb)
+        val crossIm = scale * vvCrossUdf(col(s"v$ii") / scale, sa, sb)
+        val (autoRe, autoIm) = (ri: @unchecked) match {
+          case 0 => (scale * col("sx1") * col("sx1"), lit(0.0))
+          case 6 => (scale * col("sy1") * col("sy1"), lit(0.0))
+          case 2 => (scale * autoXy, scale * autoXyIm)
+          case 4 => (scale * autoXy, -(scale * autoXyIm))
+        }
+        df.withColumn(s"n$ri",
+            when(!hasSigma, col(s"v$ri"))
+              .when(isAuto, autoRe).otherwise(crossRe))
+          .withColumn(s"n$ii",
+            when(!hasSigma, col(s"v$ii"))
+              .when(isAuto, autoIm).otherwise(crossIm))
+    }
+    val replaced = (0 until 8).foldLeft(corrected) { (df, k) =>
+      df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
+    }
+    replaced.drop("sx1", "sy1", "sx2", "sy2")
+  }
+}

@@ -197,6 +197,17 @@ object Oracles {
         .stripMargin)
   }
 
+  // ---- RFI -----------------------------------------------------------
+
+  val r1ThresholdFlags: String = OracleSql.query(
+    """SELECT t, bl, chan, amp > lim AS rfi
+      |FROM (
+      |  SELECT t, bl, chan, amp,
+      |         avg(amp) OVER (PARTITION BY bl)
+      |           + 3.0e0 * stddev_samp(amp) OVER (PARTITION BY bl) AS lim
+      |  FROM (SELECT t, bl, chan, sqrt(v0 * v0 + v1 * v1) AS amp
+      |        FROM vis))""".stripMargin)
+
   // ---- sinks ---------------------------------------------------------
 
   val k1UvfitsOrder: String = OracleSql.queryWeighted(
