@@ -1,8 +1,9 @@
 package graft
 
+import graft.llm.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.model.Dims
 import graft.ops._
-import graft.oracle.Oracles
+import graft.oracle.{LlmOracles, Oracles}
 import graft.sinks.Sinks
 import graft.synth.VisSynth
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -128,7 +129,55 @@ object SparkEntry {
 
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
       Sinks.mwafOccupancy(flagged(s, dir))),
+
+    // -- LLM-data pipeline: dedup -------------------------------------
+    "q_d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir))),
+    "q_d2_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(docs(s, dir))),
+    "q_d3_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir))),
+    "q_d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir))),
+    "q_d5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), 0.3)),
+
+    // -- LLM-data pipeline: similarity search -------------------------
+    "q_sim1_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), nQueries = 8, k = 5)),
+    "q_sim2_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), nQueries = 8, k = 3)),
+
+    // -- LLM-data pipeline: text analysis -----------------------------
+    "q_t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "q_t2_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "q_t3_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "q_t4_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir))),
+
+    // -- LLM-data pipeline: multimodal --------------------------------
+    "q_m1_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(docs(s, dir))),
+    "q_m2_decode_stub" -> ((s, dir) =>
+      Multimodal.extractFeatures(docs(s, dir)).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"))),
+
+    // -- events / temporal --------------------------------------------
+    "q_e1_window_agg" -> ((s, dir) =>
+      Events.windowAgg(Events.readEvents(s, dir))),
+    "q_e2_sessionize" -> ((s, dir) =>
+      Events.sessionize(Events.readEvents(s, dir))),
+    "q_e3_asof_join" -> ((s, dir) =>
+      Events.asofLatestOrder(Events.readEvents(s, dir),
+        s.read.parquet(s"$dir/orders.parquet"))),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_vis_synth" -> Oracles.s1VisSynth,
@@ -149,5 +198,20 @@ object SparkEntry {
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
+    "q_d1_dedup_exact" -> LlmOracles.d1DedupExact,
+    "q_d2_minhash_lsh" -> LlmOracles.d2MinhashLsh,
+    "q_d3_simhash" -> LlmOracles.d3Simhash,
+    "q_d4_ngram_jaccard" -> LlmOracles.d4NgramJaccard,
+    "q_d5_embedding_neardup" -> LlmOracles.d5EmbeddingNearDup,
+    "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
+    "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
+    "q_t1_langid" -> LlmOracles.t1LangId,
+    "q_t2_quality" -> LlmOracles.t2Quality,
+    "q_t3_tokens" -> LlmOracles.t3Tokens,
+    "q_t4_fingerprint" -> LlmOracles.t4Fingerprint,
+    "q_m1_multimodal_meta" -> LlmOracles.m1MultimodalMeta,
+    "q_e1_window_agg" -> LlmOracles.e1WindowAgg,
+    "q_e2_sessionize" -> LlmOracles.e2Sessionize,
+    "q_e3_asof_join" -> LlmOracles.e3AsofJoin,
   )
 }

@@ -1,0 +1,159 @@
+package graft.llm
+
+import graft.llm.TextExprs._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the operations a
+  * large-scale training-data pipeline runs before anything else.
+  *
+  * Scale shapes:
+  *  - exact dedup: one hash aggregate on md5(text) — map-side combine
+  *    means the shuffle carries one row per distinct hash per task;
+  *  - MinHash+LSH: signatures are row-local array expressions (no
+  *    shuffle); the only wide ops are the band-bucket self-join (shuffle
+  *    keyed on (band_idx, band_hash), tiny because bucket collisions are
+  *    rare) and the final distinct;
+  *  - SimHash: explode→aggregate, one shuffle on doc_id, carrying 32
+  *    small integer partial sums per doc;
+  *  - n-gram Jaccard: shingle-set join restricted to (lang, source)
+  *    buckets to bound the candidate space;
+  *  - embedding near-dup: label-bucketed pair join (in production the
+  *    bucket key would be an LSH/IVF cell, same shape).
+  */
+object Dedup {
+
+  private implicit val d: Dialect = SparkD
+
+  val NumPerms = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumPerms / NumBands
+
+  /** Exact dedup: group on md5(text); keep the smallest doc_id
+    * (deterministic canonical representative).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: 16 permutation minima over word 3-shingles, plus
+    * 4 banded bucket hashes. All row-local array expressions.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", expr(tokens("text")))
+      .withColumn("shingles", expr(shingles("text", "toks")))
+      .withColumn("hs",
+        expr(listTransform("shingles", s => hex8ToLong(s))))
+    val withMh = (0 until NumPerms).foldLeft(base) { (df, j) =>
+      val a = 2 * j + 3
+      val b = 12345L * j + 7
+      df.withColumn(s"mh$j", expr(listMin(listTransform("hs",
+        h => s"(($h * $a + $b) % 2147483647)"))))
+    }
+    val withBands = (0 until NumBands).foldLeft(withMh) { (df, b) =>
+      val h = (0 until RowsPerBand)
+        .map(r => s"mh${b * RowsPerBand + r}")
+        .reduce((acc, m) => s"(($acc) * 31 + $m)")
+      df.withColumn(s"band$b", expr(h))
+    }
+    val cols = Seq("doc_id") ++ (0 until NumPerms).map(j => s"mh$j") ++
+      (0 until NumBands).map(b => s"band$b")
+    withBands.select(cols.head, cols.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket, scored by the
+    * fraction of equal minhash components (the unbiased Jaccard
+    * estimate).
+    */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val bands = (0 until NumBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band_idx"),
+        col(s"band$b").as("band_hash"))
+    }.reduce(_ unionAll _)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val s1 = sig.select(col("doc_id").as("doc1") +:
+      (0 until NumPerms).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val s2 = sig.select(col("doc_id").as("doc2") +:
+      (0 until NumPerms).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val matches = (0 until NumPerms)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(s1, "doc1").join(s2, "doc2")
+      .withColumn("est_jaccard",
+        matches.cast("double") / NumPerms.toDouble)
+      .select("doc1", "doc2", "est_jaccard")
+  }
+
+  /** 32-bit SimHash over whitespace tokens (per-occurrence weighting):
+    * bit b set iff the sum of ±1 votes from token-hash bit b is positive.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+      .withColumn("h", expr(hex8ToLong("tok")))
+    val bitSums = (0 until 32).map { b =>
+      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT)" +
+        " ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    agg.withColumn("simhash", expr(sh)).select("doc_id", "simhash")
+  }
+
+  /** Exact n-gram (word 3-shingle) Jaccard for pairs inside the same
+    * (lang, source) bucket.
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(shingles("text", tokens("text")))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("n_sh").as("n1")),
+        "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n_sh").as("n2")),
+        "doc2")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** Embedding near-duplicates: cosine similarity above `thr` for pairs
+    * sharing a label (the bucket key standing in for an LSH/IVF cell).
+    */
+  def embeddingNearDup(emb: DataFrame, thr: Double): DataFrame = {
+    val e1 = emb.select(col("vec_id").as("id1"), col("label"),
+      col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("label"),
+      col("embedding").as("e2"))
+    e1.join(e2, Seq("label"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosineExpr("e1", "e2"))
+      .where(col("cos") > thr)
+      .select(col("label"), col("id1"), col("id2"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

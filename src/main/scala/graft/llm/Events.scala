@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table (batch side; the
+  * Structured Streaming twin lives in graft.streaming.EventsStream).
+  *
+  * The events parquet stores nanosecond timestamps, which Spark's parquet
+  * reader rejects; [[readEvents]] reads them as raw nano longs
+  * (spark.sql.legacy.parquet.nanosAsLong) and all window math is integer
+  * arithmetic on nanos — deterministic and identical to the DuckDB
+  * oracle's epoch_ns.
+  */
+object Events {
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Tumbling 5-minute windows per event type: count + sum(value).
+    * One hash aggregate; at scale the map-side combine reduces each
+    * (window, type) to one partial row per task.
+    */
+  def windowAgg(events: DataFrame, windowSec: Long = 300): DataFrame =
+    events
+      .withColumn("win_start_s",
+        expr(s"(ts_us div ${windowSec * 1000000}) * $windowSec"))
+      .groupBy("win_start_s", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  /** Sessionisation: per-user sessions split on gaps > `gapSec`.
+    * lag + cumulative-sum-of-new-session-flags, the classic two-window
+    * formulation — both windows share the (user_id) partitioning so
+    * Spark plans ONE shuffle.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapNs = gapSec * 1000000L
+    events
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        expr("max(ts_us) - min(ts_us)").as("duration_us"))
+  }
+
+  /** As-of join: attach to each event the most recent order (by
+    * o_orderdate) of the matching customer bucket at or before the event
+    * time. Spark lacks a native as-of join; the scale-correct formulation
+    * is the union + last-non-null-window trick: one shuffle on the key,
+    * no range-join row explosion.
+    *
+    * Tie rules: orders sort before events at the same instant
+    * (inclusive <=); equal-timestamp orders resolve to the max
+    * o_orderkey.
+    */
+  def asofLatestOrder(events: DataFrame, orders: DataFrame,
+                      buckets: Int = 25): DataFrame = {
+    val ev = events.select(
+      (col("user_id") % buckets).as("k"),
+      col("ts_us").as("tus"),
+      lit(1L).as("typ"),
+      lit(null).cast("long").as("o_orderkey"),
+      col("event_id"))
+    val od = orders.select(
+      (col("o_custkey") % buckets).as("k"),
+      // parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4; the
+      // session is pinned to UTC so this cast matches DuckDB's epoch_us
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("tus"),
+      lit(0L).as("typ"),
+      col("o_orderkey"),
+      lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("tus"), col("typ"), col("o_orderkey").asc_nulls_last,
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionAll(od)
+      .withColumn("matched_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .where(col("typ") === 1)
+      .select(col("event_id"), col("k"), col("matched_orderkey"))
+  }
+}

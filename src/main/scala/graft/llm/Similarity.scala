@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.llm.TextExprs._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column
+  * (`Array[Float]`, unit-normalised in the testdata).
+  *
+  *  - [[bruteForceTopK]] — the exactness baseline: broadcast the query
+  *    set, one scan of the corpus computing cosines, per-query top-k via
+  *    a window. At 100 TB the corpus scan parallelises perfectly; the
+  *    shuffle is only (n_queries x corpus_partitions) candidate rows when
+  *    per-partition pre-ranking is enabled.
+  *  - [[lshTopK]] — the scale path: sign-random-projection bucketing with
+  *    deterministic integer hyperplanes; candidates restricted to the
+  *    query's bucket, so the pair join is keyed on bucket id and never
+  *    goes quadratic.
+  *
+  * Cosines are computed with a sequential left fold (bit-identical in the
+  * DuckDB oracle), elements widened float→double before any arithmetic.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine between two array<float> columns — dialect-
+    * generic text (the DuckDB oracle calls this with DuckD).
+    */
+  def cosineSql(a: String, b: String)(implicit d: Dialect): String = {
+    val dot = listFoldSumDouble(listTransformIdx(a, (x, i) =>
+      s"CAST($x AS DOUBLE) * CAST(${elem(b, i)} AS DOUBLE)"))
+    val na = listFoldSumDouble(listTransform(a,
+      x => s"CAST($x AS DOUBLE) * CAST($x AS DOUBLE)"))
+    val nb = listFoldSumDouble(listTransform(b,
+      x => s"CAST($x AS DOUBLE) * CAST($x AS DOUBLE)"))
+    s"$dot / (sqrt($na) * sqrt($nb))"
+  }
+
+  def cosineExpr(a: String, b: String): Column =
+    expr(cosineSql(a, b)(SparkD))
+
+  /** Number of sign-projection hyperplanes (bucket bits). */
+  val NumPlanes = 8
+
+  /** Deterministic integer hyperplane component for plane j, 0-based
+    * dim d: ((j*64 + d) * 37 mod 19) - 9, in [-9, 9].
+    */
+  def planeComponent(j: Int, dExpr: String): String =
+    s"((($j * 64 + $dExpr) * 37) % 19 - 9)"
+
+  /** Bucket id: bit j set iff dot(plane_j, v) > 0. */
+  def bucketSql(v: String)(implicit d: Dialect): String = {
+    val bits = (0 until NumPlanes).map { j =>
+      val dot = listFoldSumDouble(listTransformIdx(v, (x, i) =>
+        s"CAST($x AS DOUBLE) * ${planeComponent(j, s"($i - 1)")}"))
+      s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  def bucketExpr(v: String): Column = expr(bucketSql(v)(SparkD))
+
+  /** Exact top-k neighbours for each query vector (queries = `vec_id <
+    * nQueries`), self excluded. Rank determinism: round(cos, 6) desc then
+    * vec_id asc.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = q.join(emb.where(col("vec_id") >= lit(0)), // full corpus
+        col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "embedding"))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("cos_r").as("cos_sim"))
+  }
+
+  /** Bucketed ANN: same ranking but candidates limited to the query's
+    * LSH bucket.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", bucketExpr("embedding"))
+    val q = broadcast(bucketed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket")))
+    val scored = q.join(bucketed, Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "embedding"))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("bucket"), col("rank"), col("vec_id"),
+        col("cos_r").as("cos_sim"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.llm.TextExprs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: language ID, quality
+  * scoring, token counting, fingerprinting. All expression-level —
+  * one scan, no UDFs in the hot path (the rolling-hash kernel is the one
+  * pure-Scala function, used by the library API, with the md5 variant
+  * serving the oracle-checked query).
+  */
+object TextAnalysis {
+
+  private implicit val d: Dialect = SparkD
+
+  /** Tiny per-language stopword marker sets (n-gram heuristic stand-in).
+    * The oracle regenerates the same table from VALUES.
+    */
+  val Stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "and", "en" -> "of", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und",
+    "de" -> "ist",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "una", "es" -> "es",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "est",
+    "fr" -> "un",
+    "zh" -> "shi", "zh" -> "bu", "zh" -> "wo", "zh" -> "zhe",
+    "zh" -> "de")
+
+  def stopwordDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Stopwords.toDF("lang_cand", "word")
+  }
+
+  /** Language ID: per-language stopword hit counts, argmax with
+    * deterministic (count desc, lang asc) tie-break; docs with zero hits
+    * predict 'und' (undetermined).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs.select(col("doc_id"),
+      explode(expr(tokens("text"))).as("word"))
+    val hits = tok.join(broadcast(stopwordDim(spark)), Seq("word"))
+      .groupBy("doc_id", "lang_cand")
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_hits").desc, col("lang_cand").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang_cand").as("pred_lang"),
+        col("n_hits"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Quality scoring: length, token count, mean token length, lexical
+    * diversity, and a blended score. Pure arithmetic on counts —
+    * deterministic across engines.
+    */
+  def quality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(tokens("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", expr(listSize("toks")).cast("long"))
+      .withColumn("n_distinct", expr(listDistinctSize("toks"))
+        .cast("long"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        round(col("avg_token_len") / 8.0 * 0.5
+          + col("distinct_ratio") * 0.5, 6))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct",
+        "avg_token_len", "distinct_ratio", "quality_score")
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(len/4) per token — the "~4 chars per token" heuristic).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(tokens("text")))
+      .withColumn("n_ws_tokens", expr(listSize("toks")).cast("long"))
+      .withColumn("n_subword_est", expr(listFoldSumLong(
+        listTransform("toks",
+          t => s"CAST(floor((length($t) + 3) / 4) AS BIGINT)"))))
+      .select("doc_id", "n_ws_tokens", "n_subword_est")
+
+  /** Document fingerprinting: md5-prefix fingerprint plus the minimum
+    * shingle hash (a 1-perm MinHash — the content-defined anchor).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp_hex", substring(md5(col("text")), 1, 16))
+      .withColumn("min_shingle", expr(listMin(listTransform(
+        shingles("text", tokens("text")), s => hex8ToLong(s)))))
+      .select("doc_id", "fp_hex", "min_shingle")
+
+  /** Pure-Scala polynomial rolling hash over UTF-8 bytes (the streaming
+    * fingerprint a chunker would use; spec-tested, not oracle-checked).
+    */
+  def rollingHash(text: String, window: Int = 16): Array[Long] = {
+    val P = 1000000007L
+    val B = 257L
+    val bytes = text.getBytes("UTF-8").map(b => (b & 0xff).toLong)
+    if (bytes.length < window) {
+      if (bytes.isEmpty) return Array(0L)
+      return Array(bytes.foldLeft(0L)((acc, x) => (acc * B + x) % P))
+    }
+    var bw = 1L
+    (1 until window).foreach(_ => bw = bw * B % P)
+    val out = new Array[Long](bytes.length - window + 1)
+    var h = 0L
+    bytes.take(window).foreach(x => h = (h * B + x) % P)
+    out(0) = h
+    var i = window
+    while (i < bytes.length) {
+      h = (h + P * B - bytes(i - window) * bw % P) % P
+      h = (h * B + bytes(i)) % P
+      out(i - window + 1) = h
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,122 @@
+package graft.llm
+
+/** SQL expression fragments shared between the Spark implementation
+  * (via `expr(...)`, still fully Catalyst/codegen) and the DuckDB oracle.
+  *
+  * Why generated text: the dedup/similarity operators hinge on hash and
+  * list-fold arithmetic where both engines must evaluate the SAME integer
+  * and double operations in the SAME order. Generating both dialects from
+  * one builder makes that parity structural instead of hoped-for.
+  *
+  * Dialect notes handled here:
+  *  - Spark `transform`'s lambda index is 0-based, DuckDB's is 1-based;
+  *  - Spark list fold is `aggregate(l, init, f)`, DuckDB is
+  *    `list_reduce(list_prepend(init, l), f)` (both left folds — verified:
+  *    0.0 + x == x in IEEE so the prepended init is exact);
+  *  - both share md5/substr/instr, so hex→int needs no dialect split.
+  */
+object TextExprs {
+
+  sealed trait Dialect
+  case object SparkD extends Dialect
+  case object DuckD extends Dialect
+
+  /** Whitespace tokenisation (single-space; both engines keep empty
+    * tokens identically).
+    */
+  def tokens(text: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"split($text, ' ')"
+    case DuckD  => s"string_split($text, ' ')"
+  }
+
+  def listSize(l: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"size($l)"
+    case DuckD  => s"len($l)"
+  }
+
+  /** 1-based element access. */
+  def elem(l: String, i: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"element_at($l, $i)"
+    case DuckD  => s"$l[$i]"
+  }
+
+  /** transform with a 1-based index exposed to the body. */
+  def listTransformIdx(l: String, body: (String, String) => String)
+                      (implicit d: Dialect): String = d match {
+    case SparkD => s"transform($l, (x, i0) -> ${body("x", "(i0 + 1)")})"
+    case DuckD  => s"list_transform($l, (x, i) -> ${body("x", "i")})"
+  }
+
+  def listTransform(l: String, body: String => String)
+                   (implicit d: Dialect): String = d match {
+    case SparkD => s"transform($l, x -> ${body("x")})"
+    case DuckD  => s"list_transform($l, x -> ${body("x")})"
+  }
+
+  def listMin(l: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"array_min($l)"
+    case DuckD  => s"list_min($l)"
+  }
+
+  def listDistinctSize(l: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"size(array_distinct($l))"
+    case DuckD  => s"len(list_distinct($l))"
+  }
+
+  /** Left-fold sum of a DOUBLE list — sequential, so bit-identical across
+    * engines for identical element order.
+    */
+  def listFoldSumDouble(l: String)(implicit d: Dialect): String = d match {
+    case SparkD =>
+      s"aggregate($l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    case DuckD =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l)," +
+        " (acc, x) -> acc + x)"
+  }
+
+  /** Left-fold sum of a BIGINT list. */
+  def listFoldSumLong(l: String)(implicit d: Dialect): String = d match {
+    case SparkD =>
+      s"aggregate($l, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    case DuckD =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l)," +
+        " (acc, x) -> acc + x)"
+  }
+
+  /** First 8 hex digits of md5 as a BIGINT in [0, 2^32) — identical text
+    * in both dialects (instr/substr/md5 shared).
+    */
+  def hex8ToLong(e: String): String =
+    (0 until 8).map { i =>
+      s"(CAST(instr('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1" +
+        s" AS BIGINT) * ${1L << (4 * (7 - i))})"
+    }.mkString("(", " + ", ")")
+
+  /** Universal-hash family over the md5-derived integer:
+    * h_j(s) = (a_j * H(s) + b_j) mod 2147483647.
+    */
+  def tokenHash(e: String, j: Int): String = {
+    val a = 2 * j + 3
+    val b = 12345L * j + 7
+    s"((${hex8ToLong(e)} * $a + $b) % 2147483647)"
+  }
+
+  /** Word k-shingles (k=3) joined by spaces; documents shorter than k
+    * tokens contribute the whole text as their single shingle.
+    */
+  def shingles(text: String, toksExpr: String)
+              (implicit d: Dialect): String = {
+    val n = listSize(toksExpr)
+    val idxBody = listTransformIdx(
+      d match {
+        case SparkD => s"sequence(1, $n - 2)"
+        case DuckD  => s"range(1, $n - 1)"
+      },
+      (x, _) => s"concat(${elem(toksExpr, x)}, ' '," +
+        s" ${elem(toksExpr, s"$x + 1")}, ' ', ${elem(toksExpr, s"$x + 2")})")
+    d match {
+      case SparkD => s"CASE WHEN $n < 3 THEN array($text) ELSE $idxBody END"
+      case DuckD  => s"CASE WHEN $n < 3 THEN [$text] ELSE $idxBody END"
+    }
+  }
+}
