@@ -130,6 +130,9 @@ object SparkEntry {
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
       Sinks.mwafOccupancy(flagged(s, dir))),
 
+    "q_k3_mwaf_bitmask" -> ((s, dir) =>
+      Sinks.mwafBitmask(flagged(s, dir))),
+
     // -- LLM-data pipeline: dedup -------------------------------------
     "q_d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir))),
@@ -138,7 +141,7 @@ object SparkEntry {
     "q_d3_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir))),
     "q_d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir))),
+      Dedup.ngramJaccardCandidates(docs(s, dir))),
     "q_d5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), 0.3)),
 
@@ -198,6 +201,7 @@ object SparkEntry {
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
+    "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,
     "q_d1_dedup_exact" -> LlmOracles.d1DedupExact,
     "q_d2_minhash_lsh" -> LlmOracles.d2MinhashLsh,
     "q_d3_simhash" -> LlmOracles.d3Simhash,

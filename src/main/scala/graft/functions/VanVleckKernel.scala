@@ -65,20 +65,43 @@ object VanVleckKernel {
 
   /** Bivariate-normal pdf sum over the quantiser grid at correlation rho;
     * x/y are the (k+0.5)/σ grids (van_vleck.rs:634-656).
+    *
+    * Uses the separable form of the reference's summand
+    * 2·cosh(ρ·x_i·y_k/d) · e^{-(x_i²+y_k²)/2d}:
+    * the Gaussian factor splits into per-row/per-column tables, and since
+    * x_i = (i+0.5)/σx is affine in i, e^{ρ·x_i·y_k/d} is a geometric
+    * sequence in i — so the 7x7 grid costs ~28 exp instead of 49 exp +
+    * 49 cosh. Algebraically identical to the direct sum (the reference's
+    * own derivation at van_vleck.rs:600-632 rewrites it the same way).
     */
   def pdf(x: Array[Double], y: Array[Double], rho: Double): Double = {
+    val n = x.length
+    val m = y.length
     val d = math.max(1.0 - rho * rho, 1e-20)
-    var r = 0.0
+    val inv2d = 1.0 / (2.0 * d)
+    val ex = new Array[Double](n)
     var i = 0
-    while (i < x.length) {
-      var k = 0
-      while (k < y.length) {
-        val numer = 2.0 * math.cosh(rho * x(i) * y(k) / d)
-        val denom = math.exp((x(i) * x(i) + y(k) * y(k)) / (2.0 * d))
-        r += numer / denom
-        k += 1
+    while (i < n) { ex(i) = math.exp(-x(i) * x(i) * inv2d); i += 1 }
+    val ey = new Array[Double](m)
+    var k = 0
+    while (k < m) { ey(k) = math.exp(-y(k) * y(k) * inv2d); k += 1 }
+    // x_i = x0 + i*dx (x0 = first grid point, dx = grid step)
+    val x0 = x(0)
+    val dx = if (n > 1) x(1) - x(0) else 0.0
+    var r = 0.0
+    k = 0
+    while (k < m) {
+      val c = rho * y(k) / d
+      var p = math.exp(c * x0) // e^{c·x_i}, advanced by ratio each i
+      val ratio = math.exp(c * dx)
+      i = 0
+      while (i < n) {
+        val cosh2 = p + 1.0 / p // 2*cosh(c*x_i)
+        r += cosh2 * ex(i) * ey(k)
+        p *= ratio
+        i += 1
       }
-      i += 1
+      k += 1
     }
     r / (math.Pi * math.sqrt(d))
   }

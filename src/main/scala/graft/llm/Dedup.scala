@@ -38,15 +38,25 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"))
 
+  /** (doc_id, hs): the hashed word-3-shingle list per document — the
+    * shared input of the MinHash, candidate, and verify stages. Hashing
+    * (md5 per shingle) dominates, so pipelines cache this frame.
+    */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(tokens("text")))
+      .withColumn("shingles", expr(shingles("text", "toks")))
+      .withColumn("hs", expr(hashList("shingles")))
+      .select("doc_id", "hs")
+
   /** MinHash signatures: 16 permutation minima over word 3-shingles, plus
     * 4 banded bucket hashes. All row-local array expressions.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("toks", expr(tokens("text")))
-      .withColumn("shingles", expr(shingles("text", "toks")))
-      .withColumn("hs",
-        expr(listTransform("shingles", s => hex8ToLong(s))))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromHs(hashedShingles(docs))
+
+  /** Signatures from a pre-hashed (doc_id, hs) frame. */
+  def minhashSignaturesFromHs(base: DataFrame): DataFrame = {
     val withMh = (0 until NumPerms).foldLeft(base) { (df, j) =>
       val a = 2 * j + 3
       val b = 12345L * j + 7
@@ -68,8 +78,11 @@ object Dedup {
     * fraction of equal minhash components (the unbiased Jaccard
     * estimate).
     */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  def lshCandidates(docs: DataFrame): DataFrame =
+    lshCandidatesFromSig(minhashSignatures(docs).cache())
+
+  /** Candidates + estimated jaccard from a (cached) signature frame. */
+  def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
         col(s"band$b").as("band_hash"))
@@ -100,7 +113,8 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
-      .withColumn("h", expr(hex8ToLong("tok")))
+      .withColumn("m5", expr("md5(tok)"))
+      .withColumn("h", expr(hex8FromMd5("m5")))
     val bitSums = (0 until 32).map { b =>
       sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END"))
         .as(s"s$b")
@@ -113,13 +127,47 @@ object Dedup {
     agg.withColumn("simhash", expr(sh)).select("doc_id", "simhash")
   }
 
+  /** Exact n-gram Jaccard verification of the LSH candidate pairs — the
+    * textbook two-stage near-dup pipeline (cheap recall stage, exact
+    * verify stage touches only candidate pairs, never n²).
+    */
+  def ngramJaccardCandidates(docs: DataFrame): DataFrame = {
+    val hs = hashedShingles(docs).cache()
+    val sh = hs.select(col("doc_id"), explode(col("hs")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = lshCandidatesFromSig(
+      minhashSignaturesFromHs(hs).cache()).select("doc1", "doc2")
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("sh")),
+        Seq("doc2", "sh"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(inter, Seq("doc1", "doc2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc1"), col("n_sh").as("n1")),
+        "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n_sh").as("n2")),
+        "doc2")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
   /** Exact n-gram (word 3-shingle) Jaccard for pairs inside the same
-    * (lang, source) bucket.
+    * (lang, source) bucket — the exhaustive variant for bounded buckets.
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    // join on the 32-bit shingle hash, not the string: integer join keys
+    // shuffle a fraction of the bytes and compare in one instruction.
+    // Collisions are identical on the oracle side (same hash), so results
+    // still match bit-for-bit.
     val sh = docs
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(expr(shingles("text", tokens("text")))).as("sh"))
+        explode(expr(hashList(shingles("text", tokens("text")))))
+          .as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
@@ -145,13 +193,17 @@ object Dedup {
     * sharing a label (the bucket key standing in for an LSH/IVF cell).
     */
   def embeddingNearDup(emb: DataFrame, thr: Double): DataFrame = {
-    val e1 = emb.select(col("vec_id").as("id1"), col("label"),
-      col("embedding").as("e1"))
-    val e2 = emb.select(col("vec_id").as("id2"), col("label"),
-      col("embedding").as("e2"))
+    import graft.llm.TextExprs.SparkD
+    val withNorm = emb.withColumn("nrm",
+      expr(Similarity.normSql("embedding")(SparkD)))
+    val e1 = withNorm.select(col("vec_id").as("id1"), col("label"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val e2 = withNorm.select(col("vec_id").as("id2"), col("label"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
     e1.join(e2, Seq("label"))
       .where(col("id1") < col("id2"))
-      .withColumn("cos", Similarity.cosineExpr("e1", "e2"))
+      .withColumn("cos", expr(Similarity.dotSql("e1", "e2")(SparkD))
+        / (col("n1") * col("n2")))
       .where(col("cos") > thr)
       .select(col("label"), col("id1"), col("id2"),
         round(col("cos"), 6).as("cos_sim"))

@@ -23,18 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine between two array<float> columns — dialect-
-    * generic text (the DuckDB oracle calls this with DuckD).
+  /** Sequential-fold dot product between two array<float> columns —
+    * dialect-generic text (the DuckDB oracle calls this with DuckD).
     */
-  def cosineSql(a: String, b: String)(implicit d: Dialect): String = {
-    val dot = listFoldSumDouble(listTransformIdx(a, (x, i) =>
+  def dotSql(a: String, b: String)(implicit d: Dialect): String =
+    listFoldSumDouble(listTransformIdx(a, (x, i) =>
       s"CAST($x AS DOUBLE) * CAST(${elem(b, i)} AS DOUBLE)"))
-    val na = listFoldSumDouble(listTransform(a,
-      x => s"CAST($x AS DOUBLE) * CAST($x AS DOUBLE)"))
-    val nb = listFoldSumDouble(listTransform(b,
-      x => s"CAST($x AS DOUBLE) * CAST($x AS DOUBLE)"))
-    s"$dot / (sqrt($na) * sqrt($nb))"
-  }
+
+  /** Euclidean norm of an array<float> column. */
+  def normSql(v: String)(implicit d: Dialect): String =
+    s"sqrt(${listFoldSumDouble(listTransform(v,
+      x => s"CAST($x AS DOUBLE) * CAST($x AS DOUBLE)"))})"
+
+  /** Cosine from a per-pair dot and PRE-COMPUTED norms: list lambdas are
+    * interpreted (not codegen'd), so hoisting the two norm folds from the
+    * O(pairs) join to the O(rows) scan is a 3x on the pair stage.
+    */
+  def cosineSql(a: String, b: String)(implicit d: Dialect): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   def cosineExpr(a: String, b: String): Column =
     expr(cosineSql(a, b)(SparkD))
@@ -65,11 +71,13 @@ object Similarity {
     * vec_id asc.
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = broadcast(emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val scored = q.join(emb.where(col("vec_id") >= lit(0)), // full corpus
-        col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineExpr("qe", "embedding"))
+    val withNorm = emb.withColumn("nrm", expr(normSql("embedding")(SparkD)))
+    val q = broadcast(withNorm.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val scored = q.join(withNorm, col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(dotSql("qe", "embedding")(SparkD))
+        / (col("qn") * col("nrm")))
       .withColumn("cos_r", round(col("cos"), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
@@ -83,13 +91,16 @@ object Similarity {
     * LSH bucket.
     */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val bucketed = emb.withColumn("bucket", bucketExpr("embedding"))
+    val bucketed = emb
+      .withColumn("bucket", bucketExpr("embedding"))
+      .withColumn("nrm", expr(normSql("embedding")(SparkD)))
     val q = broadcast(bucketed.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket")))
+        col("bucket"), col("nrm").as("qn")))
     val scored = q.join(bucketed, Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineExpr("qe", "embedding"))
+      .withColumn("cos", expr(dotSql("qe", "embedding")(SparkD))
+        / (col("qn") * col("nrm")))
       .withColumn("cos_r", round(col("cos"), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id").asc)

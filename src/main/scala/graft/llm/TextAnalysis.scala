@@ -96,8 +96,8 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .withColumn("fp_hex", substring(md5(col("text")), 1, 16))
-      .withColumn("min_shingle", expr(listMin(listTransform(
-        shingles("text", tokens("text")), s => hex8ToLong(s)))))
+      .withColumn("min_shingle",
+        expr(listMin(hashList(shingles("text", tokens("text"))))))
       .select("doc_id", "fp_hex", "min_shingle")
 
   /** Pure-Scala polynomial rolling hash over UTF-8 bytes (the streaming

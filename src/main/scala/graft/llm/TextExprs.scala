@@ -86,11 +86,24 @@ object TextExprs {
   /** First 8 hex digits of md5 as a BIGINT in [0, 2^32) — identical text
     * in both dialects (instr/substr/md5 shared).
     */
-  def hex8ToLong(e: String): String =
+  def hex8ToLong(e: String): String = hex8FromMd5(s"md5($e)")
+
+  /** Same conversion given an ALREADY-COMPUTED md5 hex string expression
+    * — use via a two-stage transform so md5 runs once per element, not
+    * once per extracted hex digit.
+    */
+  def hex8FromMd5(m: String): String =
     (0 until 8).map { i =>
-      s"(CAST(instr('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1" +
+      s"(CAST(instr('0123456789abcdef', substr($m, ${i + 1}, 1)) - 1" +
         s" AS BIGINT) * ${1L << (4 * (7 - i))})"
     }.mkString("(", " + ", ")")
+
+  /** Hash every element of a string list: md5 once per element, then the
+    * hex8 extraction.
+    */
+  def hashList(l: String)(implicit d: Dialect): String =
+    listTransform(listTransform(l, s => s"md5($s)"),
+      m => hex8FromMd5(m))
 
   /** Universal-hash family over the md5-derived integer:
     * h_j(s) = (a_j * H(s) + b_j) mod 2147483647.

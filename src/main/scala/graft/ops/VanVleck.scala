@@ -28,8 +28,29 @@ import org.apache.spark.sql.functions._
 object VanVleck {
 
   private val vvAutoUdf = udf((s: Double) => VanVleckKernel.vanVleckAuto(s))
+
+  /** Memoised cross kernel: correlator inputs are quantised (f32 khat,
+    * sigma from a small auto population), so distinct (khat, sx, sy)
+    * triples are orders of magnitude fewer than cells. A per-executor
+    * bounded cache turns ~10 Simpson integrations per cell into a hash
+    * probe. Deterministic function ⇒ cache-safe under retries.
+    */
+  @transient private lazy val crossCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double),
+      Double]()
+  private val CacheCap = 1 << 20
+
+  private def cachedCross(k: Double, sx: Double, sy: Double): Double = {
+    val key = (k, sx, sy)
+    if (crossCache.size >= CacheCap)
+      VanVleckKernel.vanVleckCrossInt(k, sx, sy)
+    else
+      crossCache.computeIfAbsent(key,
+        _ => VanVleckKernel.vanVleckCrossInt(k, sx, sy))
+  }
+
   private val vvCrossUdf = udf((k: Double, sx: Double, sy: Double) =>
-    VanVleckKernel.vanVleckCrossInt(k, sx, sy))
+    cachedCross(k, sx, sy))
 
   /** Derive the per-(t, ant, chan) σ table from auto rows.
     * `sighatExpr` maps an auto component column to σ̂ (for real data:

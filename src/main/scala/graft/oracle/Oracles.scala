@@ -216,6 +216,14 @@ object Oracles {
        |FROM avg""".stripMargin,
     s"avg AS (\n$avgBody)")
 
+  val k3MwafBitmask: String = OracleSql.query(
+    """SELECT cc, bl, t,
+      |       CAST(bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)
+      |                   ELSE 0 END) AS BIGINT) AS flag_mask,
+      |       count(*) AS n_samples
+      |FROM vis_flagged GROUP BY 1, 2, 3""".stripMargin,
+    OracleSql.visFlaggedCte)
+
   val k3MwafOccupancy: String = OracleSql.query(
     """SELECT cc, bl, count(*) AS n_cells,
       |       sum(CASE WHEN flag THEN 1 ELSE 0 END) AS n_flagged,

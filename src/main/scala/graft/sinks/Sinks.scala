@@ -47,6 +47,18 @@ object Sinks {
       (sum(when(col("flag"), 1L).otherwise(0L)).cast("double") /
         count(lit(1))).as("occupancy"))
 
+  /** K3 mwaf bitmap rows: per (cc, bl, t), the fine-channel flag
+    * bitvector packed into a long (bit fc set ⇔ flagged) — the parquet
+    * mirror of the mwaf FLAGS bit-column table
+    * (/root/reference/src/io/mwaf.rs:424-495, row per (timestep,
+    * baseline), cell = fine-chan bitvector).
+    */
+  def mwafBitmask(visFlagged: DataFrame): DataFrame =
+    visFlagged.groupBy("cc", "bl", "t")
+      .agg(expr("bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)" +
+        " ELSE 0 END)").cast("long").as("flag_mask"),
+        count(lit(1)).as("n_samples"))
+
   /** Write a frame as the parquet mirror of the uvfits sink: partitioned
     * by coarse channel (mirrors one-gpubox-per-file granularity and the
     * picket-fence fan-out, /root/reference/src/cli.rs:1524-1574).

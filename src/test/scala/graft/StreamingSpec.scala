@@ -1,0 +1,31 @@
+package graft
+
+import graft.llm.Events
+import graft.streaming.EventsStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch parity: the Structured Streaming windowed aggregate
+  * must produce the same closed-window rows as the batch twin.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming windowed agg equals batch windowAgg") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runOnce(spark, dir)
+      .select(expr("unix_seconds(win_start)").as("win_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val batch = Events.windowAgg(Events.readEvents(spark, dir))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"streaming rows ${s.size} vs batch ${b.size}")
+  }
+}
