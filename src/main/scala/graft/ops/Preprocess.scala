@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.model.{Dims, Obs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The fixed preprocessing pipeline
+  * (`PreprocessContext::preprocess`, /root/reference/src/preprocessing.rs:178-361).
+  *
+  * Stage order is a SEMANTIC CONTRACT (preprocessing.rs §kernel order):
+  *   Van Vleck → cable → digital gains → PFB passband →
+  *   RFI flagging → geometry → DI calibration
+  * and each stage is conditional exactly as the reference's CLI decides
+  * (skip cable/geometry when the metafits says already applied,
+  * /root/reference/src/cli.rs:1389-1399, 1444-1452; Van Vleck only for
+  * the legacy correlator, cli.rs:1378-1388).
+  *
+  * Each member is a pure DataFrame => DataFrame transform, so the whole
+  * pipeline is `df.transform(...)` composition — Catalyst fuses all the
+  * expression-only stages (C1, C3, C4, C6) into ONE projection over the
+  * scan (CollapseProject), which is why the expression-first design beats
+  * a UDF-per-stage port: the fused plan reads each row once.
+  */
+case class Preprocess(vanVleck: Boolean = false,
+                      cable: Boolean = true,
+                      digitalGains: Boolean = true,
+                      passband: Boolean = true,
+                      rfi: Boolean = false,
+                      geometry: Boolean = true,
+                      calibrate: Boolean = true,
+                      sampleScale: Double = 2.0) {
+
+  def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
+    val antenna = Dims.antenna(spark)
+    val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
+      (vanVleck, df => VanVleck(df, Seq(Obs.FlaggedAnt.toLong),
+        sampleScale)),
+      (cable, df => CableCorrection(df, antenna)),
+      (digitalGains, df => DigitalGains(df, Dims.digitalGain(spark))),
+      (passband, df => PassbandGains(df, Dims.pfbGain(spark))),
+      (rfi, df => applyRfi(df)),
+      (geometry, df => GeometryCorrection(df,
+        GeometryCorrection.partUvw(Dims.timestep(spark), antenna))),
+      (calibrate, df => Calibration(df, Dims.calsol(spark))))
+    stages.foldLeft(vis) { case (df, (enabled, stage)) =>
+      if (enabled) df.transform(stage) else df
+    }
+  }
+
+  /** RFI stage: detect per-baseline, OR the detections back into the
+    * frame's flag column (reference flag-OR mode, flags.rs:414-418).
+    */
+  private def applyRfi(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rfi = RfiFlag(df)
+    df.join(rfi, Seq("bl", "t", "chan"), "left")
+      .withColumn("flag", col("flag") || coalesce(col("rfi"), lit(false)))
+      .drop("rfi")
+  }
+}
