@@ -166,6 +166,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("n_frames"))),
 
+    // -- relational surface (SURVEY §2.9) ------------------------------
+    "q_h1_pricing_summary" -> ((s, dir) =>
+      graft.relational.Relational.pricingSummary(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_h3_top_revenue" -> ((s, dir) =>
+      graft.relational.Relational.topRevenue(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_h4_customers_without_orders" -> ((s, dir) =>
+      graft.relational.Relational.customersWithoutOrders(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))),
+    "q_h5_active_suppliers" -> ((s, dir) =>
+      graft.relational.Relational.activeSuppliersInRegion(
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+
     // -- events / temporal --------------------------------------------
     "q_e1_window_agg" -> ((s, dir) =>
       Events.windowAgg(Events.readEvents(s, dir))),
@@ -214,6 +234,10 @@ object SparkEntry {
     "q_t3_tokens" -> LlmOracles.t3Tokens,
     "q_t4_fingerprint" -> LlmOracles.t4Fingerprint,
     "q_m1_multimodal_meta" -> LlmOracles.m1MultimodalMeta,
+    "q_h1_pricing_summary" -> LlmOracles.h1PricingSummary,
+    "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,
+    "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,
+    "q_h5_active_suppliers" -> LlmOracles.h5ActiveSuppliers,
     "q_e1_window_agg" -> LlmOracles.e1WindowAgg,
     "q_e2_sessionize" -> LlmOracles.e2Sessionize,
     "q_e3_asof_join" -> LlmOracles.e3AsofJoin,

@@ -194,6 +194,7 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, thr: Double): DataFrame = {
     import graft.llm.TextExprs.SparkD
+    graft.functions.FloatVecDot.register(emb.sparkSession)
     val withNorm = emb.withColumn("nrm",
       expr(Similarity.normSql("embedding")(SparkD)))
     val e1 = withNorm.select(col("vec_id").as("id1"), col("label"),

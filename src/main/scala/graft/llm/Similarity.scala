@@ -23,17 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product between two array<float> columns —
-    * dialect-generic text (the DuckDB oracle calls this with DuckD).
+  /** Sequential dot product between two array<float> columns.
+    * Spark side: the codegen'd [[graft.functions.FloatVecDot]] (register
+    * per session); DuckDB side: the equivalent sequential left fold.
+    * Both accumulate double from 0.0 in element order — bit-identical.
     */
-  def dotSql(a: String, b: String)(implicit d: Dialect): String =
-    listFoldSumDouble(listTransformIdx(a, (x, i) =>
+  def dotSql(a: String, b: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"float_dot($a, $b)"
+    case DuckD => listFoldSumDouble(listTransformIdx(a, (x, i) =>
       s"CAST($x AS DOUBLE) * CAST(${elem(b, i)} AS DOUBLE)"))
+  }
 
-  /** Euclidean norm of an array<float> column. */
-  def normSql(v: String)(implicit d: Dialect): String =
-    s"sqrt(${listFoldSumDouble(listTransform(v,
+  /** Euclidean norm of an array<float> column (= sqrt of self-dot, same
+    * element order as the fold of squares).
+    */
+  def normSql(v: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"sqrt(float_dot($v, $v))"
+    case DuckD => s"sqrt(${listFoldSumDouble(listTransform(v,
       x => s"CAST($x AS DOUBLE) * CAST($x AS DOUBLE)"))})"
+  }
 
   /** Cosine from a per-pair dot and PRE-COMPUTED norms: list lambdas are
     * interpreted (not codegen'd), so hoisting the two norm folds from the
@@ -71,6 +79,7 @@ object Similarity {
     * vec_id asc.
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
     val withNorm = emb.withColumn("nrm", expr(normSql("embedding")(SparkD)))
     val q = broadcast(withNorm.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -91,6 +100,7 @@ object Similarity {
     * LSH bucket.
     */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
     val bucketed = emb
       .withColumn("bucket", bucketExpr("embedding"))
       .withColumn("nrm", expr(normSql("embedding")(SparkD)))
