@@ -1,0 +1,24 @@
+package graft
+
+import graft.functions.FloatVecDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions: installs the engine's native expressions into any
+  * SparkSession built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * production wiring for clusters where sessions are created by the
+  * platform, not the library (per-session `FloatVecDot.register` remains
+  * for ad-hoc use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+  }
+}

@@ -35,14 +35,16 @@ object SparkEntry {
   private def weighted(s: SparkSession, dir: String): DataFrame =
     WeightOps.flagToWeight(flagged(s, dir))
 
-  /** Flagship: the full preprocessing pipeline on sf0.001 —
-    * synth scan → static flags → weights → cable correction → 2x/2x
-    * averaging. Driver smoke-checks rows > 0.
+  /** Flagship: the COMPLETE preprocessing pipeline on sf0.001 in the
+    * reference's stage order (graft.ops.Preprocess): synth scan → static
+    * flags → weights → Van Vleck → cable → digital gains → passband →
+    * RFI → geometry → DI calibration → 2x/2x averaging. Driver
+    * smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val corrected = CableCorrection(weighted(spark, dir),
-      Dims.antenna(spark))
+    val corrected = Preprocess(vanVleck = true, rfi = true)(
+      spark, weighted(spark, dir))
     Averaging.avgTimeFreq(corrected, 2, 2)
   }
 

@@ -1,0 +1,145 @@
+package graft.sinks
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+
+import graft.model.Obs
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** K1: uvfits (FITS random groups) binary exporter
+  * (reference wrapper /root/reference/src/io/mod.rs:392-467; row layout
+  * visible in the reference's round-trip test io/mod.rs:794-851).
+  *
+  * Layout per the public FITS standard (big-endian):
+  *  - one 2880-byte header of 80-char cards: SIMPLE, BITPIX=-32,
+  *    NAXIS=6 (0, complex=3, pol=4, chan, ra=1, dec=1), GROUPS=T,
+  *    PCOUNT=5 (UU, VV, WW, DATE, BASELINE), GCOUNT=rows, END;
+  *  - one group per (time, baseline): 5 float32 parameters followed by
+  *    chan x pol x (re, im, weight) float32s, time-major baseline order;
+  *  - zero-padded to a 2880-byte boundary.
+  *
+  * Baseline id uses the uvfits convention 256*ant1 + ant2 (1-based).
+  *
+  * Scale note: the single output file is inherently serial (exactly as
+  * the reference's writer); the upstream frame is ordered by the
+  * scale-correct range-partition + within-partition sort, and the driver
+  * only streams `toLocalIterator` — it never materialises the dataset.
+  * A cluster deployment would have each partition encode its byte slice
+  * and concatenate (same group encoding, offset = partition prefix sums
+  * from [[Sinks.orderedRowIdx]]).
+  */
+object UvfitsWriter {
+
+  private def card(key: String, value: String, comment: String = ""): String = {
+    val v = key.take(8).padTo(8, ' ') + "= " +
+      value.reverse.padTo(20, ' ').reverse +
+      (if (comment.nonEmpty) s" / $comment" else "")
+    v.padTo(80, ' ').take(80)
+  }
+
+  private def endCard: String = "END".padTo(80, ' ')
+
+  /** Write an averaged frame (columns bl, ant1, ant2, t_out, c_out,
+    * a0..a7, flag_out, weight_out) as a random-groups uvfits file.
+    * Returns the number of groups written (row-count invariant,
+    * mirror of /root/reference/src/io/mwaf.rs:504-510's check).
+    */
+  def write(avg: DataFrame, path: String): Long = {
+    val nChans = avg.select(countDistinct("c_out")).head().getLong(0).toInt
+    val ordered = avg
+      .repartitionByRange(32, col("t_out"), col("bl"))
+      .sortWithinPartitions("t_out", "bl", "c_out")
+
+    // gather chan-major groups: one uvfits group per (t_out, bl)
+    val groups = ordered.select("t_out", "bl", "ant1", "ant2", "c_out",
+        "a0", "a1", "a2", "a3", "a4", "a5", "a6", "a7", "weight_out")
+      .toLocalIterator()
+
+    val nGroupEst = avg.select(countDistinct(struct("t_out", "bl")))
+      .head().getLong(0)
+    val pcount = 5
+    val floatsPerChan = 4 * 3 // pol x (re, im, wt)
+    val groupFloats = pcount + nChans * floatsPerChan
+
+    val cards = Seq(
+      card("SIMPLE", "T", "conforms to FITS standard"),
+      card("BITPIX", "-32", "IEEE float32"),
+      card("NAXIS", "6"),
+      card("NAXIS1", "0", "random groups"),
+      card("NAXIS2", "3", "re, im, weight"),
+      card("NAXIS3", "4", "pols XX YY XY YX"),
+      card("NAXIS4", nChans.toString, "channels"),
+      card("NAXIS5", "1", "ra"),
+      card("NAXIS6", "1", "dec"),
+      card("EXTEND", "T"),
+      card("GROUPS", "T", "random group records"),
+      card("PCOUNT", pcount.toString, "UU VV WW DATE BASELINE"),
+      card("GCOUNT", nGroupEst.toString, "number of groups"),
+      card("PTYPE1", "'UU      '"), card("PTYPE2", "'VV      '"),
+      card("PTYPE3", "'WW      '"), card("PTYPE4", "'DATE    '"),
+      card("PTYPE5", "'BASELINE'"),
+      card("OBJECT", "'GRAFT   '"),
+      card("TELESCOP", "'MWA     '"),
+      endCard)
+    val headerStr = cards.mkString
+    val header = (headerStr + " " * ((2880 - headerStr.length % 2880)
+      % 2880)).getBytes("ASCII")
+
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    out.write(header)
+
+    var written = 0L
+    var curKey: (Long, Long) = null
+    var curA1 = 0L
+    var curA2 = 0L
+    var curT = 0L
+    val chanData = Array.fill(nChans * floatsPerChan)(0.0f)
+
+    def flush(): Unit = {
+      if (curKey != null) {
+        val buf = ByteBuffer.allocate(groupFloats * 4) // big-endian
+        buf.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f) // UU VV WW stub
+        buf.putFloat((Obs.GpsStart + curT * 2).toFloat) // DATE
+        buf.putFloat((256 * (curA1 + 1) + (curA2 + 1)).toFloat)
+        chanData.foreach(buf.putFloat)
+        out.write(buf.array())
+        written += 1
+        java.util.Arrays.fill(chanData, 0.0f)
+      }
+    }
+
+    groups.forEachRemaining { r: Row =>
+      val key = (r.getLong(0), r.getLong(1))
+      if (key != curKey) {
+        flush()
+        curKey = key
+        curT = r.getLong(0)
+        curA1 = r.getLong(2)
+        curA2 = r.getLong(3)
+      }
+      val c = r.getLong(4).toInt
+      if (c < nChans) {
+        val base = c * floatsPerChan
+        // pol order XX YY XY YX as uvfits convention; source order is
+        // XX XY YX YY (components a0..a7)
+        val polMap = Seq((0, 1), (6, 7), (2, 3), (4, 5))
+        polMap.zipWithIndex.foreach { case ((ri, ii), p) =>
+          chanData(base + p * 3) = r.getDouble(5 + ri).toFloat
+          chanData(base + p * 3 + 1) = r.getDouble(5 + ii).toFloat
+          chanData(base + p * 3 + 2) = r.getDouble(13).toFloat
+        }
+      }
+    }
+    flush()
+
+    // pad data to 2880 boundary
+    val dataBytes = written * groupFloats * 4
+    val pad = ((2880 - dataBytes % 2880) % 2880).toInt
+    out.write(new Array[Byte](pad))
+    out.close()
+    require(written == nGroupEst,
+      s"uvfits row-count invariant: wrote $written, expected $nGroupEst")
+    written
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.relational.SkewTools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewAndExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("float_dot registers and evaluates via SQL (codegen path)") {
+    // suites share one session (getOrCreate), so exercise the
+    // per-session registration; GraftExtensions wires the same builder
+    // for platform-built sessions and is applied here to prove the
+    // injection is well-formed.
+    new GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.FloatVecDot.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val got = df.selectExpr("float_dot(a, b) AS d").head().getDouble(0)
+    assert(got == 11.0)
+    // empty + mismatched lengths: min-length semantics, no NPE
+    val edge = Seq((Array.empty[Float], Array(1.0f)),
+      (Array(2.0f, 3.0f), Array(4.0f))).toDF("a", "b")
+    val vals = edge.selectExpr("float_dot(a, b) AS d")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(vals == Seq(0.0, 8.0))
+  }
+
+  test("saltedCount equals plain count") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val salted = SkewTools.saltedCount(df, "k", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(plain == salted)
+  }
+
+  test("saltedJoin equals plain join") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "v")
+    val right = (0 until 5).map(i => (i, s"r$i")).toDF("k", "name")
+    val plain = left.join(right, "k").count()
+    val salted = SkewTools.saltedJoin(left, right, "k", "v").count()
+    assert(plain == salted)
+  }
+}

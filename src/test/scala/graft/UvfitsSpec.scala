@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.Dims
+import graft.ops._
+import graft.sinks.UvfitsWriter
+import graft.synth.VisSynth
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural checks on the uvfits exporter: FITS block alignment,
+  * header cards, group count = distinct (t_out, bl) — the reference's
+  * row-count invariant (/root/reference/src/io/mwaf.rs:504-510).
+  */
+class UvfitsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("uvfits export: block-aligned, header sane, row count invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val vis = VisSynth.vis(spark, dir)
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(vis,
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+
+    val tmp = Files.createTempDirectory("uvf").toString + "/out.uvfits"
+    val n = UvfitsWriter.write(avg, tmp)
+
+    val expected = avg.select("t_out", "bl").distinct().count()
+    assert(n == expected)
+
+    val bytes = Files.readAllBytes(Paths.get(tmp))
+    assert(bytes.length % 2880 == 0, s"not block aligned: ${bytes.length}")
+    val header = new String(bytes.take(2880), "ASCII")
+    assert(header.startsWith("SIMPLE  =                    T"))
+    assert(header.contains("GROUPS  =                    T"))
+    assert(header.contains(s"GCOUNT  =" + " " * (21 - n.toString.length)
+      + n.toString))
+    // first group's BASELINE param (param index 4, big-endian float32)
+    val buf = java.nio.ByteBuffer.wrap(bytes, 2880 + 16, 4)
+    val blParam = buf.getFloat()
+    val a1 = (blParam / 256).toInt
+    assert(a1 >= 1 && a1 <= 8, s"baseline param $blParam")
+  }
+}
