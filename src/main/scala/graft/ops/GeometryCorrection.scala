@@ -68,6 +68,35 @@ object GeometryCorrection {
         + lit(math.sin(DecRad)) * col("zc")).as("w_m"))
   }
 
+  /** Ephemeris-accurate UVW table: GMST + IAU-1976 precession via
+    * [[graft.functions.Astro]], evaluated per (timestep, antenna) on the
+    * driver (metadata-sized), returned as the same broadcastable shape
+    * as [[partUvw]]. This is the production table producer; the dyadic
+    * [[partUvw]] is the oracle-checkable one.
+    */
+  def partUvwAstro(spark: SparkSession, timestep: DataFrame,
+                   antenna: DataFrame, lonRad: Double, latRad: Double,
+                   raJ2000: Double, decJ2000: Double,
+                   dut1Sec: Double = 0.0): DataFrame = {
+    import graft.functions.Astro
+    import spark.implicits._
+    val ts = timestep.select("t", "gps_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ants = antenna.select("ant", "east_m", "north_m", "height_m")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val rows = for {
+      (t, gps) <- ts.toSeq
+      (ant, e, n, h) <- ants.toSeq
+    } yield {
+      val (u, v, w) = Astro.partUvwAt(gps.toDouble + Obs.IntTimeS / 2,
+        lonRad, latRad, raJ2000, decJ2000, dut1Sec, e, n, h)
+      (t, ant, u, v, w)
+    }
+    rows.toDF("t", "ant", "u_m", "v_m", "w_m")
+  }
+
   private def theta(w: Column): Column =
     lit(-2.0) * math.Pi * w * col("freq_hz") / SpeedOfLight
 
