@@ -146,12 +146,16 @@ object SparkEntry {
       Dedup.ngramJaccardCandidates(docs(s, dir))),
     "q_d5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), 0.3)),
+    "q_d6_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(docs(s, dir))),
 
     // -- LLM-data pipeline: similarity search -------------------------
     "q_sim1_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), nQueries = 8, k = 5)),
     "q_sim2_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), nQueries = 8, k = 3)),
+    "q_sim3_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir))),
 
     // -- LLM-data pipeline: text analysis -----------------------------
     "q_t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -229,8 +233,10 @@ object SparkEntry {
     "q_d3_simhash" -> LlmOracles.d3Simhash,
     "q_d4_ngram_jaccard" -> LlmOracles.d4NgramJaccard,
     "q_d5_embedding_neardup" -> LlmOracles.d5EmbeddingNearDup,
+    "q_d6_dup_clusters" -> LlmOracles.d6DupClusters,
     "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
+    "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,
     "q_t1_langid" -> LlmOracles.t1LangId,
     "q_t2_quality" -> LlmOracles.t2Quality,
     "q_t3_tokens" -> LlmOracles.t3Tokens,

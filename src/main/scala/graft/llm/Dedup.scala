@@ -189,6 +189,37 @@ object Dedup {
       .select("doc1", "doc2", "n_common", "jaccard")
   }
 
+  /** Duplicate clusters: connected components over the LSH candidate
+    * graph via min-label propagation, a FIXED number of iterations
+    * (clusters from near-dup candidates have tiny diameter; the oracle
+    * unrolls the same iteration count, so both engines compute the same
+    * fixpoint-or-not labels).
+    *
+    * Scale: each iteration is one join + hash aggregate keyed on doc_id
+    * — the standard large-graph CC shape (label propagation), where a
+    * real deployment would iterate to convergence with AQE-sized
+    * shuffles.
+    */
+  def duplicateClusters(docs: DataFrame, iters: Int = 4): DataFrame = {
+    val pairs = lshCandidates(docs).select("doc1", "doc2").cache()
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionAll(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    val vertices = edges.select(col("a").as("doc_id")).distinct()
+    var labels = vertices.withColumn("lab", col("doc_id"))
+    for (_ <- 0 until iters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("b"),
+          col("lab").as("nlab")), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("nlab").as("minn"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .withColumn("lab", least(col("lab"),
+          coalesce(col("minn"), col("lab"))))
+        .select("doc_id", "lab")
+    }
+    labels.withColumnRenamed("lab", "cluster_id")
+  }
+
   /** Embedding near-duplicates: cosine similarity above `thr` for pairs
     * sharing a label (the bucket key standing in for an LSH/IVF cell).
     */

@@ -96,6 +96,49 @@ object Similarity {
         col("cos_r").as("cos_sim"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantiser (first
+    * `nCentroids` vectors stand in for trained k-means centroids; the
+    * plan shape is identical with real centroids), corpus vectors
+    * assigned to their nearest cell by max(dot − ‖c‖²/2), queries probe
+    * their `nProbe` nearest cells, ranking only within probed cells.
+    *
+    * Scale: assignment is one broadcast-centroids pass over the corpus
+    * (written once as a `cell` column in production); the search join is
+    * keyed on cell id — candidates per query are corpus/nCells·nProbe.
+    */
+  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
+              nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val cents = broadcast(emb.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cn2", expr("float_dot(ce, ce)")))
+    val scored = emb.crossJoin(cents)
+      .withColumn("score",
+        round(expr("float_dot(embedding, ce)") - col("cn2") / 2.0, 6))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cid").asc)
+    val ranked = scored.withColumn("crk", row_number().over(wAssign))
+    val assigned = ranked.where(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .withColumn("nrm", expr(normSql("embedding")(SparkD)))
+    val probes = ranked
+      .where(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid").as("cell"))
+      .withColumn("qn", expr(normSql("qe")(SparkD)))
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(dotSql("qe", "embedding")(SparkD))
+        / (col("qn") * col("nrm")))
+      .withColumn("cos_r", round(col("cos"), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("cos_r").as("cos_sim"))
+  }
+
   /** Bucketed ANN: same ranking but candidates limited to the query's
     * LSH bucket.
     */
