@@ -201,11 +201,17 @@ object Dedup {
     * shuffles.
     */
   def duplicateClusters(docs: DataFrame, iters: Int = 4): DataFrame = {
-    val pairs = lshCandidates(docs).select("doc1", "doc2").cache()
+    // materialise the candidate graph once, and truncate lineage each
+    // iteration: label propagation references L_{i-1} twice, so without
+    // a checkpoint the logical plan doubles per round (2^iters scans)
+    val pairs = lshCandidates(docs).select("doc1", "doc2")
+      .localCheckpoint(true)
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionAll(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .localCheckpoint(true)
     val vertices = edges.select(col("a").as("doc_id")).distinct()
     var labels = vertices.withColumn("lab", col("doc_id"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("b"),
@@ -216,6 +222,7 @@ object Dedup {
         .withColumn("lab", least(col("lab"),
           coalesce(col("minn"), col("lab"))))
         .select("doc_id", "lab")
+        .localCheckpoint(true)
     }
     labels.withColumnRenamed("lab", "cluster_id")
   }
