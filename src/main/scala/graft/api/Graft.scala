@@ -1,0 +1,87 @@
+package graft.api
+
+import graft.model.{Dims, Obs}
+import graft.ops._
+import graft.sinks.{Sinks, UvfitsWriter}
+import graft.synth.VisSynth
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed row for API edges (SURVEY §1.6: `Dataset[Vis]` where type
+  * safety helps; plain DataFrame inside operators where codegen rules).
+  */
+case class Vis(t: Long, ant1: Long, ant2: Long, bl: Long, cc: Long,
+               fc: Long, chan: Long, freq_hz: Double,
+               v0: Double, v1: Double, v2: Double, v3: Double,
+               v4: Double, v5: Double, v6: Double, v7: Double,
+               w: Double)
+
+/** The library-facing fluent API — the Spark equivalent of the
+  * reference's library path (/root/reference/src/lib.rs:8-84,
+  * examples/preprocess.rs:30-110):
+  *
+  * {{{
+  * CorrelatorContext::new        ->  Graft(spark).observation(dir)
+  * VisSelection::from_mwalib     ->  .selectTime(a,b).selectAnts(..)
+  * FlagContext + set_flags       ->  .withDefaultFlags()
+  * get_weight_factor/flag_to_w   ->  .withWeights()
+  * PreprocessContext::preprocess ->  .preprocess(Preprocess(...))
+  * write_uvfits / write_flags    ->  .averaged(2,2).writeUvfits(path)
+  * }}}
+  *
+  * Every step is lazy DataFrame composition; nothing executes until a
+  * sink or action.
+  */
+case class Graft(spark: SparkSession) {
+
+  /** Open the synthetic observation rooted at a testdata dir. */
+  def observation(dir: String): VisFrame =
+    VisFrame(spark, VisSynth.vis(spark, dir))
+
+  /** Open a directory of GBX1 raw files (S1 ingest path). */
+  def rawObservation(dir: String, nAnts: Int): VisFrame =
+    VisFrame(spark, graft.sources.GpuboxSource.read(spark, dir, nAnts))
+}
+
+case class VisFrame(spark: SparkSession, df: DataFrame) {
+
+  private def next(d: DataFrame): VisFrame = copy(df = d)
+
+  // -- selection (P1–P4) ------------------------------------------------
+  def selectTime(from: Long, to: Long): VisFrame =
+    next(FlagOps.selTime(df, from, to))
+  def selectAnts(ants: Seq[Long]): VisFrame =
+    next(FlagOps.selAnts(df, ants))
+  def withoutFlaggedAnts(): VisFrame =
+    next(FlagOps.dropFlaggedAnts(df, Dims.antenna(spark)))
+  def withoutAutos(): VisFrame = next(FlagOps.dropAutos(df))
+
+  // -- flags / weights (F, W) ------------------------------------------
+  def withDefaultFlags(): VisFrame =
+    next(FlagOps.setFlags(df, Dims.timestep(spark), Dims.chan(spark),
+      Dims.baseline(spark)))
+  def withWeights(wf: Double = Obs.WeightFactor): VisFrame =
+    next(WeightOps.flagToWeight(df, wf))
+
+  // -- corrections ------------------------------------------------------
+  def preprocess(p: Preprocess = Preprocess()): VisFrame =
+    next(p(spark, df))
+
+  // -- aggregation / sinks ---------------------------------------------
+  def averaged(avgTime: Int, avgFreq: Int): DataFrame =
+    Averaging.avgTimeFreq(df, avgTime, avgFreq)
+
+  def writeUvfits(path: String, avgTime: Int = 2, avgFreq: Int = 2): Long =
+    UvfitsWriter.write(averaged(avgTime, avgFreq), path)
+
+  def writeFlagOccupancy(): DataFrame = Sinks.mwafOccupancy(df)
+
+  /** Typed edge: expose the current frame as Dataset[Vis] (requires the
+    * canonical pre-flag column set).
+    */
+  def typed: Dataset[Vis] = {
+    import spark.implicits._
+    df.select("t", "ant1", "ant2", "bl", "cc", "fc", "chan", "freq_hz",
+      "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7", "w").as[Vis]
+  }
+}

@@ -59,6 +59,21 @@ object Sinks {
         " ELSE 0 END)").cast("long").as("flag_mask"),
         count(lit(1)).as("n_samples"))
 
+  /** Write the canonical bucketed mirror: parquet bucketed (and sorted)
+    * by baseline. Wide operators keyed on `bl` (RFI grouping, occupancy,
+    * per-baseline stats) then read pre-clustered data and Spark elides
+    * their Exchange entirely — the 100 TB version of the reference's
+    * "already in shared memory" per-baseline axis (SCALE.md "Where the
+    * shuffles are"). Verified by SinksSpec: groupBy(bl) over the mirror
+    * plans zero hash-partitioning exchanges.
+    */
+  def writeBucketedMirror(df: DataFrame, table: String,
+                          buckets: Int = 32): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(buckets, "bl").sortBy("bl")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
   /** Write a frame as the parquet mirror of the uvfits sink: partitioned
     * by coarse channel (mirrors one-gpubox-per-file granularity and the
     * picket-fence fan-out, /root/reference/src/cli.rs:1524-1574).

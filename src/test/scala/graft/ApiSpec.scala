@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.api.Graft
+import graft.ops.Preprocess
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fluent-API walkthrough mirroring the reference's doc example
+  * (/root/reference/src/lib.rs:8-84): open → select → flag → weight →
+  * preprocess → average → write.
+  */
+class ApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("end-to-end library walkthrough") {
+    val out = Files.createTempDirectory("api").toString + "/o.uvfits"
+    val frame = Graft(spark)
+      .observation("/root/testdata/sf0.001")
+      .selectTime(1, 14)
+      .withoutAutos()
+      .withDefaultFlags()
+      .withWeights()
+      .preprocess(Preprocess(vanVleck = false, rfi = false))
+    val nRows = frame.writeUvfits(out)
+    assert(nRows > 0)
+    assert(Files.size(java.nio.file.Paths.get(out)) % 2880 == 0)
+    // typed edge round-trips the canonical columns
+    val typedCount = Graft(spark)
+      .observation("/root/testdata/sf0.001").typed.count()
+    assert(typedCount == 6000)
+  }
+}

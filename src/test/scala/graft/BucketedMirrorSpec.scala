@@ -1,0 +1,36 @@
+package graft
+
+import graft.sinks.Sinks
+import graft.synth.VisSynth
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCALE.md evidence: a mirror bucketed by `bl` lets Spark elide the
+  * shuffle for baseline-keyed aggregation (the RFI/occupancy axis).
+  */
+class BucketedMirrorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("groupBy(bl) over the bucketed mirror plans no shuffle") {
+    val vis = VisSynth.vis(spark, "/root/testdata/sf0.001")
+    Sinks.writeBucketedMirror(vis, "vis_bucketed_spec", buckets = 8)
+    val agg = spark.table("vis_bucketed_spec")
+      .groupBy("bl").agg(count(lit(1)).as("n"), sum("v0").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in:\n$plan")
+    assert(agg.count() > 0)
+    // unbucketed baseline: the same aggregate DOES shuffle
+    val plain = vis.groupBy("bl").agg(count(lit(1)).as("n"))
+    assert(plain.queryExecution.executedPlan.toString()
+      .contains("Exchange hashpartitioning"))
+    spark.sql("DROP TABLE IF EXISTS vis_bucketed_spec")
+  }
+}
