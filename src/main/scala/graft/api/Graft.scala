@@ -76,6 +76,9 @@ case class VisFrame(spark: SparkSession, df: DataFrame) {
 
   def writeFlagOccupancy(): DataFrame = Sinks.mwafOccupancy(df)
 
+  def writeMwaf(dir: String): Map[Long, Long] =
+    graft.sinks.MwafWriter.write(df, dir)
+
   /** Typed edge: expose the current frame as Dataset[Vis] (requires the
     * canonical pre-flag column set).
     */

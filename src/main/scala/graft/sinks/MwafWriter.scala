@@ -43,40 +43,53 @@ object MwafWriter {
       .repartitionByRange(8, col("cc"))
       .sortWithinPartitions("cc", "t", "bl")
       .select("cc", "t", "bl", "flag_mask")
-    val byCc = masks.collect().groupBy(_.getLong(0))
+    // stream the globally-ordered rows (driver memory O(1)); file
+    // boundaries on cc change. nScans/nBl come from the dense grid.
+    val nScans = Obs.NumTimesteps
+    val nBl = Obs.NumAnts * (Obs.NumAnts + 1) / 2
     val bytesPerRow = (Obs.FineChansPerCoarse + 7) / 8
-    byCc.map { case (cc, rows) =>
-      val nScans = rows.map(_.getLong(1)).distinct.length
-      val nBl = rows.map(_.getLong(2)).distinct.length
-      val header = Seq(
-        card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
-        card("VERSION", "'2.0'"),
-        card("OBSID", Obs.GpsStart.toString),
-        card("GPSSTART", Obs.GpsStart.toString),
-        card("NCHANS", Obs.FineChansPerCoarse.toString),
-        card("NANTENNA", Obs.NumAnts.toString),
-        card("NSCANS", nScans.toString),
-        card("GPUBOXNO", cc.toString),
-        "END".padTo(80, ' '))
-      val head = header.mkString
-      val headPad = head + " " * ((2880 - head.length % 2880) % 2880)
-      val path = dir + "/" + template.replace("%%", cc.toString)
-      val out = new BufferedOutputStream(new FileOutputStream(path))
-      out.write(headPad.getBytes("ASCII"))
-      rows.sortBy(r => (r.getLong(1), r.getLong(2))).foreach { r =>
-        val mask = r.getLong(3)
-        var b = 0
-        while (b < bytesPerRow) {
-          out.write(((mask >> (8 * b)) & 0xff).toInt)
-          b += 1
-        }
-      }
-      val dataLen = rows.length * bytesPerRow
-      out.write(new Array[Byte]((2880 - dataLen % 2880) % 2880))
+    val header = Seq(
+      card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
+      card("VERSION", "'2.0'"),
+      card("OBSID", Obs.GpsStart.toString),
+      card("GPSSTART", Obs.GpsStart.toString),
+      card("NCHANS", Obs.FineChansPerCoarse.toString),
+      card("NANTENNA", Obs.NumAnts.toString),
+      card("NSCANS", nScans.toString),
+      "END".padTo(80, ' ')).mkString
+    val headPad = header + " " * ((2880 - header.length % 2880) % 2880)
+
+    var out: BufferedOutputStream = null
+    var curCc = -1L
+    var rowsInFile = 0L
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    def closeFile(): Unit = if (out != null) {
+      val dataLen = rowsInFile * bytesPerRow
+      out.write(new Array[Byte](((2880 - dataLen % 2880) % 2880).toInt))
       out.close()
-      require(rows.length.toLong == nScans.toLong * nBl,
-        s"mwaf row-count invariant: ${rows.length} != $nScans*$nBl")
-      cc -> rows.length.toLong
+      require(rowsInFile == nScans.toLong * nBl,
+        s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
+      counts(curCc) = rowsInFile
     }
+    masks.toLocalIterator().forEachRemaining { r =>
+      val cc = r.getLong(0)
+      if (cc != curCc) {
+        closeFile()
+        curCc = cc
+        rowsInFile = 0
+        out = new BufferedOutputStream(new FileOutputStream(
+          dir + "/" + template.replace("%%", cc.toString)))
+        out.write(headPad.getBytes("ASCII"))
+      }
+      val mask = r.getLong(3)
+      var b = 0
+      while (b < bytesPerRow) {
+        out.write(((mask >> (8 * b)) & 0xff).toInt)
+        b += 1
+      }
+      rowsInFile += 1
+    }
+    closeFile()
+    counts.toMap
   }
 }
