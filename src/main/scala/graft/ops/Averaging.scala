@@ -29,6 +29,7 @@ object Averaging {
     * (t, bl, ant1, ant2, chan, v0..v7, weight, flag).
     */
   def avgTimeFreq(df: DataFrame, avgTime: Int, avgFreq: Int): DataFrame = {
+    graft.model.SchemaCheck.requireWeighted(df, "Averaging")
     val unflaggedW = when(!col("flag"), col("weight"))
     val aggs =
       comps.map { c =>

@@ -36,6 +36,7 @@ object CableCorrection {
     * `antenna` provides (ant, elec_len_x_m, elec_len_y_m).
     */
   def apply(vis: DataFrame, antenna: DataFrame): DataFrame = {
+    graft.model.SchemaCheck.requireVis(vis, "CableCorrection")
     val a1 = broadcast(antenna.select(
       col("ant").as("ant1"),
       col("elec_len_x_m").as("lx1"), col("elec_len_y_m").as("ly1")))

@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 object DigitalGains {
 
   def apply(vis: DataFrame, digitalGain: DataFrame): DataFrame = {
+    graft.model.SchemaCheck.requireVis(vis, "DigitalGains")
     val g1 = broadcast(digitalGain.select(
       col("ant").as("ant1"), col("cc"),
       col("gain_x").as("g1x"), col("gain_y").as("g1y")))

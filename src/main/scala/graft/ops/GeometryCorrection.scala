@@ -102,6 +102,7 @@ object GeometryCorrection {
 
   /** Rotate all pols by exp(-j 2π (w1-w2) f / c). */
   def apply(vis: DataFrame, uvw: DataFrame): DataFrame = {
+    graft.model.SchemaCheck.requireVis(vis, "GeometryCorrection")
     val u1 = broadcast(uvw.select(col("t"), col("ant").as("ant1"),
       col("w_m").as("w1")))
     val u2 = broadcast(uvw.select(col("t"), col("ant").as("ant2"),
