@@ -79,6 +79,25 @@ case class VisFrame(spark: SparkSession, df: DataFrame) {
   def writeMwaf(dir: String): Map[Long, Long] =
     graft.sinks.MwafWriter.write(df, dir)
 
+  /** Picket-fence fan-out (reference run_ranges,
+    * /root/reference/src/cli.rs:1524-1574): derive contiguous
+    * coarse-channel ranges from the data, then write one suffixed
+    * parquet output per range. Range discovery is a tiny aggregate;
+    * each per-range write prunes its partitions off the same plan.
+    */
+  def writeRanges(outBase: String): Seq[(Long, Long, String)] = {
+    val ranges = FlagOps.picketRanges(df.select("cc").distinct())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    ranges.toSeq.map { case (lo, hi) =>
+      val path = s"$outBase/ch${lo}-${hi}"
+      df.where(col("cc").between(lo, hi))
+        .write.mode("overwrite").parquet(path)
+      (lo, hi, path)
+    }
+  }
+
   /** Typed edge: expose the current frame as Dataset[Vis] (requires the
     * canonical pre-flag column set).
     */

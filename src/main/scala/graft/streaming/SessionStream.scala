@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionisation: the
+  * `flatMapGroupsWithState` twin of graft.llm.Events.sessionize.
+  *
+  * State per user = the open session (start, last-seen, count). An
+  * event more than `gapSec` after the last closes the open session
+  * (emitting it) and opens a new one; processing-time timeout flushes
+  * sessions when a user goes quiet. Closed sessions carry exactly the
+  * fields of the batch operator, so a batch backfill and the stream
+  * agree on every closed session.
+  */
+object SessionStream {
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class SessionState(startUs: Long, endUs: Long, n: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long, duration_us: Long)
+
+  val GapUs: Long = 1800L * 1000000L
+
+  /** The per-group state transition — pure, testable without a stream. */
+  def updateUser(userId: Long, events: Iterator[Ev],
+                 state: GroupState[SessionState]): Iterator[Session] = {
+    var closed = List.empty[Session]
+    var cur = state.getOption
+    // deterministic order within the micro-batch
+    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.endUs <= GapUs =>
+          cur = Some(s.copy(endUs = e.ts_us, n = s.n + 1))
+        case Some(s) =>
+          closed ::= Session(userId, s.startUs, s.endUs, s.n,
+            s.endUs - s.startUs)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+      }
+    }
+    if (state.hasTimedOut) {
+      cur.foreach(s => closed ::= Session(userId, s.startUs, s.endUs,
+        s.n, s.endUs - s.startUs))
+      state.remove()
+    } else {
+      cur.foreach(state.update)
+      state.setTimeoutDuration("30 seconds")
+    }
+    closed.reverseIterator
+  }
+
+  /** Wire the stateful operator over a streaming Dataset[Ev]. */
+  def sessions(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(updateUser)
+  }
+}

@@ -36,4 +36,17 @@ class ApiSpec extends AnyFunSuite {
       .observation("/root/testdata/sf0.001").typed.count()
     assert(typedCount == 6000)
   }
+
+  test("picket-fence fan-out writes one output per contiguous cc range") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("ranges").toString
+    val frame = Graft(spark).observation("/root/testdata/sf0.001")
+    // knock out cc=2 -> ranges (0-1) and (3-3)
+    val picket = frame.copy(df = frame.df.where(col("cc") =!= 2))
+    val out = picket.writeRanges(base)
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 1L), (3L, 3L)))
+    out.foreach { case (_, _, p) =>
+      assert(spark.read.parquet(p).count() > 0)
+    }
+  }
 }
