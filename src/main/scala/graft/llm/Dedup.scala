@@ -58,10 +58,8 @@ object Dedup {
   /** Signatures from a pre-hashed (doc_id, hs) frame. */
   def minhashSignaturesFromHs(base: DataFrame): DataFrame = {
     val withMh = (0 until NumPerms).foldLeft(base) { (df, j) =>
-      val a = 2 * j + 3
-      val b = 12345L * j + 7
       df.withColumn(s"mh$j", expr(listMin(listTransform("hs",
-        h => s"(($h * $a + $b) % 2147483647)"))))
+        h => permute(h, j)))))
     }
     val withBands = (0 until NumBands).foldLeft(withMh) { (df, b) =>
       val h = (0 until RowsPerBand)

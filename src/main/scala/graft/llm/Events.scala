@@ -41,12 +41,12 @@ object Events {
   def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
-    val gapNs = gapSec * 1000000L
+    val gapUs = gapSec * 1000000L
     events
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          col("ts_us") - col("prev_us") > gapNs, 1L).otherwise(0L))
+          col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_sess")).over(byUser.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)))

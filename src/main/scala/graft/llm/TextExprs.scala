@@ -105,14 +105,22 @@ object TextExprs {
     listTransform(listTransform(l, s => s"md5($s)"),
       m => hex8FromMd5(m))
 
+  /** Universal-hash family applied to an already-hashed BIGINT:
+    * perm_j(h) = (a_j * h + b_j) mod 2147483647 — the ONE definition of
+    * the permutation constants; MinHash signatures and their oracle twin
+    * both render through here.
+    */
+  def permute(h: String, j: Int): String = {
+    val a = 2 * j + 3
+    val b = 12345L * j + 7
+    s"(($h * $a + $b) % 2147483647)"
+  }
+
   /** Universal-hash family over the md5-derived integer:
     * h_j(s) = (a_j * H(s) + b_j) mod 2147483647.
     */
-  def tokenHash(e: String, j: Int): String = {
-    val a = 2 * j + 3
-    val b = 12345L * j + 7
-    s"((${hex8ToLong(e)} * $a + $b) % 2147483647)"
-  }
+  def tokenHash(e: String, j: Int): String =
+    permute(hex8ToLong(e), j)
 
   /** Word k-shingles (k=3) joined by spaces; documents shorter than k
     * tokens contribute the whole text as their single shingle.

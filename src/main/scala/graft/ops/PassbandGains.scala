@@ -31,30 +31,30 @@ object PassbandGains {
     val n = ultrafine.length
     require(n % fscrunch == 0, s"$n not divisible by $fscrunch")
     val out = n / fscrunch
-    if (!centerSymmetric) {
-      Array.tabulate(out) { o =>
-        var s = 0.0
-        var i = 0
-        while (i < fscrunch) { s += ultrafine(o * fscrunch + i); i += 1 }
-        s / fscrunch
+    if (fscrunch == 1) return ultrafine.clone()
+    // (offset, weight) window relative to scrunched_chan * fscrunch —
+    // the reference's three CenterSymmetric cases keyed on
+    // (scrunched_length % 2, fscrunch % 2) (corrections.rs:606-630),
+    // wrapping with euclidean mod over the whole table.
+    val offsetWeights: Seq[(Int, Double)] =
+      if (!centerSymmetric)
+        (0 until fscrunch).map(w => (w, 1.0 / fscrunch))
+      else (out % 2, fscrunch % 2) match {
+        case (0, 0) => // even channels, even fscrunch: f+1 window,
+          // half-weighted edges, centred
+          (0 to fscrunch).map(w => (w - fscrunch / 2,
+            (if (w == 0 || w == fscrunch) 0.5 else 1.0) / fscrunch))
+        case (0, 1) => // even channels, odd fscrunch: f window, equal
+          (0 until fscrunch).map(w => (w - (fscrunch - 1) / 2,
+            1.0 / fscrunch))
+        case _ => // odd channels: f+1 window starting AT the centre,
+          // half-weighted edges
+          (0 to fscrunch).map(w => (w,
+            (if (w == 0 || w == fscrunch) 0.5 else 1.0) / fscrunch))
       }
-    } else {
-      // window of fscrunch+1 samples centred on o*fscrunch (wrapping),
-      // outermost two samples weighted 1/2 — total weight = fscrunch.
-      Array.tabulate(out) { o =>
-        val centre = o * fscrunch
-        val half = fscrunch / 2
-        var s = 0.0
-        val lo = centre - half
-        val hi = centre + fscrunch - half // lo..hi inclusive = fscrunch+1
-        var i = lo
-        while (i <= hi) {
-          val idx = ((i % n) + n) % n
-          val wgt = if (i == lo || i == hi) 0.5 else 1.0
-          s += wgt * ultrafine(idx)
-          i += 1
-        }
-        s / fscrunch
+    Array.tabulate(out) { sc =>
+      offsetWeights.foldLeft(0.0) { case (acc, (off, wt)) =>
+        acc + ultrafine(math.floorMod(fscrunch * sc + off, n)) * wt
       }
     }
   }

@@ -33,13 +33,17 @@ object MwafWriter {
             template: String = "flags_%%.mwaf"): Map[Long, Long] = {
     val spark = visFlagged.sparkSession
     // densify to the full (cc, t, bl) grid — the reference's tables are
-    // dense by construction; sparse synthetic cells become zero masks
+    // dense by construction; cells with NO data are fully flagged
+    // (missing-HDU semantics, /root/reference/src/io/mod.rs:297-303),
+    // matching GpuboxSource's flag=!present on ingest
+    val allFlagged = (1L << graft.model.Obs.FineChansPerCoarse) - 1L
     val grid = visFlagged.select("cc").distinct()
       .crossJoin(graft.model.Dims.timestep(spark).select("t"))
       .crossJoin(graft.model.Dims.baseline(spark).select("bl"))
     val masks = grid
       .join(Sinks.mwafBitmask(visFlagged), Seq("cc", "t", "bl"), "left")
-      .withColumn("flag_mask", coalesce(col("flag_mask"), lit(0L)))
+      .withColumn("flag_mask", coalesce(col("flag_mask"),
+        lit(allFlagged)))
       .repartitionByRange(8, col("cc"))
       .sortWithinPartitions("cc", "t", "bl")
       .select("cc", "t", "bl", "flag_mask")

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * Layout per the public FITS standard (big-endian):
   *  - one 2880-byte header of 80-char cards: SIMPLE, BITPIX=-32,
   *    NAXIS=6 (0, complex=3, pol=4, chan, ra=1, dec=1), GROUPS=T,
-  *    PCOUNT=5 (UU, VV, WW, DATE, BASELINE), GCOUNT=rows, END;
-  *  - one group per (time, baseline): 5 float32 parameters followed by
+  *    PCOUNT=6 (UU, VV, WW, DATE-days, DATE-fraction, BASELINE —
+  *    DATE split in two params because float32 ulp at a GPS-epoch JD
+  *    is ~128 s), GCOUNT=rows, END;
+  *  - one group per (time, baseline): 6 float32 parameters followed by
   *    chan x pol x (re, im, weight) float32s, time-major baseline order;
   *  - zero-padded to a 2880-byte boundary.
   *
@@ -46,7 +48,14 @@ object UvfitsWriter {
     * mirror of /root/reference/src/io/mwaf.rs:504-510's check).
     */
   def write(avg: DataFrame, path: String): Long = {
-    val nChans = avg.select(countDistinct("c_out")).head().getLong(0).toInt
+    // channel slots are offsets from the lowest selected channel — a
+    // picket-fence or range-selected frame does not start at c_out = 0
+    val (cMinL, cMaxL) = {
+      val r = avg.agg(min("c_out"), max("c_out")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cMin = cMinL.toInt
+    val nChans = (cMaxL - cMinL + 1).toInt
     val ordered = avg
       .repartitionByRange(32, col("t_out"), col("bl"))
       .sortWithinPartitions("t_out", "bl", "c_out")
@@ -58,7 +67,7 @@ object UvfitsWriter {
 
     val nGroupEst = avg.select(countDistinct(struct("t_out", "bl")))
       .head().getLong(0)
-    val pcount = 5
+    val pcount = 6
     val floatsPerChan = 4 * 3 // pol x (re, im, wt)
     val groupFloats = pcount + nChans * floatsPerChan
 
@@ -74,11 +83,11 @@ object UvfitsWriter {
       card("NAXIS6", "1", "dec"),
       card("EXTEND", "T"),
       card("GROUPS", "T", "random group records"),
-      card("PCOUNT", pcount.toString, "UU VV WW DATE BASELINE"),
+      card("PCOUNT", pcount.toString, "UU VV WW DATE DATE BASELINE"),
       card("GCOUNT", nGroupEst.toString, "number of groups"),
       card("PTYPE1", "'UU      '"), card("PTYPE2", "'VV      '"),
       card("PTYPE3", "'WW      '"), card("PTYPE4", "'DATE    '"),
-      card("PTYPE5", "'BASELINE'"),
+      card("PTYPE5", "'DATE    '"), card("PTYPE6", "'BASELINE'"),
       card("OBJECT", "'GRAFT   '"),
       card("TELESCOP", "'MWA     '"),
       endCard)
@@ -100,7 +109,13 @@ object UvfitsWriter {
       if (curKey != null) {
         val buf = ByteBuffer.allocate(groupFloats * 4) // big-endian
         buf.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f) // UU VV WW stub
-        buf.putFloat((Obs.GpsStart + curT * 2).toFloat) // DATE
+        // DATE split across two params: float32 ulp at a GPS-epoch JD
+        // is ~128 s, so days go in param 4 and the day FRACTION (exact
+        // to sub-ms in f32) in param 5 — the standard uvfits convention
+        val gpsSec = Obs.GpsStart.toDouble + curT * 2.0
+        val days = math.floor(gpsSec / 86400.0)
+        buf.putFloat(days.toFloat)
+        buf.putFloat(((gpsSec - days * 86400.0) / 86400.0).toFloat)
         buf.putFloat((256 * (curA1 + 1) + (curA2 + 1)).toFloat)
         chanData.foreach(buf.putFloat)
         out.write(buf.array())
@@ -118,8 +133,8 @@ object UvfitsWriter {
         curA1 = r.getLong(2)
         curA2 = r.getLong(3)
       }
-      val c = r.getLong(4).toInt
-      if (c < nChans) {
+      val c = (r.getLong(4) - cMin).toInt
+      if (c >= 0 && c < nChans) {
         val base = c * floatsPerChan
         // pol order XX YY XY YX as uvfits convention; source order is
         // XX XY YX YY (components a0..a7)

@@ -84,7 +84,7 @@ object GpuboxSource {
             }
           }
           Row.fromSeq(Seq(t.toLong, a1.toLong, a2.toLong,
-            (a1 * 8 + a2).toLong, cc, fc.toLong,
+            (a1 * nAnts + a2).toLong, cc, fc.toLong,
             cc * fpc + fc) ++ vals.toSeq :+ !present)
         }
       }

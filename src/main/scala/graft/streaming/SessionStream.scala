@@ -8,11 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState` twin of graft.llm.Events.sessionize.
   *
   * State per user = the open session (start, last-seen, count). An
-  * event more than `gapSec` after the last closes the open session
-  * (emitting it) and opens a new one; processing-time timeout flushes
-  * sessions when a user goes quiet. Closed sessions carry exactly the
-  * fields of the batch operator, so a batch backfill and the stream
-  * agree on every closed session.
+  * event more than `GapUs` after the last closes the open session
+  * (emitting it) and opens a new one. Gap-closed sessions carry exactly
+  * the fields of the batch operator, so a batch backfill agrees with
+  * the stream on every session closed BY A GAP; the processing-time
+  * timeout (set to the same 30 min) additionally flushes the open
+  * session of a user who goes quiet — a streaming liveness tradeoff
+  * the batch operator, which sees the whole history, does not need.
   */
 object SessionStream {
 
@@ -47,7 +49,9 @@ object SessionStream {
       state.remove()
     } else {
       cur.foreach(state.update)
-      state.setTimeoutDuration("30 seconds")
+      // timeout aligned with the session gap: an idle user's open
+      // session closes only after the same 30 min that would split it
+      state.setTimeoutDuration("30 minutes")
     }
     closed.reverseIterator
   }

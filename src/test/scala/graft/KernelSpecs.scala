@@ -47,6 +47,37 @@ class KernelSpecs extends AnyFunSuite {
     }
   }
 
+  test("scrunch center-symmetric odd-output case: window starts at centre") {
+    // n=15, f=3 -> out=5 (odd): offsets 0..3, edge weights 1/2
+    // (reference corrections.rs (CenterSymmetric, 1, _) arm)
+    val g = Array.tabulate(15)(i => if (i == 0) 1.0 else 0.0)
+    val out = scrunchGains(g, 3, centerSymmetric = true)
+    // impulse at 0 contributes to sc=0 (offset 0, w=.5/3) and, wrapping,
+    // to sc=4 (12+3=15 -> 0, offset 3, w=.5/3)
+    assert(math.abs(out(0) - 0.5 / 3) < 1e-12)
+    assert(math.abs(out(4) - 0.5 / 3) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    // flat stays flat
+    val flat = scrunchGains(Array.fill(15)(2.0), 3, centerSymmetric = true)
+    flat.foreach(v => assert(math.abs(v - 2.0) < 1e-12))
+  }
+
+  test("scrunch center-symmetric even-output odd-fscrunch: equal weights") {
+    // n=12, f=3 -> out=4 (even, odd f): offsets -1..1, equal 1/3
+    val g = Array.tabulate(12)(i => if (i == 11) 3.0 else 0.0)
+    val out = scrunchGains(g, 3, centerSymmetric = true)
+    // index 11 = offset -1 of centre 0 (wraps) -> sc=0 gets 3/3 = 1
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(3) - 0.0) < 1e-12) // centre 9: idx 8,9,10
+    val flat = scrunchGains(Array.fill(12)(0.5), 3, centerSymmetric = true)
+    flat.foreach(v => assert(math.abs(v - 0.5) < 1e-12))
+  }
+
+  test("scrunch fscrunch=1 is identity") {
+    val g = Array(1.0, 2.0, 3.0)
+    assert(scrunchGains(g, 1, centerSymmetric = true).toSeq == g.toSeq)
+  }
+
   // ---- SumThreshold --------------------------------------------------
 
   private def mkMatrix(nt: Int, nc: Int, base: Double = 1.0) =

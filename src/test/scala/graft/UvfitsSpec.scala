@@ -41,10 +41,14 @@ class UvfitsSpec extends AnyFunSuite {
     assert(header.contains("GROUPS  =                    T"))
     assert(header.contains(s"GCOUNT  =" + " " * (21 - n.toString.length)
       + n.toString))
-    // first group's BASELINE param (param index 4, big-endian float32)
-    val buf = java.nio.ByteBuffer.wrap(bytes, 2880 + 16, 4)
+    // first group's BASELINE param (param index 5 after the two DATE
+    // params, big-endian float32)
+    val buf = java.nio.ByteBuffer.wrap(bytes, 2880 + 20, 4)
     val blParam = buf.getFloat()
     val a1 = (blParam / 256).toInt
     assert(a1 >= 1 && a1 <= 8, s"baseline param $blParam")
+    // the two DATE params distinguish timesteps: day fraction ulp ≪ 2 s
+    val frac = java.nio.ByteBuffer.wrap(bytes, 2880 + 16, 4).getFloat()
+    assert(frac >= 0.0f && frac < 1.0f)
   }
 }
