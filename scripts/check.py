@@ -10,20 +10,25 @@ import sys, glob, math, json, os
 import duckdb
 
 def norm(v):
+    """Map any cell to a (rank, value) pair so rows are total-orderable
+    across None/bool/number/str/list mixes."""
+    import decimal
+    if v is None:
+        return (0, 0)
+    if isinstance(v, bool):
+        return (1, v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return (9, 0)
         # absorb last-ulp differences the driver's hash would also absorb
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    try:  # Decimal and friends
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return ("DECIMAL!", float(v))
-    except Exception:
-        pass
-    return v
+        return (2, round(v, 9))
+    if isinstance(v, int):
+        return (2, v)
+    if isinstance(v, decimal.Decimal):
+        return (2, round(float(v), 9))
+    if isinstance(v, (list, tuple)):
+        return (4, tuple(norm(x) for x in v))
+    return (3, str(v))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()

@@ -163,6 +163,8 @@ object SparkEntry {
     "q_t3_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "q_t4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir))),
+    "q_t5_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir))),
 
     // -- LLM-data pipeline: multimodal --------------------------------
     "q_m1_multimodal_meta" -> ((s, dir) =>
@@ -180,6 +182,9 @@ object SparkEntry {
       graft.relational.Relational.topRevenue(
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_h2_revenue_rollup" -> ((s, dir) =>
+      graft.relational.Relational.revenueRollup(
         s.read.parquet(s"$dir/lineitem.parquet"))),
     "q_h4_customers_without_orders" -> ((s, dir) =>
       graft.relational.Relational.customersWithoutOrders(
@@ -243,7 +248,9 @@ object SparkEntry {
     "q_t4_fingerprint" -> LlmOracles.t4Fingerprint,
     "q_m1_multimodal_meta" -> LlmOracles.m1MultimodalMeta,
     "q_h1_pricing_summary" -> LlmOracles.h1PricingSummary,
+    "q_h2_revenue_rollup" -> LlmOracles.h2RevenueRollup,
     "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,
+    "q_t5_tfidf" -> LlmOracles.t5TfidfTopTerms,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,
     "q_h5_active_suppliers" -> LlmOracles.h5ActiveSuppliers,
     "q_e1_window_agg" -> LlmOracles.e1WindowAgg,

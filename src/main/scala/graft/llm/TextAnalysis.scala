@@ -100,6 +100,30 @@ object TextAnalysis {
         expr(listMin(hashList(shingles("text", tokens("text"))))))
       .select("doc_id", "fp_hex", "min_shingle")
 
+  /** TF-IDF: top-k terms per document by tf·idf with
+    * idf = ln((N+1)/(df+1)) + 1 (the smoothed formulation). Deterministic
+    * rank: (round(score,6) desc, term asc). Two hash aggregates (term
+    * frequencies, document frequencies) and a broadcast-sized idf join —
+    * at corpus scale the df table is vocabulary-sized.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(expr(tokens("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0))
+          + 1.0)
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+  }
+
   /** Pure-Scala polynomial rolling hash over UTF-8 bytes (the streaming
     * fingerprint a chunker would use; spec-tested, not oracle-checked).
     */

@@ -58,6 +58,25 @@ object Relational {
         (col("revenue_c").cast("double") / 10000.0).as("revenue"))
   }
 
+  /** ROLLUP subtotals (grouping-sets surface the reference lacks,
+    * SURVEY §2.9): revenue by (returnflag, linestatus) with per-flag and
+    * grand totals. Cents arithmetic keeps every subtotal exact.
+    */
+  def revenueRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("price_c", cents("l_extendedprice"))
+      .withColumn("disc_c", cents("l_discount"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(col("price_c") * (lit(100L) - col("disc_c"))).cast("double")
+          / 10000.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      // subtotal rows carry NULL keys; surface them as a sentinel so
+      // output rows are total-orderable (and hash-comparable) everywhere
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n_rows"))
+
   /** Anti-join: customers with no orders (EXISTS/NOT EXISTS surface). */
   def customersWithoutOrders(customer: DataFrame,
                              orders: DataFrame): DataFrame =
