@@ -166,6 +166,11 @@ object SparkEntry {
     "q_t5_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir))),
 
+    // composed doc-prep pipeline (rows-only gate; each stage is
+    // individually oracle-gated above)
+    "q_doc_pipeline" -> ((s, dir) =>
+      graft.llm.DocPipeline(docs(s, dir))),
+
     // -- LLM-data pipeline: multimodal --------------------------------
     "q_m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(docs(s, dir))),
