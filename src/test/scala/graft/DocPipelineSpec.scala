@@ -1,0 +1,48 @@
+package graft
+
+import graft.llm.{DocPipeline, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DocPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("doc pipeline survivors carry full metadata and respect filters") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = DocPipeline(docs, minQuality = 0.4).cache()
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+    assert(out.where(col("quality_score") < 0.4).count() == 0)
+    assert(out.select("doc_id").distinct().count() == n) // deduped
+    assert(out.columns.toSet.contains("n_subword_est"))
+  }
+
+  test("rolling hash: sliding windows match direct polynomial evaluation") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val window = 8
+    val hashes = TextAnalysis.rollingHash(text, window)
+    val bytes = text.getBytes("UTF-8").map(b => (b & 0xff).toLong)
+    val P = 1000000007L
+    val B = 257L
+    def direct(from: Int): Long =
+      (from until from + window).foldLeft(0L)((acc, i) =>
+        (acc * B + bytes(i)) % P)
+    assert(hashes.length == bytes.length - window + 1)
+    hashes.zipWithIndex.foreach { case (h, i) =>
+      assert(h == direct(i), s"window $i")
+    }
+  }
+
+  test("rolling hash: short and empty inputs") {
+    assert(TextAnalysis.rollingHash("", 8).toSeq == Seq(0L))
+    val one = TextAnalysis.rollingHash("abc", 8)
+    assert(one.length == 1 && one(0) > 0)
+  }
+}
