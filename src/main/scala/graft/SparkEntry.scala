@@ -207,6 +207,8 @@ object SparkEntry {
       Events.windowAgg(Events.readEvents(s, dir))),
     "q_e2_sessionize" -> ((s, dir) =>
       Events.sessionize(Events.readEvents(s, dir))),
+    "q_e4_props_stats" -> ((s, dir) =>
+      Events.propsStats(Events.readEvents(s, dir))),
     "q_e3_asof_join" -> ((s, dir) =>
       Events.asofLatestOrder(Events.readEvents(s, dir),
         s.read.parquet(s"$dir/orders.parquet"))),
@@ -261,5 +263,6 @@ object SparkEntry {
     "q_e1_window_agg" -> LlmOracles.e1WindowAgg,
     "q_e2_sessionize" -> LlmOracles.e2Sessionize,
     "q_e3_asof_join" -> LlmOracles.e3AsofJoin,
+    "q_e4_props_stats" -> LlmOracles.e4PropsStats,
   )
 }

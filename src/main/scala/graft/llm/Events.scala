@@ -57,6 +57,21 @@ object Events {
         expr("max(ts_us) - min(ts_us)").as("duration_us"))
   }
 
+  /** Semi-structured props extraction: parse the JSON `props` column and
+    * aggregate by event type — the string/JSON function surface the
+    * reference lacks entirely (SURVEY §2.9). Pure expression work;
+    * get_json_object is codegen'd.
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** As-of join: attach to each event the most recent order (by
     * o_orderdate) of the matching customer bucket at or before the event
     * time. Spark lacks a native as-of join; the scale-correct formulation

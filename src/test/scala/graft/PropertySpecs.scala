@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.SumThresholdKernel
+import graft.llm.TextAnalysis
+import graft.ops.PassbandGains.scrunchGains
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property tests for the pure kernels (FIXTURES.md §3 class
+  * of invariants, randomised).
+  */
+object PropertySpecs extends Properties("kernels") {
+
+  val gainGen: Gen[(Array[Double], Int)] = for {
+    out <- Gen.chooseNum(1, 12)
+    f <- Gen.oneOf(1, 2, 3, 4, 5, 8)
+    vals <- Gen.listOfN(out * f, Gen.chooseNum(0.25, 4.0))
+  } yield (vals.toArray, f)
+
+  property("scrunch preserves total power (weights sum to 1 per chan)") =
+    Prop.forAll(gainGen) { case (g, f) =>
+      val simple = scrunchGains(g, f, centerSymmetric = false)
+      val sym = scrunchGains(g, f, centerSymmetric = true)
+      // each output is a convex combination -> bounded by input range
+      val (lo, hi) = (g.min - 1e-9, g.max + 1e-9)
+      simple.forall(v => v >= lo && v <= hi) &&
+        sym.forall(v => v >= lo && v <= hi) &&
+        simple.length == g.length / f && sym.length == g.length / f
+    }
+
+  property("scrunch of a constant table is constant") =
+    Prop.forAll(Gen.chooseNum(1, 10), Gen.oneOf(1, 2, 3, 4),
+      Gen.chooseNum(0.5, 3.0)) { (out, f, v) =>
+      scrunchGains(Array.fill(out * f)(v), f, centerSymmetric = true)
+        .forall(x => math.abs(x - v) < 1e-12)
+    }
+
+  property("rolling hash is shift-consistent") =
+    Prop.forAll(Gen.alphaNumStr.suchThat(_.length >= 12)) { s =>
+      val w = 8
+      val h1 = TextAnalysis.rollingHash(s, w)
+      val h2 = TextAnalysis.rollingHash(s.drop(1), w)
+      // hashes of the shifted text are the tail of the original's
+      h1.drop(1).sameElements(h2)
+    }
+
+  property("sumthreshold flags are monotone in existing flags") =
+    Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0.5, 2.0))) { vals =>
+      val amp = vals.toArray.grouped(8).toArray
+      val none = Array.fill(8, 8)(false)
+      val some = Array.tabulate(8, 8)((i, j) => i == j)
+      val outNone = SumThresholdKernel.flagMatrix(amp, none, 1.0)
+      val outSome = SumThresholdKernel.flagMatrix(amp, some, 1.0)
+      // pre-flagged cells stay flagged
+      (0 until 8).forall(i => outSome(i)(i))
+      // note: detection flags are NOT generally monotone (masking
+      // changes the background estimate), so only closure is asserted
+    }
+}
