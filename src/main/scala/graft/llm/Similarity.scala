@@ -90,7 +90,7 @@ object Similarity {
       .withColumn("cos_r", round(col("cos"), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"),
         col("cos_r").as("cos_sim"))
@@ -133,7 +133,7 @@ object Similarity {
       .withColumn("cos_r", round(col("cos"), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"),
         col("cos_r").as("cos_sim"))
@@ -157,7 +157,7 @@ object Similarity {
       .withColumn("cos_r", round(col("cos"), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("bucket"), col("rank"), col("vec_id"),
         col("cos_r").as("cos_sim"))

@@ -119,7 +119,7 @@ object TextAnalysis {
       .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select("doc_id", "rk", "term", "tf", "df", "score")
   }

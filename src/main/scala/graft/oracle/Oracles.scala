@@ -226,7 +226,8 @@ object Oracles {
 
   val k3MwafOccupancy: String = OracleSql.query(
     """SELECT cc, bl, count(*) AS n_cells,
-      |       sum(CASE WHEN flag THEN 1 ELSE 0 END) AS n_flagged,
+      |       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_flagged,
       |       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS DOUBLE)
       |         / count(*) AS occupancy
       |FROM vis_flagged GROUP BY 1, 2""".stripMargin,

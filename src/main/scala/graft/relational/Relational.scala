@@ -52,7 +52,7 @@ object Relational {
       .agg(sum(col("price_c") * (lit(100L) - col("disc_c")))
         .as("revenue_c"))
     val w = Window.orderBy(col("revenue_c").desc, col("o_orderkey").asc)
-    agg.withColumn("rk", row_number().over(w))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select(col("o_orderkey"), col("rk"),
         (col("revenue_c").cast("double") / 10000.0).as("revenue"))
