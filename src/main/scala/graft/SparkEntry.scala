@@ -118,6 +118,11 @@ object SparkEntry {
         sampleScale = 2.0)
         .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
 
+    "q_c5_sigma" -> ((s, dir) => VanVleck.sigmaParity(s)),
+
+    "q_c5_cross" -> ((s, dir) =>
+      VanVleck.crossParity(VisSynth.vis(s, dir))),
+
     // -- RFI -----------------------------------------------------------
     "q_r1_sumthreshold" -> ((s, dir) => RfiFlag(flagged(s, dir))),
 
@@ -236,6 +241,8 @@ object SparkEntry {
     "q_c3_digital_gains" -> Oracles.c3DigitalGains,
     "q_c4_passband" -> Oracles.c4Passband,
     "q_c6_calibration" -> Oracles.c6Calibration,
+    "q_c5_sigma" -> Oracles.c5Sigma,
+    "q_c5_cross" -> Oracles.c5Cross,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,

@@ -1,7 +1,7 @@
 package graft.ops
 
-import graft.functions.VanVleckKernel
-import org.apache.spark.sql.DataFrame
+import graft.functions.{VanVleckKernel, VanVleckVectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** C5 `correct_van_vleck` (/root/reference/src/van_vleck.rs:159-306) as a
@@ -123,4 +123,45 @@ object VanVleck {
     }
     replaced.drop("sx1", "sy1", "sx2", "sy2")
   }
+
+  private val sighatUdf = udf((s: Double) => VanVleckKernel.sighat(s))
+  private val sighatPrimeUdf =
+    udf((s: Double) => VanVleckKernel.sighatPrime(s))
+
+  /** Auto-kernel parity surface (`q_c5_sigma`): run the live kernel over
+    * the reference's public σ̂/σ/σ̂′ vectors (van_vleck.rs:400-465); the
+    * DuckDB oracle holds the published expectations as a VALUES relation.
+    * `sigma_rec` exercises the Newton inverse, `sighat_fwd`/`prime_fwd`
+    * the forward model and its derivative.
+    */
+  def sigmaParity(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = VanVleckVectors.sighats.indices.map { i =>
+      (i.toLong, VanVleckVectors.sighats(i), VanVleckVectors.sigmas(i))
+    }
+    rows.toDF("idx", "sighat_in", "sigma_pub")
+      .select(col("idx"),
+        round(vvAutoUdf(col("sighat_in")), 6).as("sigma_rec"),
+        round(sighatUdf(col("sigma_pub")), 6).as("sighat_fwd"),
+        round(sighatPrimeUdf(col("sigma_pub")), 6).as("prime_fwd"))
+  }
+
+  /** Cross-kernel parity surface (`q_c5_cross`): apply the Newton+Simpson
+    * inversion to khat = v0/16 with SQL-derivable dyadic sigmas, so the
+    * DuckDB oracle can reproduce the ENTIRE inversion as a recursive-CTE
+    * Newton loop over distinct (khat, σx, σy) triples
+    * (graft.oracle.Oracles.c5Cross). Restricted to t<8 ∧ chan<4 to bound
+    * the oracle's iteration workload at sf0.01.
+    */
+  def crossParity(vis: DataFrame): DataFrame =
+    vis.where(col("ant1") =!= col("ant2"))
+      .where(col("t") < 8 && col("chan") < 4)
+      .select(col("t"), col("bl"), col("chan"),
+        (col("v0") / 16.0).as("khat"),
+        (lit(1.0) + ((col("ant1") * 19 + col("chan") * 7) % 64)
+          .cast("double") / 128.0).as("sx"),
+        (lit(1.0) + ((col("ant2") * 23 + col("chan") * 11) % 64)
+          .cast("double") / 128.0).as("sy"))
+      .withColumn("kappa",
+        round(vvCrossUdf(col("khat"), col("sx"), col("sy")), 6))
 }

@@ -116,4 +116,13 @@ vis_weighted AS (
   /** Standard prelude for queries over the flagged+weighted vis. */
   def queryWeighted(body: String, extraCtes: String*): String =
     query(body, (Seq(visFlaggedCte, visWeightedCte) ++ extraCtes): _*)
+
+  /** Like [[query]] but with `WITH RECURSIVE`, for oracles that iterate
+    * (the Van Vleck Newton twin). Non-recursive CTEs are unaffected by
+    * the keyword.
+    */
+  def queryRecursive(body: String, extraCtes: String*): String = {
+    val ctes = (Seq(dimCtes, visCte) ++ extraCtes).mkString(",")
+    s"WITH RECURSIVE $ctes\n$body"
+  }
 }

@@ -197,6 +197,96 @@ object Oracles {
         .stripMargin)
   }
 
+  // ---- Van Vleck (C5) ------------------------------------------------
+
+  /** Auto-kernel oracle: the reference's published σ̂/σ/σ̂′ vectors
+    * (van_vleck.rs:400-465) as a VALUES relation; Spark recomputes each
+    * column with the live kernel (graft.ops.VanVleck.sigmaParity). DuckDB
+    * has no erf, so the forward model is not SQL-expressible — the public
+    * vectors ARE the independent ground truth here.
+    */
+  val c5Sigma: String = {
+    import graft.functions.VanVleckVectors._
+    val rows = sighats.indices.map { i =>
+      s"  (${i}, ${fmt(sigmas(i))}, ${fmt(sighats(i))}, " +
+        s"${fmt(sighatsPrime(i))})"
+    }.mkString(",\n")
+    s"""SELECT CAST(idx AS BIGINT) AS idx,
+       |       round(sigma_rec, 6) AS sigma_rec,
+       |       round(sighat_fwd, 6) AS sighat_fwd,
+       |       round(prime_fwd, 6) AS prime_fwd
+       |FROM (VALUES
+       |$rows) t(idx, sigma_rec, sighat_fwd, prime_fwd)""".stripMargin
+  }
+
+  /** Cross-kernel oracle: a full DuckDB twin of `vanVleckCrossInt`
+    * (van_vleck.rs:703-748) — Newton iteration as a recursive CTE over the
+    * DISTINCT (khat, σx, σy) triples, with Simpson's rule (n=10) and the
+    * 7×7 bivariate-normal grid pdf as nested list-lambda sums
+    * (cosh spelled as paired exps; DuckDB has no cosh). Triples re-join the
+    * cell table at the end; non-invertible seeds (ρ∉[0,1)) fall back to
+    * khat via the LEFT JOIN coalesce, mirroring the kernel's guard.
+    */
+  val c5Cross: String = {
+    // pdf(x_, y_, rho) with x_i=(i+0.5)/sx, y_k=(k+0.5)/sy as a 49-term
+    // lambda sum; `rho` is a SQL expression in scope (sx, sy row columns).
+    def pdfSql(rho: String): String = {
+      val d = s"greatest(1.0e0 - ($rho)*($rho), 1.0e-20)"
+      val xi = "((CAST(ij//7 AS DOUBLE)+0.5e0)/sx)"
+      val yk = "((CAST(ij%7 AS DOUBLE)+0.5e0)/sy)"
+      val a = s"($xi * $yk * ($rho) / $d)"
+      val b = s"(($xi*$xi + $yk*$yk) / (2.0e0*$d))"
+      s"(list_sum(list_transform(range(0, 49), ij -> " +
+        s"exp($a - $b) + exp(-$a - $b))) / (pi() * sqrt($d)))"
+    }
+    // Simpson ∫_0^rho pdf dζ, n=10: weights 1,4,2,…,4,1 over si=0..10.
+    def simpSql(rho: String): String = {
+      val h = s"(($rho)/10.0e0)"
+      val w = "(CASE WHEN si = 0 OR si = 10 THEN 1.0e0 " +
+        "WHEN si % 2 = 1 THEN 4.0e0 ELSE 2.0e0 END)"
+      s"(list_sum(list_transform(range(0, 11), si -> " +
+        s"$w * ${pdfSql(s"CAST(si AS DOUBLE) * $h")})) * $h / 3.0e0)"
+    }
+    val crossIn =
+      """cross_in AS (
+        |  SELECT t, bl, chan, v0 / 16.0e0 AS khat,
+        |         1.0e0 + CAST((ant1 * 19 + chan * 7) % 64 AS DOUBLE)
+        |           / 128.0e0 AS sx,
+        |         1.0e0 + CAST((ant2 * 23 + chan * 11) % 64 AS DOUBLE)
+        |           / 128.0e0 AS sy
+        |  FROM vis WHERE ant1 <> ant2 AND t < 8 AND chan < 4),
+        |tri AS (SELECT DISTINCT khat, sx, sy FROM cross_in)""".stripMargin
+    val newton =
+      s"""newton(khat, sx, sy, sgn, k, guess, delta, cnt) AS (
+         |  SELECT khat, sx, sy, sign(khat), abs(khat),
+         |         abs(khat)/(sx*sy),
+         |         ${simpSql("abs(khat)/(sx*sy)")} - abs(khat), 0
+         |  FROM tri
+         |  WHERE abs(khat)/(sx*sy) >= 0.0e0 AND abs(khat)/(sx*sy) < 1.0e0
+         |  UNION ALL
+         |  SELECT khat, sx, sy, sgn, k, g2,
+         |         ${simpSql("g2")} - k, cnt + 1
+         |  FROM (SELECT *, guess - delta / ${pdfSql("guess")} AS g2
+         |        FROM newton
+         |        WHERE abs(delta) > 1.0e-12 AND cnt <= 100))""".stripMargin
+    val vvres =
+      """vvres AS (
+        |  SELECT khat, sx, sy,
+        |         CASE WHEN abs(delta) <= 1.0e-12
+        |              THEN sgn * guess * sx * sy ELSE khat END AS kappa
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY khat, sx, sy
+        |                                     ORDER BY cnt DESC) AS rn
+        |        FROM newton)
+        |  WHERE rn = 1)""".stripMargin
+    OracleSql.queryRecursive(
+      """SELECT c.t, c.bl, c.chan, c.khat, c.sx, c.sy,
+        |       round(coalesce(r.kappa, c.khat), 6) AS kappa
+        |FROM cross_in c LEFT JOIN vvres r
+        |  ON c.khat = r.khat AND c.sx = r.sx AND c.sy = r.sy"""
+        .stripMargin,
+      crossIn, newton, vvres)
+  }
+
   // ---- RFI -----------------------------------------------------------
 
   val r1ThresholdFlags: String = OracleSql.query(
