@@ -243,6 +243,7 @@ object SparkEntry {
     "q_c6_calibration" -> Oracles.c6Calibration,
     "q_c5_sigma" -> Oracles.c5Sigma,
     "q_c5_cross" -> Oracles.c5Cross,
+    "q_r1_sumthreshold" -> Oracles.r1SumThreshold,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,

@@ -289,6 +289,106 @@ object Oracles {
 
   // ---- RFI -----------------------------------------------------------
 
+  /** SumThreshold oracle: a window-SQL twin of the full
+    * `SumThresholdKernel.flagMatrix` dataflow (graft.ops.RfiFlag).
+    *
+    * Per baseline: densify to the (distinct t × distinct chan) grid
+    * (missing cells amp=0, unflagged — they participate in passes but are
+    * excluded from output, mirroring the kernel's `seen` mask), subtract
+    * the upper-median background of unflagged cells, derive χ₁ = 6·1.4826·
+    * MAD from the SEEN unflagged cells, then run the M=1,2,…,32 passes.
+    * Each `pass1d` is two window ops: a length-M forward window sum where
+    * flagged cells contribute χ (ROWS CURRENT..M-1 FOLLOWING), and a
+    * backward `bool_or` spreading each exceeding window onto all M cells
+    * it covers (ROWS M-1 PRECEDING..CURRENT). Time pass reads the previous
+    * scale's flags; the same-scale frequency pass reads the time pass's
+    * output — 12 sequential CTE layers, exactly the kernel's update order.
+    * χ divisors are the 1.5^l literals (JDK pow is exact for these).
+    */
+  val r1SumThreshold: String = {
+    val chiDivs =
+      Seq("1.0e0", "1.5e0", "2.25e0", "3.375e0", "5.0625e0", "7.59375e0")
+    def pass(prev: String, cur: String, part: String, ord: String,
+             m: Int, chiDiv: String): String = {
+      val chi = s"(chi1 / $chiDiv)"
+      s"""$cur AS (
+         |  SELECT bl, t, chan, seen, res, chi1,
+         |         (flg OR coalesce(bool_or(hit)
+         |            OVER (PARTITION BY $part ORDER BY $ord
+         |                  ROWS BETWEEN ${m - 1} PRECEDING AND CURRENT ROW),
+         |            FALSE)) AS flg
+         |  FROM (
+         |    SELECT *, (idx + ${m - 1} <= n AND wsum > $chi * $m.0e0) AS hit
+         |    FROM (
+         |      SELECT *,
+         |             sum(CASE WHEN flg THEN $chi ELSE res END)
+         |               OVER (PARTITION BY $part ORDER BY $ord
+         |                     ROWS BETWEEN CURRENT ROW
+         |                     AND ${m - 1} FOLLOWING) AS wsum,
+         |             row_number()
+         |               OVER (PARTITION BY $part ORDER BY $ord) AS idx,
+         |             count(*) OVER (PARTITION BY $part) AS n
+         |      FROM $prev)))""".stripMargin
+    }
+    val prep =
+      """cells0 AS (
+        |  SELECT bl, t, chan,
+        |         max(sqrt(v0 * v0 + v1 * v1)) AS amp,
+        |         bool_or(flag) AS flg
+        |  FROM vis_flagged GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT b.bl, b.t, c.chan
+        |  FROM (SELECT DISTINCT bl, t FROM cells0) b
+        |  JOIN (SELECT DISTINCT bl, chan FROM cells0) c ON b.bl = c.bl),
+        |cells AS (
+        |  SELECT g.bl, g.t, g.chan,
+        |         coalesce(c.amp, 0.0e0) AS amp,
+        |         coalesce(c.flg, FALSE) AS flg,
+        |         c.bl IS NOT NULL AS seen
+        |  FROM grid g LEFT JOIN cells0 c
+        |    ON g.bl = c.bl AND g.t = c.t AND g.chan = c.chan),
+        |bgsel AS (
+        |  SELECT bl, amp, row_number() OVER (PARTITION BY bl ORDER BY amp)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY bl) AS n
+        |  FROM cells WHERE NOT flg),
+        |bg AS (SELECT bl, amp AS bg FROM bgsel WHERE rn = n // 2 + 1),
+        |medsel AS (
+        |  SELECT bl, amp, row_number() OVER (PARTITION BY bl ORDER BY amp)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY bl) AS n
+        |  FROM cells WHERE seen AND NOT flg),
+        |med AS (SELECT bl, amp AS med FROM medsel WHERE rn = n // 2 + 1),
+        |madsel AS (
+        |  SELECT c.bl, abs(c.amp - m.med) AS dev,
+        |         row_number() OVER (PARTITION BY c.bl
+        |                            ORDER BY abs(c.amp - m.med)) AS rn,
+        |         count(*) OVER (PARTITION BY c.bl) AS n
+        |  FROM cells c JOIN med m ON c.bl = m.bl
+        |  WHERE c.seen AND NOT c.flg),
+        |chi AS (SELECT bl, 6.0e0 * 1.4826e0 * dev AS chi1 FROM madsel
+        |        WHERE rn = n // 2 + 1),
+        |p0 AS (
+        |  SELECT c.bl, c.t, c.chan, c.seen,
+        |         c.amp - coalesce(b.bg, 0.0e0) AS res,
+        |         coalesce(x.chi1, 1.7976931348623157e308) AS chi1,
+        |         c.flg
+        |  FROM cells c
+        |  LEFT JOIN bg b ON c.bl = b.bl
+        |  LEFT JOIN chi x ON c.bl = x.bl)""".stripMargin
+    val layers = (0 to 5).flatMap { l =>
+      val m = 1 << l
+      Seq(
+        pass(s"p${2 * l}", s"p${2 * l + 1}", "bl, chan", "t", m,
+          chiDivs(l)),
+        pass(s"p${2 * l + 1}", s"p${2 * l + 2}", "bl, t", "chan", m,
+          chiDivs(l)))
+    }
+    OracleSql.query(
+      "SELECT bl, t, chan, flg AS rfi FROM p12 WHERE seen",
+      (OracleSql.visFlaggedCte +: prep +: layers): _*)
+  }
+
   val r1ThresholdFlags: String = OracleSql.query(
     """SELECT t, bl, chan, amp > lim AS rfi
       |FROM (
