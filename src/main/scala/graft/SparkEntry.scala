@@ -134,6 +134,11 @@ object SparkEntry {
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
         Seq("t_out", "bl", "c_out"))),
 
+    "q_k2_ms_order" -> ((s, dir) =>
+      graft.sinks.MsWriter.msMain(
+        Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
+        GeometryCorrection.partUvw(Dims.timestep(s), Dims.antenna(s)))),
+
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
       Sinks.mwafOccupancy(flagged(s, dir))),
 
@@ -246,6 +251,7 @@ object SparkEntry {
     "q_r1_sumthreshold" -> Oracles.r1SumThreshold,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
+    "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,
     "q_d1_dedup_exact" -> LlmOracles.d1DedupExact,

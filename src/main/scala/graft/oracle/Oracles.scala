@@ -108,25 +108,30 @@ object Oracles {
          |             JOIN antenna a2 ON v.ant2 = a2.ant)""".stripMargin)
   }
 
-  val c2Geometry: String = {
+  /** The (t, ant) partial-UVW dimension CTE — the SQL twin of
+    * `GeometryCorrection.partUvw`, shared by the C2 and K2 oracles.
+    */
+  private val uvwCte: String = {
     import GeometryCorrection._
     val sl = fmt(math.sin(LatRad)); val cl = fmt(math.cos(LatRad))
     val sd = fmt(math.sin(DecRad)); val cd = fmt(math.cos(DecRad))
     val ha = s"(0.5e0 + ts.t * ${fmt(DHa)})"
-    val uvwCte =
-      s"""uvw AS (
-         |  SELECT t, ant,
-         |         (sh * xc + ch * yc) AS u_m,
-         |         ((- $sd) * ch * xc + $sd * sh * yc + $cd * zc) AS v_m,
-         |         ($cd * ch * xc - $cd * sh * yc + $sd * zc) AS w_m
-         |  FROM (
-         |    SELECT ts.t, a.ant,
-         |           (- a.north_m) * $sl + a.height_m * $cl AS xc,
-         |           a.east_m AS yc,
-         |           a.north_m * $cl + a.height_m * $sl AS zc,
-         |           sin($ha) AS sh, cos($ha) AS ch
-         |    FROM timestep ts CROSS JOIN antenna a))"""
-        .stripMargin
+    s"""uvw AS (
+       |  SELECT t, ant,
+       |         (sh * xc + ch * yc) AS u_m,
+       |         ((- $sd) * ch * xc + $sd * sh * yc + $cd * zc) AS v_m,
+       |         ($cd * ch * xc - $cd * sh * yc + $sd * zc) AS w_m
+       |  FROM (
+       |    SELECT ts.t, a.ant,
+       |           (- a.north_m) * $sl + a.height_m * $cl AS xc,
+       |           a.east_m AS yc,
+       |           a.north_m * $cl + a.height_m * $sl AS zc,
+       |           sin($ha) AS sh, cos($ha) AS ch
+       |    FROM timestep ts CROSS JOIN antenna a))"""
+      .stripMargin
+  }
+
+  val c2Geometry: String = {
     val rot = (0 until 4).flatMap { p =>
       val (ri, ii) = (2 * p, 2 * p + 1)
       Seq(
@@ -405,6 +410,37 @@ object Oracles {
        |       row_number() OVER (ORDER BY t_out, bl, c_out) - 1 AS row_idx
        |FROM avg""".stripMargin,
     s"avg AS (\n$avgBody)")
+
+  /** K2 MS MAIN-table oracle: the row skeleton of `MsWriter.msMain` —
+    * MS row order (time-major then baseline), MJD-second timestamps,
+    * baseline UVW from the shared uvw CTE, and the channel-axis
+    * aggregates (n_chan, FLAG_ROW, exact dyadic weight sums).
+    */
+  val k2MsOrder: String = {
+    val timeConst = fmt(graft.sinks.MsWriter.MjdEpochOffsetS
+      + graft.model.Obs.GpsStart.toDouble + 2.0)
+    OracleSql.queryWeighted(
+      s"""SELECT *, row_number() OVER (ORDER BY t_out, bl) - 1 AS row_idx
+         |FROM (
+         |  SELECT m.t_out, m.bl, m.ant1, m.ant2,
+         |         $timeConst + CAST(m.t_out AS DOUBLE) * 4.0e0 AS time_s,
+         |         4.0e0 AS interval_s, 4.0e0 AS exposure_s,
+         |         round(u1.u_m - u2.u_m, 6) AS u_m,
+         |         round(u1.v_m - u2.v_m, 6) AS v_m,
+         |         round(u1.w_m - u2.w_m, 6) AS w_m,
+         |         m.n_chan, m.flag_row, m.weight_sum,
+         |         CAST(0 AS BIGINT) AS data_desc_id,
+         |         CAST(0 AS BIGINT) AS field_id,
+         |         CAST(1 AS BIGINT) AS scan_number
+         |  FROM (SELECT t_out, bl, ant1, ant2, count(*) AS n_chan,
+         |               bool_and(flag_out) AS flag_row,
+         |               sum(weight_out) AS weight_sum
+         |        FROM avg GROUP BY 1, 2, 3, 4) m
+         |  JOIN uvw u1 ON u1.t = m.t_out * 2 AND u1.ant = m.ant1
+         |  JOIN uvw u2 ON u2.t = m.t_out * 2 AND u2.ant = m.ant2)"""
+        .stripMargin,
+      s"avg AS (\n$avgBody)", uvwCte)
+  }
 
   val k3MwafBitmask: String = OracleSql.query(
     """SELECT cc, bl, t,
