@@ -9,11 +9,16 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the computed columns and time only the scan. A small
   * warmup job absorbs JVM/codegen startup so per-query numbers measure
   * the plan, not classloading.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in a fixed
+  * (sorted) query order and the per-query MEDIAN is reported, so a
+  * single co-tenant hiccup can't masquerade as a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,21 +33,37 @@ object Bench {
     spark.range(100000).groupBy(org.apache.spark.sql.functions
       .expr("id % 100")).count().collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // run the full suite `runs` times in the same order (inter-run
+    // interleaving keeps page-cache/JIT state comparable across runs)
+    val samples = (1 to runs).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> median(samples.map(_(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -69,9 +69,9 @@ class MsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/ANTENNA").count() == 8)
     val spw = spark.read.parquet(s"$out/SPECTRAL_WINDOW").head()
     assert(spw.getAs[Long]("num_chan") == 16)
-    assert(spw.getAs[Seq[Double]]("chan_freq_hz").length == 16)
+    assert(spw.getSeq[Double](spw.fieldIndex("chan_freq_hz")).length == 16)
     val pol = spark.read.parquet(s"$out/POLARIZATION").head()
-    assert(pol.getAs[Seq[Int]]("corr_type") == Seq(9, 10, 11, 12))
+    assert(pol.getSeq[Int](pol.fieldIndex("corr_type")).toSeq == Seq(9, 10, 11, 12))
     assert(spark.read.parquet(s"$out/FIELD").count() == 1)
     assert(spark.read.parquet(s"$out/OBSERVATION").count() == 1)
   }
