@@ -187,42 +187,55 @@ object Dedup {
       .select("doc1", "doc2", "n_common", "jaccard")
   }
 
-  /** Duplicate clusters: connected components over the LSH candidate
-    * graph via min-label propagation, a FIXED number of iterations
-    * (clusters from near-dup candidates have tiny diameter; the oracle
-    * unrolls the same iteration count, so both engines compute the same
-    * fixpoint-or-not labels).
+  /** Connected components over a symmetric `(a, b)` edge frame by
+    * min-label propagation iterated TO CONVERGENCE (no label changed),
+    * with a safety bound. Labels only decrease and spread one hop per
+    * round, so the fixpoint is the exact per-component minimum id —
+    * a fixed iteration count (the old `iters = 4`) silently under-merges
+    * any duplicate chain longer than its horizon.
     *
     * Scale: each iteration is one join + hash aggregate keyed on doc_id
-    * — the standard large-graph CC shape (label propagation), where a
-    * real deployment would iterate to convergence with AQE-sized
-    * shuffles.
+    * — the standard large-graph CC shape; `localCheckpoint` truncates
+    * lineage so the plan doesn't double per round, and the convergence
+    * probe is an `isEmpty` (limit-1) on the already-materialised step.
     */
-  def duplicateClusters(docs: DataFrame, iters: Int = 4): DataFrame = {
-    // materialise the candidate graph once, and truncate lineage each
-    // iteration: label propagation references L_{i-1} twice, so without
-    // a checkpoint the logical plan doubles per round (2^iters scans)
-    val pairs = lshCandidates(docs).select("doc1", "doc2")
-      .localCheckpoint(true)
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionAll(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-      .localCheckpoint(true)
+  def connectedComponents(edgesIn: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = edgesIn.select("a", "b").localCheckpoint(true)
     val vertices = edges.select(col("a").as("doc_id")).distinct()
     var labels = vertices.withColumn("lab", col("doc_id"))
       .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("b"),
           col("lab").as("nlab")), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min("nlab").as("minn"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .withColumn("lab", least(col("lab"),
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        .withColumn("lab2", least(col("lab"),
           coalesce(col("minn"), col("lab"))))
-        .select("doc_id", "lab")
+        .select("doc_id", "lab", "lab2")
         .localCheckpoint(true)
+      converged = stepped.where(col("lab2") < col("lab")).isEmpty
+      labels = stepped.select(col("doc_id"), col("lab2").as("lab"))
+      it += 1
     }
-    labels.withColumnRenamed("lab", "cluster_id")
+    labels
+  }
+
+  /** Duplicate clusters: exact connected components over the LSH
+    * candidate graph (the DuckDB twin is a recursive-CTE transitive
+    * closure — both sides compute the true per-component minimum id).
+    */
+  def duplicateClusters(docs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val pairs = lshCandidates(docs).select("doc1", "doc2")
+      .localCheckpoint(true)
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionAll(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    connectedComponents(edges, maxIters)
+      .withColumnRenamed("lab", "cluster_id")
   }
 
   /** Embedding near-duplicates: cosine similarity above `thr` for pairs

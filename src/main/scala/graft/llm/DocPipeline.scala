@@ -20,23 +20,26 @@ object DocPipeline {
             minQuality: Double = 0.4,
             langs: Seq[String] = Seq("en", "de", "es", "fr", "zh", "und"))
       : DataFrame = {
-    val lang = TextAnalysis.langId(docs)
-    val quality = TextAnalysis.quality(docs)
+    // six stages each scan the corpus — cache it once (MEMORY_AND_DISK
+    // spills per-partition at scale, so this holds on a real cluster)
+    val d = docs.cache()
+    val lang = TextAnalysis.langId(d)
+    val quality = TextAnalysis.quality(d)
       .select("doc_id", "quality_score")
-    val toks = TextAnalysis.tokenStats(docs)
+    val toks = TextAnalysis.tokenStats(d)
 
     // exact dedup: keep only canonical representatives
-    val keep = Dedup.exact(docs)
+    val keep = Dedup.exact(d)
       .select(col("keep_doc_id").as("doc_id"))
 
     // near-dup clusters: survivors are each cluster's minimum doc_id;
     // docs in no cluster survive by default
-    val clusters = Dedup.duplicateClusters(docs)
+    val clusters = Dedup.duplicateClusters(d)
     val clusterDrop = clusters
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
 
-    docs.select("doc_id", "lang", "source", "n_chars")
+    d.select("doc_id", "lang", "source", "n_chars")
       .join(keep, Seq("doc_id"), "left_semi")
       .join(clusterDrop, Seq("doc_id"), "left_anti")
       .join(lang, Seq("doc_id"))

@@ -102,30 +102,50 @@ object Similarity {
     * assigned to their nearest cell by max(dot − ‖c‖²/2), queries probe
     * their `nProbe` nearest cells, ranking only within probed cells.
     *
-    * Scale: assignment is one broadcast-centroids pass over the corpus
-    * (written once as a `cell` column in production); the search join is
-    * keyed on cell id — candidates per query are corpus/nCells·nProbe.
+    * Scale: the centroid table is MODEL-sized (a trained k-means output
+    * in production), so it travels to executors as literals — the per-row
+    * cell assignment is a pure array-expression argmax
+    * (`array_sort` over per-centroid score structs) with ZERO exchanges.
+    * The previous shape (`crossJoin(cents)` + `row_number` window)
+    * amplified the corpus nCentroids× through a shuffle just to pick each
+    * row's max — at 100 TB that shuffle IS the job. The search join is
+    * keyed on cell id with the tiny probe side broadcast — candidates per
+    * query are corpus/nCells·nProbe.
     */
   def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
               nQueries: Int = 8, k: Int = 5): DataFrame = {
     graft.functions.FloatVecDot.register(emb.sparkSession)
-    val cents = broadcast(emb.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .withColumn("cn2", expr("float_dot(ce, ce)")))
-    val scored = emb.crossJoin(cents)
-      .withColumn("score",
-        round(expr("float_dot(embedding, ce)") - col("cn2") / 2.0, 6))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("score").desc, col("cid").asc)
-    val ranked = scored.withColumn("crk", row_number().over(wAssign))
-    val assigned = ranked.where(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val cents: Array[(Int, Array[Float])] = emb
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // same sequential float→double fold as float_dot(ce, ce) — the value
+    // must be bit-identical to the oracle's cn2
+    def halfNorm2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      s / 2.0
+    }
+    // per-row cell ranking: sort by (score desc, cid asc) via (−score, cid)
+    // — round(x,6) never yields −0.0, so negation can't split a tie
+    val cellRank = array_sort(array(cents.map { case (cid, ce) =>
+      struct(
+        (-round(call_function("float_dot", col("embedding"), lit(ce))
+          - lit(halfNorm2(ce)), 6)).as("ns"),
+        lit(cid).as("cid"))
+    }: _*))
+    val assigned = emb
+      .withColumn("cell", element_at(cellRank, 1).getField("cid"))
       .withColumn("nrm", expr(normSql("embedding")(SparkD)))
-    val probes = ranked
-      .where(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .select("vec_id", "embedding", "cell", "nrm")
+    val probes = broadcast(emb.where(col("vec_id") < nQueries)
+      .withColumn("cell",
+        explode(slice(cellRank, 1, nProbe).getField("cid")))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cid").as("cell"))
-      .withColumn("qn", expr(normSql("qe")(SparkD)))
+        col("cell"))
+      .withColumn("qn", expr(normSql("qe")(SparkD))))
     val cand = probes.join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr(dotSql("qe", "embedding")(SparkD))

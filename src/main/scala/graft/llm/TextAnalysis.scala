@@ -107,13 +107,18 @@ object TextAnalysis {
     * at corpus scale the df table is vocabulary-sized.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.count()
+    // corpus size as a 1-row broadcast aggregate inside the SAME lazy
+    // plan — the old `docs.count()` was a separate eager job (a full
+    // second scan before the pipeline even started); here the count
+    // branch is column-pruned to parquet footers
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tok = docs.select(col("doc_id"),
       explode(expr(tokens("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("idf",
-        log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0))
+        log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0))
           + 1.0)
     val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))

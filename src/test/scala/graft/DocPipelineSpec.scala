@@ -24,6 +24,22 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet.contains("n_subword_est"))
   }
 
+  test("connected components: converges past a fixed-4-iteration horizon") {
+    import spark.implicits._
+    // a 12-vertex path graph: the min label (0) spreads one hop per
+    // round, so the old fixed-4-iteration propagation left the far end
+    // of any chain longer than ~5 in its own cluster — convergence-based
+    // propagation must collapse the whole path to cluster 0
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val sym = edges.unionAll(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    val labs = graft.llm.Dedup.connectedComponents(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labs.size == 12)
+    assert(labs.values.forall(_ == 0L),
+      s"chain must collapse to a single cluster: $labs")
+  }
+
   test("rolling hash: sliding windows match direct polynomial evaluation") {
     val text = "the quick brown fox jumps over the lazy dog"
     val window = 8
