@@ -6,6 +6,9 @@ import graft.model.Obs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One dense-grid row of the mwaf flag table. */
+final case class MwafRow(cc: Long, t: Long, bl: Long, flag_mask: Long)
+
 /** K3: mwaf-style binary flag files
   * (/root/reference/src/io/mwaf.rs): one FITS file per coarse channel
   * (template `%%` → gpubox id, mwaf.rs:105-138), header keys
@@ -14,10 +17,14 @@ import org.apache.spark.sql.functions._
   * cell a fine-channel bitvector (mwaf.rs:424-495). `finalise` verifies
   * the row count (mwaf.rs:504-510) — mirrored here by a require().
   *
-  * The bit-packing runs distributed (the [[Sinks.mwafBitmask]]
-  * aggregate); only the final per-cc byte streams pass through the
-  * driver, one coarse channel at a time (the reference writes its
-  * per-gpubox files in parallel the same way, mwaf.rs:399-417).
+  * Fully distributed: the bit-packing runs in the
+  * [[Sinks.mwafBitmask]] aggregate, and the per-coarse-channel files are
+  * encoded and written ON THE EXECUTORS — `repartition(cc)` puts each
+  * coarse channel's dense grid in exactly one partition, sorted
+  * (cc, t, bl), and the partition streams its channels straight to
+  * their files (the reference writes its per-gpubox files in parallel
+  * the same way, mwaf.rs:399-417). No flag byte ever crosses the
+  * driver; `dir` must be shared storage on a real cluster.
   */
 object MwafWriter {
 
@@ -32,23 +39,22 @@ object MwafWriter {
   def write(visFlagged: DataFrame, dir: String,
             template: String = "flags_%%.mwaf"): Map[Long, Long] = {
     val spark = visFlagged.sparkSession
+    import spark.implicits._
     // densify to the full (cc, t, bl) grid — the reference's tables are
     // dense by construction; cells with NO data are fully flagged
     // (missing-HDU semantics, /root/reference/src/io/mod.rs:297-303),
     // matching GpuboxSource's flag=!present on ingest
     val allFlagged = (1L << graft.model.Obs.FineChansPerCoarse) - 1L
-    val grid = visFlagged.select("cc").distinct()
+    val ccs = visFlagged.select("cc").distinct().as[Long].collect().sorted
+    val grid = ccs.toSeq.toDF("cc")
       .crossJoin(graft.model.Dims.timestep(spark).select("t"))
       .crossJoin(graft.model.Dims.baseline(spark).select("bl"))
     val masks = grid
       .join(Sinks.mwafBitmask(visFlagged), Seq("cc", "t", "bl"), "left")
       .withColumn("flag_mask", coalesce(col("flag_mask"),
         lit(allFlagged)))
-      .repartitionByRange(8, col("cc"))
-      .sortWithinPartitions("cc", "t", "bl")
       .select("cc", "t", "bl", "flag_mask")
-    // stream the globally-ordered rows (driver memory O(1)); file
-    // boundaries on cc change. nScans/nBl come from the dense grid.
+
     val nScans = Obs.NumTimesteps
     val nBl = Obs.NumAnts * (Obs.NumAnts + 1) / 2
     val bytesPerRow = (Obs.FineChansPerCoarse + 7) / 8
@@ -63,37 +69,47 @@ object MwafWriter {
       "END".padTo(80, ' ')).mkString
     val headPad = header + " " * ((2880 - header.length % 2880) % 2880)
 
-    var out: BufferedOutputStream = null
-    var curCc = -1L
-    var rowsInFile = 0L
-    val counts = scala.collection.mutable.Map[Long, Long]()
-    def closeFile(): Unit = if (out != null) {
-      val dataLen = rowsInFile * bytesPerRow
-      out.write(new Array[Byte](((2880 - dataLen % 2880) % 2880).toInt))
-      out.close()
-      require(rowsInFile == nScans.toLong * nBl,
-        s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
-      counts(curCc) = rowsInFile
-    }
-    masks.toLocalIterator().forEachRemaining { r =>
-      val cc = r.getLong(0)
-      if (cc != curCc) {
+    // hash-partition on cc: every coarse channel lands whole in one
+    // partition (several may share one — the file-switch loop handles
+    // that), so each task writes complete files with zero coordination
+    val counts = masks
+      .repartition(math.max(ccs.length, 1), col("cc"))
+      .sortWithinPartitions("cc", "t", "bl")
+      .as[MwafRow]
+      .mapPartitions { rows =>
+        val done = scala.collection.mutable.Map[Long, Long]()
+        var out: BufferedOutputStream = null
+        var curCc = -1L
+        var rowsInFile = 0L
+        def closeFile(): Unit = if (out != null) {
+          val dataLen = rowsInFile * bytesPerRow
+          out.write(
+            new Array[Byte](((2880 - dataLen % 2880) % 2880).toInt))
+          out.close()
+          require(rowsInFile == nScans.toLong * nBl,
+            s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
+          done(curCc) = rowsInFile
+        }
+        rows.foreach { r =>
+          if (r.cc != curCc) {
+            closeFile()
+            curCc = r.cc
+            rowsInFile = 0
+            out = new BufferedOutputStream(new FileOutputStream(
+              dir + "/" + template.replace("%%", curCc.toString)))
+            out.write(headPad.getBytes("ASCII"))
+          }
+          var b = 0
+          while (b < bytesPerRow) {
+            out.write(((r.flag_mask >> (8 * b)) & 0xff).toInt)
+            b += 1
+          }
+          rowsInFile += 1
+        }
         closeFile()
-        curCc = cc
-        rowsInFile = 0
-        out = new BufferedOutputStream(new FileOutputStream(
-          dir + "/" + template.replace("%%", cc.toString)))
-        out.write(headPad.getBytes("ASCII"))
+        done.iterator
       }
-      val mask = r.getLong(3)
-      var b = 0
-      while (b < bytesPerRow) {
-        out.write(((mask >> (8 * b)) & 0xff).toInt)
-        b += 1
-      }
-      rowsInFile += 1
-    }
-    closeFile()
+      .collect()
     counts.toMap
   }
 }

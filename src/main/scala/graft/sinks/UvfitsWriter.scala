@@ -2,6 +2,7 @@ package graft.sinks
 
 import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
 
 import graft.model.Obs
 import org.apache.spark.sql.{DataFrame, Row}
@@ -23,13 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Baseline id uses the uvfits convention 256*ant1 + ant2 (1-based).
   *
-  * Scale note: the single output file is inherently serial (exactly as
-  * the reference's writer); the upstream frame is ordered by the
-  * scale-correct range-partition + within-partition sort, and the driver
-  * only streams `toLocalIterator` — it never materialises the dataset.
-  * A cluster deployment would have each partition encode its byte slice
-  * and concatenate (same group encoding, offset = partition prefix sums
-  * from [[Sinks.orderedRowIdx]]).
+  * Scale shape: every group is ENCODED ON ITS EXECUTOR — the range
+  * partitioner gives each partition a contiguous (t_out, bl) slice (all
+  * channels of a group share the partition key, so no group straddles a
+  * boundary), each partition writes its encoded byte slice as a part
+  * file, and the driver performs a pure byte-level concatenation
+  * (`FileChannel.transferFrom` — never decodes a row). The serial tail
+  * is the single-file append the format itself imposes, exactly as in
+  * the reference's writer; on an object store it would be a multipart
+  * upload of the same slices.
   */
 object UvfitsWriter {
 
@@ -56,14 +59,12 @@ object UvfitsWriter {
     }
     val cMin = cMinL.toInt
     val nChans = (cMaxL - cMinL + 1).toInt
+    val nParts = 32
     val ordered = avg
-      .repartitionByRange(32, col("t_out"), col("bl"))
+      .repartitionByRange(nParts, col("t_out"), col("bl"))
       .sortWithinPartitions("t_out", "bl", "c_out")
-
-    // gather chan-major groups: one uvfits group per (t_out, bl)
-    val groups = ordered.select("t_out", "bl", "ant1", "ant2", "c_out",
+      .select("t_out", "bl", "ant1", "ant2", "c_out",
         "a0", "a1", "a2", "a3", "a4", "a5", "a6", "a7", "weight_out")
-      .toLocalIterator()
 
     val nGroupEst = avg.select(countDistinct(struct("t_out", "bl")))
       .head().getLong(0)
@@ -95,60 +96,84 @@ object UvfitsWriter {
     val header = (headerStr + " " * ((2880 - headerStr.length % 2880)
       % 2880)).getBytes("ASCII")
 
+    val gpsStart = Obs.GpsStart.toDouble
+
+    // per-partition slice encoding: each task streams its sorted rows
+    // through the same group-flush state machine the serial writer used,
+    // into a part file; returns (partitionIdx, groupsWritten)
+    val partCounts: Array[(Int, Long)] = ordered.rdd
+      .mapPartitionsWithIndex { (idx, rows) =>
+        val partPath = s"$path.part$idx"
+        val out = new BufferedOutputStream(
+          new FileOutputStream(partPath), 1 << 20)
+        var written = 0L
+        var curKey: (Long, Long) = null
+        var curA1 = 0L
+        var curA2 = 0L
+        var curT = 0L
+        val chanData = Array.fill(nChans * floatsPerChan)(0.0f)
+
+        def flush(): Unit = {
+          if (curKey != null) {
+            val buf = ByteBuffer.allocate(groupFloats * 4) // big-endian
+            buf.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f) // UU VV WW
+            // DATE split across two params: float32 ulp at a GPS-epoch
+            // JD is ~128 s, so days go in param 4 and the day FRACTION
+            // (exact to sub-ms in f32) in param 5 — the standard uvfits
+            // convention
+            val gpsSec = gpsStart + curT * 2.0
+            val days = math.floor(gpsSec / 86400.0)
+            buf.putFloat(days.toFloat)
+            buf.putFloat(((gpsSec - days * 86400.0) / 86400.0).toFloat)
+            buf.putFloat((256 * (curA1 + 1) + (curA2 + 1)).toFloat)
+            chanData.foreach(buf.putFloat)
+            out.write(buf.array())
+            written += 1
+            java.util.Arrays.fill(chanData, 0.0f)
+          }
+        }
+
+        rows.foreach { r: Row =>
+          val key = (r.getLong(0), r.getLong(1))
+          if (key != curKey) {
+            flush()
+            curKey = key
+            curT = r.getLong(0)
+            curA1 = r.getLong(2)
+            curA2 = r.getLong(3)
+          }
+          val c = (r.getLong(4) - cMin).toInt
+          if (c >= 0 && c < nChans) {
+            val base = c * floatsPerChan
+            // pol order XX YY XY YX as uvfits convention; source order
+            // is XX XY YX YY (components a0..a7)
+            val polMap = Seq((0, 1), (6, 7), (2, 3), (4, 5))
+            polMap.zipWithIndex.foreach { case ((ri, ii), p) =>
+              chanData(base + p * 3) = r.getDouble(5 + ri).toFloat
+              chanData(base + p * 3 + 1) = r.getDouble(5 + ii).toFloat
+              chanData(base + p * 3 + 2) = r.getDouble(13).toFloat
+            }
+          }
+        }
+        flush()
+        out.close()
+        Iterator((idx, written))
+      }
+      .collect()
+
+    // driver: header + ordered byte-level concat of the slices + pad.
+    // RangePartitioner orders partitions by key range, so part idx order
+    // IS global (t_out, bl) order — byte-identical to the serial writer.
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     out.write(header)
-
-    var written = 0L
-    var curKey: (Long, Long) = null
-    var curA1 = 0L
-    var curA2 = 0L
-    var curT = 0L
-    val chanData = Array.fill(nChans * floatsPerChan)(0.0f)
-
-    def flush(): Unit = {
-      if (curKey != null) {
-        val buf = ByteBuffer.allocate(groupFloats * 4) // big-endian
-        buf.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f) // UU VV WW stub
-        // DATE split across two params: float32 ulp at a GPS-epoch JD
-        // is ~128 s, so days go in param 4 and the day FRACTION (exact
-        // to sub-ms in f32) in param 5 — the standard uvfits convention
-        val gpsSec = Obs.GpsStart.toDouble + curT * 2.0
-        val days = math.floor(gpsSec / 86400.0)
-        buf.putFloat(days.toFloat)
-        buf.putFloat(((gpsSec - days * 86400.0) / 86400.0).toFloat)
-        buf.putFloat((256 * (curA1 + 1) + (curA2 + 1)).toFloat)
-        chanData.foreach(buf.putFloat)
-        out.write(buf.array())
-        written += 1
-        java.util.Arrays.fill(chanData, 0.0f)
+    (0 until nParts).foreach { idx =>
+      val p = Paths.get(s"$path.part$idx")
+      if (Files.exists(p)) {
+        Files.copy(p, out)
+        Files.delete(p)
       }
     }
-
-    groups.forEachRemaining { r: Row =>
-      val key = (r.getLong(0), r.getLong(1))
-      if (key != curKey) {
-        flush()
-        curKey = key
-        curT = r.getLong(0)
-        curA1 = r.getLong(2)
-        curA2 = r.getLong(3)
-      }
-      val c = (r.getLong(4) - cMin).toInt
-      if (c >= 0 && c < nChans) {
-        val base = c * floatsPerChan
-        // pol order XX YY XY YX as uvfits convention; source order is
-        // XX XY YX YY (components a0..a7)
-        val polMap = Seq((0, 1), (6, 7), (2, 3), (4, 5))
-        polMap.zipWithIndex.foreach { case ((ri, ii), p) =>
-          chanData(base + p * 3) = r.getDouble(5 + ri).toFloat
-          chanData(base + p * 3 + 1) = r.getDouble(5 + ii).toFloat
-          chanData(base + p * 3 + 2) = r.getDouble(13).toFloat
-        }
-      }
-    }
-    flush()
-
-    // pad data to 2880 boundary
+    val written = partCounts.map(_._2).sum
     val dataBytes = written * groupFloats * 4
     val pad = ((2880 - dataBytes % 2880) % 2880).toInt
     out.write(new Array[Byte](pad))
