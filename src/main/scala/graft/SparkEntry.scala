@@ -109,6 +109,20 @@ object SparkEntry {
         .select(col("t") +: col("bl") +: col("chan") +:
           (renameComps() :+ col("weight").as("weight_pfb")): _*)),
 
+    // published tables, auto-selected per correlator version: MWAX →
+    // Jake 2022 centre-symmetric scrunch; legacy → Cotter 2014 simple
+    "q_c4b_passband_mwax" -> ((s, dir) =>
+      PassbandGains(weighted(s, dir),
+        Dims.pfbGainReal(s, graft.model.PfbTables.CorrMwaxV2))
+        .select(col("t") +: col("bl") +: col("chan") +:
+          (renameComps() :+ col("weight").as("weight_pfb")): _*)),
+
+    "q_c4c_passband_legacy" -> ((s, dir) =>
+      PassbandGains(weighted(s, dir),
+        Dims.pfbGainReal(s, graft.model.PfbTables.CorrLegacy))
+        .select(col("t") +: col("bl") +: col("chan") +:
+          (renameComps() :+ col("weight").as("weight_pfb")): _*)),
+
     "q_c6_calibration" -> ((s, dir) =>
       Calibration(VisSynth.vis(s, dir), Dims.calsol(s))
         .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
@@ -245,6 +259,10 @@ object SparkEntry {
     "q_c2_geometry" -> Oracles.c2Geometry,
     "q_c3_digital_gains" -> Oracles.c3DigitalGains,
     "q_c4_passband" -> Oracles.c4Passband,
+    "q_c4b_passband_mwax" -> Oracles.c4PassbandReal(
+      graft.model.PfbTables.scrunched(graft.model.PfbTables.CorrMwaxV2)),
+    "q_c4c_passband_legacy" -> Oracles.c4PassbandReal(
+      graft.model.PfbTables.scrunched(graft.model.PfbTables.CorrLegacy)),
     "q_c6_calibration" -> Oracles.c6Calibration,
     "q_c5_sigma" -> Oracles.c5Sigma,
     "q_c5_cross" -> Oracles.c5Cross,

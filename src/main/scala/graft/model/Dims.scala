@@ -106,6 +106,21 @@ object Dims {
       col("id").as("fc"),
       (((col("id") * 37) % 23 + 100).cast("double") / 112.0).as("pfb_gain"))
 
+  /** Per-fine-chan passband gain from a PUBLISHED table
+    * ([[PfbTables]]), auto-selected by correlator version and scrunched
+    * to the observation resolution — the production path of the
+    * reference's `--passband-gains auto`.
+    */
+  def pfbGainReal(spark: SparkSession,
+                  version: PfbTables.MwaVersion = PfbTables.CorrMwaxV2,
+                  oversampled: Boolean = false): DataFrame = {
+    import spark.implicits._
+    PfbTables.scrunched(version, oversampled, FineChansPerCoarse)
+      .zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toSeq
+      .toDF("fc", "pfb_gain")
+  }
+
   /** DI calibration solutions: one 2x2 complex Jones per (antenna,
     * coarse-chan) — i.e. calsol channel resolution coarser than the data,
     * exercising the channel_ratio chunking of the reference

@@ -182,6 +182,28 @@ object Oracles {
          |FROM vis_weighted v JOIN pfb_gain p ON v.fc = p.fc""".stripMargin)
   }
 
+  /** C4 against a PUBLISHED gain table: the 8 scrunched values are
+    * inlined as string-cast literals (`Double.toString` round-trips
+    * exactly, and CAST('…' AS DOUBLE) keeps DuckDB off DECIMAL), so the
+    * oracle gates the application join + divide/multiply on the REAL
+    * constants; the scrunch that produced them is gated separately by
+    * the golden tests vs the reference's own cases
+    * (/root/reference/src/corrections.rs:1448-1533).
+    */
+  def c4PassbandReal(gains: Array[Double]): String = {
+    val values = gains.zipWithIndex.map { case (g, i) =>
+      s"(CAST($i AS BIGINT), CAST('$g' AS DOUBLE))"
+    }.mkString(", ")
+    val outs = (0 until 8).map(k => s"  v$k / pfb_gain AS r$k")
+      .mkString(",\n")
+    OracleSql.queryWeighted(
+      s"""SELECT t, bl, chan,
+         |$outs,
+         |  weight * pfb_gain AS weight_pfb
+         |FROM vis_weighted v JOIN pfb_real p ON v.fc = p.fc""".stripMargin,
+      s"pfb_real AS (SELECT * FROM (VALUES $values) t(fc, pfb_gain))")
+  }
+
   val c6Calibration: String = {
     val j1 = (0 until 8).map(k => s"j${k}_1")
     val v = (0 until 8).map(k => s"v$k")

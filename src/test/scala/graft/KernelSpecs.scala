@@ -41,6 +41,79 @@ class KernelSpecs extends AnyFunSuite {
     assert(math.abs(out(n / 2 - 1)) < 1e-12)
   }
 
+  // ---- golden cases: the reference's own scrunch tests, exact doubles
+  // (/root/reference/src/corrections.rs:1448-1533, power-of-2 gains so
+  // every expected value is exact in IEEE doubles)
+
+  test("scrunch golden legacy: fscrunch=2 over 30 chans (rs:1449)") {
+    val g = Array.tabulate(30)(x => math.pow(2.0, x))
+    val exp = Array.tabulate(15)(x =>
+      (math.pow(2.0, 2 * x) + math.pow(2.0, 2 * x + 1)) / 2.0)
+    assert(scrunchGains(g, 2, centerSymmetric = false).toSeq == exp.toSeq)
+  }
+
+  test("scrunch golden mwax even/even: f=2 over 12 chans (rs:1461)") {
+    val g = Array.tabulate(12)(x => math.pow(2.0, x))
+    val exp = Array.tabulate(6) { x =>
+      val left = g(math.floorMod(2 * x - 1, 12))
+      g(2 * x) / 2.0 + left / 4.0 + g(2 * x + 1) / 4.0
+    }
+    assert(scrunchGains(g, 2, centerSymmetric = true).toSeq == exp.toSeq)
+  }
+
+  test("scrunch golden mwax odd-f/even-out: f=3 over 12 chans (rs:1483)") {
+    val g = Array.tabulate(12)(x => math.pow(2.0, x))
+    val exp = Array.tabulate(4) { x =>
+      g(math.floorMod(3 * x - 1, 12)) / 3.0 + g(3 * x) / 3.0 +
+        g(3 * x + 1) / 3.0
+    }
+    assert(scrunchGains(g, 3, centerSymmetric = true).toSeq == exp.toSeq)
+  }
+
+  test("scrunch golden mwax even-f/odd-out: f=4 over 12 chans (rs:1500)") {
+    val g = Array.tabulate(12)(x => math.pow(2.0, x))
+    val exp = Array.tabulate(3) { x =>
+      g(4 * x) / 8.0 + g(4 * x + 1) / 4.0 + g(4 * x + 2) / 4.0 +
+        g(4 * x + 3) / 4.0 + g(math.floorMod(4 * x + 4, 12)) / 8.0
+    }
+    assert(scrunchGains(g, 4, centerSymmetric = true).toSeq == exp.toSeq)
+  }
+
+  test("scrunch golden mwax odd-f/odd-out: f=3 over 15 chans (rs:1519)") {
+    val g = Array.tabulate(15)(x => math.pow(2.0, x))
+    val exp = Array.tabulate(5) { x =>
+      g(3 * x) / 6.0 + g(3 * x + 1) / 3.0 + g(3 * x + 2) / 3.0 +
+        g(math.floorMod(3 * x + 3, 15)) / 6.0
+    }
+    assert(scrunchGains(g, 3, centerSymmetric = true).toSeq == exp.toSeq)
+  }
+
+  // ---- published PFB tables (model.PfbTables resources) --------------
+
+  test("published PFB tables: shape, first values, auto-selection") {
+    import graft.model.PfbTables._
+    assert(Jake2022_200Hz.length == 6400)
+    assert(OsJake2025_200Hz.length == 6400)
+    assert(Cotter2014_10kHz.length == 128)
+    // spot anchors from the reference data file (passband_gains.rs:10)
+    assert(Jake2022_200Hz(0) == 5.00035573710785e-01)
+    assert(select(CorrMwaxV2, oversampled = false,
+      derippleApplied = false).get eq Jake2022_200Hz)
+    assert(select(CorrMwaxV2, oversampled = true,
+      derippleApplied = false).get eq OsJake2025_200Hz)
+    assert(select(CorrLegacy, oversampled = false,
+      derippleApplied = false).get eq Cotter2014_10kHz)
+    assert(select(CorrMwaxV2, oversampled = false,
+      derippleApplied = true).isEmpty)
+    // scrunched to the observation resolution: right length, near the
+    // table mean (the PFB ripple is a few percent around its plateau)
+    val s = scrunched(CorrMwaxV2)
+    assert(s.length == graft.model.Obs.FineChansPerCoarse)
+    val sc = scrunched(CorrLegacy)
+    assert(sc.length == graft.model.Obs.FineChansPerCoarse)
+    assert(s.forall(v => v > 0.0) && sc.forall(v => v > 0.0))
+  }
+
   test("scrunch simple: factor must divide length") {
     assertThrows[IllegalArgumentException] {
       scrunchGains(Array(1.0, 2.0, 3.0), 2, centerSymmetric = false)
