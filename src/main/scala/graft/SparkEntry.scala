@@ -134,6 +134,14 @@ object SparkEntry {
 
     "q_c5_sigma" -> ((s, dir) => VanVleck.sigmaParity(s)),
 
+    // full dataflow on a bounded window: REAL sigmaTable output feeds
+    // the σ-join + per-pol pairing (oracle: static σ̂→σ map + recursive
+    // Newton twin)
+    "q_c5_pipeline" -> ((s, dir) =>
+      VanVleck(VisSynth.vis(s, dir).where(col("t") < 4 && col("chan") < 2),
+        flaggedAnts = Seq(7L), sampleScale = 2.0)
+        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+
     "q_c5_cross" -> ((s, dir) =>
       VanVleck.crossParity(VisSynth.vis(s, dir))),
 
@@ -266,6 +274,7 @@ object SparkEntry {
     "q_c6_calibration" -> Oracles.c6Calibration,
     "q_c5_sigma" -> Oracles.c5Sigma,
     "q_c5_cross" -> Oracles.c5Cross,
+    "q_c5_pipeline" -> Oracles.c5Pipeline,
     "q_r1_sumthreshold" -> Oracles.r1SumThreshold,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
@@ -278,6 +287,7 @@ object SparkEntry {
     "q_d4_ngram_jaccard" -> LlmOracles.d4NgramJaccard,
     "q_d5_embedding_neardup" -> LlmOracles.d5EmbeddingNearDup,
     "q_d6_dup_clusters" -> LlmOracles.d6DupClusters,
+    "q_doc_pipeline" -> LlmOracles.docPipeline,
     "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,

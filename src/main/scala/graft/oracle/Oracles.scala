@@ -254,26 +254,56 @@ object Oracles {
     * cell table at the end; non-invertible seeds (ρ∉[0,1)) fall back to
     * khat via the LEFT JOIN coalesce, mirroring the kernel's guard.
     */
+  // pdf(x_, y_, rho) with x_i=(i+0.5)/sx, y_k=(k+0.5)/sy as a 49-term
+  // lambda sum; `rho` is a SQL expression in scope (sx, sy row columns).
+  private def c5PdfSql(rho: String): String = {
+    val d = s"greatest(1.0e0 - ($rho)*($rho), 1.0e-20)"
+    val xi = "((CAST(ij//7 AS DOUBLE)+0.5e0)/sx)"
+    val yk = "((CAST(ij%7 AS DOUBLE)+0.5e0)/sy)"
+    val a = s"($xi * $yk * ($rho) / $d)"
+    val b = s"(($xi*$xi + $yk*$yk) / (2.0e0*$d))"
+    s"(list_sum(list_transform(range(0, 49), ij -> " +
+      s"exp($a - $b) + exp(-$a - $b))) / (pi() * sqrt($d)))"
+  }
+
+  // Simpson ∫_0^rho pdf dζ, n=10: weights 1,4,2,…,4,1 over si=0..10.
+  private def c5SimpSql(rho: String): String = {
+    val h = s"(($rho)/10.0e0)"
+    val w = "(CASE WHEN si = 0 OR si = 10 THEN 1.0e0 " +
+      "WHEN si % 2 = 1 THEN 4.0e0 ELSE 2.0e0 END)"
+    s"(list_sum(list_transform(range(0, 11), si -> " +
+      s"$w * ${c5PdfSql(s"CAST(si AS DOUBLE) * $h")})) * $h / 3.0e0)"
+  }
+
+  /** Newton-inversion CTE pair over a `tri(khat, sx, sy)` relation —
+    * the recursive `vanVleckCrossInt` twin shared by `c5Cross` and
+    * `c5Pipeline`.
+    */
+  private def c5NewtonCte: String =
+    s"""newton(khat, sx, sy, sgn, k, guess, delta, cnt) AS (
+       |  SELECT khat, sx, sy, sign(khat), abs(khat),
+       |         abs(khat)/(sx*sy),
+       |         ${c5SimpSql("abs(khat)/(sx*sy)")} - abs(khat), 0
+       |  FROM tri
+       |  WHERE abs(khat)/(sx*sy) >= 0.0e0 AND abs(khat)/(sx*sy) < 1.0e0
+       |  UNION ALL
+       |  SELECT khat, sx, sy, sgn, k, g2,
+       |         ${c5SimpSql("g2")} - k, cnt + 1
+       |  FROM (SELECT *, guess - delta / ${c5PdfSql("guess")} AS g2
+       |        FROM newton
+       |        WHERE abs(delta) > 1.0e-12 AND cnt <= 100))""".stripMargin
+
+  private def c5VvresCte: String =
+    """vvres AS (
+      |  SELECT khat, sx, sy,
+      |         CASE WHEN abs(delta) <= 1.0e-12
+      |              THEN sgn * guess * sx * sy ELSE khat END AS kappa
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY khat, sx, sy
+      |                                     ORDER BY cnt DESC) AS rn
+      |        FROM newton)
+      |  WHERE rn = 1)""".stripMargin
+
   val c5Cross: String = {
-    // pdf(x_, y_, rho) with x_i=(i+0.5)/sx, y_k=(k+0.5)/sy as a 49-term
-    // lambda sum; `rho` is a SQL expression in scope (sx, sy row columns).
-    def pdfSql(rho: String): String = {
-      val d = s"greatest(1.0e0 - ($rho)*($rho), 1.0e-20)"
-      val xi = "((CAST(ij//7 AS DOUBLE)+0.5e0)/sx)"
-      val yk = "((CAST(ij%7 AS DOUBLE)+0.5e0)/sy)"
-      val a = s"($xi * $yk * ($rho) / $d)"
-      val b = s"(($xi*$xi + $yk*$yk) / (2.0e0*$d))"
-      s"(list_sum(list_transform(range(0, 49), ij -> " +
-        s"exp($a - $b) + exp(-$a - $b))) / (pi() * sqrt($d)))"
-    }
-    // Simpson ∫_0^rho pdf dζ, n=10: weights 1,4,2,…,4,1 over si=0..10.
-    def simpSql(rho: String): String = {
-      val h = s"(($rho)/10.0e0)"
-      val w = "(CASE WHEN si = 0 OR si = 10 THEN 1.0e0 " +
-        "WHEN si % 2 = 1 THEN 4.0e0 ELSE 2.0e0 END)"
-      s"(list_sum(list_transform(range(0, 11), si -> " +
-        s"$w * ${pdfSql(s"CAST(si AS DOUBLE) * $h")})) * $h / 3.0e0)"
-    }
     val crossIn =
       """cross_in AS (
         |  SELECT t, bl, chan, v0 / 16.0e0 AS khat,
@@ -283,35 +313,111 @@ object Oracles {
         |           / 128.0e0 AS sy
         |  FROM vis WHERE ant1 <> ant2 AND t < 8 AND chan < 4),
         |tri AS (SELECT DISTINCT khat, sx, sy FROM cross_in)""".stripMargin
-    val newton =
-      s"""newton(khat, sx, sy, sgn, k, guess, delta, cnt) AS (
-         |  SELECT khat, sx, sy, sign(khat), abs(khat),
-         |         abs(khat)/(sx*sy),
-         |         ${simpSql("abs(khat)/(sx*sy)")} - abs(khat), 0
-         |  FROM tri
-         |  WHERE abs(khat)/(sx*sy) >= 0.0e0 AND abs(khat)/(sx*sy) < 1.0e0
-         |  UNION ALL
-         |  SELECT khat, sx, sy, sgn, k, g2,
-         |         ${simpSql("g2")} - k, cnt + 1
-         |  FROM (SELECT *, guess - delta / ${pdfSql("guess")} AS g2
-         |        FROM newton
-         |        WHERE abs(delta) > 1.0e-12 AND cnt <= 100))""".stripMargin
-    val vvres =
-      """vvres AS (
-        |  SELECT khat, sx, sy,
-        |         CASE WHEN abs(delta) <= 1.0e-12
-        |              THEN sgn * guess * sx * sy ELSE khat END AS kappa
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY khat, sx, sy
-        |                                     ORDER BY cnt DESC) AS rn
-        |        FROM newton)
-        |  WHERE rn = 1)""".stripMargin
     OracleSql.queryRecursive(
       """SELECT c.t, c.bl, c.chan, c.khat, c.sx, c.sy,
         |       round(coalesce(r.kappa, c.khat), 6) AS kappa
         |FROM cross_in c LEFT JOIN vvres r
         |  ON c.khat = r.khat AND c.sx = r.sx AND c.sy = r.sy"""
         .stripMargin,
-      crossIn, newton, vvres)
+      crossIn, c5NewtonCte, c5VvresCte)
+  }
+
+  /** Full-dataflow C5 oracle (`q_c5_pipeline`): the REAL σ table feeds
+    * the σ-join + per-pol pairing of `VanVleck.apply` on a bounded
+    * window (t<4 ∧ chan<2, sampleScale 2, ant 7 flagged).
+    *
+    * DuckDB has no erf, so the one non-SQL-expressible step — σ̂→σ
+    * Newton inversion — enters as a STATIC 1037-row map: VisSynth autos
+    * are dyadic with |v| ∈ {m/128, m=0..1036}, so the map enumerates
+    * every possible max|v| input and holds the live kernel's σ for it.
+    * The kernel itself is independently gated against the reference's
+    * published vectors (`q_c5_sigma`), so the map adds no circularity
+    * beyond that anchor. Everything else — max-abs σ aggregation, the
+    * double σ join, XX/XY/YX/YY σ pairing (van_vleck.rs:273-280), auto
+    * replacement (σ², zeroed imag, XY cross + conjugate YX,
+    * van_vleck.rs:232-260), flagged-antenna passthrough, and the
+    * Newton+Simpson cross inversion — is genuine SQL.
+    */
+  val c5Pipeline: String = {
+    val scale = "2.0e0"
+    val smapRows = (0 to 1036).map { m =>
+      val p = m / 128.0
+      val sig = graft.functions.VanVleckKernel
+        .vanVleckAuto(math.sqrt(p / 2.0))
+      s"(${fmt(p)}, ${fmt(sig)})"
+    }.mkString(",\n  ")
+    val smap = s"smap AS (SELECT * FROM (VALUES\n  $smapRows) m(p, sg))"
+    val win = "win AS (SELECT * FROM vis WHERE t < 4 AND chan < 2)"
+    val sig =
+      """sig AS (
+        |  SELECT a.t, a.ant, a.chan, mx.sg AS sigma_x, my.sg AS sigma_y
+        |  FROM (SELECT t, ant1 AS ant, chan,
+        |               max(abs(v0)) AS pxx, max(abs(v6)) AS pyy
+        |        FROM win WHERE ant1 = ant2 AND ant1 <> 7
+        |        GROUP BY 1, 2, 3) a
+        |  JOIN smap mx ON a.pxx = mx.p
+        |  JOIN smap my ON a.pyy = my.p)""".stripMargin
+    val joined =
+      """joined AS (
+        |  SELECT w.*, s1.sigma_x AS sx1, s1.sigma_y AS sy1,
+        |         s2.sigma_x AS sx2, s2.sigma_y AS sy2
+        |  FROM win w
+        |  LEFT JOIN sig s1
+        |    ON w.t = s1.t AND w.ant1 = s1.ant AND w.chan = s1.chan
+        |  LEFT JOIN sig s2
+        |    ON w.t = s2.t AND w.ant2 = s2.ant AND w.chan = s2.chan)"""
+        .stripMargin
+    // per-component kernel inputs: khat and the (σa, σb) pairing —
+    // crosses pair XX:(sx1,sx2) XY:(sx1,sy2) YX:(sy1,sx2) YY:(sy1,sy2);
+    // autos run the kernel only for XY (components 2,3 — and 4,5 reuse
+    // 2,3's κ for the conjugate), always with (sx1, sy1)
+    val crossPair = Seq(
+      0 -> ("sx1", "sx2"), 1 -> ("sx1", "sx2"),
+      2 -> ("sx1", "sy2"), 3 -> ("sx1", "sy2"),
+      4 -> ("sy1", "sx2"), 5 -> ("sy1", "sx2"),
+      6 -> ("sy1", "sy2"), 7 -> ("sy1", "sy2"))
+    val keyCols = crossPair.map { case (j, (sa, sb)) =>
+      val autoSrc = j match {
+        case 2 | 3 => s"v$j / $scale"
+        case 4 => s"v2 / $scale"
+        case 5 => s"v3 / $scale"
+        case _ => "NULL"
+      }
+      s"""CASE WHEN sx1 IS NULL OR sx2 IS NULL THEN NULL
+         |     WHEN ant1 = ant2 THEN $autoSrc
+         |     ELSE v$j / $scale END AS kh$j,
+         |CASE WHEN ant1 = ant2 THEN sx1 ELSE $sa END AS sa$j,
+         |CASE WHEN ant1 = ant2 THEN sy1 ELSE $sb END AS sb$j"""
+        .stripMargin
+    }.mkString(",\n")
+    val keys = s"keys AS (\n  SELECT *,\n$keyCols\n  FROM joined)"
+    val triUnion = (0 until 8).map(j =>
+      s"SELECT kh$j AS khat, sa$j AS sx, sb$j AS sy FROM keys " +
+        s"WHERE kh$j IS NOT NULL").mkString("\n  UNION ALL\n  ")
+    val tri = s"tri AS (\n  SELECT DISTINCT khat, sx, sy FROM (\n  " +
+      triUnion + "))"
+    val kJoins = (0 until 8).map(j =>
+      s"LEFT JOIN vvres k$j ON kh$j = k$j.khat AND sa$j = k$j.sx " +
+        s"AND sb$j = k$j.sy").mkString("\n")
+    val outs = crossPair.map { case (j, _) =>
+      val cross = s"$scale * coalesce(k$j.kappa, kh$j)"
+      val auto = j match {
+        case 0 => s"$scale * sx1 * sx1"
+        case 6 => s"$scale * sy1 * sy1"
+        case 1 | 7 => "0.0e0"
+        case 5 => s"-($scale * coalesce(k5.kappa, kh5))"
+        case _ => s"$scale * coalesce(k$j.kappa, kh$j)"
+      }
+      s"""  round(CASE WHEN sx1 IS NULL OR sx2 IS NULL THEN v$j
+         |             WHEN ant1 = ant2 THEN $auto
+         |             ELSE $cross END, 6) AS r$j""".stripMargin
+    }.mkString(",\n")
+    OracleSql.queryRecursive(
+      s"""SELECT t, bl, chan,
+         |$outs
+         |FROM keys
+         |$kJoins""".stripMargin,
+      smap, win, sig, joined, keys, tri, c5NewtonCte, c5VvresCte)
   }
 
   // ---- RFI -----------------------------------------------------------
