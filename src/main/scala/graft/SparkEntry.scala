@@ -100,6 +100,19 @@ object SparkEntry {
         .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)
     }),
 
+    // apparent-place geometry: nutation + aberration + dut1 on top of
+    // precession (table driver-computed; oracle pins the fixed-epoch
+    // ephemeris literals)
+    "q_c2b_geometry_app" -> ((s, dir) => {
+      val uvw = GeometryCorrection.partUvwAstro(s, Dims.timestep(s),
+        Dims.antenna(s), GeometryCorrection.AppLonRad,
+        GeometryCorrection.AppLatRad, GeometryCorrection.AppRaJ2000,
+        GeometryCorrection.AppDecJ2000, GeometryCorrection.AppDut1Sec,
+        apparent = true)
+      GeometryCorrection(VisSynth.vis(s, dir), uvw)
+        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)
+    }),
+
     "q_c3_digital_gains" -> ((s, dir) =>
       DigitalGains(VisSynth.vis(s, dir), Dims.digitalGain(s))
         .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
@@ -265,6 +278,7 @@ object SparkEntry {
     "q_a1_avg" -> Oracles.a1Avg,
     "q_c1_cable" -> Oracles.c1Cable,
     "q_c2_geometry" -> Oracles.c2Geometry,
+    "q_c2b_geometry_app" -> Oracles.c2bGeometryApp,
     "q_c3_digital_gains" -> Oracles.c3DigitalGains,
     "q_c4_passband" -> Oracles.c4Passband,
     "q_c4b_passband_mwax" -> Oracles.c4PassbandReal(

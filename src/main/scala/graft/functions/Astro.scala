@@ -81,6 +81,151 @@ object Astro {
     (((ra % TwoPi) + TwoPi) % TwoPi, dec)
   }
 
+  // ---- apparent-place chain (nutation + aberration + dut1) -----------
+  //
+  // The reference reaches ERFA-level apparent places via `calc_part_uvws`
+  // (/root/reference/src/corrections.rs:652-676). Here the same chain is
+  // built from the public standards literature: IAU 1980 nutation
+  // (truncated series, largest terms — residual < 0.02″), IAU 1980 mean
+  // obliquity, annual aberration (Meeus, Astronomical Algorithms ch. 23
+  // low-precision form with the e·cos π terms, accuracy ~0.01″), and
+  // apparent sidereal time GAST = GMST + Δψ·cos ε.
+
+  private val ArcsecRad = math.Pi / 180.0 / 3600.0
+  private val DegRad = math.Pi / 180.0
+
+  /** IAU 1980 mean obliquity of the ecliptic (radians), T in Julian
+    * centuries TT from J2000.0.
+    */
+  def meanObliquityRad(t: Double): Double =
+    (84381.448 - 46.8150 * t - 0.00059 * t * t + 0.001813 * t * t * t) *
+      ArcsecRad
+
+  /** Truncated IAU 1980 nutation series: the terms with |Δψ| coefficient
+    * ≥ 46 (0.0001″ units) from the standard table (as printed in Meeus
+    * Table 22.A; Delaunay argument multipliers (D, M, M′, F, Ω)).
+    * Residual vs the full 106-term series is below ~0.02″ — narrower
+    * than the f32 phase budget downstream.
+    */
+  private val NutTerms: Seq[(Int, Int, Int, Int, Int,
+    Double, Double, Double, Double)] = Seq(
+    (0, 0, 0, 0, 1, -171996.0, -174.2, 92025.0, 8.9),
+    (-2, 0, 0, 2, 2, -13187.0, -1.6, 5736.0, -3.1),
+    (0, 0, 0, 2, 2, -2274.0, -0.2, 977.0, -0.5),
+    (0, 0, 0, 0, 2, 2062.0, 0.2, -895.0, 0.5),
+    (0, 1, 0, 0, 0, 1426.0, -3.4, 54.0, -0.1),
+    (0, 0, 1, 0, 0, 712.0, 0.1, -7.0, 0.0),
+    (-2, 1, 0, 2, 2, -517.0, 1.2, 224.0, -0.6),
+    (0, 0, 0, 2, 1, -386.0, -0.4, 200.0, 0.0),
+    (0, 0, 1, 2, 2, -301.0, 0.0, 129.0, -0.1),
+    (-2, -1, 0, 2, 2, 217.0, -0.5, -95.0, 0.3),
+    (-2, 0, 1, 0, 0, -158.0, 0.0, 0.0, 0.0),
+    (-2, 0, 0, 2, 1, 129.0, 0.1, -70.0, 0.0),
+    (0, 0, -1, 2, 2, 123.0, 0.0, -53.0, 0.0),
+    (2, 0, 0, 0, 0, 63.0, 0.0, 0.0, 0.0),
+    (0, 0, 1, 0, 1, 63.0, 0.1, -33.0, 0.0),
+    (2, 0, -1, 2, 2, -59.0, 0.0, 26.0, 0.0),
+    (0, 0, -1, 0, 1, -58.0, -0.1, 32.0, 0.0),
+    (0, 0, 1, 2, 1, -51.0, 0.0, 27.0, 0.0),
+    (-2, 0, 2, 0, 0, 48.0, 0.0, 0.0, 0.0),
+    (0, 0, -2, 2, 1, 46.0, 0.0, -24.0, 0.0))
+
+  /** Nutation in longitude and obliquity (Δψ, Δε) in radians, T in
+    * Julian centuries TT from J2000.0. Delaunay fundamental arguments
+    * per the IAU 1980 theory (Meeus 22).
+    */
+  def nutation(t: Double): (Double, Double) = {
+    def deg(x: Double): Double = {
+      val w = x % 360.0
+      (if (w < 0) w + 360.0 else w) * DegRad
+    }
+    val d = deg(297.85036 + 445267.111480 * t - 0.0019142 * t * t
+      + t * t * t / 189474.0)
+    val m = deg(357.52772 + 35999.050340 * t - 0.0001603 * t * t
+      - t * t * t / 300000.0)
+    val mp = deg(134.96298 + 477198.867398 * t + 0.0086972 * t * t
+      + t * t * t / 56250.0)
+    val f = deg(93.27191 + 483202.017538 * t - 0.0036825 * t * t
+      + t * t * t / 327270.0)
+    val om = deg(125.04452 - 1934.136261 * t + 0.0020708 * t * t
+      + t * t * t / 450000.0)
+    var dpsi = 0.0
+    var deps = 0.0
+    NutTerms.foreach { case (cd, cm, cmp, cf, com, ps, pst, ep, ept) =>
+      val arg = cd * d + cm * m + cmp * mp + cf * f + com * om
+      dpsi += (ps + pst * t) * math.sin(arg)
+      deps += (ep + ept * t) * math.cos(arg)
+    }
+    (dpsi * 1e-4 * ArcsecRad, deps * 1e-4 * ArcsecRad)
+  }
+
+  /** Equatorial nutation offsets for a position (Meeus 23.1):
+    * Δα = (cos ε + sin ε sin α tan δ)Δψ − cos α tan δ·Δε
+    * Δδ = sin ε cos α·Δψ + sin α·Δε
+    */
+  def nutateRaDec(ra: Double, dec: Double, dpsi: Double, deps: Double,
+                  eps: Double): (Double, Double) = {
+    val dRa = (math.cos(eps) + math.sin(eps) * math.sin(ra) *
+      math.tan(dec)) * dpsi - math.cos(ra) * math.tan(dec) * deps
+    val dDec = math.sin(eps) * math.cos(ra) * dpsi +
+      math.sin(ra) * deps
+    (dRa, dDec)
+  }
+
+  /** Annual aberration offsets (Meeus 23.2, with the e·cos π terms):
+    * κ = 20.49552″, solar true longitude from the low-precision solar
+    * theory (Meeus 25), eccentricity and perihelion longitude included.
+    */
+  def aberrationRaDec(ra: Double, dec: Double, t: Double,
+                      eps: Double): (Double, Double) = {
+    val kappa = 20.49552 * ArcsecRad
+    val l0 = (280.46646 + 36000.76983 * t + 0.0003032 * t * t) * DegRad
+    val m = (357.52911 + 35999.05029 * t - 0.0001537 * t * t) * DegRad
+    val c = ((1.914602 - 0.004817 * t - 0.000014 * t * t) * math.sin(m)
+      + (0.019993 - 0.000101 * t) * math.sin(2 * m)
+      + 0.000289 * math.sin(3 * m)) * DegRad
+    val sun = l0 + c
+    val e = 0.016708634 - 0.000042037 * t - 0.0000001267 * t * t
+    val pi_ = (102.93735 + 1.71946 * t + 0.00046 * t * t) * DegRad
+    val (ca, sa) = (math.cos(ra), math.sin(ra))
+    val (cdl, sdl) = (math.cos(dec), math.sin(dec))
+    val (ce, te) = (math.cos(eps), math.tan(eps))
+    val dRa = -kappa * (ca * math.cos(sun) * ce + sa * math.sin(sun)) /
+      cdl + e * kappa * (ca * math.cos(pi_) * ce + sa * math.sin(pi_)) /
+      cdl
+    val dDec = -kappa * (math.cos(sun) * ce * (te * cdl - sa * sdl) +
+      ca * sdl * math.sin(sun)) +
+      e * kappa * (math.cos(pi_) * ce * (te * cdl - sa * sdl) +
+        ca * sdl * math.sin(pi_))
+    (dRa, dDec)
+  }
+
+  /** Apparent place from J2000.0 mean place: IAU 1976 precession, then
+    * nutation and annual aberration at the epoch.
+    */
+  def apparentRaDec(raJ2000: Double, decJ2000: Double,
+                    jdTt: Double): (Double, Double) = {
+    val t = (jdTt - 2451545.0) / 36525.0
+    val (raM, decM) = precessRaDec(raJ2000, decJ2000, jdTt)
+    val eps = meanObliquityRad(t)
+    val (dpsi, deps) = nutation(t)
+    val (nRa, nDec) = nutateRaDec(raM, decM, dpsi, deps, eps)
+    val (aRa, aDec) = aberrationRaDec(raM, decM, t, eps)
+    val ra = raM + nRa + aRa
+    (((ra % TwoPi) + TwoPi) % TwoPi, decM + nDec + aDec)
+  }
+
+  /** Greenwich APPARENT sidereal time: GMST + equation of the equinoxes
+    * Δψ·cos(ε + Δε).
+    */
+  def gastRad(jdUt1: Double, jdTt: Double): Double = {
+    val t = (jdTt - 2451545.0) / 36525.0
+    val (dpsi, deps) = nutation(t)
+    val eqeq = dpsi * math.cos(meanObliquityRad(t) + deps)
+    val g = gmstRad(jdUt1) + eqeq
+    ((g % TwoPi) + TwoPi) % TwoPi
+  }
+
   /** Per-antenna partial UVW at one instant (the reference's
     * calc_part_uvws, corrections.rs:652-676): ENH → XYZ at latitude,
     * then rotate by local hour angle H = LST − ra and declination.
@@ -93,7 +238,28 @@ object Astro {
     val jdUt1 = unixToJd(unix + dut1Sec)
     val lst = gmstRad(jdUt1) + lonRad
     val (ra, dec) = precessRaDec(raJ2000, decJ2000, unixToJd(unix))
-    val ha = lst - ra
+    enhRotate(lst - ra, dec, latRad, east, north, height)
+  }
+
+  /** Apparent-place variant of [[partUvwAt]]: hour angle from GAST
+    * (so nutation enters the sidereal frame too) against the fully
+    * apparent — precessed, nutated, aberrated — phase centre.
+    */
+  def partUvwApparentAt(gpsSec: Double, lonRad: Double, latRad: Double,
+                        raJ2000: Double, decJ2000: Double,
+                        dut1Sec: Double, east: Double, north: Double,
+                        height: Double): (Double, Double, Double) = {
+    val unix = gpsToUnix(gpsSec)
+    val jdUt1 = unixToJd(unix + dut1Sec)
+    val jdTt = unixToJd(unix)
+    val lst = gastRad(jdUt1, jdTt) + lonRad
+    val (ra, dec) = apparentRaDec(raJ2000, decJ2000, jdTt)
+    enhRotate(lst - ra, dec, latRad, east, north, height)
+  }
+
+  private def enhRotate(ha: Double, dec: Double, latRad: Double,
+                        east: Double, north: Double, height: Double)
+      : (Double, Double, Double) = {
     val x = -north * math.sin(latRad) + height * math.cos(latRad)
     val y = east
     val z = north * math.cos(latRad) + height * math.sin(latRad)

@@ -39,6 +39,15 @@ object GeometryCorrection {
   /** Hour-angle increment per timestep (radians), dyadic. */
   val DHa: Double = 1.0 / 1024.0
 
+  // Fixed site + phase centre for the apparent-place UVW gate
+  // (q_c2b_geometry_app): MWA-like longitude/latitude, arbitrary
+  // J2000.0 centre, a nonzero dut1 so the UT1 path is exercised.
+  val AppLonRad: Double = 2.0362898
+  val AppLatRad: Double = -0.46606085
+  val AppRaJ2000: Double = 1.0
+  val AppDecJ2000: Double = -0.5
+  val AppDut1Sec: Double = 0.05
+
   /** Per-(t, ant) partial UVW dimension (reference calc_part_uvws).
     * XYZ from ENH: X = -N sinφ + H cosφ, Y = E, Z = N cosφ + H sinφ;
     * then u = sinH·X + cosH·Y
@@ -77,7 +86,8 @@ object GeometryCorrection {
   def partUvwAstro(spark: SparkSession, timestep: DataFrame,
                    antenna: DataFrame, lonRad: Double, latRad: Double,
                    raJ2000: Double, decJ2000: Double,
-                   dut1Sec: Double = 0.0): DataFrame = {
+                   dut1Sec: Double = 0.0,
+                   apparent: Boolean = false): DataFrame = {
     import graft.functions.Astro
     import spark.implicits._
     val ts = timestep.select("t", "gps_s").collect()
@@ -86,11 +96,12 @@ object GeometryCorrection {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3)))
+    val at = if (apparent) Astro.partUvwApparentAt _ else Astro.partUvwAt _
     val rows = for {
       (t, gps) <- ts.toSeq
       (ant, e, n, h) <- ants.toSeq
     } yield {
-      val (u, v, w) = Astro.partUvwAt(gps.toDouble + Obs.IntTimeS / 2,
+      val (u, v, w) = at(gps.toDouble + Obs.IntTimeS / 2,
         lonRad, latRad, raJ2000, decJ2000, dut1Sec, e, n, h)
       (t, ant, u, v, w)
     }

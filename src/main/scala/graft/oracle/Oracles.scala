@@ -131,26 +131,55 @@ object Oracles {
       .stripMargin
   }
 
-  val c2Geometry: String = {
+  private val c2Body: String = {
     val rot = (0 until 4).flatMap { p =>
       val (ri, ii) = (2 * p, 2 * p + 1)
       Seq(
         s"  round(v$ri * cs - v$ii * sn, 6) AS r$ri",
         s"  round(v$ri * sn + v$ii * cs, 6) AS r$ii")
     }.mkString(",\n")
-    OracleSql.query(
-      s"""SELECT t, bl, chan,
-         |$rot
-         |FROM (
-         |  SELECT v.*,
-         |         cos(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
-         |             / 299792458.0e0) AS cs,
-         |         sin(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
-         |             / 299792458.0e0) AS sn
-         |  FROM vis v
-         |  JOIN uvw u1 ON v.t = u1.t AND v.ant1 = u1.ant
-         |  JOIN uvw u2 ON v.t = u2.t AND v.ant2 = u2.ant)""".stripMargin,
-      uvwCte)
+    s"""SELECT t, bl, chan,
+       |$rot
+       |FROM (
+       |  SELECT v.*,
+       |         cos(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
+       |             / 299792458.0e0) AS cs,
+       |         sin(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
+       |             / 299792458.0e0) AS sn
+       |  FROM vis v
+       |  JOIN uvw u1 ON v.t = u1.t AND v.ant1 = u1.ant
+       |  JOIN uvw u2 ON v.t = u2.t AND v.ant2 = u2.ant)""".stripMargin
+  }
+
+  val c2Geometry: String = OracleSql.query(c2Body, uvwCte)
+
+  /** Apparent-place C2 oracle (`q_c2b_geometry_app`): same rotation
+    * body, but the per-(t, ant) w values come from the apparent-UVW
+    * chain (IAU 1976 precession + IAU 1980 nutation + annual aberration
+    * + dut1, `Astro.partUvwApparentAt`) evaluated at the fixed epochs of
+    * the synthetic observation and inlined as literals. The chain's
+    * astronomy is anchored to published worked values in AstroSpec; this
+    * gate pins the distributed join + rotation against those fixed
+    * ephemeris numbers at 6 dp.
+    */
+  val c2bGeometryApp: String = {
+    import GeometryCorrection._
+    val rows = (for {
+      t <- 0L until graft.model.Obs.NumTimesteps.toLong
+      ant <- 0L until graft.model.Obs.NumAnts.toLong
+    } yield {
+      val e = (ant % 4) * 100.0 - 150.0
+      val n = (ant / 4) * 100.0 - 50.0
+      val h = 377.0 + ant * 0.5
+      val gps = graft.model.Obs.GpsStart + t * 2
+      val (_, _, w) = graft.functions.Astro.partUvwApparentAt(
+        gps.toDouble + graft.model.Obs.IntTimeS / 2, AppLonRad,
+        AppLatRad, AppRaJ2000, AppDecJ2000, AppDut1Sec, e, n, h)
+      s"($t, $ant, ${fmt(w)})"
+    }).mkString(",\n  ")
+    OracleSql.query(c2Body,
+      s"uvw AS (SELECT CAST(t AS BIGINT) AS t, CAST(ant AS BIGINT) " +
+        s"AS ant, w_m FROM (VALUES\n  $rows) u(t, ant, w_m))")
   }
 
   val c3DigitalGains: String = {

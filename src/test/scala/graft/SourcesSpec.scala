@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{AOCalReader, GpuboxSource}
+import graft.sources.{AOCalReader, FitsGpubox, GpuboxSource}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,5 +58,35 @@ class SourcesSpec extends AnyFunSuite {
       col("ant1") === 0 && col("ant2") === 2 && col("fc") === 1)
       .select("v3").head().getDouble(0)
     assert(cell == 10213.0f.toDouble)
+  }
+
+  test("fits gpubox: decode matches the GBX1 reader cell-for-cell") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("fgbx").toString
+    FitsGpubox.writeFixture(s"$dir/g0.fits", cc = 0, nTs = 4, nAnts = 3,
+      fpc = 2, presentSlabs = 4)
+    FitsGpubox.writeFixture(s"$dir/g1.fits", cc = 1, nTs = 4, nAnts = 3,
+      fpc = 2, presentSlabs = 2)
+    val fits = FitsGpubox.read(spark, dir, nAnts = 3).cache()
+    val nBl = GpuboxSource.antPairs(3).length
+    assert(fits.count() == 2 * 4 * nBl * 2)
+    assert(fits.where(col("flag")).count() == 2L * nBl * 2)
+    // identical long-format content to the GBX1 container of the same
+    // lineage fixture (both encode [baseline][chan][pol][complex])
+    val dirG = Files.createTempDirectory("fgbx2").toString
+    GpuboxSource.writeFixture(s"$dirG/g0.gbx", cc = 0, nTs = 4,
+      nAnts = 3, fpc = 2, presentSlabs = 4)
+    GpuboxSource.writeFixture(s"$dirG/g1.gbx", cc = 1, nTs = 4,
+      nAnts = 3, fpc = 2, presentSlabs = 2)
+    val gbx = GpuboxSource.read(spark, dirG, nAnts = 3)
+    assert(fits.exceptAll(gbx).count() == 0)
+    assert(gbx.exceptAll(fits).count() == 0)
+    // header sanity: the primary block parses back
+    val raf = new java.io.RandomAccessFile(s"$dir/g0.fits", "r")
+    val hdus = FitsGpubox.scanHdus(raf.getChannel)
+    raf.close()
+    assert(hdus.length == 5) // primary + 4 image HDUs
+    assert(hdus.head.cards("NSCANS") == "4")
+    assert(hdus(1).cards("BITPIX") == "-32")
   }
 }
