@@ -88,6 +88,25 @@ object SparkEntry {
     "q_a1_avg" -> ((s, dir) =>
       Averaging.avgTimeFreq(weighted(s, dir), 2, 2)),
 
+    // S3: MWAOCAL binary round trip — a deterministic dyadic calsol is
+    // written through AOCalReader.write, read back, and framed; the
+    // oracle regenerates the same values from pure range() arithmetic,
+    // so the gate is independent of the reader under test
+    "q_s3_aocal" -> ((s, dir) => {
+      val (tiles, chans) = (8, 4)
+      val jones = Array.tabulate(1, tiles, chans) { (_, tile, ch) =>
+        Array.tabulate(8)(k =>
+          ((tile * 64 + ch * 8 + k) * 5 % 97).toDouble / 32.0 - 1.5)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("aocal")
+        .toString + "/cal.bin"
+      graft.sources.AOCalReader.write(tmp,
+        graft.sources.AOCalReader.AOCalSols(1, tiles, chans,
+          Some(graft.model.Obs.GpsStart.toDouble), None, jones))
+      graft.sources.AOCalReader.toDataFrame(s,
+        graft.sources.AOCalReader.read(tmp))
+    }),
+
     // -- corrections ---------------------------------------------------
     "q_c1_cable" -> ((s, dir) =>
       CableCorrection(VisSynth.vis(s, dir), Dims.antenna(s))
@@ -267,6 +286,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_vis_synth" -> Oracles.s1VisSynth,
+    "q_s3_aocal" -> Oracles.s3Aocal,
     "q_p1_sel_time" -> Oracles.p1SelTime,
     "q_p2_sel_ants" -> Oracles.p2SelAnts,
     "q_p3_drop_flagged_ants" -> Oracles.p3DropFlaggedAnts,

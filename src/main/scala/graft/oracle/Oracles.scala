@@ -22,6 +22,21 @@ object Oracles {
   val s1VisSynth: String = OracleSql.query(
     s"SELECT t, ant1, ant2, bl, cc, fc, chan, freq_hz, $compList, w FROM vis")
 
+  /** S3 oracle: regenerate the dyadic calsol fixture values from pure
+    * range() arithmetic — independent of the MWAOCAL binary round trip
+    * under test (8 tiles × 4 chans, formula mirrored in SparkEntry's
+    * q_s3_aocal fixture builder).
+    */
+  val s3Aocal: String = {
+    val js = (0 until 8).map(k =>
+      s"  CAST(((i // 4) * 64 + (i % 4) * 8 + $k) * 5 % 97 AS DOUBLE)" +
+        s" / 32.0e0 - 1.5e0 AS j$k").mkString(",\n")
+    s"""SELECT CAST(i // 4 AS BIGINT) AS ant,
+       |  CAST(i % 4 AS BIGINT) AS cal_chan,
+       |$js
+       |FROM range(0, 32) r(i)""".stripMargin
+  }
+
   val p1SelTime: String = OracleSql.query(
     s"SELECT t, bl, chan, $compList, w FROM vis WHERE t BETWEEN 3 AND 12")
 
