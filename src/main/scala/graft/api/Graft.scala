@@ -41,6 +41,10 @@ case class Graft(spark: SparkSession) {
   /** Open a directory of GBX1 raw files (S1 ingest path). */
   def rawObservation(dir: String, nAnts: Int): VisFrame =
     VisFrame(spark, graft.sources.GpuboxSource.read(spark, dir, nAnts))
+
+  /** Open a directory of FITS gpubox files (the real container). */
+  def fitsObservation(dir: String, nAnts: Int): VisFrame =
+    VisFrame(spark, graft.sources.FitsGpubox.read(spark, dir, nAnts))
 }
 
 case class VisFrame(spark: SparkSession, df: DataFrame) {
@@ -55,6 +59,19 @@ case class VisFrame(spark: SparkSession, df: DataFrame) {
   def withoutFlaggedAnts(): VisFrame =
     next(FlagOps.dropFlaggedAnts(df, Dims.antenna(spark)))
   def withoutAutos(): VisFrame = next(FlagOps.dropAutos(df))
+
+  /** Restrict to a CLI-style coarse-channel range spec, e.g.
+    * `"0-1, 3"` (reference ChannelRanges, cli.rs:154-240). Throws on a
+    * malformed spec, mirroring the CLI's InvalidRangeSpecifier.
+    */
+  def selectChannelRanges(spec: String): VisFrame = {
+    val ranges = ChannelRanges.parse(spec)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val cond = ranges
+      .map { case (lo, hi) => col("cc").between(lo, hi) }
+      .reduce(_ || _)
+    next(df.where(cond))
+  }
 
   // -- flags / weights (F, W) ------------------------------------------
   def withDefaultFlags(): VisFrame =

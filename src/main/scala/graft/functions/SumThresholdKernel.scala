@@ -60,7 +60,8 @@ object SumThresholdKernel {
     * samples.
     */
   def flagMatrix(amp: Array[Array[Double]], existing: Array[Array[Boolean]],
-                 chi1: Double, maxLog2: Int = 5): Array[Array[Boolean]] = {
+                 chi1: Double, maxLog2: Int = 5,
+                 rho: Double = Rho): Array[Array[Boolean]] = {
     val nt = amp.length
     if (nt == 0) return existing
     val nc = amp(0).length
@@ -75,7 +76,7 @@ object SumThresholdKernel {
     var l = 0
     while (l <= maxLog2) {
       val m = 1 << l
-      val chi = chi1 / math.pow(Rho, l.toDouble)
+      val chi = chi1 / math.pow(rho, l.toDouble)
       // time direction: per channel column
       val afterTime = flags.map(_.clone())
       var c = 0

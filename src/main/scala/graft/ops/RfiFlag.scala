@@ -25,13 +25,30 @@ case class RfiCell(bl: Long, t: Long, chan: Long, amp: Double,
                    flag: Boolean)
 case class RfiFlagOut(bl: Long, t: Long, chan: Long, rfi: Boolean)
 
+/** Strategy parameters — the Spark analogue of the reference's
+  * loadable AOFlagger strategy file (flags.rs:406-412): detection
+  * sensitivity (MAD multiplier), deepest window scale (2^maxLog2), and
+  * the per-scale threshold decay ρ. Defaults reproduce the default MWA
+  * strategy's shape; q_r1's oracle twin pins the default.
+  */
+case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
+                       rho: Double = 1.5)
+
 object RfiFlag {
+
+  /** Flag RFI on XX amplitude with a custom strategy. */
+  def apply(visFlagged: DataFrame, strategy: RfiStrategy): DataFrame =
+    run(visFlagged, strategy)
 
   /** Flag RFI on XX amplitude. Input needs (bl, t, chan, v0, v1, flag).
     * Returns (bl, t, chan, rfi) — OR of existing flag and detection,
     * mirroring flags.rs:414-418's flag-OR mode.
     */
-  def apply(visFlagged: DataFrame, madK: Double = 6.0): DataFrame = {
+  def apply(visFlagged: DataFrame, madK: Double = 6.0): DataFrame =
+    run(visFlagged, RfiStrategy(madK = madK))
+
+  private def run(visFlagged: DataFrame,
+                  strategy: RfiStrategy): DataFrame = {
     val spark = visFlagged.sparkSession
     import spark.implicits._
     val cells: Dataset[RfiCell] = visFlagged.select(
@@ -58,8 +75,10 @@ object RfiFlag {
       val unflaggedAmps = (for {
         i <- ts.indices; j <- cs.indices if seen(i)(j) && !flg(i)(j)
       } yield amp(i)(j)).toArray
-      val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps, madK)
-      val out = SumThresholdKernel.flagMatrix(amp, flg, chi1)
+      val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps,
+        strategy.madK)
+      val out = SumThresholdKernel.flagMatrix(amp, flg, chi1,
+        strategy.maxLog2, strategy.rho)
       for {
         i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)
       } yield RfiFlagOut(bl, ts(i), cs(j), out(i)(j))

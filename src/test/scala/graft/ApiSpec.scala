@@ -49,4 +49,21 @@ class ApiSpec extends AnyFunSuite {
       assert(spark.read.parquet(p).count() > 0)
     }
   }
+
+  test("channel range spec: parse, reject, collapse, filter") {
+    import graft.ops.ChannelRanges
+    assert(ChannelRanges.parse("1-10, 20-30, 40") ==
+      Right(Seq((1, 10), (20, 30), (40, 40))))
+    assert(ChannelRanges.parse("1-2-3").isLeft)
+    assert(ChannelRanges.parse("1-x").isLeft)
+    assert(ChannelRanges.fromIdxs(Seq(0, 1, 3, 5, 6)) ==
+      Seq((0, 1), (3, 3), (5, 6)))
+    val frame = Graft(spark).observation("/root/testdata/sf0.001")
+    val ccs = frame.selectChannelRanges("0-1, 3").df
+      .select("cc").distinct().collect().map(_.getLong(0)).sorted
+    assert(ccs.toSeq == Seq(0L, 1L, 3L))
+    assertThrows[IllegalArgumentException] {
+      frame.selectChannelRanges("bad-spec")
+    }
+  }
 }

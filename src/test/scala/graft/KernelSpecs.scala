@@ -41,6 +41,21 @@ class KernelSpecs extends AnyFunSuite {
     assert(math.abs(out(n / 2 - 1)) < 1e-12)
   }
 
+  test("sumthreshold strategy knobs: scale depth and rho change detection") {
+    // one weak broad blob: each sample below chi1, but a length-2
+    // window exceeds its decayed threshold under the default rho=1.5
+    val amp = Array(Array(0.0, 0.0, 0.0, 0.0, 0.9, 0.9, 0.0, 0.0))
+    val none = Array(Array.fill(8)(false))
+    val default_ = SumThresholdKernel.flagMatrix(amp, none, 1.0)
+    assert(default_(0).count(identity) >= 2, "default flags the blob")
+    val shallow = SumThresholdKernel.flagMatrix(amp, none, 1.0,
+      maxLog2 = 0)
+    assert(shallow(0).forall(!_), "single-sample scale only: no flags")
+    val noDecay = SumThresholdKernel.flagMatrix(amp, none, 1.0,
+      maxLog2 = 5, rho = 1.0)
+    assert(noDecay(0).forall(!_), "rho=1 keeps thresholds flat: no flags")
+  }
+
   // ---- golden cases: the reference's own scrunch tests, exact doubles
   // (/root/reference/src/corrections.rs:1448-1533, power-of-2 gains so
   // every expected value is exact in IEEE doubles)
