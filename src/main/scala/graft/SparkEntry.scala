@@ -243,6 +243,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("n_frames"))),
 
+    // the deterministic stub decode IS SQL-expressible (every-8th-byte
+    // sums over the UTF-8 payload), so the full mapPartitions batch
+    // path gets a hash gate — exploded to scalars for the comparator
+    "q_m2_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(docs(s, dir)).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"),
+          posexplode(col("features")).as(Seq("pos", "feat")))
+        .select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"),
+          col("pos").cast("long").as("feat_idx"), col("feat"))),
+
     // -- relational surface (SURVEY §2.9) ------------------------------
     "q_h1_pricing_summary" -> ((s, dir) =>
       graft.relational.Relational.pricingSummary(
@@ -330,6 +342,8 @@ object SparkEntry {
     "q_t3_tokens" -> LlmOracles.t3Tokens,
     "q_t4_fingerprint" -> LlmOracles.t4Fingerprint,
     "q_m1_multimodal_meta" -> LlmOracles.m1MultimodalMeta,
+    "q_m2_features" -> LlmOracles.m2Features,
+    "q_m2_decode_stub" -> LlmOracles.m2DecodeStub,
     "q_h1_pricing_summary" -> LlmOracles.h1PricingSummary,
     "q_h2_revenue_rollup" -> LlmOracles.h2RevenueRollup,
     "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,
