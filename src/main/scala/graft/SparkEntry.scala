@@ -267,6 +267,10 @@ object SparkEntry {
     "q_h2_revenue_rollup" -> ((s, dir) =>
       graft.relational.Relational.revenueRollup(
         s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_h6_forecast_revenue" -> ((s, dir) =>
+      graft.relational.Relational.forecastRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+
     "q_h4_customers_without_orders" -> ((s, dir) =>
       graft.relational.Relational.customersWithoutOrders(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -348,6 +352,7 @@ object SparkEntry {
     "q_h2_revenue_rollup" -> LlmOracles.h2RevenueRollup,
     "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,
     "q_t5_tfidf" -> LlmOracles.t5TfidfTopTerms,
+    "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,
     "q_h5_active_suppliers" -> LlmOracles.h5ActiveSuppliers,
     "q_e1_window_agg" -> LlmOracles.e1WindowAgg,

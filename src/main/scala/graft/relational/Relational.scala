@@ -34,6 +34,28 @@ object Relational {
           / 10000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** Q6-flavoured forecast-revenue: the textbook pushdown showcase — a
+    * date-range + band predicates + one global sum. Every filter
+    * reaches the parquet scan; at 100 TB this is an embarrassingly
+    * parallel single-pass with a one-row shuffle.
+    */
+  def forecastRevenue(lineitem: DataFrame,
+                      yearStart: String = "1995-01-01",
+                      yearEnd: String = "1996-01-01",
+                      discLo: Double = 0.02, discHi: Double = 0.04,
+                      qtyLt: Double = 24.0): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearEnd).cast("timestamp"))
+      .withColumn("disc_c", cents("l_discount"))
+      .where(col("disc_c").between(
+        math.round(discLo * 100), math.round(discHi * 100)) &&
+        col("l_quantity") < qtyLt)
+      .agg(
+        (sum(cents("l_extendedprice") * col("disc_c")).cast("double")
+          / 10000.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** Q3-flavoured top-k revenue: 3-way join + aggregate + deterministic
     * top 10 (revenue desc, orderkey asc). At scale the window-based
     * top-k would be orderBy+limit with a partial top-k per partition —

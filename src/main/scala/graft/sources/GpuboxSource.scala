@@ -22,13 +22,13 @@ import org.apache.spark.sql.types._
   *    in [baseline][chan][pol][re/im] order; a file may be truncated —
   *    missing slabs become flag=true rows.
   *
-  * Spark shape: `spark.read.format("binaryFile")` parallelises over
-  * files (one gpubox file per coarse channel — the reference's own
-  * granularity), and a flatMap decoder turns each slab into long-format
-  * rows. At 100 TB the decode is embarrassingly parallel and lands
-  * directly in the canonical partitioning (one partition per coarse
-  * channel); the parquet mirror is written once and all queries run
-  * against it with pushdown.
+  * Spark shape: one task per file (one gpubox file per coarse channel —
+  * the reference's own granularity), each streaming slab-by-slab
+  * through a positioned channel (memory O(slab), never O(file)). At
+  * 100 TB the decode is embarrassingly parallel and lands directly in
+  * the canonical partitioning (one partition per coarse channel); the
+  * parquet mirror is written once and all queries run against it with
+  * pushdown.
   */
 object GpuboxSource {
 
@@ -50,36 +50,45 @@ object GpuboxSource {
   def antPairs(nAnts: Int): IndexedSeq[(Int, Int)] =
     for (a1 <- 0 until nAnts; a2 <- a1 until nAnts) yield (a1, a2)
 
-  /** Decode one file's bytes into long-format rows; slabs beyond the
-    * actual payload are emitted as flagged zero rows (missing-HDU
-    * semantics).
+  /** Decode one GBX1 file slab-by-slab through a positioned channel —
+    * memory O(slab), never O(file) (multi-GB real gpubox files must not
+    * materialise per task; same shape as [[FitsGpubox.decodeFile]]).
     */
-  def decode(bytes: Array[Byte], nAnts: Int): Iterator[Row] = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  def decodeFile(path: String, nAnts: Int): Iterator[Row] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    val ch = raf.getChannel
+    val head = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    ch.read(head, 0)
+    head.flip()
     val magic = new Array[Byte](4)
-    buf.get(magic)
+    head.get(magic)
     require(new String(magic, "ASCII") == Magic, "bad GBX1 magic")
-    val cc = buf.getInt().toLong
-    val nTs = buf.getInt()
-    val nBl = buf.getInt()
-    val fpc = buf.getInt()
+    val cc = head.getInt().toLong
+    val nTs = head.getInt()
+    val nBl = head.getInt()
+    val fpc = head.getInt()
     val pairs = antPairs(nAnts)
     require(pairs.length == nBl, s"expected ${pairs.length} bl, got $nBl")
     val slabFloats = nBl * fpc * 8
-    val headerBytes = 4 + 4 * 4
+    val headerBytes = 20L
     val availableSlabs =
-      ((bytes.length - headerBytes) / (slabFloats * 4)).min(nTs)
-    (0 until nTs).iterator.flatMap { t =>
+      (((ch.size() - headerBytes) / (slabFloats * 4L)).toInt).min(nTs)
+    val iter = (0 until nTs).iterator.flatMap { t =>
       val present = t < availableSlabs
+      val slab: ByteBuffer = if (present) {
+        val b = ByteBuffer.allocate(slabFloats * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        ch.read(b, headerBytes + slabFloats * 4L * t)
+        b
+      } else null
       pairs.iterator.zipWithIndex.flatMap { case ((a1, a2), blIdx) =>
         (0 until fpc).iterator.map { fc =>
           val vals = new Array[Double](8)
           if (present) {
-            val base = headerBytes + 4 * (slabFloats * t +
-              (blIdx * fpc + fc) * 8)
+            val base = 4 * ((blIdx * fpc + fc) * 8)
             var k = 0
             while (k < 8) {
-              vals(k) = buf.getFloat(base + 4 * k).toDouble
+              vals(k) = slab.getFloat(base + 4 * k).toDouble
               k += 1
             }
           }
@@ -89,15 +98,27 @@ object GpuboxSource {
         }
       }
     }
+    new Iterator[Row] {
+      def hasNext: Boolean = {
+        val h = iter.hasNext
+        if (!h) { ch.close(); raf.close() }
+        h
+      }
+      def next(): Row = iter.next()
+    }
   }
 
-  /** Read a directory of GBX1 files into the long-format vis frame. */
+  /** Read a directory of GBX1 files into the long-format vis frame —
+    * one task per file, each streaming slab-by-slab.
+    */
   def read(spark: SparkSession, dir: String, nAnts: Int): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.gbx").load(dir)
-      .select(col("content"))
-    val rows = files.rdd.flatMap(r => decode(r.getAs[Array[Byte]](0),
-      nAnts))
+    import scala.jdk.CollectionConverters._
+    val paths = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".gbx")).toSeq.sorted
+    require(paths.nonEmpty, s"no .gbx files under $dir")
+    val rows = spark.sparkContext
+      .parallelize(paths, paths.length)
+      .flatMap(p => decodeFile(p, nAnts))
     spark.createDataFrame(rows, schema)
   }
 
