@@ -27,19 +27,35 @@ case class Preprocess(vanVleck: Boolean = false,
                       rfi: Boolean = false,
                       geometry: Boolean = true,
                       calibrate: Boolean = true,
-                      sampleScale: Double = 2.0) {
+                      sampleScale: Double = 2.0,
+                      // production knobs: a PUBLISHED gain table
+                      // auto-selected by correlator version (None =
+                      // the synthetic oracle-gated table), and the
+                      // apparent-place ephemeris for geometry
+                      pfbVersion: Option[graft.model.PfbTables.MwaVersion]
+                        = None,
+                      apparentGeometry: Boolean = false) {
 
   def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
     val antenna = Dims.antenna(spark)
+    val pfb = pfbVersion
+      .map(v => Dims.pfbGainReal(spark, v))
+      .getOrElse(Dims.pfbGain(spark))
+    def uvw = if (apparentGeometry)
+      GeometryCorrection.partUvwAstro(spark, Dims.timestep(spark),
+        antenna, GeometryCorrection.AppLonRad,
+        GeometryCorrection.AppLatRad, GeometryCorrection.AppRaJ2000,
+        GeometryCorrection.AppDecJ2000, GeometryCorrection.AppDut1Sec,
+        apparent = true)
+    else GeometryCorrection.partUvw(Dims.timestep(spark), antenna)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
       (vanVleck, df => VanVleck(df, Seq(Obs.FlaggedAnt.toLong),
         sampleScale)),
       (cable, df => CableCorrection(df, antenna)),
       (digitalGains, df => DigitalGains(df, Dims.digitalGain(spark))),
-      (passband, df => PassbandGains(df, Dims.pfbGain(spark))),
+      (passband, df => PassbandGains(df, pfb)),
       (rfi, df => applyRfi(df)),
-      (geometry, df => GeometryCorrection(df,
-        GeometryCorrection.partUvw(Dims.timestep(spark), antenna))),
+      (geometry, df => GeometryCorrection(df, uvw)),
       (calibrate, df => Calibration(df, Dims.calsol(spark))))
     stages.foldLeft(vis) { case (df, (enabled, stage)) =>
       if (enabled) df.transform(stage) else df

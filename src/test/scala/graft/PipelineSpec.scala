@@ -65,6 +65,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.contains("v0") && out.columns.contains("flag"))
   }
 
+  test("production knobs: published PFB table + apparent geometry") {
+    val prod = Preprocess(
+      pfbVersion = Some(graft.model.PfbTables.CorrMwaxV2),
+      apparentGeometry = true)(spark, weighted)
+    assert(prod.count() == 6000)
+    // the real gain table and apparent ephemeris must actually change
+    // the numbers relative to the synthetic/mean-place defaults
+    val dflt = Preprocess()(spark, weighted)
+    val diff = prod.select("t", "bl", "chan", "v0").as("a")
+      .join(dflt.select("t", "bl", "chan", "v0").as("b"),
+        Seq("t", "bl", "chan"))
+      .where(org.apache.spark.sql.functions.col("a.v0") =!=
+        org.apache.spark.sql.functions.col("b.v0"))
+    assert(diff.count() > 0)
+  }
+
   test("entry returns averaged rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
