@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming twin of exact deduplication
+  * (graft.llm.Dedup.exact): continuous ingestion keeps only the first
+  * occurrence of each content hash — the always-on front door of a
+  * training-data pipeline, where the batch job is the backfill.
+  *
+  * Design: `dropDuplicates` on the content hash with UNBOUNDED state —
+  * exact global dedup requires remembering every key ever seen, the
+  * same invariant the batch hash aggregate holds in its shuffle. (A
+  * watermarked variant bounds the store but re-emits a key whose state
+  * was evicted — it trades exactness for memory, and the spec shows the
+  * unbounded form is the one that matches the batch twin.) At corpus
+  * scale the state store is RocksDB-backed and distinct-hash-sized —
+  * the same cardinality the batch job shuffles.
+  */
+object DedupStream {
+
+  /** First occurrence per md5(text-payload) over a streamed events dir
+    * (we stream the `props` JSON column as the stand-in payload so the
+    * fixture has genuine duplicates).
+    */
+  def dedupByContent(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventsStream.schema)
+      .parquet(s"$dir/events.*")
+      .withColumn("content_hash", md5(col("event_type")))
+      .dropDuplicates("content_hash")
+      .select("content_hash", "event_type")
+  }
+
+  def runOnce(spark: SparkSession, dir: String,
+              queryName: String = "dedup_stream"): DataFrame = {
+    val q: StreamingQuery = dedupByContent(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -36,7 +36,12 @@ object EventsStream {
   def windowedCounts(spark: SparkSession, dir: String,
                      windowDur: String = "5 minutes"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    // scope the stream to the events table (glob — the source wants a
+    // directory or pattern): a bare testdata dir holds OTHER tables'
+    // parquet too, which a schema-pinned reader would surface as
+    // all-null rows
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.*")
       .withColumn("event_time",
         timestamp_micros(expr("ts div 1000")))
     stream

@@ -18,6 +18,17 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streaming exact dedup keeps exactly the batch-distinct keys") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.DedupStream.runOnce(spark, dir)
+    val batch = Events.readEvents(spark, dir)
+      .select(md5(col("event_type")).as("content_hash")).distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("content_hash").collect()
+      .map(_.getString(0)).toSet ==
+      batch.collect().map(_.getString(0)).toSet)
+  }
+
   test("streaming windowed agg equals batch windowAgg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventsStream.runOnce(spark, dir)
