@@ -77,10 +77,21 @@ object MwafWriter {
       .sortWithinPartitions("cc", "t", "bl")
       .as[MwafRow]
       .mapPartitions { rows =>
+        // task retries / speculative attempts must not interleave
+        // writes into one file: each attempt writes attempt-unique
+        // temp files and atomically renames on completion — last
+        // finished attempt wins whole files
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val done = scala.collection.mutable.Map[Long, Long]()
         var out: BufferedOutputStream = null
         var curCc = -1L
         var rowsInFile = 0L
+        def tmpPath(cc: Long) = java.nio.file.Paths.get(
+          dir + "/." + template.replace("%%", cc.toString) +
+            s".attempt$attempt")
+        def finalPath(cc: Long) = java.nio.file.Paths.get(
+          dir + "/" + template.replace("%%", cc.toString))
         def closeFile(): Unit = if (out != null) {
           val dataLen = rowsInFile * bytesPerRow
           out.write(
@@ -88,6 +99,8 @@ object MwafWriter {
           out.close()
           require(rowsInFile == nScans.toLong * nBl,
             s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
+          java.nio.file.Files.move(tmpPath(curCc), finalPath(curCc),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           done(curCc) = rowsInFile
         }
         rows.foreach { r =>
@@ -96,7 +109,7 @@ object MwafWriter {
             curCc = r.cc
             rowsInFile = 0
             out = new BufferedOutputStream(new FileOutputStream(
-              dir + "/" + template.replace("%%", curCc.toString)))
+              tmpPath(curCc).toString))
             out.write(headPad.getBytes("ASCII"))
           }
           var b = 0

@@ -103,9 +103,13 @@ object UvfitsWriter {
     // into a part file; returns (partitionIdx, groupsWritten)
     val partCounts: Array[(Int, Long)] = ordered.rdd
       .mapPartitionsWithIndex { (idx, rows) =>
-        val partPath = s"$path.part$idx"
+        // attempt-unique temp + atomic rename so a speculative retry
+        // can't interleave bytes with a concurrent attempt's file
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmpPath = s"$path.part$idx.attempt$attempt"
         val out = new BufferedOutputStream(
-          new FileOutputStream(partPath), 1 << 20)
+          new FileOutputStream(tmpPath), 1 << 20)
         var written = 0L
         var curKey: (Long, Long) = null
         var curA1 = 0L
@@ -157,6 +161,8 @@ object UvfitsWriter {
         }
         flush()
         out.close()
+        Files.move(Paths.get(tmpPath), Paths.get(s"$path.part$idx"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator((idx, written))
       }
       .collect()
