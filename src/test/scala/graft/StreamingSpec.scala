@@ -29,6 +29,30 @@ class StreamingSpec extends AnyFunSuite {
       batch.collect().map(_.getString(0)).toSet)
   }
 
+  test("streaming vis chain equals batch corrections + averaging") {
+    import graft.model.Dims
+    import graft.ops._
+    val dir = "/root/testdata/sf0.001"
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      graft.synth.VisSynth.vis(spark, dir), Dims.timestep(spark),
+      Dims.chan(spark), Dims.baseline(spark)))
+    val tmp = java.nio.file.Files.createTempDirectory("visstream")
+      .toString
+    weighted.write.mode("overwrite").parquet(tmp)
+
+    val streamed = graft.streaming.VisStream.runOnce(spark, tmp)
+    val batch = Averaging.avgTimeFreq(
+      graft.streaming.VisStream.corrected(spark, weighted), 2, 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("bl") +: col("t_out") +: col("c_out") +:
+        (0 until 8).map(k => round(col(s"a$k"), 6)) :+
+        col("flag_out") :+ round(col("weight_out"), 6): _*)
+      .collect().map(_.toSeq).toSet
+    val s = key(streamed)
+    val b = key(batch)
+    assert(s == b, s"streaming ${s.size} rows vs batch ${b.size}")
+  }
+
   test("streaming windowed agg equals batch windowAgg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventsStream.runOnce(spark, dir)
