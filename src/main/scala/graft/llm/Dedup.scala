@@ -200,7 +200,7 @@ object Dedup {
     * probe is an `isEmpty` (limit-1) on the already-materialised step.
     */
   def connectedComponents(edgesIn: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 100): DataFrame = {
     val edges = edgesIn.select("a", "b").localCheckpoint(true)
     val vertices = edges.select(col("a").as("doc_id")).distinct()
     var labels = vertices.withColumn("lab", col("doc_id"))
@@ -222,6 +222,11 @@ object Dedup {
       labels = stepped.select(col("doc_id"), col("lab2").as("lab"))
       it += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIters=$maxIters before " +
+          "convergence — labels are UNDER-MERGED (graph diameter " +
+          "exceeds the bound); raise maxIters")
     labels
   }
 
@@ -229,7 +234,8 @@ object Dedup {
     * candidate graph (the DuckDB twin is a recursive-CTE transitive
     * closure — both sides compute the true per-component minimum id).
     */
-  def duplicateClusters(docs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(docs: DataFrame,
+                        maxIters: Int = 100): DataFrame = {
     val pairs = lshCandidates(docs).select("doc1", "doc2")
       .localCheckpoint(true)
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))

@@ -21,7 +21,10 @@ object DocPipeline {
             langs: Seq[String] = Seq("en", "de", "es", "fr", "zh", "und"))
       : DataFrame = {
     // six stages each scan the corpus — cache it once (MEMORY_AND_DISK
-    // spills per-partition at scale, so this holds on a real cluster)
+    // spills per-partition at scale, so this holds on a real cluster).
+    // The CALLER owns the cache lifetime: the returned plan references
+    // it, so it cannot be unpersisted here; call docs.unpersist() when
+    // the pipeline's outputs are materialised
     val d = docs.cache()
     val lang = TextAnalysis.langId(d)
     val quality = TextAnalysis.quality(d)

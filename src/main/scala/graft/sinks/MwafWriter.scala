@@ -83,6 +83,11 @@ object MwafWriter {
         // finished attempt wins whole files
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
+        // a failed attempt must not orphan its in-flight temp file
+        var inFlight: Option[java.nio.file.Path] = None
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskFailureListener((_, _) =>
+            inFlight.foreach(java.nio.file.Files.deleteIfExists(_))))
         val done = scala.collection.mutable.Map[Long, Long]()
         var out: BufferedOutputStream = null
         var curCc = -1L
@@ -101,6 +106,7 @@ object MwafWriter {
             s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
           java.nio.file.Files.move(tmpPath(curCc), finalPath(curCc),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          inFlight = None
           done(curCc) = rowsInFile
         }
         rows.foreach { r =>
@@ -108,6 +114,7 @@ object MwafWriter {
             closeFile()
             curCc = r.cc
             rowsInFile = 0
+            inFlight = Some(tmpPath(curCc))
             out = new BufferedOutputStream(new FileOutputStream(
               tmpPath(curCc).toString))
             out.write(headPad.getBytes("ASCII"))

@@ -108,6 +108,11 @@ object UvfitsWriter {
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         val tmpPath = s"$path.part$idx.attempt$attempt"
+        // a failed attempt must not orphan its temp file
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskFailureListener { (_, _) =>
+            Files.deleteIfExists(Paths.get(tmpPath)); ()
+          })
         val out = new BufferedOutputStream(
           new FileOutputStream(tmpPath), 1 << 20)
         var written = 0L
@@ -174,10 +179,15 @@ object UvfitsWriter {
     out.write(header)
     (0 until nParts).foreach { idx =>
       val p = Paths.get(s"$path.part$idx")
-      if (Files.exists(p)) {
-        Files.copy(p, out)
-        Files.delete(p)
-      }
+      // every partition writes a part file (possibly header-less empty),
+      // so absence means the slice is LOST (non-shared storage, failed
+      // rename) — skipping it would emit a silently truncated file that
+      // still satisfies the collected row-count invariant
+      require(Files.exists(p),
+        s"missing uvfits part $idx — executor part files must be on " +
+          "storage visible to the driver")
+      Files.copy(p, out)
+      Files.delete(p)
     }
     val written = partCounts.map(_._2).sum
     val dataBytes = written * groupFloats * 4

@@ -1,9 +1,6 @@
 package graft.sources
 
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -52,10 +49,13 @@ object FitsGpubox {
   }
 
   /** Walk every HDU in the file: read header blocks to END, compute the
-    * data-unit length from BITPIX/NAXISn, skip to the next HDU.
+    * data-unit length from BITPIX/NAXISn, skip to the next HDU. An HDU
+    * whose declared data unit extends past EOF (a transfer truncated
+    * mid-slab) is NOT emitted — its timestep must surface as a flagged
+    * missing slab, never as silently zero-filled visibilities.
     */
-  def scanHdus(ch: FileChannel): Seq[Hdu] = {
-    val size = ch.size()
+  def scanHdus(rd: SlabIO.SlabReader): Seq[Hdu] = {
+    val size = rd.size
     val out = Seq.newBuilder[Hdu]
     var pos = 0L
     while (pos + BlockSize <= size) {
@@ -63,8 +63,7 @@ object FitsGpubox {
       var ended = false
       var hPos = pos
       while (!ended && hPos + BlockSize <= size) {
-        val block = ByteBuffer.allocate(BlockSize)
-        ch.read(block, hPos)
+        val block = rd.readAt(hPos, BlockSize)
         val text = new String(block.array(), "ASCII")
         (0 until BlockSize / CardSize).foreach { i =>
           val card = text.substring(i * CardSize, (i + 1) * CardSize)
@@ -82,6 +81,7 @@ object FitsGpubox {
         else (1 to naxis)
           .map(i => cards.getOrElse(s"NAXIS$i", "0").toLong)
           .product * (math.abs(bitpix) / 8)
+      if (hPos + dataLen > size) return out.result() // truncated HDU
       val padded = (dataLen + BlockSize - 1) / BlockSize * BlockSize
       out += Hdu(cards.toMap, hPos, dataLen)
       pos = hPos + padded
@@ -90,58 +90,51 @@ object FitsGpubox {
   }
 
   /** Decode one gpubox FITS file into long-format rows, one slab read
-    * at a time (bounded memory).
+    * at a time (bounded memory, any Hadoop filesystem).
     */
   def decodeFile(path: String, nAnts: Int): Iterator[Row] = {
-    val raf = new RandomAccessFile(path, "r")
-    val ch = raf.getChannel
-    val hdus = scanHdus(ch)
-    require(hdus.nonEmpty, s"no HDUs in $path")
-    val primary = hdus.head.cards
-    val cc = primary.getOrElse("CHANNEL", "0").toLong
-    val nTs = primary.getOrElse("NSCANS", "0").toInt
-    val fpc = primary.getOrElse("FINECHAN", "0").toInt
-    val pairs = GpuboxSource.antPairs(nAnts)
-    val nBl = pairs.length
-    val slabFloats = nBl * fpc * 8
-    val images = hdus.tail
-    images.foreach { h =>
-      require(h.dataLen == slabFloats.toLong * 4,
-        s"HDU data ${h.dataLen} != expected ${slabFloats * 4}")
-    }
-    val iter = (0 until nTs).iterator.flatMap { t =>
-      val present = t < images.length
-      val slab: ByteBuffer = if (present) {
-        val b = ByteBuffer.allocate(slabFloats * 4)
-          .order(ByteOrder.BIG_ENDIAN) // FITS data are big-endian
-        ch.read(b, images(t).dataPos)
-        b
-      } else null
-      pairs.iterator.zipWithIndex.flatMap { case ((a1, a2), blIdx) =>
-        (0 until fpc).iterator.map { fc =>
-          val vals = new Array[Double](8)
-          if (present) {
-            val base = 4 * ((blIdx * fpc + fc) * 8)
-            var k = 0
-            while (k < 8) {
-              vals(k) = slab.getFloat(base + 4 * k).toDouble
-              k += 1
+    val rd = new SlabIO.SlabReader(path)
+    try {
+      val hdus = scanHdus(rd)
+      require(hdus.nonEmpty, s"no HDUs in $path")
+      val primary = hdus.head.cards
+      val cc = primary.getOrElse("CHANNEL", "0").toLong
+      val nTs = primary.getOrElse("NSCANS", "0").toInt
+      val fpc = primary.getOrElse("FINECHAN", "0").toInt
+      val pairs = GpuboxSource.antPairs(nAnts)
+      val nBl = pairs.length
+      val slabFloats = nBl * fpc * 8
+      val images = hdus.tail
+      images.foreach { h =>
+        require(h.dataLen == slabFloats.toLong * 4,
+          s"HDU data ${h.dataLen} != expected ${slabFloats * 4}")
+      }
+      val iter = (0 until nTs).iterator.flatMap { t =>
+        val present = t < images.length
+        val slab: ByteBuffer = if (present)
+          rd.readAt(images(t).dataPos, slabFloats * 4)
+            .order(ByteOrder.BIG_ENDIAN) // FITS data are big-endian
+        else null
+        pairs.iterator.zipWithIndex.flatMap { case ((a1, a2), blIdx) =>
+          (0 until fpc).iterator.map { fc =>
+            val vals = new Array[Double](8)
+            if (present) {
+              val base = 4 * ((blIdx * fpc + fc) * 8)
+              var k = 0
+              while (k < 8) {
+                vals(k) = slab.getFloat(base + 4 * k).toDouble
+                k += 1
+              }
             }
+            Row.fromSeq(Seq(t.toLong, a1.toLong, a2.toLong,
+              (a1 * nAnts + a2).toLong, cc, fc.toLong,
+              cc * fpc + fc) ++ vals.toSeq :+ !present)
           }
-          Row.fromSeq(Seq(t.toLong, a1.toLong, a2.toLong,
-            (a1 * nAnts + a2).toLong, cc, fc.toLong,
-            cc * fpc + fc) ++ vals.toSeq :+ !present)
         }
       }
-    }
-    // close the channel when the iterator is exhausted
-    new Iterator[Row] {
-      def hasNext: Boolean = {
-        val h = iter.hasNext
-        if (!h) { ch.close(); raf.close() }
-        h
-      }
-      def next(): Row = iter.next()
+      SlabIO.closeOnExhaust(iter)(() => rd.close())
+    } catch {
+      case e: Throwable => rd.close(); throw e
     }
   }
 
@@ -149,9 +142,7 @@ object FitsGpubox {
     * frame — one task per file, each streaming slab-by-slab.
     */
   def read(spark: SparkSession, dir: String, nAnts: Int): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val paths = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".fits")).toSeq.sorted
+    val paths = SlabIO.listPaths(dir, ".fits")
     require(paths.nonEmpty, s"no .fits files under $dir")
     val rows = spark.sparkContext
       .parallelize(paths, paths.length)

@@ -50,71 +50,65 @@ object GpuboxSource {
   def antPairs(nAnts: Int): IndexedSeq[(Int, Int)] =
     for (a1 <- 0 until nAnts; a2 <- a1 until nAnts) yield (a1, a2)
 
-  /** Decode one GBX1 file slab-by-slab through a positioned channel —
-    * memory O(slab), never O(file) (multi-GB real gpubox files must not
-    * materialise per task; same shape as [[FitsGpubox.decodeFile]]).
+  /** Decode one GBX1 file slab-by-slab through positioned Hadoop-FS
+    * reads — memory O(slab), never O(file) (multi-GB real gpubox files
+    * must not materialise per task; same shape as
+    * [[FitsGpubox.decodeFile]]). Incomplete trailing slabs count as
+    * missing (flagged).
     */
   def decodeFile(path: String, nAnts: Int): Iterator[Row] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
-    val ch = raf.getChannel
-    val head = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
-    ch.read(head, 0)
-    head.flip()
-    val magic = new Array[Byte](4)
-    head.get(magic)
-    require(new String(magic, "ASCII") == Magic, "bad GBX1 magic")
-    val cc = head.getInt().toLong
-    val nTs = head.getInt()
-    val nBl = head.getInt()
-    val fpc = head.getInt()
-    val pairs = antPairs(nAnts)
-    require(pairs.length == nBl, s"expected ${pairs.length} bl, got $nBl")
-    val slabFloats = nBl * fpc * 8
-    val headerBytes = 20L
-    val availableSlabs =
-      (((ch.size() - headerBytes) / (slabFloats * 4L)).toInt).min(nTs)
-    val iter = (0 until nTs).iterator.flatMap { t =>
-      val present = t < availableSlabs
-      val slab: ByteBuffer = if (present) {
-        val b = ByteBuffer.allocate(slabFloats * 4)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        ch.read(b, headerBytes + slabFloats * 4L * t)
-        b
-      } else null
-      pairs.iterator.zipWithIndex.flatMap { case ((a1, a2), blIdx) =>
-        (0 until fpc).iterator.map { fc =>
-          val vals = new Array[Double](8)
-          if (present) {
-            val base = 4 * ((blIdx * fpc + fc) * 8)
-            var k = 0
-            while (k < 8) {
-              vals(k) = slab.getFloat(base + 4 * k).toDouble
-              k += 1
+    val rd = new SlabIO.SlabReader(path)
+    try {
+      val head = rd.readAt(0, 20).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4)
+      head.get(magic)
+      require(new String(magic, "ASCII") == Magic, "bad GBX1 magic")
+      val cc = head.getInt().toLong
+      val nTs = head.getInt()
+      val nBl = head.getInt()
+      val fpc = head.getInt()
+      val pairs = antPairs(nAnts)
+      require(pairs.length == nBl,
+        s"expected ${pairs.length} bl, got $nBl")
+      val slabFloats = nBl * fpc * 8
+      val headerBytes = 20L
+      val availableSlabs =
+        (((rd.size - headerBytes) / (slabFloats * 4L)).toInt).min(nTs)
+      val iter = (0 until nTs).iterator.flatMap { t =>
+        val present = t < availableSlabs
+        val slab: ByteBuffer = if (present)
+          rd.readAt(headerBytes + slabFloats * 4L * t, slabFloats * 4)
+            .order(ByteOrder.LITTLE_ENDIAN)
+        else null
+        pairs.iterator.zipWithIndex.flatMap { case ((a1, a2), blIdx) =>
+          (0 until fpc).iterator.map { fc =>
+            val vals = new Array[Double](8)
+            if (present) {
+              val base = 4 * ((blIdx * fpc + fc) * 8)
+              var k = 0
+              while (k < 8) {
+                vals(k) = slab.getFloat(base + 4 * k).toDouble
+                k += 1
+              }
             }
+            Row.fromSeq(Seq(t.toLong, a1.toLong, a2.toLong,
+              (a1 * nAnts + a2).toLong, cc, fc.toLong,
+              cc * fpc + fc) ++ vals.toSeq :+ !present)
           }
-          Row.fromSeq(Seq(t.toLong, a1.toLong, a2.toLong,
-            (a1 * nAnts + a2).toLong, cc, fc.toLong,
-            cc * fpc + fc) ++ vals.toSeq :+ !present)
         }
       }
-    }
-    new Iterator[Row] {
-      def hasNext: Boolean = {
-        val h = iter.hasNext
-        if (!h) { ch.close(); raf.close() }
-        h
-      }
-      def next(): Row = iter.next()
+      SlabIO.closeOnExhaust(iter)(() => rd.close())
+    } catch {
+      case e: Throwable => rd.close(); throw e
     }
   }
 
   /** Read a directory of GBX1 files into the long-format vis frame —
-    * one task per file, each streaming slab-by-slab.
+    * one task per file, each streaming slab-by-slab (any Hadoop
+    * filesystem).
     */
   def read(spark: SparkSession, dir: String, nAnts: Int): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val paths = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".gbx")).toSeq.sorted
+    val paths = SlabIO.listPaths(dir, ".gbx")
     require(paths.nonEmpty, s"no .gbx files under $dir")
     val rows = spark.sparkContext
       .parallelize(paths, paths.length)

@@ -20,17 +20,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DedupStream {
 
-  /** First occurrence per md5(text-payload) over a streamed events dir
-    * (we stream the `props` JSON column as the stand-in payload so the
-    * fixture has genuine duplicates).
+  /** First occurrence per content hash over a streamed events dir —
+    * the `props` JSON column is the payload (genuine duplicates at
+    * realistic cardinality, unlike the handful-valued event_type).
     */
   def dedupByContent(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(EventsStream.schema)
       .parquet(s"$dir/events.*")
-      .withColumn("content_hash", md5(col("event_type")))
+      .withColumn("content_hash", md5(col("props")))
       .dropDuplicates("content_hash")
-      .select("content_hash", "event_type")
+      .select("content_hash", "props")
   }
 
   def runOnce(spark: SparkSession, dir: String,

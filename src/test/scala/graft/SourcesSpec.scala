@@ -82,11 +82,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(fits.exceptAll(gbx).count() == 0)
     assert(gbx.exceptAll(fits).count() == 0)
     // header sanity: the primary block parses back
-    val raf = new java.io.RandomAccessFile(s"$dir/g0.fits", "r")
-    val hdus = FitsGpubox.scanHdus(raf.getChannel)
-    raf.close()
+    val rd = new graft.sources.SlabIO.SlabReader(s"$dir/g0.fits")
+    val hdus = FitsGpubox.scanHdus(rd)
+    rd.close()
     assert(hdus.length == 5) // primary + 4 image HDUs
     assert(hdus.head.cards("NSCANS") == "4")
     assert(hdus(1).cards("BITPIX") == "-32")
+  }
+
+  test("fits gpubox: file truncated mid-data flags the slab, not zeros") {
+    val dir = Files.createTempDirectory("fgbx3").toString
+    FitsGpubox.writeFixture(s"$dir/g0.fits", cc = 0, nTs = 3, nAnts = 3,
+      fpc = 2, presentSlabs = 3)
+    // cut the file in the middle of the LAST image HDU's data unit:
+    // its header block stays whole, so only the dataLen-past-EOF guard
+    // can reject it
+    val path = java.nio.file.Paths.get(s"$dir/g0.fits")
+    val bytes = Files.readAllBytes(path)
+    Files.write(path, bytes.take(bytes.length - 2600))
+    val rows = FitsGpubox.decodeFile(s"$dir/g0.fits", 3).toSeq
+    val nBl = GpuboxSource.antPairs(3).length
+    assert(rows.size == 3 * nBl * 2)
+    // t = 2 (the truncated slab) must come back flagged with zero data
+    val flaggedT = rows.filter(r => r.getBoolean(15)).map(_.getLong(0))
+    assert(flaggedT.nonEmpty && flaggedT.forall(_ == 2L),
+      s"only the truncated slab should flag: $flaggedT")
   }
 }

@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.DedupStream.runOnce(spark, dir)
     val batch = Events.readEvents(spark, dir)
-      .select(md5(col("event_type")).as("content_hash")).distinct()
+      .select(md5(col("props")).as("content_hash")).distinct()
     assert(streamed.count() == batch.count())
     assert(streamed.select("content_hash").collect()
       .map(_.getString(0)).toSet ==
