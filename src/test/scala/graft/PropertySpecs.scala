@@ -43,6 +43,50 @@ object PropertySpecs extends Properties("kernels") {
       h1.drop(1).sameElements(h2)
     }
 
+  property("channel ranges: fromIdxs covers exactly the input, maximal") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 40))) { raw =>
+      val idxs = raw.distinct.sorted
+      val ranges = graft.ops.ChannelRanges.fromIdxs(idxs)
+      val covered = ranges.flatMap { case (a, b) => a to b }
+      // exact cover, no overlaps, and maximal contiguity (adjacent
+      // ranges are separated by a real gap)
+      covered == idxs &&
+        ranges.sliding(2).forall {
+          case Seq((_, e1), (s2, _)) => s2 > e1 + 1
+          case _ => true
+        }
+    }
+
+  property("channel ranges: parse of rendered ranges round-trips") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 40))) { raw =>
+      val idxs = raw.distinct.sorted
+      val ranges = graft.ops.ChannelRanges.fromIdxs(idxs)
+      val spec = ranges.map { case (a, b) =>
+        if (a == b) s"$a" else s"$a-$b"
+      }.mkString(", ")
+      graft.ops.ChannelRanges.parse(spec) == Right(ranges)
+    }
+
+  property("nutation stays inside the IAU 1980 series envelope") =
+    Prop.forAll(Gen.chooseNum(-1.0, 1.0)) { t => // ±1 century of J2000
+      val (dpsi, deps) = graft.functions.Astro.nutation(t)
+      val arc = math.Pi / 180 / 3600
+      // dominant terms bound the series: |dpsi| < 20", |deps| < 11"
+      math.abs(dpsi) < 20 * arc && math.abs(deps) < 11 * arc
+    }
+
+  property("apparent place shifts a bounded arc from the mean place") =
+    Prop.forAll(Gen.chooseNum(0.1, 6.1), Gen.chooseNum(-1.2, 1.2),
+      Gen.chooseNum(2451545.0, 2469807.5)) { (ra, dec, jd) =>
+      val (raM, decM) = graft.functions.Astro.precessRaDec(ra, dec, jd)
+      val (raA, decA) = graft.functions.Astro.apparentRaDec(ra, dec, jd)
+      val arc = math.Pi / 180 / 3600
+      // nutation + aberration together are < 60 arcsec anywhere
+      val dRa = math.atan2(math.sin(raA - raM), math.cos(raA - raM))
+      math.abs(decA - decM) < 60 * arc &&
+        math.abs(dRa) * math.cos(decM) < 60 * arc
+    }
+
   property("sumthreshold flags are monotone in existing flags") =
     Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0.5, 2.0))) { vals =>
       val amp = vals.toArray.grouped(8).toArray
