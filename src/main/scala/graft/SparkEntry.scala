@@ -229,6 +229,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(docs(s, dir))),
     "q_t5_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir))),
+    "q_t6_hash_split" -> ((s, dir) =>
+      TextAnalysis.hashSplit(docs(s, dir))),
 
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
@@ -352,6 +354,7 @@ object SparkEntry {
     "q_h2_revenue_rollup" -> LlmOracles.h2RevenueRollup,
     "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,
     "q_t5_tfidf" -> LlmOracles.t5TfidfTopTerms,
+    "q_t6_hash_split" -> LlmOracles.t6HashSplit,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,
     "q_h5_active_suppliers" -> LlmOracles.h5ActiveSuppliers,

@@ -90,6 +90,23 @@ object TextAnalysis {
           t => s"CAST(floor((length($t) + 3) / 4) AS BIGINT)"))))
       .select("doc_id", "n_ws_tokens", "n_subword_est")
 
+  /** Deterministic train/val/test corpus splitting by CONTENT hash —
+    * the standard held-out-split operator of a training-data pipeline.
+    * Keying on content (not doc_id) means byte-identical documents
+    * always land in the same split, so exact duplicates can never leak
+    * train data into eval; the assignment is reproducible across runs
+    * and engines (the DuckDB twin shares the hash builder).
+    */
+  def hashSplit(docs: DataFrame, nBuckets: Int = 100,
+                trainLt: Int = 80, valLt: Int = 90): DataFrame =
+    docs
+      .withColumn("bucket", expr(s"${hex8ToLong("text")} % $nBuckets"))
+      .withColumn("split",
+        when(col("bucket") < trainLt, "train")
+          .when(col("bucket") < valLt, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+
   /** Document fingerprinting: md5-prefix fingerprint plus the minimum
     * shingle hash (a 1-perm MinHash — the content-defined anchor).
     */
