@@ -257,6 +257,11 @@ object SparkEntry {
           col("height"), col("n_frames"),
           col("pos").cast("long").as("feat_idx"), col("feat"))),
 
+    "q_m3_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(docs(s, dir))),
+    "q_m4_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(docs(s, dir))),
+
     // -- relational surface (SURVEY §2.9) ------------------------------
     "q_h1_pricing_summary" -> ((s, dir) =>
       graft.relational.Relational.pricingSummary(
@@ -350,6 +355,8 @@ object SparkEntry {
     "q_m1_multimodal_meta" -> LlmOracles.m1MultimodalMeta,
     "q_m2_features" -> LlmOracles.m2Features,
     "q_m2_decode_stub" -> LlmOracles.m2DecodeStub,
+    "q_m3_frame_sample" -> LlmOracles.m3FrameSample,
+    "q_m4_resize_plan" -> LlmOracles.m4ResizePlan,
     "q_h1_pricing_summary" -> LlmOracles.h1PricingSummary,
     "q_h2_revenue_rollup" -> LlmOracles.h2RevenueRollup,
     "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,

@@ -69,4 +69,31 @@ object Multimodal {
       (lit(16) + col("doc_id") % 32).cast("long").as("stub_w"),
       (lit(16) + (col("doc_id") * 7) % 32).cast("long").as("stub_h"),
       (lit(1) + col("doc_id") % 4).cast("long").as("n_frames"))
+
+  /** Frame sampling: one output row per kept frame (every `everyN`-th,
+    * frame 0 always kept) — the explode-shaped video preprocessing step.
+    * The frame PAYLOAD extraction is the codec-backed part a real
+    * deployment plugs into [[extractFeatures]]'s batch loop; the
+    * dataflow (per-frame fan-out, metadata carry) is the Spark-side
+    * contract and is fully gated.
+    */
+  def frameSample(docs: DataFrame, everyN: Int = 2): DataFrame =
+    metadata(docs).select(col("doc_id"), col("n_frames"),
+      explode(expr(s"sequence(0L, n_frames - 1, $everyN)"))
+        .as("frame_idx"))
+
+  /** Resize planning: target dimensions + exact rational scale factors
+    * per document (the shape every batch image-resize kernel consumes;
+    * the pixel transform itself is the stubbed codec step). Scales are
+    * rounded to 6 dp for cross-engine hashing.
+    */
+  def resizePlan(docs: DataFrame, outW: Int = 224,
+                 outH: Int = 224): DataFrame =
+    metadata(docs).select(
+      col("doc_id"), col("stub_w"), col("stub_h"),
+      lit(outW.toLong).as("out_w"), lit(outH.toLong).as("out_h"),
+      round(lit(outW.toDouble) / col("stub_w").cast("double"), 6)
+        .as("scale_x"),
+      round(lit(outH.toDouble) / col("stub_h").cast("double"), 6)
+        .as("scale_y"))
 }
