@@ -114,28 +114,79 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
               nQueries: Int = 8, k: Int = 5): DataFrame = {
-    graft.functions.FloatVecDot.register(emb.sparkSession)
     val cents: Array[(Int, Array[Float])] = emb
       .where(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    // same sequential float→double fold as float_dot(ce, ce) — the value
-    // must be bit-identical to the oracle's cn2
-    def halfNorm2(v: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      s / 2.0
-    }
-    // per-row cell ranking: sort by (score desc, cid asc) via (−score, cid)
-    // — round(x,6) never yields −0.0, so negation can't split a tie
-    val cellRank = array_sort(array(cents.map { case (cid, ce) =>
+    ivfTopKWith(emb, cents, nProbe, nQueries, k)
+  }
+
+  // same sequential float→double fold as float_dot(ce, ce) — the value
+  // must be bit-identical to the oracle's cn2
+  private def halfNorm2(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s / 2.0
+  }
+
+  /** Per-row cell ranking over a literal centroid set: array_sort by
+    * (score desc, cid asc) via (−score, cid) — round(x,6) never yields
+    * −0.0, so negation can't split a tie. Zero exchanges.
+    */
+  private def cellRankExpr(cents: Array[(Int, Array[Float])]): Column =
+    array_sort(array(cents.map { case (cid, ce) =>
       struct(
         (-round(call_function("float_dot", col("embedding"), lit(ce))
           - lit(halfNorm2(ce)), 6)).as("ns"),
         lit(cid).as("cid"))
     }: _*))
+
+  /** One Lloyd step: assign every vector to its nearest centroid (the
+    * zero-shuffle literal argmax) and recompute centroids as per-cell
+    * means — ONE hash aggregate with 64 partial-mean columns, the
+    * textbook distributed k-means iteration. Empty cells keep their
+    * old centroid. Returns the trained centroid set for [[ivfTopKWith]].
+    *
+    * Scale: each iteration is one corpus scan + one shuffle carrying
+    * k×dim partial sums per map task; the centroid set itself stays
+    * driver-side model state (exactly how the IVF index of a vector
+    * store is trained).
+    */
+  def trainIvfCentroids(emb: DataFrame, k: Int = 16, iters: Int = 4,
+                        dim: Int = 64): Array[(Int, Array[Float])] = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    var cents: Array[(Int, Array[Float])] = emb
+      .where(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val aggs = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
+    for (_ <- 0 until iters) {
+      val means = emb
+        .withColumn("cell", element_at(cellRankExpr(cents), 1)
+          .getField("cid"))
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) ->
+          Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat))
+        .toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    cents
+  }
+
+  /** IVF search against an explicit (trained) centroid set. */
+  def ivfTopKWith(emb: DataFrame, cents: Array[(Int, Array[Float])],
+                  nProbe: Int = 2, nQueries: Int = 8,
+                  k: Int = 5): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val cellRank = cellRankExpr(cents)
     val assigned = emb
       .withColumn("cell", element_at(cellRank, 1).getField("cid"))
       .withColumn("nrm", expr(normSql("embedding")(SparkD)))

@@ -1,0 +1,59 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF coarse-quantiser training: Lloyd iterations must not increase
+  * the quantisation cost, and search against the trained centroids
+  * keeps the top-k contract.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Mean squared distance of each vector to its NEAREST centroid. */
+  private def cost(cents: Array[(Int, Array[Float])]): Double = {
+    graft.functions.FloatVecDot.register(spark)
+    val dists = cents.map { case (_, ce) =>
+      // |x - c|^2 = |x|^2 - 2<x,c> + |c|^2
+      expr("float_dot(embedding, embedding)") -
+        lit(2.0) * call_function("float_dot", col("embedding"), lit(ce)) +
+        lit(ce.map(v => v.toDouble * v.toDouble).sum)
+    }
+    emb.select(avg(least(dists: _*)).as("c")).head().getDouble(0)
+  }
+
+  test("lloyd iterations never increase quantisation cost") {
+    val seed = Similarity.trainIvfCentroids(emb, k = 8, iters = 0)
+    val it1 = Similarity.trainIvfCentroids(emb, k = 8, iters = 1)
+    val it3 = Similarity.trainIvfCentroids(emb, k = 8, iters = 3)
+    val (c0, c1, c3) = (cost(seed), cost(it1), cost(it3))
+    assert(c1 <= c0 + 1e-9, s"iter1 cost $c1 > seed $c0")
+    assert(c3 <= c1 + 1e-9, s"iter3 cost $c3 > iter1 $c1")
+  }
+
+  test("search against trained centroids keeps the top-k contract") {
+    val trained = Similarity.trainIvfCentroids(emb, k = 8, iters = 2)
+    val res = Similarity.ivfTopKWith(emb, trained, nProbe = 2,
+      nQueries = 4, k = 5).cache()
+    assert(res.groupBy("qid").count().collect()
+      .forall(_.getLong(1) <= 5))
+    // ranks are 1..n per query, cosine-descending
+    val byQ = res.orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length))
+      val sims = rows.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
