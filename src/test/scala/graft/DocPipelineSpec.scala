@@ -24,6 +24,21 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet.contains("n_subword_est"))
   }
 
+  test("fast fingerprint: deterministic, discriminating, shingle-stable") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.fingerprintFast(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = TextAnalysis.fingerprintFast(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b), "must be deterministic across runs")
+    // distinct texts ⇒ (near-)distinct 64-bit hashes
+    val nDocs = docs.count()
+    val nDistinctText = docs.select("text").distinct().count()
+    assert(a.map(_._2).distinct.length >= nDistinctText - 1)
+    assert(nDocs == a.length)
+  }
+
   test("connected components: converges past a fixed-4-iteration horizon") {
     import spark.implicits._
     // a 12-vertex path graph: the min label (0) spreads one hop per
