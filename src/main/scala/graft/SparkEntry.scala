@@ -92,20 +92,9 @@ object SparkEntry {
     // written through AOCalReader.write, read back, and framed; the
     // oracle regenerates the same values from pure range() arithmetic,
     // so the gate is independent of the reader under test
-    "q_s3_aocal" -> ((s, dir) => {
-      val (tiles, chans) = (8, 4)
-      val jones = Array.tabulate(1, tiles, chans) { (_, tile, ch) =>
-        Array.tabulate(8)(k =>
-          ((tile * 64 + ch * 8 + k) * 5 % 97).toDouble / 32.0 - 1.5)
-      }
-      val tmp = java.nio.file.Files.createTempDirectory("aocal")
-        .toString + "/cal.bin"
-      graft.sources.AOCalReader.write(tmp,
-        graft.sources.AOCalReader.AOCalSols(1, tiles, chans,
-          Some(graft.model.Obs.GpsStart.toDouble), None, jones))
+    "q_s3_aocal" -> ((s, dir) =>
       graft.sources.AOCalReader.toDataFrame(s,
-        graft.sources.AOCalReader.read(tmp))
-    }),
+        graft.sources.AOCalReader.read(aocalFixture))),
 
     // -- corrections ---------------------------------------------------
     "q_c1_cable" -> ((s, dir) =>
@@ -300,6 +289,33 @@ object SparkEntry {
       Events.asofLatestOrder(Events.readEvents(s, dir),
         s.read.parquet(s"$dir/orders.parquet"))),
   )
+
+  /** The q_s3 MWAOCAL fixture, written ONCE per JVM (invoking the
+    * query repeatedly — verify plus every bench run — must not leak a
+    * temp dir or re-pay driver-side file IO per run) and removed on
+    * exit. The write is temp-then-move so a dead JVM can't leave a
+    * truncated file behind for the next one.
+    */
+  private lazy val aocalFixture: String = {
+    val (tiles, chans) = (8, 4)
+    val jones = Array.tabulate(1, tiles, chans) { (_, tile, ch) =>
+      Array.tabulate(8)(k =>
+        ((tile * 64 + ch * 8 + k) * 5 % 97).toDouble / 32.0 - 1.5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_aocal")
+    val tmp = dir.resolve("cal.bin.tmp")
+    val fin = dir.resolve("cal.bin")
+    graft.sources.AOCalReader.write(tmp.toString,
+      graft.sources.AOCalReader.AOCalSols(1, tiles, chans,
+        Some(graft.model.Obs.GpsStart.toDouble), None, jones))
+    java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    sys.addShutdownHook {
+      java.nio.file.Files.deleteIfExists(fin)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+    fin.toString
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

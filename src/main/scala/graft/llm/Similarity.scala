@@ -163,6 +163,16 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    // the per-dimension mean columns index element_at(embedding, i+1):
+    // a shorter vector yields nulls that either throw on getDouble or
+    // silently poison a cell mean — fail fast on the seed set instead
+    require(cents.nonEmpty, "trainIvfCentroids: empty seed centroid set")
+    cents.find(_._2.length != dim).foreach { case (cid, v) =>
+      throw new IllegalArgumentException(
+        s"trainIvfCentroids: dim=$dim but seed vector $cid has " +
+          s"${v.length} elements — pass dim matching the embedding " +
+          "column")
+    }
     val aggs = (0 until dim).map(i =>
       avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
     for (_ <- 0 until iters) {

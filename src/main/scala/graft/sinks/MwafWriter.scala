@@ -1,8 +1,10 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 
 import graft.model.Obs
+import graft.sources.SlabIO
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,7 +26,15 @@ final case class MwafRow(cc: Long, t: Long, bl: Long, flag_mask: Long)
   * (cc, t, bl), and the partition streams its channels straight to
   * their files (the reference writes its per-gpubox files in parallel
   * the same way, mwaf.rs:399-417). No flag byte ever crosses the
-  * driver; `dir` must be shared storage on a real cluster.
+  * driver.
+  *
+  * Filesystem contract: all IO goes through the Hadoop FileSystem API
+  * with the SESSION's configuration, so `dir` may be `file://` (shared
+  * mount), `hdfs://`, or any FS with a registered AbstractFileSystem.
+  * The crash-safety commit (attempt-unique temp + rename-overwrite) is
+  * atomic exactly where the FS's rename is atomic — posix and HDFS yes,
+  * object stores no; on s3a-like stores, point `dir` at a staging FS
+  * and upload the finished files, as with any rename-committed output.
   */
 object MwafWriter {
 
@@ -68,6 +78,7 @@ object MwafWriter {
       card("NSCANS", nScans.toString),
       "END".padTo(80, ' ')).mkString
     val headPad = header + " " * ((2880 - header.length % 2880) % 2880)
+    val sconf = SlabIO.serializableConf(spark)
 
     // hash-partition on cc: every coarse channel lands whole in one
     // partition (several may share one — the file-switch loop handles
@@ -77,26 +88,29 @@ object MwafWriter {
       .sortWithinPartitions("cc", "t", "bl")
       .as[MwafRow]
       .mapPartitions { rows =>
+        val conf = sconf.value
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(conf)
         // task retries / speculative attempts must not interleave
         // writes into one file: each attempt writes attempt-unique
-        // temp files and atomically renames on completion — last
-        // finished attempt wins whole files
+        // temp files and rename-overwrites on completion — last
+        // finished attempt wins whole files (atomic where the FS's
+        // rename is, see object scaladoc)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         // a failed attempt must not orphan its in-flight temp file
-        var inFlight: Option[java.nio.file.Path] = None
+        var inFlight: Option[Path] = None
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskFailureListener((_, _) =>
-            inFlight.foreach(java.nio.file.Files.deleteIfExists(_))))
+            inFlight.foreach(p => fs.delete(p, false))))
         val done = scala.collection.mutable.Map[Long, Long]()
         var out: BufferedOutputStream = null
         var curCc = -1L
         var rowsInFile = 0L
-        def tmpPath(cc: Long) = java.nio.file.Paths.get(
-          dir + "/." + template.replace("%%", cc.toString) +
-            s".attempt$attempt")
-        def finalPath(cc: Long) = java.nio.file.Paths.get(
-          dir + "/" + template.replace("%%", cc.toString))
+        def tmpPath(cc: Long) = new Path(dirPath,
+          "." + template.replace("%%", cc.toString) + s".attempt$attempt")
+        def finalPath(cc: Long) = new Path(dirPath,
+          template.replace("%%", cc.toString))
         def closeFile(): Unit = if (out != null) {
           val dataLen = rowsInFile * bytesPerRow
           out.write(
@@ -104,8 +118,9 @@ object MwafWriter {
           out.close()
           require(rowsInFile == nScans.toLong * nBl,
             s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
-          java.nio.file.Files.move(tmpPath(curCc), finalPath(curCc),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          FileContext.getFileContext(dirPath.toUri, conf)
+            .rename(tmpPath(curCc), finalPath(curCc),
+              Options.Rename.OVERWRITE)
           inFlight = None
           done(curCc) = rowsInFile
         }
@@ -115,8 +130,8 @@ object MwafWriter {
             curCc = r.cc
             rowsInFile = 0
             inFlight = Some(tmpPath(curCc))
-            out = new BufferedOutputStream(new FileOutputStream(
-              tmpPath(curCc).toString))
+            out = new BufferedOutputStream(
+              fs.create(tmpPath(curCc), true), 1 << 16)
             out.write(headPad.getBytes("ASCII"))
           }
           var b = 0

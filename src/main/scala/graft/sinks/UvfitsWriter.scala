@@ -1,10 +1,12 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.ByteBuffer
-import java.nio.file.{Files, Paths}
 
 import graft.model.Obs
+import graft.sources.SlabIO
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.io.IOUtils
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -29,10 +31,16 @@ import org.apache.spark.sql.functions._
   * channels of a group share the partition key, so no group straddles a
   * boundary), each partition writes its encoded byte slice as a part
   * file, and the driver performs a pure byte-level concatenation
-  * (`FileChannel.transferFrom` — never decodes a row). The serial tail
-  * is the single-file append the format itself imposes, exactly as in
-  * the reference's writer; on an object store it would be a multipart
+  * (stream copy — never decodes a row). The serial tail is the
+  * single-file append the format itself imposes, exactly as in the
+  * reference's writer; on an object store it would be a multipart
   * upload of the same slices.
+  *
+  * Filesystem contract: all IO goes through the Hadoop FileSystem API
+  * with the SESSION's configuration (part files must be on storage the
+  * driver can read — a shared mount, hdfs, etc.). The attempt-unique
+  * temp + rename-overwrite commit is atomic exactly where the FS's
+  * rename is (posix/HDFS yes, object stores no).
   */
 object UvfitsWriter {
 
@@ -51,6 +59,7 @@ object UvfitsWriter {
     * mirror of /root/reference/src/io/mwaf.rs:504-510's check).
     */
   def write(avg: DataFrame, path: String): Long = {
+    val spark = avg.sparkSession
     // channel slots are offsets from the lowest selected channel — a
     // picket-fence or range-selected frame does not start at c_out = 0
     val (cMinL, cMaxL) = {
@@ -59,9 +68,8 @@ object UvfitsWriter {
     }
     val cMin = cMinL.toInt
     val nChans = (cMaxL - cMinL + 1).toInt
-    val nParts = 32
     val ordered = avg
-      .repartitionByRange(nParts, col("t_out"), col("bl"))
+      .repartitionByRange(32, col("t_out"), col("bl"))
       .sortWithinPartitions("t_out", "bl", "c_out")
       .select("t_out", "bl", "ant1", "ant2", "c_out",
         "a0", "a1", "a2", "a3", "a4", "a5", "a6", "a7", "weight_out")
@@ -97,24 +105,35 @@ object UvfitsWriter {
       % 2880)).getBytes("ASCII")
 
     val gpsStart = Obs.GpsStart.toDouble
+    val sconf = SlabIO.serializableConf(spark)
+
+    // the range partitioner may legally produce FEWER partitions than
+    // requested (distinct keys or samples < 32, empty frame → 1), so
+    // the actual count — not the requested 32 — drives both the encode
+    // and the concat loop
+    val orderedRdd = ordered.rdd
+    val actualParts = orderedRdd.getNumPartitions
 
     // per-partition slice encoding: each task streams its sorted rows
     // through the same group-flush state machine the serial writer used,
     // into a part file; returns (partitionIdx, groupsWritten)
-    val partCounts: Array[(Int, Long)] = ordered.rdd
+    val partCounts: Array[(Int, Long)] = orderedRdd
       .mapPartitionsWithIndex { (idx, rows) =>
-        // attempt-unique temp + atomic rename so a speculative retry
+        val conf = sconf.value
+        val partPath = new Path(s"$path.part$idx")
+        val fs = partPath.getFileSystem(conf)
+        // attempt-unique temp + rename-overwrite so a speculative retry
         // can't interleave bytes with a concurrent attempt's file
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
-        val tmpPath = s"$path.part$idx.attempt$attempt"
+        val tmpPath = new Path(s"$path.part$idx.attempt$attempt")
         // a failed attempt must not orphan its temp file
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskFailureListener { (_, _) =>
-            Files.deleteIfExists(Paths.get(tmpPath)); ()
+            fs.delete(tmpPath, false); ()
           })
-        val out = new BufferedOutputStream(
-          new FileOutputStream(tmpPath), 1 << 20)
+        val out = new BufferedOutputStream(fs.create(tmpPath, true),
+          1 << 20)
         var written = 0L
         var curKey: (Long, Long) = null
         var curA1 = 0L
@@ -166,28 +185,37 @@ object UvfitsWriter {
         }
         flush()
         out.close()
-        Files.move(Paths.get(tmpPath), Paths.get(s"$path.part$idx"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        FileContext.getFileContext(partPath.toUri, conf)
+          .rename(tmpPath, partPath, Options.Rename.OVERWRITE)
         Iterator((idx, written))
       }
       .collect()
+    require(partCounts.length == actualParts,
+      s"uvfits partition invariant: ${partCounts.length} part results " +
+        s"for $actualParts partitions")
 
     // driver: header + ordered byte-level concat of the slices + pad.
     // RangePartitioner orders partitions by key range, so part idx order
     // IS global (t_out, bl) order — byte-identical to the serial writer.
-    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new Path(path)
+    val fs = outPath.getFileSystem(conf)
+    val out = new BufferedOutputStream(fs.create(outPath, true), 1 << 20)
     out.write(header)
-    (0 until nParts).foreach { idx =>
-      val p = Paths.get(s"$path.part$idx")
-      // every partition writes a part file (possibly header-less empty),
-      // so absence means the slice is LOST (non-shared storage, failed
-      // rename) — skipping it would emit a silently truncated file that
-      // still satisfies the collected row-count invariant
-      require(Files.exists(p),
+    (0 until actualParts).foreach { idx =>
+      val p = new Path(s"$path.part$idx")
+      // every executed partition writes a part file (possibly
+      // header-less empty), so absence means the slice is LOST
+      // (non-shared storage, failed rename) — skipping it would emit a
+      // silently truncated file that still satisfies the collected
+      // row-count invariant
+      require(fs.exists(p),
         s"missing uvfits part $idx — executor part files must be on " +
           "storage visible to the driver")
-      Files.copy(p, out)
-      Files.delete(p)
+      val in = fs.open(p)
+      IOUtils.copyBytes(in, out, 1 << 20, false)
+      in.close()
+      fs.delete(p, false)
     }
     val written = partCounts.map(_._2).sum
     val dataBytes = written * groupFloats * 4

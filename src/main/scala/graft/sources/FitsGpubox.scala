@@ -92,8 +92,11 @@ object FitsGpubox {
   /** Decode one gpubox FITS file into long-format rows, one slab read
     * at a time (bounded memory, any Hadoop filesystem).
     */
-  def decodeFile(path: String, nAnts: Int): Iterator[Row] = {
-    val rd = new SlabIO.SlabReader(path)
+  def decodeFile(path: String, nAnts: Int,
+                 conf: org.apache.hadoop.conf.Configuration =
+                   new org.apache.hadoop.conf.Configuration())
+      : Iterator[Row] = {
+    val rd = new SlabIO.SlabReader(path, conf)
     try {
       val hdus = scanHdus(rd)
       require(hdus.nonEmpty, s"no HDUs in $path")
@@ -142,11 +145,12 @@ object FitsGpubox {
     * frame — one task per file, each streaming slab-by-slab.
     */
   def read(spark: SparkSession, dir: String, nAnts: Int): DataFrame = {
-    val paths = SlabIO.listPaths(dir, ".fits")
+    val paths = SlabIO.listPaths(spark, dir, ".fits")
     require(paths.nonEmpty, s"no .fits files under $dir")
+    val sconf = SlabIO.serializableConf(spark)
     val rows = spark.sparkContext
       .parallelize(paths, paths.length)
-      .flatMap(p => decodeFile(p, nAnts))
+      .flatMap(p => decodeFile(p, nAnts, sconf.value))
     spark.createDataFrame(rows, GpuboxSource.schema)
   }
 

@@ -56,8 +56,11 @@ object GpuboxSource {
     * [[FitsGpubox.decodeFile]]). Incomplete trailing slabs count as
     * missing (flagged).
     */
-  def decodeFile(path: String, nAnts: Int): Iterator[Row] = {
-    val rd = new SlabIO.SlabReader(path)
+  def decodeFile(path: String, nAnts: Int,
+                 conf: org.apache.hadoop.conf.Configuration =
+                   new org.apache.hadoop.conf.Configuration())
+      : Iterator[Row] = {
+    val rd = new SlabIO.SlabReader(path, conf)
     try {
       val head = rd.readAt(0, 20).order(ByteOrder.LITTLE_ENDIAN)
       val magic = new Array[Byte](4)
@@ -108,11 +111,12 @@ object GpuboxSource {
     * filesystem).
     */
   def read(spark: SparkSession, dir: String, nAnts: Int): DataFrame = {
-    val paths = SlabIO.listPaths(dir, ".gbx")
+    val paths = SlabIO.listPaths(spark, dir, ".gbx")
     require(paths.nonEmpty, s"no .gbx files under $dir")
+    val sconf = SlabIO.serializableConf(spark)
     val rows = spark.sparkContext
       .parallelize(paths, paths.length)
-      .flatMap(p => decodeFile(p, nAnts))
+      .flatMap(p => decodeFile(p, nAnts, sconf.value))
     spark.createDataFrame(rows, schema)
   }
 

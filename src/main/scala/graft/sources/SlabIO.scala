@@ -1,9 +1,11 @@
 package graft.sources
 
+import java.io.{ObjectInputStream, ObjectOutputStream}
 import java.nio.ByteBuffer
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 
 /** Shared slab-file IO for the binary sources. Listing and positioned
   * reads go through the Hadoop FileSystem API, so `file://`, `hdfs://`
@@ -12,21 +14,59 @@ import org.apache.hadoop.fs.Path
   * O(file)). The close-on-exhaust adapter also registers a task
   * completion listener, so a partially-consumed iterator (limit(1),
   * task kill) still releases the file handle.
+  *
+  * All entry points take the SESSION's Hadoop configuration (driver) or
+  * a [[SlabIO.SerializableHadoopConf]] shipped through task closures
+  * (executors) — a bare `new Configuration()` would drop every
+  * `spark.hadoop.*` setting (s3a credentials/endpoint, hdfs
+  * nameservices) the user configured on the session.
   */
 object SlabIO {
 
-  /** List `suffix`-matching files directly under `dir`, sorted. */
-  def listPaths(dir: String, suffix: String): Seq[String] = {
+  /** Java-serializable wrapper for a Hadoop `Configuration` (the
+    * standard write/readFields envelope), so task closures can carry
+    * the session's `spark.hadoop.*` settings to executors.
+    */
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** The session's Hadoop conf, wrapped for closure capture. */
+  def serializableConf(spark: SparkSession): SerializableHadoopConf =
+    new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+
+  /** List `suffix`-matching files directly under `dir`, sorted — with
+    * the session's Hadoop configuration (driver side).
+    */
+  def listPaths(spark: SparkSession, dir: String,
+                suffix: String): Seq[String] =
+    listPaths(dir, suffix, spark.sparkContext.hadoopConfiguration)
+
+  def listPaths(dir: String, suffix: String,
+                conf: Configuration): Seq[String] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     fs.listStatus(p).toSeq.map(_.getPath.toString)
       .filter(_.endsWith(suffix)).sorted
   }
 
   /** Positioned reader over any Hadoop filesystem. */
-  final class SlabReader(path: String) {
+  final class SlabReader(path: String, conf: Configuration) {
+    // local-only convenience for specs/tools; production paths pass the
+    // session conf so remote filesystems keep their credentials
+    def this(path: String) = this(path, new Configuration())
+
     private val p = new Path(path)
-    private val fs = p.getFileSystem(new Configuration())
+    private val fs = p.getFileSystem(conf)
     val size: Long = fs.getFileStatus(p).getLen
     private val in = fs.open(p)
 
