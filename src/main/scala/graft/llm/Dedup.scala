@@ -162,9 +162,14 @@ object Dedup {
     // shuffle a fraction of the bytes and compare in one instruction.
     // Collisions are identical on the oracle side (same hash), so results
     // still match bit-for-bit.
+    // materialise the token array BEFORE the shingle lambda: the
+    // builders inline their argument textually, and interpreted
+    // higher-order lambdas have no subexpression elimination — an
+    // inlined split() re-tokenises the document per element (O(n²))
     val sh = docs
+      .withColumn("toks", expr(tokens("text")))
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(expr(hashList(shingles("text", tokens("text")))))
+        explode(expr(hashList(shingles("text", "toks"))))
           .as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -109,12 +109,30 @@ object TextAnalysis {
 
   /** Document fingerprinting: md5-prefix fingerprint plus the minimum
     * shingle hash (a 1-perm MinHash — the content-defined anchor).
+    *
+    * Shape: explode the shingle list and hash per ROW, not per lambda
+    * element — higher-order-function lambdas are CodegenFallback
+    * (interpreted, one allocation per element), while the exploded md5 +
+    * hex extraction is whole-stage codegen. The min folds map-side in
+    * the hash aggregate, so the shuffle carries one row per document.
+    * The md5/hex staging stays in separate projections on purpose:
+    * CollapseProject would otherwise inline the md5 into all 8 hex-digit
+    * extractions (it keeps non-cheap expressions un-duplicated).
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fp_hex", substring(md5(col("text")), 1, 16))
-      .withColumn("min_shingle",
-        expr(listMin(hashList(shingles("text", tokens("text"))))))
+      // tokens materialised first — the shingle builder inlines its
+      // argument textually, and an inlined split() re-tokenises the
+      // document per lambda element (O(n²) in interpreted eval)
+      .withColumn("toks", expr(tokens("text")))
+      .select(col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("fp_hex"),
+        explode(expr(shingles("text", "toks"))).as("sh"))
+      .select(col("doc_id"), col("fp_hex"), md5(col("sh")).as("m"))
+      .select(col("doc_id"), col("fp_hex"),
+        expr(hex8FromMd5("m")).as("h"))
+      .groupBy("doc_id", "fp_hex")
+      .agg(min("h").as("min_shingle"))
       .select("doc_id", "fp_hex", "min_shingle")
 
   /** TF-IDF: top-k terms per document by tf·idf with
@@ -154,10 +172,11 @@ object TextAnalysis {
     * Spec-gated (DuckDB has no seed-compatible xxhash64).
     */
   def fingerprintFast(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      xxhash64(col("text")).as("fp64"),
-      array_min(transform(expr(shingles("text", tokens("text"))),
-        s => xxhash64(s))).as("min_shingle64"))
+    docs.withColumn("toks", expr(tokens("text")))
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("fp64"),
+        array_min(transform(expr(shingles("text", "toks")),
+          s => xxhash64(s))).as("min_shingle64"))
 
   /** Pure-Scala polynomial rolling hash over UTF-8 bytes (the streaming
     * fingerprint a chunker would use; spec-tested, not oracle-checked).

@@ -73,9 +73,14 @@ object Relational {
     val agg = joined.groupBy("o_orderkey")
       .agg(sum(col("price_c") * (lit(100L) - col("disc_c")))
         .as("revenue_c"))
+    // orderBy+limit compiles to TakeOrderedAndProject — each partition
+    // keeps its own top k and only k rows reach the driver-side merge,
+    // unlike a global-window rank which funnels EVERY aggregated order
+    // through one partition; the rank window then runs over k rows only
+    val top = agg.orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+      .limit(k)
     val w = Window.orderBy(col("revenue_c").desc, col("o_orderkey").asc)
-    agg.withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("o_orderkey"), col("rk"),
         (col("revenue_c").cast("double") / 10000.0).as("revenue"))
   }
