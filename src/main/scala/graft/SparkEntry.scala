@@ -346,6 +346,7 @@ object SparkEntry {
       graft.model.PfbTables.scrunched(graft.model.PfbTables.CorrLegacy)),
     "q_c6_calibration" -> Oracles.c6Calibration,
     "q_c5_sigma" -> Oracles.c5Sigma,
+    "q_c5_van_vleck" -> Oracles.c5VanVleck,
     "q_c5_cross" -> Oracles.c5Cross,
     "q_c5_pipeline" -> Oracles.c5Pipeline,
     "q_r1_sumthreshold" -> Oracles.r1SumThreshold,

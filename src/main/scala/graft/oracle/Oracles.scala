@@ -298,25 +298,36 @@ object Oracles {
     * cell table at the end; non-invertible seeds (ρ∉[0,1)) fall back to
     * khat via the LEFT JOIN coalesce, mirroring the kernel's guard.
     */
+  // sequential left fold (0.0 + t0 + t1 + …): the exact accumulation
+  // order of the Scala kernel's while-loops, so kernel and oracle agree
+  // to the last ulp — list_sum's order is an implementation detail,
+  // list_reduce over a prepended 0.0 is contractually sequential
+  private def c5FoldSum(l: String): String =
+    s"list_reduce(list_prepend(CAST(0.0e0 AS DOUBLE), $l), " +
+      "(acc, x) -> acc + x)"
+
   // pdf(x_, y_, rho) with x_i=(i+0.5)/sx, y_k=(k+0.5)/sy as a 49-term
   // lambda sum; `rho` is a SQL expression in scope (sx, sy row columns).
+  // Row-major ij order and cosh-as-paired-exps match
+  // graft.functions.VanVleckKernel.pdf operation-for-operation.
   private def c5PdfSql(rho: String): String = {
     val d = s"greatest(1.0e0 - ($rho)*($rho), 1.0e-20)"
     val xi = "((CAST(ij//7 AS DOUBLE)+0.5e0)/sx)"
     val yk = "((CAST(ij%7 AS DOUBLE)+0.5e0)/sy)"
     val a = s"($xi * $yk * ($rho) / $d)"
     val b = s"(($xi*$xi + $yk*$yk) / (2.0e0*$d))"
-    s"(list_sum(list_transform(range(0, 49), ij -> " +
-      s"exp($a - $b) + exp(-$a - $b))) / (pi() * sqrt($d)))"
+    s"(${c5FoldSum(s"list_transform(range(0, 49), ij -> " +
+      s"exp($a - $b) + exp(-$a - $b))")} / (pi() * sqrt($d)))"
   }
 
-  // Simpson ∫_0^rho pdf dζ, n=10: weights 1,4,2,…,4,1 over si=0..10.
+  // Simpson ∫_0^rho pdf dζ, n=10: weights 1,4,2,…,4,1 over si=0..10,
+  // accumulated in ascending si order like the kernel's loop.
   private def c5SimpSql(rho: String): String = {
     val h = s"(($rho)/10.0e0)"
     val w = "(CASE WHEN si = 0 OR si = 10 THEN 1.0e0 " +
       "WHEN si % 2 = 1 THEN 4.0e0 ELSE 2.0e0 END)"
-    s"(list_sum(list_transform(range(0, 11), si -> " +
-      s"$w * ${c5PdfSql(s"CAST(si AS DOUBLE) * $h")})) * $h / 3.0e0)"
+    s"(${c5FoldSum(s"list_transform(range(0, 11), si -> " +
+      s"$w * ${c5PdfSql(s"CAST(si AS DOUBLE) * $h")})")} * $h / 3.0e0)"
   }
 
   /** Newton-inversion CTE pair over a `tri(khat, sx, sy)` relation —
@@ -335,13 +346,26 @@ object Oracles {
        |         ${c5SimpSql("g2")} - k, cnt + 1
        |  FROM (SELECT *, guess - delta / ${c5PdfSql("guess")} AS g2
        |        FROM newton
-       |        WHERE abs(delta) > 1.0e-12 AND cnt <= 100))""".stripMargin
+       |        WHERE abs(delta) > 1.0e-12 AND cnt <= 100)
+       |  -- escape guard, mirrored from the kernel: an iterate outside
+       |  -- [0,1) stops extending, so the triple's max-cnt row keeps
+       |  -- |δ|>tol and vvres falls back to khat — and every pdf the
+       |  -- recursion ever evaluates stays in the finite regime where
+       |  -- engines agree to the last ulp
+       |  WHERE g2 >= 0.0e0 AND g2 < 1.0e0)""".stripMargin
 
   private def c5VvresCte: String =
     """vvres AS (
       |  SELECT khat, sx, sy,
       |         CASE WHEN abs(delta) <= 1.0e-12
-      |              THEN sgn * guess * sx * sy ELSE khat END AS kappa
+      |              THEN sgn * guess * sx * sy
+      |         -- cap acceptance, mirrored from the kernel: a capped
+      |         -- 2-cycle with sub-nano residual is a converged root
+      |         -- (cnt > 100 excludes escape-guard rows, which stop
+      |         -- at cnt <= 100)
+      |              WHEN cnt > 100 AND abs(delta) <= 1.0e-9
+      |              THEN sgn * guess * sx * sy
+      |              ELSE khat END AS kappa
       |  FROM (SELECT *, row_number() OVER (PARTITION BY khat, sx, sy
       |                                     ORDER BY cnt DESC) AS rn
       |        FROM newton)
@@ -382,7 +406,19 @@ object Oracles {
     * van_vleck.rs:232-260), flagged-antenna passthrough, and the
     * Newton+Simpson cross inversion — is genuine SQL.
     */
-  val c5Pipeline: String = {
+  val c5Pipeline: String = c5Dataflow("t < 4 AND chan < 2")
+
+  /** Full-frame twin (`q_c5_van_vleck`): the SAME dataflow oracle with
+    * no window — valid because the σ̂ map's dyadic domain (m/128,
+    * m ≤ 1036) covers the synthetic frame's entire auto range
+    * (max |v| = 1036/128 at every SF, verified against the vis oracle).
+    * The recursive Newton CTE then runs over every distinct kernel
+    * triple of the frame (~45 s in DuckDB at sf0.01 — a one-shot gate
+    * cost, not a Spark cost).
+    */
+  val c5VanVleck: String = c5Dataflow("TRUE")
+
+  private def c5Dataflow(winWhere: String): String = {
     val scale = "2.0e0"
     val smapRows = (0 to 1036).map { m =>
       val p = m / 128.0
@@ -391,7 +427,7 @@ object Oracles {
       s"(${fmt(p)}, ${fmt(sig)})"
     }.mkString(",\n  ")
     val smap = s"smap AS (SELECT * FROM (VALUES\n  $smapRows) m(p, sg))"
-    val win = "win AS (SELECT * FROM vis WHERE t < 4 AND chan < 2)"
+    val win = s"win AS (SELECT * FROM vis WHERE $winWhere)"
     val sig =
       """sig AS (
         |  SELECT a.t, a.ant, a.chan, mx.sg AS sigma_x, my.sg AS sigma_y
