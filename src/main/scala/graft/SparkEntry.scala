@@ -220,6 +220,13 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(docs(s, dir))),
     "q_t6_hash_split" -> ((s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir))),
+    "q_t7_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir))),
+    "q_t8_scrub" -> ((s, dir) => TextAnalysis.scrub(docs(s, dir))),
+    "q_t9_corpus_mix" -> ((s, dir) =>
+      TextAnalysis.corpusMix(docs(s, dir))),
+    "q_d7_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplate(docs(s, dir))),
 
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
@@ -379,6 +386,10 @@ object SparkEntry {
     "q_h3_top_revenue" -> LlmOracles.h3TopRevenue,
     "q_t5_tfidf" -> LlmOracles.t5TfidfTopTerms,
     "q_t6_hash_split" -> LlmOracles.t6HashSplit,
+    "q_t7_repetition" -> LlmOracles.t7Repetition,
+    "q_t8_scrub" -> LlmOracles.t8Scrub,
+    "q_t9_corpus_mix" -> LlmOracles.t9CorpusMix,
+    "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,
     "q_h5_active_suppliers" -> LlmOracles.h5ActiveSuppliers,

@@ -192,6 +192,27 @@ object Dedup {
       .select("doc1", "doc2", "n_common", "jaccard")
   }
 
+  /** Cross-document boilerplate detection: word 3-shingles appearing in
+    * at least `minDocs` DISTINCT documents, with document and occurrence
+    * counts — the shared-substring census behind "strip the cookie
+    * banner / nav bar from every page of this site" cleanup rules.
+    *
+    * Shape: one explode + one hash aggregate (count + count-distinct
+    * partial-aggregate map-side); the output is vocabulary-sized, never
+    * corpus-sized. At 100 TB the same plan holds — the aggregate keys
+    * on the shingle string, so hot shingles partial-aggregate before
+    * the shuffle.
+    */
+  def boilerplate(docs: DataFrame, minDocs: Int = 5): DataFrame =
+    docs
+      .withColumn("toks", expr(tokens("text")))
+      .select(col("doc_id"),
+        explode(expr(shingles("text", "toks"))).as("shingle"))
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+
   /** Connected components over a symmetric `(a, b)` edge frame by
     * min-label propagation iterated TO CONVERGENCE (no label changed),
     * with a safety bound. Labels only decrease and spread one hop per

@@ -164,6 +164,98 @@ object TextAnalysis {
       .select("doc_id", "rk", "term", "tf", "df", "score")
   }
 
+  /** Repetition quality stats (the Gopher-rules family of repetition
+    * filters, Rae et al. 2021 §A1.1): per document, the most frequent
+    * adjacent 2-gram with its count, the fraction of tokens covered by
+    * that 2-gram (count·2 / n_tokens), and the duplicate-token fraction
+    * (1 − distinct/total). High values of either fraction mark the
+    * boilerplate-heavy or degenerate documents a training pipeline
+    * drops.
+    *
+    * Shape: tokens materialised once, 2-grams exploded through codegen,
+    * one hash aggregate (map-side combined) and a per-doc top-1 window
+    * over gram counts — the window partitions by doc_id, so no global
+    * funnel. Docs with < 2 tokens surface with an empty top gram via
+    * the left join, not silently dropped.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", expr(tokens("text")))
+      .select(col("doc_id"),
+        expr(listSize("toks")).cast("long").as("n_tokens"),
+        expr(listDistinctSize("toks")).cast("long").as("n_distinct"),
+        col("toks"))
+    val counts = base
+      .select(col("doc_id"), explode(expr(grams2("toks"))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val top = counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"),
+        col("cnt").as("top_cnt"))
+    base.drop("toks").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        round(coalesce(col("top_cnt"), lit(0L)).cast("double") * 2.0
+          / col("n_tokens").cast("double"), 6).as("top_gram_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_tok_frac"))
+  }
+
+  /** Redaction dictionary for [[scrub]] — a stand-in for the deny-lists
+    * (names, credentials, internal hostnames) a production pipeline
+    * ships; the oracle inlines the same terms.
+    */
+  val ScrubTerms: Seq[String] = Seq("customer", "value", "the")
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing: count email/phone regex matches and replace
+    * dictionary terms with a redaction marker, returning match counts
+    * and a fingerprint of the scrubbed text (the full text goes back to
+    * the pipeline; the fingerprint keeps this query's output narrow).
+    * Everything is row-local — no shuffle; the regexes are chosen to
+    * mean the same thing under Java regex (Spark) and RE2 (DuckDB).
+    */
+  def scrub(docs: DataFrame,
+            dict: Seq[String] = ScrubTerms): DataFrame = {
+    val inList = dict.map(t => s"'$t'").mkString(", ")
+    docs
+      .withColumn("toks", expr(tokens("text")))
+      .withColumn("n_dict", expr(listFoldSumLong(listTransform("toks",
+        t => s"CASE WHEN $t IN ($inList) THEN CAST(1 AS BIGINT)" +
+          s" ELSE CAST(0 AS BIGINT) END"))))
+      .withColumn("scrubbed", expr(joinList(listTransform("toks",
+        t => s"CASE WHEN $t IN ($inList) THEN '[REDACTED]'" +
+          s" ELSE $t END"))))
+      .select(col("doc_id"),
+        expr(regexpCount("text", EmailRe)).cast("long").as("n_email"),
+        expr(regexpCount("text", PhoneRe)).cast("long").as("n_phone"),
+        col("n_dict"),
+        substring(md5(col("scrubbed")), 1, 16).as("scrub_hex"))
+  }
+
+  /** Corpus mixture report: per (lang, source) cell — the unit a data
+    * recipe weights — document and token counts, distinct-content
+    * count, and the exact-duplicate fraction. One tiny hash aggregate;
+    * at 100 TB this is the dashboard query run after every crawl
+    * snapshot.
+    */
+  def corpusMix(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(tokens("text")))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(listSize("toks")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_tokens"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_frac"))
+
   /** Production-fast fingerprint: xxhash64 document hash + minimum
     * xxhash64 shingle (1-perm MinHash). The md5 variant above exists
     * for engine-independent oracle parity; THIS is the path a 100 TB

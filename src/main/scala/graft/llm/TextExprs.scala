@@ -122,6 +122,43 @@ object TextExprs {
   def tokenHash(e: String, j: Int): String =
     permute(hex8ToLong(e), j)
 
+  /** Adjacent word 2-grams joined by a space; documents with fewer than
+    * 2 tokens contribute an empty list (the empty case is spelled as a
+    * zero-length slice of the token list so both engines agree on the
+    * element type).
+    */
+  def grams2(toksExpr: String)(implicit d: Dialect): String = {
+    val n = listSize(toksExpr)
+    val body = listTransformIdx(
+      d match {
+        case SparkD => s"sequence(1, $n - 1)"
+        case DuckD  => s"range(1, $n)"
+      },
+      (x, _) => s"concat(${elem(toksExpr, x)}, ' '," +
+        s" ${elem(toksExpr, s"$x + 1")})")
+    d match {
+      case SparkD =>
+        s"CASE WHEN $n < 2 THEN slice($toksExpr, 1, 0) ELSE $body END"
+      case DuckD =>
+        s"CASE WHEN $n < 2 THEN $toksExpr[1:0] ELSE $body END"
+    }
+  }
+
+  /** Join a string list with single spaces. */
+  def joinList(l: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"array_join($l, ' ')"
+    case DuckD  => s"array_to_string($l, ' ')"
+  }
+
+  /** Count of regexp matches as BIGINT (Java regex vs RE2 — callers must
+    * use patterns with identical semantics in both).
+    */
+  def regexpCount(e: String, pattern: String)
+                 (implicit d: Dialect): String = d match {
+    case SparkD => s"regexp_count($e, '$pattern')"
+    case DuckD  => s"CAST(len(regexp_extract_all($e, '$pattern')) AS BIGINT)"
+  }
+
   /** Word k-shingles (k=3) joined by spaces; documents shorter than k
     * tokens contribute the whole text as their single shingle.
     */

@@ -1,0 +1,97 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable fixtures for the corpus-hygiene operators
+  * (repetition stats, scrubbing, mixture report, boilerplate census).
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsOf(rows: (Long, String, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("repetition: top 2-gram, coverage fraction, dup-token fraction") {
+    val docs = docsOf(
+      (0L, "a b a b a b", "en", "s1"), // top gram "a b" x3, 6 tokens
+      (1L, "x y z w", "en", "s1"),     // all grams unique, count 1
+      (2L, "solo", "en", "s1"))        // < 2 tokens -> empty top gram
+    val r = TextAnalysis.repetition(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[String]("top_gram") == "a b")
+    assert(r(0L).getAs[Long]("top_cnt") == 3L)
+    assert(r(0L).getAs[Double]("top_gram_frac") == 1.0)
+    // "a b a b a b": 2 distinct of 6 tokens
+    assert(math.abs(r(0L).getAs[Double]("dup_tok_frac") - 4.0 / 6) < 1e-6)
+    // ties break to the lexicographically first gram
+    assert(r(1L).getAs[String]("top_gram") == "x y")
+    assert(r(1L).getAs[Long]("top_cnt") == 1L)
+    assert(r(2L).getAs[String]("top_gram") == "")
+    assert(r(2L).getAs[Long]("top_cnt") == 0L)
+  }
+
+  test("scrub: dictionary redaction changes the fingerprint, counts hit") {
+    val docs = docsOf(
+      (0L, "the customer holds value", "en", "s1"),
+      (1L, "no terms here", "en", "s1"))
+    val r = TextAnalysis.scrub(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_dict") == 3L)
+    assert(r(1L).getAs[Long]("n_dict") == 0L)
+    // doc 1 untouched: fingerprint equals the raw-text fingerprint
+    import org.apache.spark.sql.functions.{md5, substring}
+    import spark.implicits._
+    val raw = docs.where($"doc_id" === 1L)
+      .select(substring(md5($"text"), 1, 16)).head.getString(0)
+    assert(r(1L).getAs[String]("scrub_hex") == raw)
+    assert(r(0L).getAs[Long]("n_email") == 0L)
+  }
+
+  test("scrub: email and phone regex counts") {
+    val docs = docsOf(
+      (0L, "mail me at bob@example.com or call 555-123-4567 twice " +
+        "555-123-4567", "en", "s1"))
+    val r = TextAnalysis.scrub(docs).head()
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_phone") == 2L)
+  }
+
+  test("corpusMix: per-cell counts and duplicate fraction") {
+    val docs = docsOf(
+      (0L, "a b", "en", "s1"), (1L, "a b", "en", "s1"),
+      (2L, "c d", "en", "s1"), (3L, "e f", "de", "s2"))
+    val r = TextAnalysis.corpusMix(docs).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("source")) -> x)
+      .toMap
+    val en = r(("en", "s1"))
+    assert(en.getAs[Long]("n_docs") == 3L)
+    assert(en.getAs[Long]("n_tokens") == 6L)
+    assert(en.getAs[Long]("n_unique") == 2L)
+    assert(math.abs(en.getAs[Double]("dup_frac") - 1.0 / 3) < 1e-6)
+    assert(r(("de", "s2")).getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("boilerplate: shingles crossing the distinct-doc threshold") {
+    val banner = "accept all cookies now"
+    val docs = docsOf((0L until 6L).map(i =>
+      (i, s"$banner unique$i trailer", "en", "s1")) :+
+      (6L, "entirely different text here", "en", "s1"): _*)
+    val r = Dedup.boilerplate(docs, minDocs = 5).collect()
+    // shingles fully inside the shared banner prefix appear in 6 docs
+    val byShingle = r.map(x =>
+      x.getAs[String]("shingle") -> x.getAs[Long]("n_docs")).toMap
+    assert(byShingle("accept all cookies") == 6L)
+    assert(byShingle("all cookies now") == 6L)
+    // shingles touching the unique token never cross the threshold
+    assert(!byShingle.keySet.exists(_.contains("unique")))
+  }
+}
