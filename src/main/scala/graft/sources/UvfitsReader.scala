@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.ByteOrder
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** K1 read-back: parse a random-groups uvfits file (the exact layout
+  * [[graft.sinks.UvfitsWriter]] emits, per the public FITS standard)
+  * back into the averaged-frame schema — so a consumer can verify or
+  * re-ingest what the sink wrote without leaving the library.
+  *
+  * Layout recap: one 2880-byte header (NAXIS=6 with NAXIS1=0 marking
+  * random groups; PCOUNT parameters per group; GCOUNT groups), then
+  * GCOUNT groups of big-endian float32: PCOUNT parameters (UU VV WW
+  * DATE DATE BASELINE) followed by chan × pol × (re, im, weight) with
+  * pol order XX YY XY YX; zero-padded to a 2880 boundary.
+  *
+  * Scale shape: the driver parses the 2880-byte header only; groups are
+  * range-partitioned across tasks, each task opening its own positioned
+  * reader over any Hadoop filesystem and reading ONE GROUP at a time —
+  * memory O(group), parallelism independent of file count.
+  */
+object UvfitsReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("t_out", LongType, nullable = false),
+    StructField("bl", LongType, nullable = false),
+    StructField("ant1", LongType, nullable = false),
+    StructField("ant2", LongType, nullable = false),
+    StructField("c_out", LongType, nullable = false)) ++
+    (0 until 8).map(k =>
+      StructField(s"a$k", DoubleType, nullable = false)) :+
+    StructField("weight_out", DoubleType, nullable = false))
+
+  final case class Header(pcount: Int, gcount: Long, nChans: Int,
+                          dataStart: Long)
+
+  /** Parse the primary header (2880-byte card blocks up to END). */
+  def readHeader(rd: SlabIO.SlabReader): Header = {
+    val cards = scala.collection.mutable.Map[String, String]()
+    var pos = 0L
+    var ended = false
+    while (!ended) {
+      require(pos + 2880 <= rd.size, "unterminated uvfits header")
+      val text = new String(rd.readAt(pos, 2880).array(), "ASCII")
+      (0 until 36).foreach { i =>
+        val card = text.substring(i * 80, (i + 1) * 80)
+        val key = card.take(8).trim
+        if (key == "END") ended = true
+        else if (!ended && card.length > 9 && card.charAt(8) == '=')
+          cards(key) = card.substring(10).takeWhile(_ != '/').trim
+      }
+      pos += 2880
+    }
+    require(cards.get("GROUPS").exists(_.startsWith("T")),
+      "not a random-groups uvfits file")
+    Header(
+      pcount = cards("PCOUNT").toInt,
+      gcount = cards("GCOUNT").toLong,
+      nChans = cards("NAXIS4").toInt,
+      dataStart = pos)
+  }
+
+  /** Decode groups [from, until) of the file into rows (one row per
+    * (group, channel), mirroring the writer's input frame).
+    */
+  def decodeGroups(path: String, h: Header, from: Long, until: Long,
+                   gpsStart: Double, intTimeSec: Double,
+                   nAnts: Int,
+                   conf: org.apache.hadoop.conf.Configuration)
+      : Iterator[Row] = {
+    val groupFloats = h.pcount + h.nChans * 12
+    val rd = new SlabIO.SlabReader(path, conf)
+    val iter = (from until until).iterator.flatMap { g =>
+      val buf = rd
+        .readAt(h.dataStart + g * groupFloats * 4L, groupFloats * 4)
+        .order(ByteOrder.BIG_ENDIAN)
+      val params = Array.fill(h.pcount)(buf.getFloat())
+      val days = params(3).toDouble
+      val frac = params(4).toDouble
+      val tOut = math.round(
+        (days * 86400.0 + frac * 86400.0 - gpsStart) / intTimeSec)
+      val blCode = math.round(params(5).toDouble)
+      val ant1 = blCode / 256 - 1
+      val ant2 = blCode % 256 - 1
+      val bl = ant1 * nAnts + ant2
+      (0 until h.nChans).iterator.map { c =>
+        // file pol order XX YY XY YX -> component order XX XY YX YY
+        val v = new Array[Double](12)
+        var i = 0
+        while (i < 12) {
+          v(i) = buf.getFloat((h.pcount + c * 12 + i) * 4).toDouble
+          i += 1
+        }
+        val vals = Array[Double](
+          v(0), v(1), // XX re, im
+          v(6), v(7), // XY
+          v(9), v(10), // YX
+          v(3), v(4)) // YY
+        Row.fromSeq(Seq(tOut, bl, ant1, ant2, c.toLong) ++
+          vals.toSeq :+ v(2).toDouble)
+      }
+    }
+    SlabIO.closeOnExhaust(iter)(() => rd.close())
+  }
+
+  /** Read a uvfits file into the averaged-frame schema. `cMin` restores
+    * the channel offset the writer normalised away (0 for full-band
+    * writes).
+    */
+  def read(spark: SparkSession, path: String, nAnts: Int,
+           gpsStart: Double = graft.model.Obs.GpsStart.toDouble,
+           intTimeSec: Double = 2.0, cMin: Long = 0,
+           groupsPerTask: Long = 65536): DataFrame = {
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val rd = new SlabIO.SlabReader(path, conf0)
+    val h = try readHeader(rd) finally rd.close()
+    val sconf = SlabIO.serializableConf(spark)
+    val ranges = (0L until h.gcount by groupsPerTask)
+      .map(s => (s, math.min(s + groupsPerTask, h.gcount)))
+    val rows = spark.sparkContext
+      .parallelize(ranges, math.max(ranges.length, 1))
+      .flatMap { case (from, until) =>
+        decodeGroups(path, h, from, until, gpsStart, intTimeSec,
+          nAnts, sconf.value)
+      }
+    val df = spark.createDataFrame(rows, schema)
+    if (cMin == 0) df
+    else df.withColumn("c_out",
+      org.apache.spark.sql.functions.col("c_out") + cMin)
+  }
+}

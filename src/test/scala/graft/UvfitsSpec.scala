@@ -51,4 +51,49 @@ class UvfitsSpec extends AnyFunSuite {
     val frac = java.nio.ByteBuffer.wrap(bytes, 2880 + 16, 4).getFloat()
     assert(frac >= 0.0f && frac < 1.0f)
   }
+
+  test("uvfits round trip: reader recovers the writer's frame at f32") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val vis = VisSynth.vis(spark, dir)
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(vis,
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val tmp = Files.createTempDirectory("uvf_rt").toString + "/rt.uvfits"
+    UvfitsWriter.write(avg, tmp)
+
+    val back = graft.sources.UvfitsReader.read(spark, tmp, nAnts = 8)
+    // the file is DENSE per group (every channel slot), the averaged
+    // frame is sparse (fully-flagged cells are absent) — the reader
+    // must return exactly groups x channels rows
+    assert(back.count() ==
+      avg.select("t_out", "bl").distinct().count() * 16)
+
+    // every averaged row survives with its payload at f32 precision
+    val keyed = avg.select(
+      Seq(col("t_out"), col("bl"), col("ant1"), col("ant2"),
+        col("c_out"),
+        col("weight_out").cast("float").as("wexp")) ++
+        (0 until 8).map(k =>
+          col(s"a$k").cast("float").as(s"w$k")): _*)
+    val joined = keyed.join(back,
+      Seq("t_out", "bl", "ant1", "ant2", "c_out"), "inner")
+    assert(joined.count() == avg.count(),
+      "every written cell must read back under its exact key")
+    val mismatches = joined.where(
+      (0 until 8).map(k =>
+        col(s"w$k") =!= col(s"a$k").cast("float"))
+        .reduce(_ || _) ||
+        col("wexp") =!= col("weight_out").cast("float"))
+      .count()
+    assert(mismatches == 0, s"$mismatches payload mismatches")
+
+    // cells absent from the frame read back as the writer's zero fill
+    val filler = back.join(keyed,
+      Seq("t_out", "bl", "ant1", "ant2", "c_out"), "left_anti")
+    val nonZeroFill = filler.where(
+      (0 until 8).map(k => col(s"a$k") =!= 0.0).reduce(_ || _) ||
+        col("weight_out") =!= 0.0).count()
+    assert(nonZeroFill == 0, s"$nonZeroFill non-zero filler cells")
+  }
 }
