@@ -209,6 +209,8 @@ object SparkEntry {
       Similarity.lshTopK(emb(s, dir), nQueries = 8, k = 3)),
     "q_sim3_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir))),
+    "q_sim4_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir))),
 
     // -- LLM-data pipeline: text analysis -----------------------------
     "q_t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -372,6 +374,7 @@ object SparkEntry {
     "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,
+    "q_sim4_ann_pq" -> LlmOracles.sim4PqTopK,
     "q_t1_langid" -> LlmOracles.t1LangId,
     "q_t2_quality" -> LlmOracles.t2Quality,
     "q_t3_tokens" -> LlmOracles.t3Tokens,

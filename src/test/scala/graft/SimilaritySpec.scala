@@ -41,6 +41,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c3 <= c1 + 1e-9, s"iter3 cost $c3 > iter1 $c1")
   }
 
+  test("pq: seed vectors reconstruct exactly, scores track true dots") {
+    graft.functions.FloatVecDot.register(spark)
+    val res = Similarity.pqTopK(emb, nQueries = 4, k = 50).cache()
+    // a seed vector (vec_id < 16) is its own nearest codeword in every
+    // subspace, so its ADC score IS the true dot product (up to the
+    // association change of summing per-subspace partial dots)
+    val joined = res.where(col("vec_id") < 16)
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), "qid")
+      .join(emb, "vec_id")
+      .withColumn("true_dot",
+        call_function("float_dot", col("qe"), col("embedding")))
+    val bad = joined
+      .where(abs(col("pq_score") - col("true_dot")) > 1e-5).count()
+    assert(bad == 0, s"$bad seed vectors mis-reconstructed")
+    // ranks are 1..n per query, score-descending
+    val byQ = res.orderBy("qid", "rank").collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length))
+      val s = rows.map(_.getDouble(3))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("search against trained centroids keeps the top-k contract") {
     val trained = Similarity.trainIvfCentroids(emb, k = 8, iters = 2)
     val res = Similarity.ivfTopKWith(emb, trained, nProbe = 2,
