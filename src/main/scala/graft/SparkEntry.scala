@@ -297,6 +297,8 @@ object SparkEntry {
     "q_e3_asof_join" -> ((s, dir) =>
       Events.asofLatestOrder(Events.readEvents(s, dir),
         s.read.parquet(s"$dir/orders.parquet"))),
+    "q_e5_resample" -> ((s, dir) =>
+      Events.resampleFfill(Events.readEvents(s, dir))),
   )
 
   /** The q_s3 MWAOCAL fixture, written ONCE per JVM (invoking the
@@ -400,5 +402,6 @@ object SparkEntry {
     "q_e2_sessionize" -> LlmOracles.e2Sessionize,
     "q_e3_asof_join" -> LlmOracles.e3AsofJoin,
     "q_e4_props_stats" -> LlmOracles.e4PropsStats,
+    "q_e5_resample" -> LlmOracles.e5Resample,
   )
 }

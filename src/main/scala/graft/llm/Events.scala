@@ -72,6 +72,43 @@ object Events {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Temporal resample with forward fill: per user, a DENSE grid of
+    * `bucketSec` buckets spanning that user's observed range, each
+    * bucket carrying its event count, its (rounded) value sum, and the
+    * last non-empty bucket's sum forward-filled across gaps — the
+    * gap-fill/resample operator every metrics pipeline needs and the
+    * reference (pure dense-tensor batch) has no analogue for.
+    *
+    * Scale shape: one aggregate to bucket, one tiny per-user span
+    * aggregate, a `sequence` explode to densify (output rows =
+    * users × span-buckets, independent of event count), and ONE window
+    * partitioned by user for the fill — all shuffles share the
+    * user_id key.
+    */
+  def resampleFfill(events: DataFrame,
+                    bucketSec: Long = 3600): DataFrame = {
+    val bucketUs = bucketSec * 1000000L
+    val agg = events
+      .withColumn("bucket_s",
+        expr(s"(ts_us div $bucketUs) * $bucketSec"))
+      .groupBy("user_id", "bucket_s")
+      .agg(count(lit(1)).as("n_ev"),
+        round(sum(col("value")), 4).as("bv"))
+    val grid = agg.groupBy("user_id")
+      .agg(min("bucket_s").as("b0"), max("bucket_s").as("b1"))
+      .select(col("user_id"),
+        explode(expr(s"sequence(b0, b1, $bucketSec)")).as("bucket_s"))
+    val w = Window.partitionBy("user_id").orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("user_id", "bucket_s"), "left")
+      .withColumn("fill_value",
+        coalesce(last(col("bv"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("user_id"), col("bucket_s"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events"),
+        coalesce(col("bv"), lit(0.0)).as("bucket_value"),
+        col("fill_value"))
+  }
+
   /** As-of join: attach to each event the most recent order (by
     * o_orderdate) of the matching customer bucket at or before the event
     * time. Spark lacks a native as-of join; the scale-correct formulation
