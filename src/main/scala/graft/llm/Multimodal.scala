@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads with typed
   * metadata, batch-shaped decode/feature-extract over partitions.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — what is real and
-  * tested is the Spark-side shape: binary column handling, the
-  * mapPartitions batch contract (the Scala analogue of `mapInPandas`:
-  * one iterator in, batched feature rows out, no per-row JVM boundary
-  * crossing), partitioning, and the output schema a downstream trainer
-  * would consume.
+  * The decode step is REAL for the one raster format that needs no
+  * codec library — binary Netpbm P6 (`decodePpm`, the public PPM spec:
+  * "P6", whitespace/#-comment-separated width/height/maxval header,
+  * then raw RGB bytes) — and a clearly-marked DETERMINISTIC STUB for
+  * compressed containers (JPEG/WAV/MP4), which the sandbox has no
+  * codecs for. Payloads route by magic number; either way the
+  * Spark-side shape is the part that matters at 100 TB: binary stays
+  * columnar until the partition iterator (the Scala analogue of
+  * `mapInPandas` — one iterator in, batched feature rows out, no
+  * per-row JVM boundary crossing), and features come back as a typed
+  * Dataset.
   */
 object Multimodal {
 
@@ -40,24 +44,115 @@ object Multimodal {
     MediaFeatures(docId, n, w, h, frames, feats)
   }
 
-  /** Treat `text` as the opaque binary payload column and run the decode
-    * stub per partition in batches. The physical shape is the one that
-    * matters at 100 TB: binary stays columnar until the partition
+  /** Parsed P6 image: dimensions, sample maxval, raw RGB bytes. */
+  final case class Ppm(width: Int, height: Int, maxval: Int,
+                       rgb: Array[Byte])
+
+  /** Parse a binary-Netpbm P6 payload per the public spec: magic "P6",
+    * then width/height/maxval as ASCII decimals separated by
+    * whitespace and `#` comments, ONE whitespace byte, then
+    * width·height·3 raw sample bytes. Returns None — never throws — on
+    * anything malformed (wrong magic, short pixel data, multi-byte
+    * maxval ≥ 256), so callers can fall back instead of poisoning a
+    * batch.
+    */
+  def decodePpm(payload: Array[Byte]): Option[Ppm] = {
+    if (payload.length < 2 || payload(0) != 'P'.toByte ||
+      payload(1) != '6'.toByte) return None
+    var pos = 2
+    def isWs(b: Byte) =
+      b == ' '.toByte || b == '\n'.toByte || b == '\r'.toByte ||
+        b == '\t'.toByte || b == '\f'.toByte || b == 0x0b.toByte
+    def readInt(): Int = {
+      var skipping = true
+      while (skipping && pos < payload.length) {
+        if (payload(pos) == '#'.toByte)
+          while (pos < payload.length && payload(pos) != '\n'.toByte)
+            pos += 1
+        else if (isWs(payload(pos))) pos += 1
+        else skipping = false
+      }
+      var v = -1L
+      while (pos < payload.length && payload(pos) >= '0'.toByte &&
+        payload(pos) <= '9'.toByte && v <= Int.MaxValue) {
+        v = math.max(v, 0) * 10 + (payload(pos) - '0'.toByte)
+        pos += 1
+      }
+      if (v < 0 || v > Int.MaxValue) -1 else v.toInt
+    }
+    val w = readInt()
+    val h = readInt()
+    val mx = readInt()
+    if (w <= 0 || h <= 0 || mx <= 0 || mx >= 256) return None
+    // exactly one whitespace byte separates maxval from the raster
+    if (pos >= payload.length || !isWs(payload(pos))) return None
+    pos += 1
+    val need = w.toLong * h * 3
+    if (payload.length - pos < need) None
+    else Some(Ppm(w, h, mx,
+      java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt)))
+  }
+
+  /** Features from a decoded P6 image: per-channel means, integer-BT.601
+    * luma mean, and a 4-bin luma histogram — all normalised to [0, 1]
+    * with deterministic integer accumulation.
+    */
+  def ppmFeatures(docId: Long, nBytes: Long, img: Ppm): MediaFeatures = {
+    val n = img.width * img.height
+    var (sr, sg, sb, sl) = (0L, 0L, 0L, 0L)
+    val bins = new Array[Long](4)
+    var i = 0
+    while (i < n) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val b = img.rgb(3 * i + 2) & 0xff
+      val luma = (r * 299 + g * 587 + b * 114) / 1000
+      sr += r; sg += g; sb += b; sl += luma
+      bins(math.min(luma * 4 / (img.maxval + 1), 3)) += 1
+      i += 1
+    }
+    val d = n.toDouble * img.maxval
+    MediaFeatures(docId, nBytes, img.width, img.height, 1,
+      Array(
+        (sr / d).toFloat, (sg / d).toFloat, (sb / d).toFloat,
+        (sl / d).toFloat,
+        (bins(0).toDouble / n).toFloat, (bins(1).toDouble / n).toFloat,
+        (bins(2).toDouble / n).toFloat, (bins(3).toDouble / n).toFloat))
+  }
+
+  /** Route one payload by magic number: real P6 decode when the bytes
+    * are a well-formed PPM, deterministic stub otherwise.
+    */
+  def decode(docId: Long, payload: Array[Byte]): MediaFeatures =
+    decodePpm(payload) match {
+      case Some(img) => ppmFeatures(docId, payload.length.toLong, img)
+      case None => decodeStub(docId, payload)
+    }
+
+  /** Run the decoder per partition in batches over a
+    * `(doc_id, payload binary)` frame. The physical shape is the one
+    * that matters at 100 TB: binary stays columnar until the partition
     * iterator, features come back as a typed Dataset.
     */
-  def extractFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
-    val spark = docs.sparkSession
+  def extractFeaturesBin(binDocs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = binDocs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    binDocs.as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batch loop: in a codec-backed implementation each batch would be
-        // handed to the native decoder in one call
+        // batch loop: each batch would be handed to a native decoder in
+        // one call in a codec-backed deployment
         it.grouped(64).flatMap(_.map { case (id, bytes) =>
-          decodeStub(id, bytes)
+          decode(id, bytes)
         })
       }
   }
+
+  /** Treat `text` as the opaque binary payload column (the synthetic
+    * corpus's stand-in for a media column).
+    */
+  def extractFeatures(docs: DataFrame): Dataset[MediaFeatures] =
+    extractFeaturesBin(docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload")))
 
   /** Metadata-only projection (oracle-checkable): byte length + stub
     * dimensions, no decode.

@@ -1,0 +1,80 @@
+package graft
+
+import graft.llm.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-decode path: binary Netpbm P6 images parsed by the pure-Scala
+  * decoder, with hand-computed feature expectations; malformed payloads
+  * must fall back to the deterministic stub, never throw.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** P6 with a comment in the header; 2x2 RGB. */
+  private def ppm(pixels: Array[Int], w: Int = 2, h: Int = 2,
+                  maxval: Int = 255): Array[Byte] = {
+    val header = s"P6\n# test fixture\n$w $h\n$maxval\n".getBytes("ASCII")
+    header ++ pixels.map(_.toByte)
+  }
+
+  test("decodePpm parses header, comments, and raster") {
+    val img = Multimodal.decodePpm(ppm(Array(
+      255, 0, 0, /**/ 0, 255, 0,
+      0, 0, 255, /**/ 255, 255, 255))).get
+    assert(img.width == 2 && img.height == 2 && img.maxval == 255)
+    assert(img.rgb.length == 12)
+    assert((img.rgb(0) & 0xff) == 255 && (img.rgb(4) & 0xff) == 255)
+  }
+
+  test("ppm features: channel means, luma mean, histogram") {
+    val payload = ppm(Array(
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 255, 255, 255))
+    val f = Multimodal.decode(7L, payload)
+    assert(f.width == 2 && f.height == 2 && f.n_frames == 1)
+    assert(f.n_bytes == payload.length)
+    // each channel: 2 pixels at 255 of 4 -> mean 510/(4*255) = 0.5
+    assert(math.abs(f.features(0) - 0.5f) < 1e-6)
+    assert(math.abs(f.features(1) - 0.5f) < 1e-6)
+    assert(math.abs(f.features(2) - 0.5f) < 1e-6)
+    // integer luma: red 76, green 149, blue 29, white 255 -> sum 509
+    assert(math.abs(f.features(3) - 509.0 / (4 * 255)) < 1e-6)
+    // luma bins (maxval 255, bin = luma*4/256): 76->1, 149->2, 29->0,
+    // 255->3 — one pixel per bin
+    (4 until 8).foreach(i => assert(f.features(i) == 0.25f))
+  }
+
+  test("malformed payloads fall back to the stub, never throw") {
+    val truncated = ppm(Array(255, 0, 0)) // claims 2x2, has 1 pixel
+    val f = Multimodal.decode(3L, truncated)
+    // stub dimensions, not PPM header dimensions
+    assert(f.width == 16 + 3 && f.height == 16 + (3 * 7) % 32)
+    val textPayload = "key agg row scan".getBytes("UTF-8")
+    assert(Multimodal.decodePpm(textPayload).isEmpty)
+    val wideMaxval = "P6\n2 2\n65535\n".getBytes("ASCII") ++
+      new Array[Byte](24)
+    assert(Multimodal.decodePpm(wideMaxval).isEmpty)
+  }
+
+  test("extractFeaturesBin routes per payload inside one frame") {
+    import spark.implicits._
+    val good = ppm(Array(
+      10, 20, 30, 10, 20, 30,
+      10, 20, 30, 10, 20, 30))
+    val rows = Seq(
+      (0L, good),
+      (1L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal
+      .extractFeaturesBin(rows.toDF("doc_id", "payload"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(0L).width == 2 && out(0L).height == 2)
+    assert(math.abs(out(0L).features(0) - 40.0 / (4 * 255)) < 1e-6)
+    assert(out(1L).width == 16 + 1) // stub path
+  }
+}
