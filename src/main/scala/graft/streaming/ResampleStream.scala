@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming resample + forward fill: the
+  * `flatMapGroupsWithState` twin of graft.llm.Events.resampleFfill.
+  *
+  * State per user = the last EMITTED bucket and the last non-empty
+  * bucket's value. When an event lands in a later bucket than the open
+  * one, every bucket in between is emitted — the open bucket with its
+  * real aggregate, the gap buckets as zero-count rows carrying the
+  * forward-filled value. The open (newest) bucket is held back until a
+  * later event closes it, the streaming analogue of the batch
+  * operator's span bound: rows are only emitted once their bucket can
+  * no longer change.
+  *
+  * Parity contract (spec-gated): for in-order input, the emitted rows
+  * plus the final open bucket per user equal the batch operator's
+  * output exactly.
+  */
+object ResampleStream {
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long,
+                value: Double)
+  case class BucketState(bucketS: Long, nEv: Long, sum: Double,
+                         fill: Double)
+  case class Bucket(user_id: Long, bucket_s: Long, n_events: Long,
+                    bucket_value: Double, fill_value: Double)
+
+  val BucketSec: Long = 3600L
+  private val BucketUs = BucketSec * 1000000L
+
+  /** Round matching the batch operator's round(sum, 4) (half-up, as
+    * Spark's round).
+    */
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Pure per-group transition: emit all buckets strictly before the
+    * newest event's bucket; keep the newest open in state.
+    */
+  def updateUser(userId: Long, events: Iterator[Ev],
+                 state: GroupState[BucketState]): Iterator[Bucket] = {
+    var out = List.empty[Bucket]
+    var cur = state.getOption
+    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val b = (e.ts_us / BucketUs) * BucketSec
+      cur match {
+        case Some(s) if b == s.bucketS =>
+          cur = Some(s.copy(nEv = s.nEv + 1, sum = s.sum + e.value))
+        case Some(s) if b > s.bucketS =>
+          // close the open bucket, then the gap buckets it fills
+          val closedFill = r4(s.sum)
+          out ::= Bucket(userId, s.bucketS, s.nEv, closedFill,
+            closedFill)
+          var g = s.bucketS + BucketSec
+          while (g < b) {
+            out ::= Bucket(userId, g, 0L, 0.0, closedFill)
+            g += BucketSec
+          }
+          cur = Some(BucketState(b, 1L, e.value, closedFill))
+        case Some(s) => // late event older than the open bucket: the
+          // batch operator would have folded it; streaming drops it —
+          // the documented watermark tradeoff
+          ()
+        case None =>
+          cur = Some(BucketState(b, 1L, e.value, 0.0))
+      }
+    }
+    cur.foreach(state.update)
+    out.reverseIterator
+  }
+
+  /** The final open bucket a batch backfill would also contain —
+    * exposed so tests (and a terminal flush) can complete the parity
+    * set.
+    */
+  def openBucket(s: BucketState, userId: Long): Bucket =
+    Bucket(userId, s.bucketS, s.nEv, r4(s.sum), r4(s.sum))
+
+  /** Wire the stateful operator over a streaming Dataset[Ev]. */
+  def resample(events: Dataset[Ev]): Dataset[Bucket] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateUser)
+  }
+}
