@@ -239,7 +239,8 @@ object SparkEntry {
     "q_m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(docs(s, dir))),
     "q_m2_decode_stub" -> ((s, dir) =>
-      Multimodal.extractFeatures(docs(s, dir)).toDF()
+      Multimodal.extractFeatures(docs(s, dir), Multimodal.decodeStub)
+        .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("n_frames"))),
 
@@ -247,7 +248,8 @@ object SparkEntry {
     // sums over the UTF-8 payload), so the full mapPartitions batch
     // path gets a hash gate — exploded to scalars for the comparator
     "q_m2_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(docs(s, dir)).toDF()
+      Multimodal.extractFeatures(docs(s, dir), Multimodal.decodeStub)
+        .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("n_frames"),
           posexplode(col("features")).as(Seq("pos", "feat")))

@@ -134,7 +134,9 @@ object Multimodal {
     * that matters at 100 TB: binary stays columnar until the partition
     * iterator, features come back as a typed Dataset.
     */
-  def extractFeaturesBin(binDocs: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeaturesBin(binDocs: DataFrame,
+                         decoder: (Long, Array[Byte]) => MediaFeatures =
+                           decode): Dataset[MediaFeatures] = {
     val spark = binDocs.sparkSession
     import spark.implicits._
     binDocs.as[(Long, Array[Byte])]
@@ -142,17 +144,22 @@ object Multimodal {
         // batch loop: each batch would be handed to a native decoder in
         // one call in a codec-backed deployment
         it.grouped(64).flatMap(_.map { case (id, bytes) =>
-          decode(id, bytes)
+          decoder(id, bytes)
         })
       }
   }
 
   /** Treat `text` as the opaque binary payload column (the synthetic
-    * corpus's stand-in for a media column).
+    * corpus's stand-in for a media column). The `decoder` default is
+    * the magic-number router; the stub-gated driver queries pin
+    * [[decodeStub]] explicitly so their oracle contract cannot drift
+    * if a payload happens to parse as a real format.
     */
-  def extractFeatures(docs: DataFrame): Dataset[MediaFeatures] =
+  def extractFeatures(docs: DataFrame,
+                      decoder: (Long, Array[Byte]) => MediaFeatures =
+                        decode): Dataset[MediaFeatures] =
     extractFeaturesBin(docs.select(col("doc_id"),
-      col("text").cast("binary").as("payload")))
+      col("text").cast("binary").as("payload")), decoder)
 
   /** Metadata-only projection (oracle-checkable): byte length + stub
     * dimensions, no decode.

@@ -259,6 +259,13 @@ object Similarity {
         require(v.length == dim,
           s"pqTopK: dim=$dim but vector $cid has ${v.length}")
       }
+      // codes are looked up by ARRAY POSITION (element_at(cwLit, code+1))
+      // while the ranking emits seed cids — only sound when the seed set
+      // is exactly 0..nCodes-1; fail fast instead of silently scoring
+      // against the wrong codeword
+      require(seeds.map(_._1).toSeq == (0 until nCodes),
+        s"pqTopK: seed vec_ids must be exactly 0..${nCodes - 1}, got " +
+          seeds.map(_._1).mkString(","))
       Array.tabulate(m)(s =>
         seeds.map { case (cid, v) =>
           (cid, v.slice(s * subDim, (s + 1) * subDim))

@@ -125,9 +125,11 @@ object TextAnalysis {
       // argument textually, and an inlined split() re-tokenises the
       // document per lambda element (O(n²) in interpreted eval)
       .withColumn("toks", expr(tokens("text")))
+      // explode_OUTER: a NULL text must still yield its one output row
+      // (NULL fingerprint), matching the oracle's plain SELECT
       .select(col("doc_id"),
         substring(md5(col("text")), 1, 16).as("fp_hex"),
-        explode(expr(shingles("text", "toks"))).as("sh"))
+        explode_outer(expr(shingles("text", "toks"))).as("sh"))
       .select(col("doc_id"), col("fp_hex"), md5(col("sh")).as("m"))
       .select(col("doc_id"), col("fp_hex"),
         expr(hex8FromMd5("m")).as("h"))

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
 import java.nio.ByteBuffer
 
 import org.apache.hadoop.conf.Configuration
@@ -16,33 +15,20 @@ import org.apache.spark.sql.SparkSession
   * task kill) still releases the file handle.
   *
   * All entry points take the SESSION's Hadoop configuration (driver) or
-  * a [[SlabIO.SerializableHadoopConf]] shipped through task closures
-  * (executors) — a bare `new Configuration()` would drop every
-  * `spark.hadoop.*` setting (s3a credentials/endpoint, hdfs
+  * Spark's `SerializableConfiguration` wrapper shipped through task
+  * closures (executors) — a bare `new Configuration()` would drop
+  * every `spark.hadoop.*` setting (s3a credentials/endpoint, hdfs
   * nameservices) the user configured on the session.
   */
 object SlabIO {
 
-  /** Java-serializable wrapper for a Hadoop `Configuration` (the
-    * standard write/readFields envelope), so task closures can carry
-    * the session's `spark.hadoop.*` settings to executors.
+  /** The session's Hadoop conf wrapped for closure capture — Spark's
+    * own public serializable envelope.
     */
-  final class SerializableHadoopConf(@transient var value: Configuration)
-      extends Serializable {
-    private def writeObject(out: ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      value.write(out)
-    }
-    private def readObject(in: ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new Configuration(false)
-      value.readFields(in)
-    }
-  }
-
-  /** The session's Hadoop conf, wrapped for closure capture. */
-  def serializableConf(spark: SparkSession): SerializableHadoopConf =
-    new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+  def serializableConf(spark: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
 
   /** List `suffix`-matching files directly under `dir`, sorted — with
     * the session's Hadoop configuration (driver side).

@@ -115,7 +115,17 @@ object UvfitsReader {
            groupsPerTask: Long = 65536): DataFrame = {
     val conf0 = spark.sparkContext.hadoopConfiguration
     val rd = new SlabIO.SlabReader(path, conf0)
-    val h = try readHeader(rd) finally rd.close()
+    val h = try {
+      val hdr = readHeader(rd)
+      // a truncated file would otherwise decode its missing tail from
+      // readAt's zero fill as garbage rows — fail like the writer's
+      // missing-part require, not silently
+      val groupFloats = hdr.pcount + hdr.nChans * 12
+      require(hdr.dataStart + hdr.gcount * groupFloats * 4L <= rd.size,
+        s"uvfits truncated: header declares ${hdr.gcount} groups but " +
+          s"the file holds ${(rd.size - hdr.dataStart) / (groupFloats * 4L)}")
+      hdr
+    } finally rd.close()
     val sconf = SlabIO.serializableConf(spark)
     val ranges = (0L until h.gcount by groupsPerTask)
       .map(s => (s, math.min(s + groupsPerTask, h.gcount)))

@@ -6,11 +6,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Stateful streaming resample + forward fill: the
   * `flatMapGroupsWithState` twin of graft.llm.Events.resampleFfill.
   *
-  * State per user = the last EMITTED bucket and the last non-empty
-  * bucket's value. When an event lands in a later bucket than the open
-  * one, every bucket in between is emitted — the open bucket with its
-  * real aggregate, the gap buckets as zero-count rows carrying the
-  * forward-filled value. The open (newest) bucket is held back until a
+  * State per user = the open bucket's aggregate (a non-empty bucket is
+  * always its own fill baseline). When an event lands in a later bucket
+  * than the open one, every bucket in between is emitted — the open
+  * bucket with its real aggregate, the gap buckets as zero-count rows
+  * carrying the forward-filled value. The open (newest) bucket is held back until a
   * later event closes it, the streaming analogue of the batch
   * operator's span bound: rows are only emitted once their bucket can
   * no longer change.
@@ -23,8 +23,7 @@ object ResampleStream {
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long,
                 value: Double)
-  case class BucketState(bucketS: Long, nEv: Long, sum: Double,
-                         fill: Double)
+  case class BucketState(bucketS: Long, nEv: Long, sum: Double)
   case class Bucket(user_id: Long, bucket_s: Long, n_events: Long,
                     bucket_value: Double, fill_value: Double)
 
@@ -59,13 +58,13 @@ object ResampleStream {
             out ::= Bucket(userId, g, 0L, 0.0, closedFill)
             g += BucketSec
           }
-          cur = Some(BucketState(b, 1L, e.value, closedFill))
+          cur = Some(BucketState(b, 1L, e.value))
         case Some(s) => // late event older than the open bucket: the
           // batch operator would have folded it; streaming drops it —
           // the documented watermark tradeoff
           ()
         case None =>
-          cur = Some(BucketState(b, 1L, e.value, 0.0))
+          cur = Some(BucketState(b, 1L, e.value))
       }
     }
     cur.foreach(state.update)

@@ -52,8 +52,8 @@ class ResampleStreamSpec extends AnyFunSuite {
       (0L, 2L, 4.0, 4.0),
       (3600L, 0L, 0.0, 4.0),
       (7200L, 0L, 0.0, 4.0)))
-    // bucket 3 stays open with the new fill baseline
-    assert(st.v.contains(BucketState(10800L, 1L, 9.0, 4.0)))
+    // bucket 3 stays open
+    assert(st.v.contains(BucketState(10800L, 1L, 9.0)))
   }
 
   test("whole-fixture parity with the batch operator") {
