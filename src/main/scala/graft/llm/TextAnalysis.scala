@@ -255,8 +255,10 @@ object TextAnalysis {
         countDistinct(md5(col("text"))).as("n_unique"))
       .select(col("lang"), col("source"), col("n_docs"),
         col("n_tokens"), col("n_unique"),
-        round(lit(1.0) - col("n_unique").cast("double")
-          / col("n_docs").cast("double"), 6).as("dup_frac"))
+        // Pure BIGINT arithmetic: a derived double here (round(1-u/n))
+        // sits on rounding-tie cells that flip across oracle-engine
+        // builds; integer ppm is engine-version-proof.
+        expr("(n_docs - n_unique) * 1000000 div n_docs").as("dup_ppm"))
 
   /** Production-fast fingerprint: xxhash64 document hash + minimum
     * xxhash64 shingle (1-perm MinHash). The md5 variant above exists
