@@ -26,6 +26,17 @@ object SparkEntry {
                           prefixOut: String = "r"): Seq[Column] =
     (0 until 8).map(k => col(s"$prefixIn$k").as(s"$prefixOut$k"))
 
+  /** Integer micro-unit gate columns: floor(x*1e6 + 0.5) is pure IEEE
+    * double math (identical bit-for-bit in any engine given the same
+    * input), and a BIGINT result can never be -0.0 — unlike round(x, 6),
+    * whose -0.0 cells DuckDB keeps but Spark's BigDecimal rounding
+    * normalises, flipping the driver's raw-value hash across builds.
+    */
+  private def microComps(prefixIn: String = "v",
+                         prefixOut: String = "r"): Seq[Column] =
+    (0 until 8).map(k =>
+      floor(col(s"$prefixIn$k") * 1.0e6 + 0.5).as(s"$prefixOut$k"))
+
   private def comps: Seq[Column] = (0 until 8).map(k => col(s"v$k"))
 
   private def flagged(s: SparkSession, dir: String): DataFrame =
@@ -151,7 +162,7 @@ object SparkEntry {
     "q_c5_van_vleck" -> ((s, dir) =>
       VanVleck(VisSynth.vis(s, dir), flaggedAnts = Seq(7L),
         sampleScale = 2.0)
-        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+        .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)),
 
     "q_c5_sigma" -> ((s, dir) => VanVleck.sigmaParity(s)),
 
@@ -161,7 +172,7 @@ object SparkEntry {
     "q_c5_pipeline" -> ((s, dir) =>
       VanVleck(VisSynth.vis(s, dir).where(col("t") < 4 && col("chan") < 2),
         flaggedAnts = Seq(7L), sampleScale = 2.0)
-        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+        .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)),
 
     "q_c5_cross" -> ((s, dir) =>
       VanVleck.crossParity(VisSynth.vis(s, dir))),

@@ -116,9 +116,20 @@ object VanVleckKernel {
   /** Invert κ̂ for one cross-correlation component; returns khat on any
     * guard failure (mirrors van_vleck_crosses_int's unwrap_or,
     * van_vleck.rs:736-748).
+    *
+    * DOCUMENTED DEVIATION (also in the SURVEY coverage map): at the
+    * 100-iteration cap the reference abandons the cell to khat
+    * (van_vleck.rs:745); by default this kernel instead ACCEPTS the
+    * iterate when its residual is sub-nano (|δ| ≤ 1e-9), because the
+    * accept-vs-cap decision is a knife edge different libm builds land
+    * on different sides of — the acceptance makes the result
+    * engine-stable where the reference's rule makes it build-dependent.
+    * Pass `referenceCapFallback = true` for bit-faithful reference
+    * behaviour on those knife-edge cells.
     */
   def vanVleckCrossInt(khat: Double, sigmaX: Double,
-                       sigmaY: Double): Double = {
+                       sigmaY: Double,
+                       referenceCapFallback: Boolean = false): Double = {
     if (sigmaX <= 0.0 || sigmaY <= 0.0) return khat
     val sign = math.signum(khat)
     val k = math.abs(khat)
@@ -155,7 +166,7 @@ object VanVleckKernel {
       // abandons the dequantisation entirely; cells with a genuinely
       // lost root still fall back.
       if (count > 100)
-        return if (math.abs(delta) <= 1e-9)
+        return if (!referenceCapFallback && math.abs(delta) <= 1e-9)
           sign * guess * sigmaX * sigmaY
         else khat
     }

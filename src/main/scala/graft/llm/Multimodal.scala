@@ -103,9 +103,12 @@ object Multimodal {
     val bins = new Array[Long](4)
     var i = 0
     while (i < n) {
-      val r = img.rgb(3 * i) & 0xff
-      val g = img.rgb(3 * i + 1) & 0xff
-      val b = img.rgb(3 * i + 2) & 0xff
+      // clamp to maxval: a raster byte above the declared maxval is
+      // legal to PARSE but would push a "normalised" mean past 1.0 and
+      // silently alias into the top histogram bin
+      val r = math.min(img.rgb(3 * i) & 0xff, img.maxval)
+      val g = math.min(img.rgb(3 * i + 1) & 0xff, img.maxval)
+      val b = math.min(img.rgb(3 * i + 2) & 0xff, img.maxval)
       val luma = (r * 299 + g * 587 + b * 114) / 1000
       sr += r; sg += g; sb += b; sl += luma
       bins(math.min(luma * 4 / (img.maxval + 1), 3)) += 1

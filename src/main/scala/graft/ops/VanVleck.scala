@@ -162,6 +162,6 @@ object VanVleck {
           .cast("double") / 128.0).as("sx"),
         (lit(1.0) + ((col("ant2") * 23 + col("chan") * 11) % 64)
           .cast("double") / 128.0).as("sy"))
-      .withColumn("kappa",
-        round(vvCrossUdf(col("khat"), col("sx"), col("sy")), 6))
+      .withColumn("kappa_u",
+        floor(vvCrossUdf(col("khat"), col("sx"), col("sy")) * 1.0e6 + 0.5))
 }

@@ -383,7 +383,8 @@ object Oracles {
         |tri AS (SELECT DISTINCT khat, sx, sy FROM cross_in)""".stripMargin
     OracleSql.queryRecursive(
       """SELECT c.t, c.bl, c.chan, c.khat, c.sx, c.sy,
-        |       round(coalesce(r.kappa, c.khat), 6) AS kappa
+        |       CAST(floor(coalesce(r.kappa, c.khat) * 1.0e6 + 0.5e0)
+        |            AS BIGINT) AS kappa_u
         |FROM cross_in c LEFT JOIN vvres r
         |  ON c.khat = r.khat AND c.sx = r.sx AND c.sy = r.sy"""
         .stripMargin,
@@ -488,9 +489,10 @@ object Oracles {
         case 5 => s"-($scale * coalesce(k5.kappa, kh5))"
         case _ => s"$scale * coalesce(k$j.kappa, kh$j)"
       }
-      s"""  round(CASE WHEN sx1 IS NULL OR sx2 IS NULL THEN v$j
-         |             WHEN ant1 = ant2 THEN $auto
-         |             ELSE $cross END, 6) AS r$j""".stripMargin
+      s"""  CAST(floor((CASE WHEN sx1 IS NULL OR sx2 IS NULL THEN v$j
+         |                   WHEN ant1 = ant2 THEN $auto
+         |                   ELSE $cross END) * 1.0e6 + 0.5e0)
+         |       AS BIGINT) AS r$j""".stripMargin
     }.mkString(",\n")
     OracleSql.queryRecursive(
       s"""SELECT t, bl, chan,

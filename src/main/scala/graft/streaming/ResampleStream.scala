@@ -38,9 +38,20 @@ object ResampleStream {
 
   /** Pure per-group transition: emit all buckets strictly before the
     * newest event's bucket; keep the newest open in state.
+    *
+    * With `idleFlushMs` set (the [[resample]] default), a group whose
+    * source goes quiet is timed out by the engine and its open bucket
+    * is flushed via [[openBucket]] — without it, the newest bucket per
+    * user would be withheld forever on a stream that simply stops.
     */
   def updateUser(userId: Long, events: Iterator[Ev],
-                 state: GroupState[BucketState]): Iterator[Bucket] = {
+                 state: GroupState[BucketState],
+                 idleFlushMs: Option[Long] = None): Iterator[Bucket] = {
+    if (state.hasTimedOut) {
+      val flushed = state.getOption.map(openBucket(_, userId))
+      state.remove()
+      return flushed.iterator
+    }
     var out = List.empty[Bucket]
     var cur = state.getOption
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
@@ -68,6 +79,7 @@ object ResampleStream {
       }
     }
     cur.foreach(state.update)
+    idleFlushMs.foreach(ms => state.setTimeoutDuration(ms))
     out.reverseIterator
   }
 
@@ -78,12 +90,19 @@ object ResampleStream {
   def openBucket(s: BucketState, userId: Long): Bucket =
     Bucket(userId, s.bucketS, s.nEv, r4(s.sum), r4(s.sum))
 
-  /** Wire the stateful operator over a streaming Dataset[Ev]. */
-  def resample(events: Dataset[Ev]): Dataset[Bucket] = {
+  /** Wire the stateful operator over a streaming Dataset[Ev]. Groups
+    * idle for `idleFlushMs` (processing time) are flushed — their open
+    * bucket is emitted and state dropped, so a quiet source still
+    * terminates every user's series.
+    */
+  def resample(events: Dataset[Ev],
+               idleFlushMs: Long = 60000L): Dataset[Bucket] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(updateUser)
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        (uid: Long, evs: Iterator[Ev], st: GroupState[BucketState]) =>
+          updateUser(uid, evs, st, Some(idleFlushMs)))
   }
 }

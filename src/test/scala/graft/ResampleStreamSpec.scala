@@ -56,6 +56,16 @@ class ResampleStreamSpec extends AnyFunSuite {
     assert(st.v.contains(BucketState(10800L, 1L, 9.0)))
   }
 
+  test("idle timeout flushes the open bucket and clears state") {
+    val st = new FakeState(Some(BucketState(3600L, 2L, 5.0))) {
+      override def hasTimedOut: Boolean = true
+    }
+    val out = ResampleStream.updateUser(1L, Iterator.empty, st).toList
+    assert(out == List(
+      ResampleStream.Bucket(1L, 3600L, 2L, 5.0, 5.0)))
+    assert(st.v.isEmpty, "state must be removed after the flush")
+  }
+
   test("whole-fixture parity with the batch operator") {
     import spark.implicits._
     val events = Events.readEvents(spark, "/root/testdata/sf0.001")

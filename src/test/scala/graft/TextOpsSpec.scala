@@ -76,8 +76,9 @@ class TextOpsSpec extends AnyFunSuite {
     assert(en.getAs[Long]("n_docs") == 3L)
     assert(en.getAs[Long]("n_tokens") == 6L)
     assert(en.getAs[Long]("n_unique") == 2L)
-    assert(math.abs(en.getAs[Double]("dup_frac") - 1.0 / 3) < 1e-6)
-    assert(r(("de", "s2")).getAs[Double]("dup_frac") == 0.0)
+    // 1 dup in 3 docs → 333333 ppm (integer-floor of 1e6/3)
+    assert(en.getAs[Long]("dup_ppm") == 333333L)
+    assert(r(("de", "s2")).getAs[Long]("dup_ppm") == 0L)
   }
 
   test("boilerplate: shingles crossing the distinct-doc threshold") {
