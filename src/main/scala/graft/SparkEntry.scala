@@ -112,6 +112,18 @@ object SparkEntry {
       CableCorrection(VisSynth.vis(s, dir), Dims.antenna(s))
         .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
 
+    // S2: metafits container loop — the synthetic observation's
+    // metadata written as a REAL metafits (keyword HDU + TILEDATA
+    // BINTABLE), parsed back by MetafitsReader, and driven through the
+    // cable correction; the oracle is the SAME independent SQL as
+    // q_c1_cable, so a parse error anywhere (header walk, BINTABLE
+    // layout, EL_ strings, float32 positions) flips the gate
+    "q_s2_metafits_cable" -> ((s, dir) =>
+      CableCorrection(VisSynth.vis(s, dir),
+        graft.sources.MetafitsReader.antenna(s,
+          graft.sources.MetafitsReader.read(metafitsFixture)))
+        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+
     "q_c2_geometry" -> ((s, dir) => {
       val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
         Dims.antenna(s))
@@ -320,6 +332,15 @@ object SparkEntry {
     * exit. The write is temp-then-move so a dead JVM can't leave a
     * truncated file behind for the next one.
     */
+  /** Synthetic metafits fixture, written once per JVM (same rationale
+    * as [[aocalFixture]]).
+    */
+  private lazy val metafitsFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_metafits")
+    graft.synth.MetafitsSynth.write(
+      dir.resolve("synthetic.metafits").toString)
+  }
+
   private lazy val aocalFixture: String = {
     val (tiles, chans) = (8, 4)
     val jones = Array.tabulate(1, tiles, chans) { (_, tile, ch) =>
@@ -349,6 +370,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_vis_synth" -> Oracles.s1VisSynth,
+    "q_s2_metafits_cable" -> Oracles.c1Cable,
     "q_s3_aocal" -> Oracles.s3Aocal,
     "q_p1_sel_time" -> Oracles.p1SelTime,
     "q_p2_sel_ants" -> Oracles.p2SelAnts,
