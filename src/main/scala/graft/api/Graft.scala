@@ -32,22 +32,35 @@ case class Vis(t: Long, ant1: Long, ant2: Long, bl: Long, cc: Long,
   * Every step is lazy DataFrame composition; nothing executes until a
   * sink or action.
   */
-case class Graft(spark: SparkSession) {
+case class Graft(spark: SparkSession,
+                 meta: graft.model.MetaSource = graft.model.SynthDims) {
+
+  /** Switch the metadata seam to a parsed metafits — every downstream
+    * flag/correction table then comes from the real container.
+    */
+  def withMetafits(path: String): Graft =
+    copy(meta = graft.sources.MetafitsMeta(
+      graft.sources.MetafitsReader.read(path,
+        spark.sparkContext.hadoopConfiguration)))
 
   /** Open the synthetic observation rooted at a testdata dir. */
   def observation(dir: String): VisFrame =
-    VisFrame(spark, VisSynth.vis(spark, dir))
+    VisFrame(spark, VisSynth.vis(spark, dir), meta)
 
   /** Open a directory of GBX1 raw files (S1 ingest path). */
   def rawObservation(dir: String, nAnts: Int): VisFrame =
-    VisFrame(spark, graft.sources.GpuboxSource.read(spark, dir, nAnts))
+    VisFrame(spark, graft.sources.GpuboxSource.read(spark, dir, nAnts),
+      meta)
 
   /** Open a directory of FITS gpubox files (the real container). */
   def fitsObservation(dir: String, nAnts: Int): VisFrame =
-    VisFrame(spark, graft.sources.FitsGpubox.read(spark, dir, nAnts))
+    VisFrame(spark, graft.sources.FitsGpubox.read(spark, dir, nAnts),
+      meta)
 }
 
-case class VisFrame(spark: SparkSession, df: DataFrame) {
+case class VisFrame(spark: SparkSession, df: DataFrame,
+                    meta: graft.model.MetaSource =
+                      graft.model.SynthDims) {
 
   private def next(d: DataFrame): VisFrame = copy(df = d)
 
@@ -57,7 +70,7 @@ case class VisFrame(spark: SparkSession, df: DataFrame) {
   def selectAnts(ants: Seq[Long]): VisFrame =
     next(FlagOps.selAnts(df, ants))
   def withoutFlaggedAnts(): VisFrame =
-    next(FlagOps.dropFlaggedAnts(df, Dims.antenna(spark)))
+    next(FlagOps.dropFlaggedAnts(df, meta.antenna(spark)))
   def withoutAutos(): VisFrame = next(FlagOps.dropAutos(df))
 
   /** Restrict to a CLI-style coarse-channel range spec, e.g.
@@ -75,8 +88,8 @@ case class VisFrame(spark: SparkSession, df: DataFrame) {
 
   // -- flags / weights (F, W) ------------------------------------------
   def withDefaultFlags(): VisFrame =
-    next(FlagOps.setFlags(df, Dims.timestep(spark), Dims.chan(spark),
-      Dims.baseline(spark)))
+    next(FlagOps.setFlags(df, meta.timestep(spark), meta.chan(spark),
+      meta.baseline(spark)))
   def withWeights(wf: Double = Obs.WeightFactor): VisFrame =
     next(WeightOps.flagToWeight(df, wf))
 

@@ -271,23 +271,32 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: cosine similarity above `thr` for pairs
-    * sharing a label (the bucket key standing in for an LSH/IVF cell).
+    * sharing a sign-projection LSH bucket ([[Similarity.bucketSql]] —
+    * the same 8-hyperplane key sim2 searches with).
+    *
+    * Scale shape: the pair join is keyed on the BUCKET, whose expected
+    * cell size is n/2^planes and shrinks geometrically with more
+    * planes — unlike a semantic attribute (label, domain, language),
+    * whose cells grow WITH the corpus and turn the within-cell pair
+    * join quadratic. Recall is the LSH recall: only same-bucket pairs
+    * are compared, the standard near-dup tradeoff.
     */
   def embeddingNearDup(emb: DataFrame, thr: Double): DataFrame = {
     import graft.llm.TextExprs.SparkD
     graft.functions.FloatVecDot.register(emb.sparkSession)
-    val withNorm = emb.withColumn("nrm",
-      expr(Similarity.normSql("embedding")(SparkD)))
-    val e1 = withNorm.select(col("vec_id").as("id1"), col("label"),
+    val withB = emb
+      .withColumn("bucket", Similarity.bucketExpr("embedding"))
+      .withColumn("nrm", expr(Similarity.normSql("embedding")(SparkD)))
+    val e1 = withB.select(col("vec_id").as("id1"), col("bucket"),
       col("embedding").as("e1"), col("nrm").as("n1"))
-    val e2 = withNorm.select(col("vec_id").as("id2"), col("label"),
+    val e2 = withB.select(col("vec_id").as("id2"), col("bucket"),
       col("embedding").as("e2"), col("nrm").as("n2"))
-    e1.join(e2, Seq("label"))
+    e1.join(e2, Seq("bucket"))
       .where(col("id1") < col("id2"))
       .withColumn("cos", expr(Similarity.dotSql("e1", "e2")(SparkD))
         / (col("n1") * col("n2")))
       .where(col("cos") > thr)
-      .select(col("label"), col("id1"), col("id2"),
+      .select(col("bucket"), col("id1"), col("id2"),
         round(col("cos"), 6).as("cos_sim"))
   }
 }

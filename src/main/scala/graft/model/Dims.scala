@@ -72,13 +72,19 @@ object Dims {
     * baseline flag = either antenna flagged
     * (reference get_baseline_flags, /root/reference/src/flags.rs:148-155).
     */
-  def baseline(spark: SparkSession): DataFrame = {
-    val a = antenna(spark).select(col("ant").as("ant1"),
+  def baseline(spark: SparkSession): DataFrame =
+    baselineFrom(antenna(spark), NumAnts)
+
+  /** Baseline table derived from ANY antenna table in the Dims layout
+    * (synthetic or metafits-parsed); `bl = ant1 * nAnts + ant2`.
+    */
+  def baselineFrom(antenna: DataFrame, nAnts: Int): DataFrame = {
+    val a = antenna.select(col("ant").as("ant1"),
       col("ant_flagged").as("f1"))
-    val b = antenna(spark).select(col("ant").as("ant2"),
+    val b = antenna.select(col("ant").as("ant2"),
       col("ant_flagged").as("f2"))
     a.crossJoin(b).where(col("ant1") <= col("ant2")).select(
-      (col("ant1") * NumAnts + col("ant2")).as("bl"),
+      (col("ant1") * nAnts + col("ant2")).as("bl"),
       col("ant1"), col("ant2"),
       (col("ant1") === col("ant2")).as("auto"),
       (col("f1") || col("f2")).as("bl_flag"))

@@ -1,0 +1,44 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Where observation metadata comes from — the seam between the
+  * synthetic oracle-gated observation ([[SynthDims]]) and a REAL
+  * metafits container ([[graft.sources.MetafitsMeta]]). The reference
+  * has the same seam: every correction takes a `MetafitsContext`
+  * (/root/reference/src/corrections.rs:118-127, :356-365) and doesn't
+  * care whether mwalib filled it from disk or a test fixture.
+  *
+  * All tables are broadcast-sized; implementations return plan-time
+  * local relations that Catalyst folds into broadcast joins.
+  */
+trait MetaSource {
+  def antenna(s: SparkSession): DataFrame
+  def timestep(s: SparkSession): DataFrame
+  def chan(s: SparkSession): DataFrame
+  def baseline(s: SparkSession): DataFrame
+  def digitalGain(s: SparkSession): DataFrame
+
+  /** Antennas whose metafits flag bit is set (Van Vleck skips them). */
+  def flaggedAnts(s: SparkSession): Seq[Long]
+
+  /** Whether the container says cable delays are ALREADY applied — the
+    * CLI auto-skips the cable stage then
+    * (/root/reference/src/cli.rs:1389-1399).
+    */
+  def cableApplied: Boolean = false
+
+  /** Same decision for geometric delays (cli.rs:1444-1452). */
+  def geometryApplied: Boolean = false
+}
+
+/** The deterministic synthetic observation (graft.model.Dims). */
+object SynthDims extends MetaSource {
+  def antenna(s: SparkSession): DataFrame = Dims.antenna(s)
+  def timestep(s: SparkSession): DataFrame = Dims.timestep(s)
+  def chan(s: SparkSession): DataFrame = Dims.chan(s)
+  def baseline(s: SparkSession): DataFrame = Dims.baseline(s)
+  def digitalGain(s: SparkSession): DataFrame = Dims.digitalGain(s)
+  def flaggedAnts(s: SparkSession): Seq[Long] =
+    Seq(Obs.FlaggedAnt.toLong)
+}

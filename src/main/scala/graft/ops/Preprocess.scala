@@ -34,25 +34,30 @@ case class Preprocess(vanVleck: Boolean = false,
                       // apparent-place ephemeris for geometry
                       pfbVersion: Option[graft.model.PfbTables.MwaVersion]
                         = None,
-                      apparentGeometry: Boolean = false) {
+                      apparentGeometry: Boolean = false,
+                      // metadata seam: SynthDims or a parsed metafits
+                      // (graft.sources.MetafitsMeta)
+                      meta: graft.model.MetaSource =
+                        graft.model.SynthDims,
+                      rfiStrategy: RfiStrategy = RfiStrategy()) {
 
   def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
-    val antenna = Dims.antenna(spark)
+    val antenna = meta.antenna(spark)
     val pfb = pfbVersion
       .map(v => Dims.pfbGainReal(spark, v))
       .getOrElse(Dims.pfbGain(spark))
     def uvw = if (apparentGeometry)
-      GeometryCorrection.partUvwAstro(spark, Dims.timestep(spark),
+      GeometryCorrection.partUvwAstro(spark, meta.timestep(spark),
         antenna, GeometryCorrection.AppLonRad,
         GeometryCorrection.AppLatRad, GeometryCorrection.AppRaJ2000,
         GeometryCorrection.AppDecJ2000, GeometryCorrection.AppDut1Sec,
         apparent = true)
-    else GeometryCorrection.partUvw(Dims.timestep(spark), antenna)
+    else GeometryCorrection.partUvw(meta.timestep(spark), antenna)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
-      (vanVleck, df => VanVleck(df, Seq(Obs.FlaggedAnt.toLong),
+      (vanVleck, df => VanVleck(df, meta.flaggedAnts(spark),
         sampleScale)),
       (cable, df => CableCorrection(df, antenna)),
-      (digitalGains, df => DigitalGains(df, Dims.digitalGain(spark))),
+      (digitalGains, df => DigitalGains(df, meta.digitalGain(spark))),
       (passband, df => PassbandGains(df, pfb)),
       (rfi, df => applyRfi(df)),
       (geometry, df => GeometryCorrection(df, uvw)),
@@ -67,7 +72,7 @@ case class Preprocess(vanVleck: Boolean = false,
     */
   private def applyRfi(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rfi = RfiFlag(df)
+    val rfi = RfiFlag(df, rfiStrategy)
     df.join(rfi, Seq("bl", "t", "chan"), "left")
       .withColumn("flag", col("flag") || coalesce(col("rfi"), lit(false)))
       .drop("rfi")

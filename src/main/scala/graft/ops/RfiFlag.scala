@@ -34,6 +34,51 @@ case class RfiFlagOut(bl: Long, t: Long, chan: Long, rfi: Boolean)
 case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
                        rho: Double = 1.5)
 
+object RfiStrategy {
+
+  /** Parse a strategy config — the surface the reference gets from
+    * loadable AOFlagger Lua strategy files
+    * (/root/reference/src/flags.rs:406-412, `LoadStrategyFile` per
+    * baseline). The format is deliberately minimal: `key = value`
+    * lines; `#` or `--` start a comment; keys are `mad_k` (detection
+    * sensitivity, the MAD multiplier), `max_log2` (deepest SumThreshold
+    * window scale) and `rho` (per-scale threshold decay). Unknown keys
+    * FAIL — a typo silently falling back to a default is the worst
+    * failure mode a strategy file can have.
+    */
+  def parse(text: String): RfiStrategy =
+    text.linesIterator
+      .map(_.split("#|--", 2).head.trim)
+      .filter(_.nonEmpty)
+      .foldLeft(RfiStrategy()) { (s, line) =>
+        line.split("=", 2) match {
+          case Array(k, v) => (k.trim, v.trim) match {
+            case ("mad_k", x) => s.copy(madK = x.toDouble)
+            case ("max_log2", x) => s.copy(maxLog2 = x.toInt)
+            case ("rho", x) => s.copy(rho = x.toDouble)
+            case (other, _) =>
+              sys.error(s"unknown strategy key '$other' " +
+                "(expected mad_k, max_log2, rho)")
+          }
+          case _ => sys.error(s"malformed strategy line '$line'")
+        }
+      }
+
+  /** Load a strategy file from any Hadoop filesystem. */
+  def fromFile(path: String,
+               conf: org.apache.hadoop.conf.Configuration =
+                 new org.apache.hadoop.conf.Configuration())
+      : RfiStrategy = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+      parse(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+}
+
 object RfiFlag {
 
   /** Flag RFI on XX amplitude with a custom strategy. */

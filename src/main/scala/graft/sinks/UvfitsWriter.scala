@@ -194,15 +194,16 @@ object UvfitsWriter {
       s"uvfits partition invariant: ${partCounts.length} part results " +
         s"for $actualParts partitions")
 
-    // driver: header + ordered byte-level concat of the slices + pad.
+    // driver: header + ordered assembly of the slices + pad.
     // RangePartitioner orders partitions by key range, so part idx order
     // IS global (t_out, bl) order — byte-identical to the serial writer.
     val conf = spark.sparkContext.hadoopConfiguration
     val outPath = new Path(path)
     val fs = outPath.getFileSystem(conf)
-    val out = new BufferedOutputStream(fs.create(outPath, true), 1 << 20)
-    out.write(header)
-    (0 until actualParts).foreach { idx =>
+    val written = partCounts.map(_._2).sum
+    val dataBytes = written * groupFloats * 4
+    val pad = ((2880 - dataBytes % 2880) % 2880).toInt
+    val partPaths = (0 until actualParts).map { idx =>
       val p = new Path(s"$path.part$idx")
       // every executed partition writes a part file (possibly
       // header-less empty), so absence means the slice is LOST
@@ -212,16 +213,52 @@ object UvfitsWriter {
       require(fs.exists(p),
         s"missing uvfits part $idx — executor part files must be on " +
           "storage visible to the driver")
-      val in = fs.open(p)
-      IOUtils.copyBytes(in, out, 1 << 20, false)
-      in.close()
-      fs.delete(p, false)
+      p
     }
-    val written = partCounts.map(_._2).sum
-    val dataBytes = written * groupFloats * 4
-    val pad = ((2880 - dataBytes % 2880) % 2880).toInt
-    out.write(new Array[Byte](pad))
-    out.close()
+
+    // Fast path: FileSystem.concat stitches the parts onto the header
+    // file as a metadata-only operation (HDFS moves blocks, no byte
+    // traffic through the driver) — the serial tail of a single-file
+    // sink drops from O(bytes) to O(parts). Filesystems without concat
+    // (local, s3a) throw before mutating anything; fall back to the
+    // streamed copy.
+    def concatAssembly(): Boolean = {
+      val srcs = partPaths.filter(p => fs.getFileStatus(p).getLen > 0)
+      if (srcs.isEmpty) return false
+      val padPath = new Path(s"$path.pad")
+      try {
+        val hout = fs.create(outPath, true)
+        hout.write(header)
+        hout.close()
+        val withPad = if (pad > 0) {
+          val pout = fs.create(padPath, true)
+          pout.write(new Array[Byte](pad))
+          pout.close()
+          srcs :+ padPath
+        } else srcs
+        fs.concat(outPath, withPad.toArray)
+        partPaths.filterNot(srcs.contains).foreach(fs.delete(_, false))
+        true
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          fs.delete(padPath, false)
+          false
+      }
+    }
+
+    if (!concatAssembly()) {
+      val out =
+        new BufferedOutputStream(fs.create(outPath, true), 1 << 20)
+      out.write(header)
+      partPaths.foreach { p =>
+        val in = fs.open(p)
+        IOUtils.copyBytes(in, out, 1 << 20, false)
+        in.close()
+        fs.delete(p, false)
+      }
+      out.write(new Array[Byte](pad))
+      out.close()
+    }
     require(written == nGroupEst,
       s"uvfits row-count invariant: wrote $written, expected $nGroupEst")
     written

@@ -69,6 +69,18 @@ object MetafitsReader {
     def quackSteps: Int = math.ceil(quackTimS / intTimeS).toInt
 
     def nAnts: Int = inputs.map(_.ant).distinct.length
+
+    /** CABLEDEL ≠ 0 — cable delays already applied upstream; the CLI
+      * auto-skips the cable stage (reference cli.rs:1389-1399).
+      */
+    def cableApplied: Boolean =
+      keywords.get("CABLEDEL").exists(_.toDouble != 0)
+
+    /** GEODEL ≠ 0 — geometric delays already applied
+      * (cli.rs:1444-1452).
+      */
+    def geometryApplied: Boolean =
+      keywords.get("GEODEL").exists(_.toDouble != 0)
   }
 
   // ---- BINTABLE codec --------------------------------------------------
@@ -274,4 +286,25 @@ object MetafitsReader {
         col("fc") === 0 || col("fc") === fpc - 1 ||
           col("fc") === fpc / 2)
   }
+}
+
+/** [[graft.model.MetaSource]] backed by a parsed metafits: every
+  * correction operator runs on real-container metadata through the
+  * same seam the synthetic observation uses.
+  */
+final case class MetafitsMeta(mf: MetafitsReader.Metafits)
+    extends graft.model.MetaSource {
+  def antenna(s: SparkSession): DataFrame =
+    MetafitsReader.antenna(s, mf)
+  def timestep(s: SparkSession): DataFrame =
+    MetafitsReader.timestep(s, mf)
+  def chan(s: SparkSession): DataFrame = MetafitsReader.chan(s, mf)
+  def baseline(s: SparkSession): DataFrame =
+    graft.model.Dims.baselineFrom(antenna(s), mf.nAnts)
+  def digitalGain(s: SparkSession): DataFrame =
+    MetafitsReader.digitalGain(s, mf)
+  def flaggedAnts(s: SparkSession): Seq[Long] =
+    mf.inputs.filter(_.flagged).map(_.ant.toLong).distinct.sorted
+  override def cableApplied: Boolean = mf.cableApplied
+  override def geometryApplied: Boolean = mf.geometryApplied
 }

@@ -43,8 +43,12 @@ object MetafitsSynth {
     ("Rx", "1J", 4), ("Slot", "1J", 4))
   private val rowLen = cols.map(_._3).sum
 
-  /** Write the synthetic metafits; returns the path. */
-  def write(path: String): String = {
+  /** Write the synthetic metafits; returns the path. `cableApplied` /
+    * `geometryApplied` set the CABLEDEL/GEODEL keywords that drive the
+    * CLI's auto-skip decisions (reference cli.rs:1389-1452).
+    */
+  def write(path: String, cableApplied: Boolean = false,
+            geometryApplied: Boolean = false): String = {
     val nIn = Obs.NumAnts * 2
 
     val primary = (Seq(
@@ -63,7 +67,9 @@ object MetafitsSynth {
       // centre such that reconstruction lands chan-0 on BaseFreqHz:
       // base = FREQCENT − width·nChans/2, rounded to integer Hz
       card("FREQCENT", ((Obs.BaseFreqHz +
-        Obs.FineChanWidthHz * Obs.NumChans / 2.0) / 1e6).toString))
+        Obs.FineChanWidthHz * Obs.NumChans / 2.0) / 1e6).toString),
+      card("CABLEDEL", if (cableApplied) "1" else "0"),
+      card("GEODEL", if (geometryApplied) "1" else "0"))
       :+ "END".padTo(80, ' ')).mkString
 
     val tableHdr = (Seq(

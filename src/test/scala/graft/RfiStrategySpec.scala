@@ -1,0 +1,58 @@
+package graft
+
+import graft.model.Dims
+import graft.ops.{FlagOps, RfiFlag, RfiStrategy}
+import graft.synth.VisSynth
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Strategy-file surface (the reference loads AOFlagger Lua strategies
+  * per baseline, flags.rs:406-412): parse, reject typos, and prove two
+  * strategies drive the full RFI operator to DIFFERENT occupancies.
+  */
+class RfiStrategySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parse: keys, comments, defaults for omitted keys") {
+    val s = RfiStrategy.parse(
+      """# MWA-ish strategy
+        |mad_k = 3.0   # aggressive
+        |rho = 1.2
+        |""".stripMargin)
+    assert(s == RfiStrategy(madK = 3.0, maxLog2 = 5, rho = 1.2))
+    assert(RfiStrategy.parse("") == RfiStrategy())
+  }
+
+  test("parse: unknown keys and malformed lines fail loudly") {
+    intercept[RuntimeException](RfiStrategy.parse("madk = 3.0"))
+    intercept[RuntimeException](RfiStrategy.parse("just some words"))
+  }
+
+  test("fromFile round-trips through a real file") {
+    val dir = java.nio.file.Files.createTempDirectory("strategy")
+    val f = dir.resolve("aggressive.strategy")
+    java.nio.file.Files.writeString(f,
+      "mad_k = 2.5\nmax_log2 = 3 -- shallow windows\n")
+    assert(RfiStrategy.fromFile(f.toString) ==
+      RfiStrategy(madK = 2.5, maxLog2 = 3))
+  }
+
+  test("two strategies, two occupancies on the same data") {
+    val flagged = FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
+    def occupancy(s: RfiStrategy): Long =
+      RfiFlag(flagged, s).where(col("rfi")).count()
+    val default_ = occupancy(RfiStrategy())
+    val aggressive =
+      occupancy(RfiStrategy.parse("mad_k = 2.0\nrho = 1.1"))
+    assert(aggressive > default_,
+      s"mad_k 2.0 should flag more than 6.0 ($aggressive vs $default_)")
+  }
+}
