@@ -17,7 +17,7 @@ passed the loose local gate while failing the driver's hash. Any
 strict-mode failure is a GATE-DESIGN bug (fix the gate representation,
 e.g. integer micro-units), not a tolerance to absorb.
 """
-import sys, glob, math, json, os
+import sys, glob, math, json, os, struct
 import duckdb
 
 FRAGILE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
@@ -32,11 +32,14 @@ def norm(v, strict):
     if isinstance(v, bool):
         return (1, v)
     if isinstance(v, float):
+        if strict:
+            # bit-exact via the raw IEEE-754 bits — sign of zero AND
+            # NaN sign/payload included (the driver hashes raw bytes,
+            # so a NaN-collapsing norm would silently pass local while
+            # failing the driver)
+            return (2, struct.pack('>d', v))
         if math.isnan(v):
             return (9, 0)
-        if strict:
-            # bit-exact, sign-of-zero included (the driver hashes raw)
-            return (2, (v, math.copysign(1.0, v)))
         # absorb last-ulp differences the driver's hash would also absorb
         return (2, round(v, 9))
     if isinstance(v, int):

@@ -200,6 +200,21 @@ object SparkEntry {
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
         Seq("t_out", "bl", "c_out"))),
 
+    // K1b: the WRITTEN uvfits file's UVW group parameters — write the
+    // averaged frame through the binary sink with the partial-UVW
+    // table, read the group params back out of the file, and gate them
+    // against an independent f32 twin. A zeroed-UVW writer (or a
+    // byte-layout bug anywhere in the group encode) flips this gate.
+    "q_k1b_uvw" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.UvfitsWriter.write(avg, k1bFixture, Some(uvw))
+      graft.sources.UvfitsReader.read(s, k1bFixture, graft.model.Obs.NumAnts)
+        .select("t_out", "ant1", "ant2", "u_s", "v_s", "w_s")
+        .distinct()
+    }),
+
     "q_k2_ms_order" -> ((s, dir) =>
       graft.sinks.MsWriter.msMain(
         Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -335,6 +350,15 @@ object SparkEntry {
   /** Synthetic metafits fixture, written once per JVM (same rationale
     * as [[aocalFixture]]).
     */
+  /** Scratch path for the q_k1b uvfits write-then-read-back gate; one
+    * per JVM, overwritten per invocation (verify + every bench run).
+    */
+  private lazy val k1bFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_k1b")
+    dir.toFile.deleteOnExit()
+    dir.resolve("k1b.uvfits").toString
+  }
+
   private lazy val metafitsFixture: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_metafits")
     graft.synth.MetafitsSynth.write(
@@ -398,6 +422,7 @@ object SparkEntry {
     "q_r1_sumthreshold" -> Oracles.r1SumThreshold,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
+    "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,

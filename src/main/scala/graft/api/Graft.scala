@@ -101,8 +101,20 @@ case class VisFrame(spark: SparkSession, df: DataFrame,
   def averaged(avgTime: Int, avgFreq: Int): DataFrame =
     Averaging.avgTimeFreq(df, avgTime, avgFreq)
 
-  def writeUvfits(path: String, avgTime: Int = 2, avgFreq: Int = 2): Long =
-    UvfitsWriter.write(averaged(avgTime, avgFreq), path)
+  /** uvfits export with real UVW group parameters from the metadata
+    * seam's partial-UVW dimension and its integration time (reference
+    * wrapper /root/reference/src/io/mod.rs:392-467). `withUvw = false`
+    * writes a structure-only file with zeroed parameters.
+    */
+  def writeUvfits(path: String, avgTime: Int = 2, avgFreq: Int = 2,
+                  withUvw: Boolean = true): Long = {
+    val uvw = if (withUvw)
+      Some(GeometryCorrection.partUvw(meta.timestep(spark),
+        meta.antenna(spark)))
+    else None
+    UvfitsWriter.write(averaged(avgTime, avgFreq), path, uvw,
+      meta.intTimeS, avgTime)
+  }
 
   def writeFlagOccupancy(): DataFrame = Sinks.mwafOccupancy(df)
 

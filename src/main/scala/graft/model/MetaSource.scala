@@ -30,6 +30,9 @@ trait MetaSource {
 
   /** Same decision for geometric delays (cli.rs:1444-1452). */
   def geometryApplied: Boolean = false
+
+  /** Input integration time, seconds (metafits INTTIME). */
+  def intTimeS: Double = Obs.IntTimeS
 }
 
 /** The deterministic synthetic observation (graft.model.Dims). */

@@ -39,9 +39,17 @@ case class Preprocess(vanVleck: Boolean = false,
                       // (graft.sources.MetafitsMeta)
                       meta: graft.model.MetaSource =
                         graft.model.SynthDims,
-                      rfiStrategy: RfiStrategy = RfiStrategy()) {
+                      rfiStrategy: RfiStrategy = RfiStrategy(),
+                      // C5 iteration-cap policy: true = reference
+                      // bit-parity (abandon to khat at the cap)
+                      vvReferenceCapFallback: Boolean = false) {
 
   def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
+    // metafits auto-skip: the container says these delays are already
+    // applied upstream, so the stage must not run twice (reference CLI
+    // decisions, /root/reference/src/cli.rs:1389-1399, 1444-1452)
+    val doCable = cable && !meta.cableApplied
+    val doGeometry = geometry && !meta.geometryApplied
     val antenna = meta.antenna(spark)
     val pfb = pfbVersion
       .map(v => Dims.pfbGainReal(spark, v))
@@ -55,12 +63,12 @@ case class Preprocess(vanVleck: Boolean = false,
     else GeometryCorrection.partUvw(meta.timestep(spark), antenna)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
       (vanVleck, df => VanVleck(df, meta.flaggedAnts(spark),
-        sampleScale)),
-      (cable, df => CableCorrection(df, antenna)),
+        sampleScale, vvReferenceCapFallback)),
+      (doCable, df => CableCorrection(df, antenna)),
       (digitalGains, df => DigitalGains(df, meta.digitalGain(spark))),
       (passband, df => PassbandGains(df, pfb)),
       (rfi, df => applyRfi(df)),
-      (geometry, df => GeometryCorrection(df, uvw)),
+      (doGeometry, df => GeometryCorrection(df, uvw)),
       (calibrate, df => Calibration(df, Dims.calsol(spark))))
     stages.foldLeft(vis) { case (df, (enabled, stage)) =>
       if (enabled) df.transform(stage) else df

@@ -36,21 +36,29 @@ object VanVleck {
     * probe. Deterministic function ⇒ cache-safe under retries.
     */
   @transient private lazy val crossCache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double),
-      Double]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (Double, Double, Double, Boolean), Double]()
   private val CacheCap = 1 << 20
 
-  private def cachedCross(k: Double, sx: Double, sy: Double): Double = {
-    val key = (k, sx, sy)
+  private def cachedCross(k: Double, sx: Double, sy: Double,
+                          refCap: Boolean): Double = {
+    val key = (k, sx, sy, refCap)
     if (crossCache.size >= CacheCap)
-      VanVleckKernel.vanVleckCrossInt(k, sx, sy)
+      VanVleckKernel.vanVleckCrossInt(k, sx, sy, refCap)
     else
       crossCache.computeIfAbsent(key,
-        _ => VanVleckKernel.vanVleckCrossInt(k, sx, sy))
+        _ => VanVleckKernel.vanVleckCrossInt(k, sx, sy, refCap))
   }
 
-  private val vvCrossUdf = udf((k: Double, sx: Double, sy: Double) =>
-    cachedCross(k, sx, sy))
+  /** Cross-kernel UDF with the iteration-cap policy threaded through:
+    * refCap = true reproduces the reference bit-for-bit (abandon to
+    * khat at the 100-iteration cap, van_vleck.rs:723-730); false (the
+    * engine-stable default the oracle gates pin) accepts a sub-nano
+    * residual at the cap instead of discarding the dequantisation.
+    */
+  private def vvCrossUdf(refCap: Boolean) =
+    udf((k: Double, sx: Double, sy: Double) =>
+      cachedCross(k, sx, sy, refCap))
 
   /** Derive the per-(t, ant, chan) σ table from auto rows.
     * `sighatExpr` maps an auto component column to σ̂ (for real data:
@@ -76,7 +84,9 @@ object VanVleck {
     * (van_vleck.rs:298-300).
     */
   def apply(vis: DataFrame, flaggedAnts: Seq[Long],
-            sampleScale: Double): DataFrame = {
+            sampleScale: Double,
+            referenceCapFallback: Boolean = false): DataFrame = {
+    val vvCross = vvCrossUdf(referenceCapFallback)
     val sigma = sigmaTable(vis, flaggedAnts, sampleScale)
     val s1 = sigma.select(col("t"), col("ant").as("ant1"), col("chan"),
       col("sigma_x").as("sx1"), col("sigma_y").as("sy1"))
@@ -92,8 +102,8 @@ object VanVleck {
 
     // autos: XX_re/YY_re <- scale*sigma^2, imag <- 0, XY via cross kernel
     // with (sigma_xx, sigma_yy) of this antenna, YX = conj(XY).
-    val autoXy = vvCrossUdf(col("v2") / scale, col("sx1"), col("sy1"))
-    val autoXyIm = vvCrossUdf(col("v3") / scale, col("sx1"), col("sy1"))
+    val autoXy = vvCross(col("v2") / scale, col("sx1"), col("sy1"))
+    val autoXyIm = vvCross(col("v3") / scale, col("sx1"), col("sy1"))
 
     // crosses: per-pol sigma pairing (van_vleck.rs:273-280):
     // XX:(sx1,sx2) XY:(sx1,sy2) YX:(sy1,sx2) YY:(sy1,sy2)
@@ -103,8 +113,8 @@ object VanVleck {
 
     val corrected = polSigma.foldLeft(joined) {
       case (df, (ri, ii, sa, sb)) =>
-        val crossRe = scale * vvCrossUdf(col(s"v$ri") / scale, sa, sb)
-        val crossIm = scale * vvCrossUdf(col(s"v$ii") / scale, sa, sb)
+        val crossRe = scale * vvCross(col(s"v$ri") / scale, sa, sb)
+        val crossIm = scale * vvCross(col(s"v$ii") / scale, sa, sb)
         val (autoRe, autoIm) = (ri: @unchecked) match {
           case 0 => (scale * col("sx1") * col("sx1"), lit(0.0))
           case 6 => (scale * col("sy1") * col("sy1"), lit(0.0))
@@ -163,5 +173,6 @@ object VanVleck {
         (lit(1.0) + ((col("ant2") * 23 + col("chan") * 11) % 64)
           .cast("double") / 128.0).as("sy"))
       .withColumn("kappa_u",
-        floor(vvCrossUdf(col("khat"), col("sx"), col("sy")) * 1.0e6 + 0.5))
+        floor(vvCrossUdf(refCap = false)(col("khat"), col("sx"),
+          col("sy")) * 1.0e6 + 0.5))
 }

@@ -621,6 +621,28 @@ object Oracles {
        |FROM avg""".stripMargin,
     s"avg AS (\n$avgBody)")
 
+  /** K1b uvfits UVW group parameters: one row per written group with
+    * UU VV WW = (part(ant1) − part(ant2)) / c in seconds, cast through
+    * float32 exactly as the binary writer emits them (reference group
+    * params /root/reference/src/io/mod.rs:392-467). The Spark side
+    * reads the parameters BACK out of the written file, so the gate
+    * covers the whole encode → binary layout → decode loop.
+    */
+  val k1bUvw: String = {
+    val uvwSec = Seq("u", "v", "w").map { ax =>
+      s"       CAST(CAST((u1.${ax}_m - u2.${ax}_m) / 299792458.0e0" +
+        s" AS REAL) AS DOUBLE) AS ${ax}_s"
+    }.mkString(",\n")
+    OracleSql.queryWeighted(
+      s"""SELECT g.t_out, g.ant1, g.ant2,
+         |$uvwSec
+         |FROM (SELECT DISTINCT t_out, ant1, ant2 FROM avg) g
+         |JOIN uvw u1 ON u1.t = g.t_out * 2 AND u1.ant = g.ant1
+         |JOIN uvw u2 ON u2.t = g.t_out * 2 AND u2.ant = g.ant2"""
+        .stripMargin,
+      s"avg AS (\n$avgBody)", uvwCte)
+  }
+
   /** K2 MS MAIN-table oracle: the row skeleton of `MsWriter.msMain` —
     * MS row order (time-major then baseline), MJD-second timestamps,
     * baseline UVW from the shared uvw CTE, and the channel-axis

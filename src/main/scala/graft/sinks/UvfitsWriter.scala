@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object UvfitsWriter {
 
+  /** Source offsets of the re component per output pol slot: file pol
+    * order XX YY XY YX over component order a0..a7 = XX XY YX YY
+    * (im = re + 1). Hoisted — this indexes the innermost encode loop.
+    */
+  private val PolSrc: Array[Int] = Array(0, 6, 2, 4)
+
   private def card(key: String, value: String, comment: String = ""): String = {
     val v = key.take(8).padTo(8, ' ') + "= " +
       value.reverse.padTo(20, ' ').reverse +
@@ -57,9 +63,34 @@ object UvfitsWriter {
     * a0..a7, flag_out, weight_out) as a random-groups uvfits file.
     * Returns the number of groups written (row-count invariant,
     * mirror of /root/reference/src/io/mwaf.rs:504-510's check).
+    *
+    * `uvw` is the per-(t, ant) partial-UVW dimension
+    * ([[graft.ops.GeometryCorrection.partUvw]], reference
+    * calc_part_uvws /root/reference/src/corrections.rs:652-676); the
+    * group parameters are then u,v,w = part(ant1) − part(ant2) in
+    * SECONDS (metres / c — the uvfits convention, reference writer
+    * /root/reference/src/io/mod.rs:392-467) at the window-start input
+    * timestep t_out·avgTime. None writes zeroed parameters (a
+    * structure-only export).
+    *
+    * `intTimeS` is the input integration time from the metadata seam
+    * (metafits INTTIME); output groups are stamped at the centroid of
+    * their avgTime-wide window.
     */
-  def write(avg: DataFrame, path: String): Long = {
+  def write(avg: DataFrame, path: String,
+            uvw: Option[DataFrame] = None,
+            intTimeS: Double = Obs.IntTimeS,
+            avgTime: Int = 2): Long = {
     val spark = avg.sparkSession
+    // the UVW dim is O(timesteps x antennas) — collect + broadcast is
+    // the same model-sized pattern the MS sink's broadcast joins use
+    val uvwB = uvw.map { d =>
+      spark.sparkContext.broadcast(
+        d.select("t", "ant", "u_m", "v_m", "w_m").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          .toMap)
+    }
     // channel slots are offsets from the lowest selected channel — a
     // picket-fence or range-selected frame does not start at c_out = 0
     val (cMinL, cMaxL) = {
@@ -105,6 +136,7 @@ object UvfitsWriter {
       % 2880)).getBytes("ASCII")
 
     val gpsStart = Obs.GpsStart.toDouble
+    val outStepS = intTimeS * avgTime
     val sconf = SlabIO.serializableConf(spark)
 
     // the range partitioner may legally produce FEWER partitions than
@@ -144,12 +176,27 @@ object UvfitsWriter {
         def flush(): Unit = {
           if (curKey != null) {
             val buf = ByteBuffer.allocate(groupFloats * 4) // big-endian
-            buf.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f) // UU VV WW
+            uvwB match {
+              case Some(b) =>
+                val tIn = curT * avgTime
+                val m = b.value
+                def part(ant: Long): (Double, Double, Double) =
+                  m.getOrElse((tIn, ant), sys.error(
+                    s"uvfits UVW: no partial UVW for (t=$tIn, ant=$ant)"))
+                val (u1, v1, w1) = part(curA1)
+                val (u2, v2, w2) = part(curA2)
+                buf.putFloat(((u1 - u2) / Obs.SpeedOfLight).toFloat)
+                buf.putFloat(((v1 - v2) / Obs.SpeedOfLight).toFloat)
+                buf.putFloat(((w1 - w2) / Obs.SpeedOfLight).toFloat)
+              case None =>
+                buf.putFloat(0.0f).putFloat(0.0f).putFloat(0.0f)
+            }
             // DATE split across two params: float32 ulp at a GPS-epoch
             // JD is ~128 s, so days go in param 4 and the day FRACTION
             // (exact to sub-ms in f32) in param 5 — the standard uvfits
-            // convention
-            val gpsSec = gpsStart + curT * 2.0
+            // convention. Groups are stamped at the centroid of their
+            // avgTime-wide output window.
+            val gpsSec = gpsStart + (curT + 0.5) * outStepS
             val days = math.floor(gpsSec / 86400.0)
             buf.putFloat(days.toFloat)
             buf.putFloat(((gpsSec - days * 86400.0) / 86400.0).toFloat)
@@ -173,13 +220,14 @@ object UvfitsWriter {
           val c = (r.getLong(4) - cMin).toInt
           if (c >= 0 && c < nChans) {
             val base = c * floatsPerChan
-            // pol order XX YY XY YX as uvfits convention; source order
-            // is XX XY YX YY (components a0..a7)
-            val polMap = Seq((0, 1), (6, 7), (2, 3), (4, 5))
-            polMap.zipWithIndex.foreach { case ((ri, ii), p) =>
+            val wt = r.getDouble(13).toFloat
+            var p = 0
+            while (p < 4) {
+              val ri = PolSrc(p)
               chanData(base + p * 3) = r.getDouble(5 + ri).toFloat
-              chanData(base + p * 3 + 1) = r.getDouble(5 + ii).toFloat
-              chanData(base + p * 3 + 2) = r.getDouble(13).toFloat
+              chanData(base + p * 3 + 1) = r.getDouble(6 + ri).toFloat
+              chanData(base + p * 3 + 2) = wt
+              p += 1
             }
           }
         }
@@ -190,6 +238,7 @@ object UvfitsWriter {
         Iterator((idx, written))
       }
       .collect()
+    uvwB.foreach(_.unpersist())
     require(partCounts.length == actualParts,
       s"uvfits partition invariant: ${partCounts.length} part results " +
         s"for $actualParts partitions")
@@ -240,7 +289,11 @@ object UvfitsWriter {
         partPaths.filterNot(srcs.contains).foreach(fs.delete(_, false))
         true
       } catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
+        // concat precondition violations (block alignment, same-dir,
+        // open files) surface as RuntimeExceptions on some FS
+        // implementations, not just UnsupportedOperation/IOException —
+        // any failure here must fall back to the streamed copy
+        case scala.util.control.NonFatal(_) =>
           fs.delete(padPath, false)
           false
       }

@@ -161,15 +161,21 @@ object MetafitsReader {
     }
   }
 
-  /** Electrical length from the Length column: `EL_<metres>` means the
-    * value IS the electrical length (the only form the reference's
-    * fixtures use — physical lengths would need the velocity factor).
+  /** Coax velocity factor: a Length value WITHOUT the EL_ prefix is a
+    * physical cable length in metres, converted to electrical length by
+    * this factor (the public mwalib convention the reference inherits
+    * via its MetafitsContext, /root/reference/src/corrections.rs:118-127).
     */
-  def elecLen(lengthField: String): Double = {
-    require(lengthField.startsWith("EL_"),
-      s"Length '$lengthField' lacks the EL_ electrical-length prefix")
-    lengthField.stripPrefix("EL_").toDouble
-  }
+  val CoaxVFactor: Double = 1.204
+
+  /** Electrical length from the Length column: `EL_<metres>` means the
+    * value IS the pre-measured electrical length; a bare number is a
+    * physical length, scaled by [[CoaxVFactor]].
+    */
+  def elecLen(lengthField: String): Double =
+    if (lengthField.startsWith("EL_"))
+      lengthField.stripPrefix("EL_").toDouble
+    else lengthField.trim.toDouble * CoaxVFactor
 
   // ---- file → Metafits -------------------------------------------------
 
@@ -307,4 +313,5 @@ final case class MetafitsMeta(mf: MetafitsReader.Metafits)
     mf.inputs.filter(_.flagged).map(_.ant.toLong).distinct.sorted
   override def cableApplied: Boolean = mf.cableApplied
   override def geometryApplied: Boolean = mf.geometryApplied
+  override def intTimeS: Double = mf.intTimeS
 }

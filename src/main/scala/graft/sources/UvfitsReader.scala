@@ -30,8 +30,13 @@ object UvfitsReader {
     StructField("ant2", LongType, nullable = false),
     StructField("c_out", LongType, nullable = false)) ++
     (0 until 8).map(k =>
-      StructField(s"a$k", DoubleType, nullable = false)) :+
-    StructField("weight_out", DoubleType, nullable = false))
+      StructField(s"a$k", DoubleType, nullable = false)) ++
+    Seq(StructField("weight_out", DoubleType, nullable = false),
+      // UU VV WW group parameters (seconds, f32 in the file) — zeroes
+      // for structure-only exports written without a UVW table
+      StructField("u_s", DoubleType, nullable = false),
+      StructField("v_s", DoubleType, nullable = false),
+      StructField("w_s", DoubleType, nullable = false)))
 
   final case class Header(pcount: Int, gcount: Long, nChans: Int,
                           dataStart: Long)
@@ -66,7 +71,7 @@ object UvfitsReader {
     * (group, channel), mirroring the writer's input frame).
     */
   def decodeGroups(path: String, h: Header, from: Long, until: Long,
-                   gpsStart: Double, intTimeSec: Double,
+                   gpsStart: Double, outStepS: Double,
                    nAnts: Int,
                    conf: org.apache.hadoop.conf.Configuration)
       : Iterator[Row] = {
@@ -79,8 +84,11 @@ object UvfitsReader {
       val params = Array.fill(h.pcount)(buf.getFloat())
       val days = params(3).toDouble
       val frac = params(4).toDouble
-      val tOut = math.round(
-        (days * 86400.0 + frac * 86400.0 - gpsStart) / intTimeSec)
+      // groups are stamped at the CENTROID of their output window, so
+      // floor recovers the window index (f32 day-fraction ulp ≈ 5 ms,
+      // far inside the half-window guard band)
+      val tOut = math.floor(
+        (days * 86400.0 + frac * 86400.0 - gpsStart) / outStepS).toLong
       val blCode = math.round(params(5).toDouble)
       val ant1 = blCode / 256 - 1
       val ant2 = blCode % 256 - 1
@@ -99,7 +107,8 @@ object UvfitsReader {
           v(9), v(10), // YX
           v(3), v(4)) // YY
         Row.fromSeq(Seq(tOut, bl, ant1, ant2, c.toLong) ++
-          vals.toSeq :+ v(2).toDouble)
+          vals.toSeq ++ Seq(v(2).toDouble, params(0).toDouble,
+            params(1).toDouble, params(2).toDouble))
       }
     }
     SlabIO.closeOnExhaust(iter)(() => rd.close())
@@ -111,7 +120,8 @@ object UvfitsReader {
     */
   def read(spark: SparkSession, path: String, nAnts: Int,
            gpsStart: Double = graft.model.Obs.GpsStart.toDouble,
-           intTimeSec: Double = 2.0, cMin: Long = 0,
+           outStepS: Double = graft.model.Obs.IntTimeS * 2,
+           cMin: Long = 0,
            groupsPerTask: Long = 65536): DataFrame = {
     val conf0 = spark.sparkContext.hadoopConfiguration
     val rd = new SlabIO.SlabReader(path, conf0)
@@ -132,7 +142,7 @@ object UvfitsReader {
     val rows = spark.sparkContext
       .parallelize(ranges, math.max(ranges.length, 1))
       .flatMap { case (from, until) =>
-        decodeGroups(path, h, from, until, gpsStart, intTimeSec,
+        decodeGroups(path, h, from, until, gpsStart, outStepS,
           nAnts, sconf.value)
       }
     val df = spark.createDataFrame(rows, schema)

@@ -90,19 +90,33 @@ object ResampleStream {
   def openBucket(s: BucketState, userId: Long): Bucket =
     Bucket(userId, s.bucketS, s.nEv, r4(s.sum), r4(s.sum))
 
-  /** Wire the stateful operator over a streaming Dataset[Ev]. Groups
-    * idle for `idleFlushMs` (processing time) are flushed — their open
-    * bucket is emitted and state dropped, so a quiet source still
-    * terminates every user's series.
+  /** Wire the stateful operator over a streaming Dataset[Ev].
+    *
+    * By default (idleFlushMs = None) the open bucket per user is held
+    * in state until a later event closes it — exactly the batch-parity
+    * contract: emitted rows plus the final open bucket equal the batch
+    * operator's output, and no (user_id, bucket_s) row is ever emitted
+    * twice.
+    *
+    * `idleFlushMs = Some(ms)` opts into a processing-time idle flush:
+    * a group quiet for `ms` has its open bucket emitted and its state
+    * dropped, so a stream that simply stops still terminates every
+    * user's series. CAVEAT: a group that is merely SLOW (trigger gaps,
+    * backpressure, source lag) and then resumes inside the same bucket
+    * will emit a SECOND partial row for that (user_id, bucket_s) in
+    * Append mode, and the forward-fill baseline is reset — opting in
+    * trades the exactly-once bucket contract for liveness.
     */
   def resample(events: Dataset[Ev],
-               idleFlushMs: Long = 60000L): Dataset[Bucket] = {
+               idleFlushMs: Option[Long] = None): Dataset[Bucket] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (idleFlushMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (uid: Long, evs: Iterator[Ev], st: GroupState[BucketState]) =>
-          updateUser(uid, evs, st, Some(idleFlushMs)))
+          updateUser(uid, evs, st, idleFlushMs))
   }
 }

@@ -95,5 +95,50 @@ class UvfitsSpec extends AnyFunSuite {
       (0 until 8).map(k => col(s"a$k") =!= 0.0).reduce(_ || _) ||
         col("weight_out") =!= 0.0).count()
     assert(nonZeroFill == 0, s"$nonZeroFill non-zero filler cells")
+
+    // a structure-only write (no UVW table) zeroes the UU VV WW params
+    assert(back.where(col("u_s") =!= 0.0 || col("v_s") =!= 0.0 ||
+      col("w_s") =!= 0.0).count() == 0)
+  }
+
+  test("uvfits UVW group params round-trip the partial-UVW differences") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val vis = VisSynth.vis(spark, dir)
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(vis,
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val uvw = GeometryCorrection.partUvw(Dims.timestep(spark),
+      Dims.antenna(spark))
+    val tmp = Files.createTempDirectory("uvf_uvw").toString + "/uvw.uvfits"
+    UvfitsWriter.write(avg, tmp, Some(uvw))
+
+    val back = graft.sources.UvfitsReader.read(spark, tmp, nAnts = 8)
+      .select("t_out", "ant1", "ant2", "u_s", "v_s", "w_s").distinct()
+    assert(back.where(col("u_s") =!= 0.0 || col("v_s") =!= 0.0 ||
+      col("w_s") =!= 0.0).count() > 0, "UVW params must be non-zero")
+
+    // expected: (part(ant1) - part(ant2)) / c at the window-start input
+    // timestep, at f32 — exactly what the group parameters hold
+    val c = graft.model.Obs.SpeedOfLight
+    val u1 = uvw.select(col("t").as("t_uvw"), col("ant").as("ant1"),
+      col("u_m").as("u1"), col("v_m").as("v1"), col("w_m").as("w1"))
+    val u2 = uvw.select(col("t").as("t_uvw"), col("ant").as("ant2"),
+      col("u_m").as("u2"), col("v_m").as("v2"), col("w_m").as("w2"))
+    val expected = avg.select("t_out", "ant1", "ant2").distinct()
+      .withColumn("t_uvw", col("t_out") * 2)
+      .join(u1, Seq("t_uvw", "ant1")).join(u2, Seq("t_uvw", "ant2"))
+      .select(col("t_out"), col("ant1"), col("ant2"),
+        ((col("u1") - col("u2")) / c).cast("float").cast("double")
+          .as("eu"),
+        ((col("v1") - col("v2")) / c).cast("float").cast("double")
+          .as("ev"),
+        ((col("w1") - col("w2")) / c).cast("float").cast("double")
+          .as("ew"))
+    val joined = back.join(expected, Seq("t_out", "ant1", "ant2"))
+    assert(joined.count() == back.count())
+    val bad = joined.where(col("u_s") =!= col("eu") ||
+      col("v_s") =!= col("ev") || col("w_s") =!= col("ew")).count()
+    assert(bad == 0, s"$bad UVW mismatches vs partUvw differences")
   }
 }
