@@ -124,6 +124,25 @@ object SparkEntry {
           graft.sources.MetafitsReader.read(metafitsFixture)))
         .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
 
+    // S2b: metafits-driven end-to-end — the reference's entry-point-2
+    // path (/root/reference/src/lib.rs:8-84): EVERY metadata table
+    // (quack/static flags, weight factor, cable lengths, digital
+    // gains) comes from the PARSED container, composed in the
+    // preprocess stage order; the oracle recomputes the same chain
+    // from the synthetic dims, so a parse error in any table or a
+    // stage-order slip flips the gate
+    "q_s2b_metafits_pipeline" -> ((s, dir) => {
+      val meta = graft.sources.MetafitsMeta(
+        graft.sources.MetafitsReader.read(metafitsFixture))
+      val flagged = FlagOps.setFlags(VisSynth.vis(s, dir),
+        meta.timestep(s), meta.chan(s), meta.baseline(s))
+      val weighted = WeightOps.flagToWeight(flagged, meta.weightFactor)
+      val corrected = Preprocess(passband = false, geometry = false,
+        calibrate = false, meta = meta)(s, weighted)
+      corrected.select(col("t") +: col("bl") +: col("chan") +:
+        (microComps() :+ col("weight")): _*)
+    }),
+
     "q_c2_geometry" -> ((s, dir) => {
       val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
         Dims.antenna(s))
@@ -395,6 +414,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_s1_vis_synth" -> Oracles.s1VisSynth,
     "q_s2_metafits_cable" -> Oracles.c1Cable,
+    "q_s2b_metafits_pipeline" -> Oracles.s2bMetafitsPipeline,
     "q_s3_aocal" -> Oracles.s3Aocal,
     "q_p1_sel_time" -> Oracles.p1SelTime,
     "q_p2_sel_ants" -> Oracles.p2SelAnts,

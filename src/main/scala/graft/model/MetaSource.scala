@@ -33,6 +33,12 @@ trait MetaSource {
 
   /** Input integration time, seconds (metafits INTTIME). */
   def intTimeS: Double = Obs.IntTimeS
+
+  /** Cotter-legacy weight factor from the container constants:
+    * (fine_chan_width / 10 kHz) · (int_time / 1 s)
+    * (reference get_weight_factor, /root/reference/src/flags.rs:570-575).
+    */
+  def weightFactor: Double = Obs.WeightFactor
 }
 
 /** The deterministic synthetic observation (graft.model.Dims). */

@@ -123,6 +123,50 @@ object Oracles {
          |             JOIN antenna a2 ON v.ant2 = a2.ant)""".stripMargin)
   }
 
+  /** S2b metafits-driven pipeline: static flags → weights → cable →
+    * digital gains, the composed chain the parsed-container path runs
+    * (reference entry-point-2, /root/reference/src/lib.rs:8-84; stage
+    * order preprocessing.rs §kernel order). The SQL recomputes the
+    * whole chain from the synthetic dim CTEs; the Spark side runs it
+    * on PARSED metafits tables, so the gate is green only if every
+    * parsed table (quack timesteps, chan flags, baseline flags, weight
+    * factor, electrical lengths, gains) is bit-identical to the dims
+    * it mirrors AND the stage composition is right. Micro-unit gate
+    * columns (see SparkEntry.microComps).
+    */
+  val s2bMetafitsPipeline: String = {
+    val pols = Seq(
+      (0, 1, "(lx2 - lx1)", "(g1x * g2x)"),
+      (2, 3, "(ly2 - lx1)", "(g1x * g2y)"),
+      (4, 5, "(lx2 - ly1)", "(g1y * g2x)"),
+      (6, 7, "(ly2 - ly1)", "(g1y * g2y)"))
+    val outs = pols.flatMap { case (ri, ii, dl, g) =>
+      val th = s"-2.0e0 * pi() * $dl * freq_hz / 299792458.0e0"
+      Seq(
+        s"""  CAST(floor((CASE WHEN ant1 = ant2 THEN v$ri
+           |    ELSE v$ri * cos($th) - v$ii * sin($th) END) / $g
+           |    * 1.0e6 + 0.5e0) AS BIGINT) AS r$ri""".stripMargin,
+        s"""  CAST(floor((CASE WHEN ant1 = ant2 THEN v$ii
+           |    ELSE v$ri * sin($th) + v$ii * cos($th) END) / $g
+           |    * 1.0e6 + 0.5e0) AS BIGINT) AS r$ii""".stripMargin)
+    }.mkString(",\n")
+    OracleSql.queryWeighted(
+      s"""SELECT t, bl, chan,
+         |$outs,
+         |  weight
+         |FROM (
+         |  SELECT v.*, a1.elec_len_x_m AS lx1, a1.elec_len_y_m AS ly1,
+         |         a2.elec_len_x_m AS lx2, a2.elec_len_y_m AS ly2,
+         |         g1.gain_x AS g1x, g1.gain_y AS g1y,
+         |         g2.gain_x AS g2x, g2.gain_y AS g2y
+         |  FROM vis_weighted v
+         |  JOIN antenna a1 ON v.ant1 = a1.ant
+         |  JOIN antenna a2 ON v.ant2 = a2.ant
+         |  JOIN digital_gain g1 ON v.ant1 = g1.ant AND v.cc = g1.cc
+         |  JOIN digital_gain g2 ON v.ant2 = g2.ant AND v.cc = g2.cc)"""
+        .stripMargin)
+  }
+
   /** The (t, ant) partial-UVW dimension CTE — the SQL twin of
     * `GeometryCorrection.partUvw`, shared by the C2 and K2 oracles.
     */

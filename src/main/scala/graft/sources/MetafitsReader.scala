@@ -314,4 +314,6 @@ final case class MetafitsMeta(mf: MetafitsReader.Metafits)
   override def cableApplied: Boolean = mf.cableApplied
   override def geometryApplied: Boolean = mf.geometryApplied
   override def intTimeS: Double = mf.intTimeS
+  override def weightFactor: Double =
+    (mf.fineChanWidthHz / 10000.0) * mf.intTimeS
 }
