@@ -1,0 +1,205 @@
+package graft
+
+import graft.api.Graft
+import graft.model.MetaSource
+import graft.ops.Preprocess
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The production command-line surface — the Spark twin of the
+  * reference's clap CLI (/root/reference/src/cli.rs:622-821): open an
+  * observation, switch the metadata seam to a metafits container,
+  * select, flag, preprocess, average, and write sinks — with the
+  * container-driven auto-skip decisions the reference logs
+  * (cli.rs:1389-1399 cable, :1444-1452 geometry).
+  *
+  * Usage:
+  * {{{
+  * graft.Cli -d <dataDir> [-m <metafits>] [-u <out.uvfits>]
+  *   [--flag-out <mwafDir>] [--sel-time FROM TO] [--sel-ants A,B,...]
+  *   [--no-autos] [--avg-time N] [--avg-freq N]
+  *   [--flag-edge-chans N] [--no-cable-delay] [--no-geometric-delay]
+  *   [--no-digital-gains] [--van-vleck] [--rfi]
+  * }}}
+  *
+  * Every option is a lazy DataFrame composition over [[graft.api.Graft]];
+  * nothing executes until the sink.
+  */
+object Cli {
+
+  final case class Config(
+      dataDir: String = "",
+      metafits: Option[String] = None,
+      uvfitsOut: Option[String] = None,
+      mwafOut: Option[String] = None,
+      selTime: Option[(Long, Long)] = None,
+      selAnts: Seq[Long] = Nil,
+      noAutos: Boolean = false,
+      avgTime: Int = 2,
+      avgFreq: Int = 2,
+      edgeChans: Option[Int] = None,
+      noCable: Boolean = false,
+      noGeom: Boolean = false,
+      noDigital: Boolean = false,
+      vanVleck: Boolean = false,
+      rfi: Boolean = false)
+
+  /** Parse reference-style arguments; Left(message) on any malformed
+    * or unknown token (the CLI must fail loudly, as clap does).
+    */
+  def parse(args: Seq[String]): Either[String, Config] = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Either[String, Config] =
+      rest match {
+        case Nil =>
+          if (c.dataDir.isEmpty) Left("missing required -d <dataDir>")
+          else Right(c)
+        case "-d" :: v :: t => loop(t, c.copy(dataDir = v))
+        case "-m" :: v :: t => loop(t, c.copy(metafits = Some(v)))
+        case "-u" :: v :: t => loop(t, c.copy(uvfitsOut = Some(v)))
+        case "--flag-out" :: v :: t => loop(t, c.copy(mwafOut = Some(v)))
+        case "--sel-time" :: a :: b :: t =>
+          (a.toLongOption, b.toLongOption) match {
+            case (Some(x), Some(y)) if x <= y =>
+              loop(t, c.copy(selTime = Some((x, y))))
+            case _ => Left(s"--sel-time needs FROM <= TO, got '$a $b'")
+          }
+        case "--sel-ants" :: v :: t =>
+          val ants = v.split(",").toSeq.map(_.trim.toLongOption)
+          if (ants.exists(_.isEmpty))
+            Left(s"--sel-ants needs comma-separated integers, got '$v'")
+          else loop(t, c.copy(selAnts = ants.flatten))
+        case "--no-autos" :: t => loop(t, c.copy(noAutos = true))
+        case "--avg-time" :: v :: t => v.toIntOption match {
+          case Some(n) if n >= 1 => loop(t, c.copy(avgTime = n))
+          case _ => Left(s"--avg-time needs a positive integer, got '$v'")
+        }
+        case "--avg-freq" :: v :: t => v.toIntOption match {
+          case Some(n) if n >= 1 => loop(t, c.copy(avgFreq = n))
+          case _ => Left(s"--avg-freq needs a positive integer, got '$v'")
+        }
+        case "--flag-edge-chans" :: v :: t => v.toIntOption match {
+          case Some(n) if n >= 0 => loop(t, c.copy(edgeChans = Some(n)))
+          case _ =>
+            Left(s"--flag-edge-chans needs a non-negative int, got '$v'")
+        }
+        case "--no-cable-delay" :: t => loop(t, c.copy(noCable = true))
+        case "--no-geometric-delay" :: t => loop(t, c.copy(noGeom = true))
+        case "--no-digital-gains" :: t => loop(t, c.copy(noDigital = true))
+        case "--van-vleck" :: t => loop(t, c.copy(vanVleck = true))
+        case "--rfi" :: t => loop(t, c.copy(rfi = true))
+        case other :: _ => Left(s"unknown or incomplete argument '$other'")
+      }
+    loop(args.toList, Config())
+  }
+
+  /** The stage decisions the run will take, with their reasons — the
+    * reference logs exactly these before preprocessing (cli.rs:1389+).
+    * Pure so the spec can assert them without running the pipeline.
+    */
+  def decisions(cfg: Config, meta: MetaSource): Seq[String] = Seq(
+    if (cfg.noCable)
+      "cable: skip (--no-cable-delay)"
+    else if (meta.cableApplied)
+      "cable: skip (metafits CABLEDEL: already applied upstream)"
+    else "cable: apply",
+    if (cfg.noGeom)
+      "geometry: skip (--no-geometric-delay)"
+    else if (meta.geometryApplied)
+      "geometry: skip (metafits GEODEL: already applied upstream)"
+    else "geometry: apply",
+    if (cfg.noDigital) "digital gains: skip (--no-digital-gains)"
+    else "digital gains: apply",
+    if (cfg.vanVleck) "van vleck: apply (--van-vleck)"
+    else "van vleck: skip (default: modern correlator)",
+    if (cfg.rfi) "rfi: apply (--rfi)" else "rfi: skip")
+
+  /** Decorator meta that re-derives the static channel flags with a
+    * CLI-chosen edge width (reference --flag-edge-chans): fc within
+    * `edge` of either coarse-channel boundary, plus the DC centre.
+    */
+  final case class EdgeFlagMeta(inner: MetaSource, edge: Int)
+      extends MetaSource {
+    def antenna(s: SparkSession): DataFrame = inner.antenna(s)
+    def timestep(s: SparkSession): DataFrame = inner.timestep(s)
+    def baseline(s: SparkSession): DataFrame = inner.baseline(s)
+    def digitalGain(s: SparkSession): DataFrame = inner.digitalGain(s)
+    def flaggedAnts(s: SparkSession): Seq[Long] = inner.flaggedAnts(s)
+    override def cableApplied: Boolean = inner.cableApplied
+    override def geometryApplied: Boolean = inner.geometryApplied
+    override def intTimeS: Double = inner.intTimeS
+    override def weightFactor: Double = inner.weightFactor
+    def chan(s: SparkSession): DataFrame = {
+      val base = inner.chan(s)
+      // fine-chans-per-coarse off the broadcast-sized table itself, so
+      // the decorator works over any container
+      val fpc = base.agg(max("fc")).head().getLong(0) + 1
+      base.withColumn("ch_flag",
+        col("fc") < edge || col("fc") >= fpc - edge ||
+          col("fc") === fpc / 2)
+    }
+  }
+
+  /** Run one preprocess-and-write pass; returns rows written per sink.
+    * Skip decisions go to stderr exactly once, before execution.
+    */
+  def run(spark: SparkSession, cfg: Config,
+          log: String => Unit = s => System.err.println(s)): Long = {
+    val g0 = Graft(spark)
+    val g = cfg.metafits.map(g0.withMetafits).getOrElse(g0)
+    val meta = cfg.edgeChans
+      .map(e => EdgeFlagMeta(g.meta, e): MetaSource).getOrElse(g.meta)
+
+    decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
+
+    var vf = g.copy(meta = meta).observation(cfg.dataDir)
+    cfg.selTime.foreach { case (a, b) => vf = vf.selectTime(a, b) }
+    if (cfg.selAnts.nonEmpty) vf = vf.selectAnts(cfg.selAnts)
+    if (cfg.noAutos) vf = vf.withoutAutos()
+    vf = vf.withDefaultFlags().withWeights(meta.weightFactor)
+
+    cfg.mwafOut.foreach { dir =>
+      log(s"[graft] writing mwaf flags to $dir")
+      vf.writeMwaf(dir)
+    }
+
+    val pre = Preprocess(
+      vanVleck = cfg.vanVleck,
+      cable = !cfg.noCable,
+      digitalGains = !cfg.noDigital,
+      geometry = !cfg.noGeom,
+      rfi = cfg.rfi,
+      meta = meta)
+    val processed = vf.preprocess(pre)
+
+    cfg.uvfitsOut.map { path =>
+      log(s"[graft] writing uvfits to $path")
+      val n = processed.writeUvfits(path, cfg.avgTime, cfg.avgFreq)
+      log(s"[graft] wrote $n uvfits groups")
+      n
+    }.getOrElse {
+      // no sink requested: count is the action (a dry run)
+      processed.df.count()
+    }
+  }
+
+  def main(args: Array[String]): Unit =
+    parse(args.toIndexedSeq) match {
+      case Left(err) =>
+        System.err.println(s"[graft] argument error: $err")
+        sys.exit(2)
+      case Right(cfg) =>
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .appName("graft")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try {
+          val n = run(spark, cfg)
+          System.err.println(s"[graft] done ($n rows)")
+        } finally spark.stop()
+    }
+}

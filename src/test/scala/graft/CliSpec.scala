@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI surface: argument parsing (loud failures, as the reference's
+  * clap CLI), metafits-driven auto-skip decisions
+  * (/root/reference/src/cli.rs:1389-1399, 1444-1452), and an
+  * end-to-end fixture-metafits → uvfits run.
+  */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parse: reference-style args land in the config") {
+    val cfg = Cli.parse(Seq("-d", "/data", "-m", "obs.metafits",
+      "-u", "out.uvfits", "--sel-time", "2", "11", "--sel-ants", "0,1,3",
+      "--no-autos", "--avg-time", "4", "--avg-freq", "2",
+      "--flag-edge-chans", "2", "--no-cable-delay")).toOption.get
+    assert(cfg.dataDir == "/data")
+    assert(cfg.metafits.contains("obs.metafits"))
+    assert(cfg.uvfitsOut.contains("out.uvfits"))
+    assert(cfg.selTime.contains((2L, 11L)))
+    assert(cfg.selAnts == Seq(0L, 1L, 3L))
+    assert(cfg.noAutos && cfg.noCable && !cfg.noGeom)
+    assert(cfg.avgTime == 4 && cfg.avgFreq == 2)
+    assert(cfg.edgeChans.contains(2))
+  }
+
+  test("parse: malformed input fails loudly") {
+    assert(Cli.parse(Seq("-u", "x.uvfits")).isLeft) // missing -d
+    assert(Cli.parse(Seq("-d", "/data", "--sel-time", "9", "2")).isLeft)
+    assert(Cli.parse(Seq("-d", "/data", "--avg-time", "0")).isLeft)
+    assert(Cli.parse(Seq("-d", "/data", "--frobnicate")).isLeft)
+    assert(Cli.parse(Seq("-d", "/data", "--sel-ants", "1,x")).isLeft)
+  }
+
+  test("auto-skip: metafits CABLEDEL/GEODEL drive the stage decisions") {
+    val dir = Files.createTempDirectory("cli_meta")
+    val applied = graft.synth.MetafitsSynth.write(
+      dir.resolve("applied.metafits").toString,
+      cableApplied = true, geometryApplied = true)
+    val fresh = graft.synth.MetafitsSynth.write(
+      dir.resolve("fresh.metafits").toString)
+
+    val mApplied = graft.sources.MetafitsMeta(
+      graft.sources.MetafitsReader.read(applied))
+    val mFresh = graft.sources.MetafitsMeta(
+      graft.sources.MetafitsReader.read(fresh))
+
+    val dApplied = Cli.decisions(Cli.Config(dataDir = "x"), mApplied)
+    assert(dApplied.exists(_.contains("cable: skip (metafits CABLEDEL")))
+    assert(dApplied.exists(_.contains("geometry: skip (metafits GEODEL")))
+
+    val dFresh = Cli.decisions(Cli.Config(dataDir = "x"), mFresh)
+    assert(dFresh.contains("cable: apply"))
+    assert(dFresh.contains("geometry: apply"))
+
+    // explicit flags win over a fresh container
+    val dFlag = Cli.decisions(
+      Cli.Config(dataDir = "x", noCable = true), mFresh)
+    assert(dFlag.contains("cable: skip (--no-cable-delay)"))
+  }
+
+  test("end-to-end: fixture metafits to uvfits with decisions logged") {
+    val dir = Files.createTempDirectory("cli_e2e")
+    val metafits = graft.synth.MetafitsSynth.write(
+      dir.resolve("obs.metafits").toString)
+    val out = dir.resolve("out.uvfits").toString
+
+    val cfg = Cli.parse(Seq(
+      "-d", "/root/testdata/sf0.001", "-m", metafits, "-u", out,
+      "--sel-time", "0", "15", "--avg-time", "2", "--avg-freq", "2"))
+      .toOption.get
+
+    val logged = scala.collection.mutable.ArrayBuffer[String]()
+    val n = Cli.run(spark, cfg, logged += _)
+    assert(n > 0, "uvfits groups written")
+    assert(Files.exists(Paths.get(out)))
+    assert(Files.size(Paths.get(out)) % 2880 == 0, "FITS block aligned")
+    assert(logged.exists(_.contains("cable: apply")))
+    assert(logged.exists(_.contains("geometry: apply")))
+    assert(logged.exists(_.contains(s"wrote $n uvfits groups")))
+
+    // the written file carries non-zero UVW group params (real writer,
+    // not the structure-only path)
+    import org.apache.spark.sql.functions.col
+    val back = graft.sources.UvfitsReader.read(spark, out, nAnts = 8)
+    assert(back.where(col("u_s") =!= 0.0 || col("v_s") =!= 0.0 ||
+      col("w_s") =!= 0.0).count() > 0)
+  }
+
+  test("edge-chan override reshapes the static channel flags") {
+    val meta = Cli.EdgeFlagMeta(graft.model.SynthDims, 2)
+    import org.apache.spark.sql.functions.col
+    val flagged = meta.chan(spark).where(col("ch_flag"))
+      .select("fc").distinct().collect().map(_.getLong(0)).sorted
+    // width-2 edges on fpc=8: fc 0,1,6,7 plus DC fc=4
+    assert(flagged.toSeq == Seq(0L, 1L, 4L, 6L, 7L))
+  }
+}
