@@ -211,6 +211,13 @@ object SparkEntry {
     // -- RFI -----------------------------------------------------------
     "q_r1_sumthreshold" -> ((s, dir) => RfiFlag(flagged(s, dir))),
 
+    // non-default loadable strategy: yy image, mad_k 5, direction
+    // weights — parsed from the same key=value surface RfiStrategy
+    // .fromFile reads, so the strategy-file path is load-bearing
+    "q_r1b_strategy" -> ((s, dir) =>
+      RfiFlag(flagged(s, dir), RfiStrategy.parse(
+        "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5"))),
+
     "q_r1_threshold_flags" -> ((s, dir) =>
       ThresholdFlag(VisSynth.vis(s, dir))),
 
@@ -440,6 +447,7 @@ object SparkEntry {
     "q_c5_cross" -> Oracles.c5Cross,
     "q_c5_pipeline" -> Oracles.c5Pipeline,
     "q_r1_sumthreshold" -> Oracles.r1SumThreshold,
+    "q_r1b_strategy" -> Oracles.r1bStrategy,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,

@@ -59,9 +59,18 @@ object SumThresholdKernel {
     * single-sample threshold ABOVE background; scales run up to 2^maxLog2
     * samples.
     */
+  /** `timeWeight` / `chanWeight` are direction sensitivities (the knobs
+    * AOFlagger's default MWA strategy exposes per scan direction):
+    * the threshold in a direction is χ_M / weight, so weight > 1 flags
+    * more aggressively along that axis (narrowband RFI → raise
+    * timeWeight; transient broadband → raise chanWeight). 1.0 keeps the
+    * symmetric default, bit-identical to the unweighted kernel.
+    */
   def flagMatrix(amp: Array[Array[Double]], existing: Array[Array[Boolean]],
                  chi1: Double, maxLog2: Int = 5,
-                 rho: Double = Rho): Array[Array[Boolean]] = {
+                 rho: Double = Rho,
+                 timeWeight: Double = 1.0,
+                 chanWeight: Double = 1.0): Array[Array[Boolean]] = {
     val nt = amp.length
     if (nt == 0) return existing
     val nc = amp(0).length
@@ -76,14 +85,18 @@ object SumThresholdKernel {
     var l = 0
     while (l <= maxLog2) {
       val m = 1 << l
-      val chi = chi1 / math.pow(rho, l.toDouble)
+      // one division per direction (χ1 / (ρ^l · weight)) so the DuckDB
+      // twin's single-division literal reproduces the value bit-for-bit
+      val scaleBase = math.pow(rho, l.toDouble)
+      val chiT = chi1 / (scaleBase * timeWeight)
+      val chiC = chi1 / (scaleBase * chanWeight)
       // time direction: per channel column
       val afterTime = flags.map(_.clone())
       var c = 0
       while (c < nc) {
         val colAmp = Array.tabulate(nt)(t => res(t)(c))
         val colFlg = Array.tabulate(nt)(t => flags(t)(c))
-        val upd = pass1d(colAmp, colFlg, m, chi)
+        val upd = pass1d(colAmp, colFlg, m, chiT)
         var t = 0
         while (t < nt) { if (upd(t)) afterTime(t)(c) = true; t += 1 }
         c += 1
@@ -91,7 +104,7 @@ object SumThresholdKernel {
       // frequency direction: per time row
       var t = 0
       while (t < nt) {
-        val upd = pass1d(res(t), afterTime(t), m, chi)
+        val upd = pass1d(res(t), afterTime(t), m, chiC)
         var c2 = 0
         while (c2 < nc) { if (upd(c2)) afterTime(t)(c2) = true; c2 += 1 }
         t += 1

@@ -21,20 +21,36 @@ import org.apache.spark.sql.functions._
 /** Encoder row types for [[RfiFlag]] — top-level because Spark's codegen
   * cannot instantiate private nested case classes.
   */
-case class RfiCell(bl: Long, t: Long, chan: Long, amp: Double,
+case class RfiCell(bl: Long, t: Long, chan: Long, amps: Seq[Double],
                    flag: Boolean)
 case class RfiFlagOut(bl: Long, t: Long, chan: Long, rfi: Boolean)
 
 /** Strategy parameters — the Spark analogue of the reference's
   * loadable AOFlagger strategy file (flags.rs:406-412): detection
-  * sensitivity (MAD multiplier), deepest window scale (2^maxLog2), and
-  * the per-scale threshold decay ρ. Defaults reproduce the default MWA
-  * strategy's shape; q_r1's oracle twin pins the default.
+  * sensitivity (MAD multiplier), deepest window scale (2^maxLog2), the
+  * per-scale threshold decay ρ, the polarisation images detection runs
+  * on (detections OR across pols, as AOFlagger combines its image
+  * masks), and per-direction sensitivities (time vs channel — the
+  * direction knobs the default MWA Lua strategy exposes). Defaults
+  * reproduce the default strategy's shape; q_r1's oracle twin pins the
+  * default and q_r1b's pins a non-default (yy, weighted) strategy.
   */
 case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
-                       rho: Double = 1.5)
+                       rho: Double = 1.5,
+                       pols: Seq[String] = Seq("xx"),
+                       timeWeight: Double = 1.0,
+                       chanWeight: Double = 1.0) {
+  require(pols.nonEmpty && pols.forall(RfiStrategy.PolComps.contains),
+    s"pols must be non-empty from ${RfiStrategy.PolComps.keys}, " +
+      s"got $pols")
+}
 
 object RfiStrategy {
+
+  /** Jones component offsets (re, im) per polarisation image name. */
+  val PolComps: Map[String, (Int, Int)] = Map(
+    "xx" -> ((0, 1)), "xy" -> ((2, 3)), "yx" -> ((4, 5)),
+    "yy" -> ((6, 7)))
 
   /** Parse a strategy config — the surface the reference gets from
     * loadable AOFlagger Lua strategy files
@@ -42,9 +58,11 @@ object RfiStrategy {
     * baseline). The format is deliberately minimal: `key = value`
     * lines; `#` or `--` start a comment; keys are `mad_k` (detection
     * sensitivity, the MAD multiplier), `max_log2` (deepest SumThreshold
-    * window scale) and `rho` (per-scale threshold decay). Unknown keys
-    * FAIL — a typo silently falling back to a default is the worst
-    * failure mode a strategy file can have.
+    * window scale), `rho` (per-scale threshold decay), `pols`
+    * (comma-separated polarisation images, e.g. `xx,yy`), and
+    * `time_weight` / `chan_weight` (per-direction sensitivities).
+    * Unknown keys FAIL — a typo silently falling back to a default is
+    * the worst failure mode a strategy file can have.
     */
   def parse(text: String): RfiStrategy =
     text.linesIterator
@@ -56,9 +74,14 @@ object RfiStrategy {
             case ("mad_k", x) => s.copy(madK = x.toDouble)
             case ("max_log2", x) => s.copy(maxLog2 = x.toInt)
             case ("rho", x) => s.copy(rho = x.toDouble)
+            case ("pols", x) =>
+              s.copy(pols = x.split(",").toSeq.map(_.trim.toLowerCase))
+            case ("time_weight", x) => s.copy(timeWeight = x.toDouble)
+            case ("chan_weight", x) => s.copy(chanWeight = x.toDouble)
             case (other, _) =>
               sys.error(s"unknown strategy key '$other' " +
-                "(expected mad_k, max_log2, rho)")
+                "(expected mad_k, max_log2, rho, pols, time_weight, " +
+                "chan_weight)")
           }
           case _ => sys.error(s"malformed strategy line '$line'")
         }
@@ -96,34 +119,61 @@ object RfiFlag {
                   strategy: RfiStrategy): DataFrame = {
     val spark = visFlagged.sparkSession
     import spark.implicits._
+    // one amplitude per selected polarisation image, in strategy order
+    val ampCols = strategy.pols.map { p =>
+      val (ri, ii) = RfiStrategy.PolComps(p)
+      sqrt(col(s"v$ri") * col(s"v$ri") + col(s"v$ii") * col(s"v$ii"))
+    }
     val cells: Dataset[RfiCell] = visFlagged.select(
       col("bl"), col("t"), col("chan"),
-      sqrt(col("v0") * col("v0") + col("v1") * col("v1")).as("amp"),
+      array(ampCols: _*).as("amps"),
       col("flag")).as[RfiCell]
 
+    val nPols = strategy.pols.length
     cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
       val rows = it.toArray
       val ts = rows.map(_.t).distinct.sorted
       val cs = rows.map(_.chan).distinct.sorted
       val tIdx = ts.zipWithIndex.toMap
       val cIdx = cs.zipWithIndex.toMap
-      val amp = Array.fill(ts.length, cs.length)(0.0)
+      val amp = Array.fill(nPols, ts.length, cs.length)(0.0)
       val flg = Array.fill(ts.length, cs.length)(false)
       val seen = Array.fill(ts.length, cs.length)(false)
       rows.foreach { r =>
         val (i, j) = (tIdx(r.t), cIdx(r.chan))
-        // repeated samples of a cell: max amplitude wins (conservative)
-        if (!seen(i)(j) || r.amp > amp(i)(j)) amp(i)(j) = r.amp
+        var p = 0
+        while (p < nPols) {
+          // repeated samples of a cell: max amplitude wins (conservative)
+          val a = r.amps(p)
+          if (!seen(i)(j) || a > amp(p)(i)(j)) amp(p)(i)(j) = a
+          p += 1
+        }
         seen(i)(j) = true
         flg(i)(j) = flg(i)(j) || r.flag
       }
-      val unflaggedAmps = (for {
-        i <- ts.indices; j <- cs.indices if seen(i)(j) && !flg(i)(j)
-      } yield amp(i)(j)).toArray
-      val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps,
-        strategy.madK)
-      val out = SumThresholdKernel.flagMatrix(amp, flg, chi1,
-        strategy.maxLog2, strategy.rho)
+      // detect per polarisation image from the SAME prior flags, then
+      // OR the detections — how AOFlagger combines per-pol masks
+      val out = Array.fill(ts.length, cs.length)(false)
+      var p = 0
+      while (p < nPols) {
+        val unflaggedAmps = (for {
+          i <- ts.indices; j <- cs.indices if seen(i)(j) && !flg(i)(j)
+        } yield amp(p)(i)(j)).toArray
+        val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps,
+          strategy.madK)
+        val det = SumThresholdKernel.flagMatrix(amp(p), flg, chi1,
+          strategy.maxLog2, strategy.rho, strategy.timeWeight,
+          strategy.chanWeight)
+        var i = 0
+        while (i < ts.length) {
+          var j = 0
+          while (j < cs.length) {
+            out(i)(j) ||= det(i)(j); j += 1
+          }
+          i += 1
+        }
+        p += 1
+      }
       for {
         i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)
       } yield RfiFlagOut(bl, ts(i), cs(j), out(i)(j))

@@ -564,9 +564,20 @@ object Oracles {
     * output — 12 sequential CTE layers, exactly the kernel's update order.
     * χ divisors are the 1.5^l literals (JDK pow is exact for these).
     */
-  val r1SumThreshold: String = {
-    val chiDivs =
-      Seq("1.0e0", "1.5e0", "2.25e0", "3.375e0", "5.0625e0", "7.59375e0")
+  /** Parameterised SumThreshold twin: amplitude image (which pol), MAD
+    * multiplier, and per-direction sensitivities — the strategy knobs
+    * `RfiStrategy` exposes. The kernel computes each pass threshold as
+    * one division χ1 / (ρ^l · weight), so a single SQL literal holding
+    * ρ^l·weight (computed here in the same double arithmetic)
+    * reproduces it bit-for-bit.
+    */
+  private def r1SumThresholdWith(ampExpr: String, madK: Double,
+                                 timeWeight: Double,
+                                 chanWeight: Double): String = {
+    val chiDivT =
+      (0 to 5).map(l => fmt(math.pow(1.5, l.toDouble) * timeWeight))
+    val chiDivC =
+      (0 to 5).map(l => fmt(math.pow(1.5, l.toDouble) * chanWeight))
     def pass(prev: String, cur: String, part: String, ord: String,
              m: Int, chiDiv: String): String = {
       val chi = s"(chi1 / $chiDiv)"
@@ -590,9 +601,9 @@ object Oracles {
          |      FROM $prev)))""".stripMargin
     }
     val prep =
-      """cells0 AS (
+      s"""cells0 AS (
         |  SELECT bl, t, chan,
-        |         max(sqrt(v0 * v0 + v1 * v1)) AS amp,
+        |         max($ampExpr) AS amp,
         |         bool_or(flag) AS flg
         |  FROM vis_flagged GROUP BY 1, 2, 3),
         |grid AS (
@@ -625,8 +636,8 @@ object Oracles {
         |         count(*) OVER (PARTITION BY c.bl) AS n
         |  FROM cells c JOIN med m ON c.bl = m.bl
         |  WHERE c.seen AND NOT c.flg),
-        |chi AS (SELECT bl, 6.0e0 * 1.4826e0 * dev AS chi1 FROM madsel
-        |        WHERE rn = n // 2 + 1),
+        |chi AS (SELECT bl, ${fmt(madK)} * 1.4826e0 * dev AS chi1
+        |        FROM madsel WHERE rn = n // 2 + 1),
         |p0 AS (
         |  SELECT c.bl, c.t, c.chan, c.seen,
         |         c.amp - coalesce(b.bg, 0.0e0) AS res,
@@ -639,14 +650,25 @@ object Oracles {
       val m = 1 << l
       Seq(
         pass(s"p${2 * l}", s"p${2 * l + 1}", "bl, chan", "t", m,
-          chiDivs(l)),
+          chiDivT(l)),
         pass(s"p${2 * l + 1}", s"p${2 * l + 2}", "bl, t", "chan", m,
-          chiDivs(l)))
+          chiDivC(l)))
     }
     OracleSql.query(
       "SELECT bl, t, chan, flg AS rfi FROM p12 WHERE seen",
       (OracleSql.visFlaggedCte +: prep +: layers): _*)
   }
+
+  val r1SumThreshold: String =
+    r1SumThresholdWith("sqrt(v0 * v0 + v1 * v1)", 6.0, 1.0, 1.0)
+
+  /** R1b: a NON-default strategy (yy image, mad_k 5, time-aggressive /
+    * channel-conservative direction weights) — proves the strategy
+    * knobs are load-bearing end-to-end: this gate and q_r1's must both
+    * be hash-green while flagging different occupancies.
+    */
+  val r1bStrategy: String =
+    r1SumThresholdWith("sqrt(v6 * v6 + v7 * v7)", 5.0, 2.0, 0.5)
 
   val r1ThresholdFlags: String = OracleSql.query(
     """SELECT t, bl, chan, amp > lim AS rfi

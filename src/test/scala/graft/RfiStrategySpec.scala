@@ -32,6 +32,14 @@ class RfiStrategySpec extends AnyFunSuite {
   test("parse: unknown keys and malformed lines fail loudly") {
     intercept[RuntimeException](RfiStrategy.parse("madk = 3.0"))
     intercept[RuntimeException](RfiStrategy.parse("just some words"))
+    intercept[IllegalArgumentException](RfiStrategy.parse("pols = zz"))
+  }
+
+  test("parse: pol selection and direction weights") {
+    val s = RfiStrategy.parse(
+      "pols = xx, yy\ntime_weight = 2.0\nchan_weight = 0.5")
+    assert(s.pols == Seq("xx", "yy"))
+    assert(s.timeWeight == 2.0 && s.chanWeight == 0.5)
   }
 
   test("fromFile round-trips through a real file") {
@@ -54,5 +62,17 @@ class RfiStrategySpec extends AnyFunSuite {
       occupancy(RfiStrategy.parse("mad_k = 2.0\nrho = 1.1"))
     assert(aggressive > default_,
       s"mad_k 2.0 should flag more than 6.0 ($aggressive vs $default_)")
+
+    // direction weights and pol selection are load-bearing too
+    val weighted = occupancy(RfiStrategy.parse(
+      "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5"))
+    assert(weighted != default_,
+      "non-default pol/weights must change the gated occupancy")
+    // multi-pol detection is the OR of the per-pol masks: a 2-pol run
+    // flags at least as much as either single-pol run
+    val xxOnly = occupancy(RfiStrategy(madK = 4.0))
+    val yyOnly = occupancy(RfiStrategy(madK = 4.0, pols = Seq("yy")))
+    val both = occupancy(RfiStrategy(madK = 4.0, pols = Seq("xx", "yy")))
+    assert(both >= math.max(xxOnly, yyOnly))
   }
 }
