@@ -163,6 +163,20 @@ object SparkEntry {
         .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)
     }),
 
+    // C2c: the apparent-place UVW table itself at 1e-9 m — the whole
+    // ephemeris chain (precession + full IAU-1980 nutation + aberration
+    // + dut1) gated per (timestep, antenna)
+    "q_c2c_apparent_uvw" -> ((s, dir) =>
+      GeometryCorrection.partUvwAstro(s, Dims.timestep(s),
+        Dims.antenna(s), GeometryCorrection.AppLonRad,
+        GeometryCorrection.AppLatRad, GeometryCorrection.AppRaJ2000,
+        GeometryCorrection.AppDecJ2000, GeometryCorrection.AppDut1Sec,
+        apparent = true)
+        .select(col("t"), col("ant"),
+          floor(col("u_m") * 1.0e9 + 0.5).as("u_n"),
+          floor(col("v_m") * 1.0e9 + 0.5).as("v_n"),
+          floor(col("w_m") * 1.0e9 + 0.5).as("w_n"))),
+
     "q_c3_digital_gains" -> ((s, dir) =>
       DigitalGains(VisSynth.vis(s, dir), Dims.digitalGain(s))
         .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
@@ -435,6 +449,7 @@ object SparkEntry {
     "q_c1_cable" -> Oracles.c1Cable,
     "q_c2_geometry" -> Oracles.c2Geometry,
     "q_c2b_geometry_app" -> Oracles.c2bGeometryApp,
+    "q_c2c_apparent_uvw" -> Oracles.c2cApparentUvw,
     "q_c3_digital_gains" -> Oracles.c3DigitalGains,
     "q_c4_passband" -> Oracles.c4Passband,
     "q_c4b_passband_mwax" -> Oracles.c4PassbandReal(

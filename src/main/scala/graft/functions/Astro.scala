@@ -101,11 +101,14 @@ object Astro {
     (84381.448 - 46.8150 * t - 0.00059 * t * t + 0.001813 * t * t * t) *
       ArcsecRad
 
-  /** Truncated IAU 1980 nutation series: the terms with |Δψ| coefficient
-    * ≥ 46 (0.0001″ units) from the standard table (as printed in Meeus
-    * Table 22.A; Delaunay argument multipliers (D, M, M′, F, Ω)).
-    * Residual vs the full 106-term series is below ~0.02″ — narrower
-    * than the f32 phase budget downstream.
+  /** The IAU 1980 nutation series as printed in Meeus Table 22.A (the
+    * 63 periodic terms with coefficients ≥ 0.0003″; the remaining 43
+    * terms of the full 106-term theory each contribute < 0.0003″ and
+    * sum below ~0.001″ — beyond the published anchors' own rounding).
+    * Columns: Delaunay argument multipliers (D, M, M′, F, Ω), then
+    * Δψ coefficient, its T-rate, Δε coefficient, its T-rate (0.0001″
+    * units). Anchored by the worked example in AstroSpec (Δψ/Δε at
+    * 1987-04-10 to 0.001″).
     */
   private val NutTerms: Seq[(Int, Int, Int, Int, Int,
     Double, Double, Double, Double)] = Seq(
@@ -128,7 +131,50 @@ object Astro {
     (0, 0, -1, 0, 1, -58.0, -0.1, 32.0, 0.0),
     (0, 0, 1, 2, 1, -51.0, 0.0, 27.0, 0.0),
     (-2, 0, 2, 0, 0, 48.0, 0.0, 0.0, 0.0),
-    (0, 0, -2, 2, 1, 46.0, 0.0, -24.0, 0.0))
+    (0, 0, -2, 2, 1, 46.0, 0.0, -24.0, 0.0),
+    (2, 0, 0, 2, 2, -38.0, 0.0, 16.0, 0.0),
+    (0, 0, 2, 2, 2, -31.0, 0.0, 13.0, 0.0),
+    (0, 0, 2, 0, 0, 29.0, 0.0, 0.0, 0.0),
+    (-2, 0, 1, 2, 2, 29.0, 0.0, -12.0, 0.0),
+    (0, 0, 0, 2, 0, 26.0, 0.0, 0.0, 0.0),
+    (-2, 0, 0, 2, 0, -22.0, 0.0, 0.0, 0.0),
+    (0, 0, -1, 2, 1, 21.0, 0.0, -10.0, 0.0),
+    (0, 2, 0, 0, 0, 17.0, -0.1, 0.0, 0.0),
+    (2, 0, -1, 0, 1, 16.0, 0.0, -8.0, 0.0),
+    (-2, 2, 0, 2, 2, -16.0, 0.1, 7.0, 0.0),
+    (0, 1, 0, 0, 1, -15.0, 0.0, 9.0, 0.0),
+    (-2, 0, 1, 0, 1, -13.0, 0.0, 7.0, 0.0),
+    (0, -1, 0, 0, 1, -12.0, 0.0, 6.0, 0.0),
+    (0, 0, 2, -2, 0, 11.0, 0.0, 0.0, 0.0),
+    (2, 0, -1, 2, 1, -10.0, 0.0, 5.0, 0.0),
+    (2, 0, 1, 2, 2, -8.0, 0.0, 3.0, 0.0),
+    (0, 1, 0, 2, 2, 7.0, 0.0, -3.0, 0.0),
+    (-2, 1, 1, 0, 0, -7.0, 0.0, 0.0, 0.0),
+    (0, -1, 0, 2, 2, -7.0, 0.0, 3.0, 0.0),
+    (2, 0, 0, 2, 1, -7.0, 0.0, 3.0, 0.0),
+    (2, 0, 1, 0, 0, 6.0, 0.0, 0.0, 0.0),
+    (-2, 0, 2, 2, 2, 6.0, 0.0, -3.0, 0.0),
+    (-2, 0, 1, 2, 1, 6.0, 0.0, -3.0, 0.0),
+    (2, 0, -2, 0, 1, -6.0, 0.0, 3.0, 0.0),
+    (2, 0, 0, 0, 1, -6.0, 0.0, 3.0, 0.0),
+    (0, -1, 1, 0, 0, 5.0, 0.0, 0.0, 0.0),
+    (-2, -1, 0, 2, 1, -5.0, 0.0, 3.0, 0.0),
+    (-2, 0, 0, 0, 1, -5.0, 0.0, 3.0, 0.0),
+    (0, 0, 2, 2, 1, -5.0, 0.0, 3.0, 0.0),
+    (-2, 0, 2, 0, 1, 4.0, 0.0, 0.0, 0.0),
+    (-2, 1, 0, 2, 1, 4.0, 0.0, 0.0, 0.0),
+    (0, 0, 1, -2, 0, 4.0, 0.0, 0.0, 0.0),
+    (-1, 0, 1, 0, 0, -4.0, 0.0, 0.0, 0.0),
+    (-2, 1, 0, 0, 0, -4.0, 0.0, 0.0, 0.0),
+    (1, 0, 0, 0, 0, -4.0, 0.0, 0.0, 0.0),
+    (0, 0, 1, 2, 0, 3.0, 0.0, 0.0, 0.0),
+    (0, 0, -2, 2, 2, -3.0, 0.0, 0.0, 0.0),
+    (-1, -1, 1, 0, 0, -3.0, 0.0, 0.0, 0.0),
+    (0, 1, 1, 0, 0, -3.0, 0.0, 0.0, 0.0),
+    (0, -1, 1, 2, 2, -3.0, 0.0, 0.0, 0.0),
+    (2, -1, -1, 2, 2, -3.0, 0.0, 0.0, 0.0),
+    (0, 0, 3, 2, 2, -3.0, 0.0, 0.0, 0.0),
+    (2, -1, 0, 2, 2, -3.0, 0.0, 0.0, 0.0))
 
   /** Nutation in longitude and obliquity (Δψ, Δε) in radians, T in
     * Julian centuries TT from J2000.0. Delaunay fundamental arguments

@@ -241,6 +241,37 @@ object Oracles {
         s"AS ant, w_m FROM (VALUES\n  $rows) u(t, ant, w_m))")
   }
 
+  /** C2c: the apparent-place UVW table ITSELF, gated in integer
+    * nanometres (floor(x·1e9 + 0.5) — 1e-9 m resolution on the full
+    * ephemeris chain: IAU-1976 precession, full 63-term IAU-1980
+    * nutation, annual aberration, dut1). Fixed-epoch literals pin the
+    * driver-computed table; the independent CORRECTNESS anchors for the
+    * chain are the published worked examples in AstroSpec (nutation to
+    * 0.001″, apparent place to 0.2″).
+    */
+  val c2cApparentUvw: String = {
+    import GeometryCorrection._
+    val rows = (for {
+      t <- 0L until graft.model.Obs.NumTimesteps.toLong
+      ant <- 0L until graft.model.Obs.NumAnts.toLong
+    } yield {
+      val e = (ant % 4) * 100.0 - 150.0
+      val n = (ant / 4) * 100.0 - 50.0
+      val h = 377.0 + ant * 0.5
+      val gps = graft.model.Obs.GpsStart + t * 2
+      val (u, v, w) = graft.functions.Astro.partUvwApparentAt(
+        gps.toDouble + graft.model.Obs.IntTimeS / 2, AppLonRad,
+        AppLatRad, AppRaJ2000, AppDecJ2000, AppDut1Sec, e, n, h)
+      def nano(x: Double): Long = math.floor(x * 1.0e9 + 0.5).toLong
+      s"($t, $ant, ${nano(u)}, ${nano(v)}, ${nano(w)})"
+    }).mkString(",\n  ")
+    OracleSql.query(
+      "SELECT CAST(t AS BIGINT) AS t, CAST(ant AS BIGINT) AS ant,\n" +
+        "       CAST(u_n AS BIGINT) AS u_n, CAST(v_n AS BIGINT) AS v_n,\n" +
+        "       CAST(w_n AS BIGINT) AS w_n\n" +
+        s"FROM (VALUES\n  $rows) u(t, ant, u_n, v_n, w_n)")
+  }
+
   val c3DigitalGains: String = {
     val pols = Seq(
       (Seq(0, 1), "(g1x * g2x)"), (Seq(2, 3), "(g1x * g2y)"),

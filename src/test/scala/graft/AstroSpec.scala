@@ -49,9 +49,11 @@ class AstroSpec extends AnyFunSuite {
     val t = (2446895.5 - 2451545.0) / 36525.0
     val (dpsi, deps) = Astro.nutation(t)
     val arc = deg / 3600.0
-    assert(math.abs(dpsi / arc - (-3.788)) < 0.05,
+    // full 63-term table: match the published example to its own
+    // rounding (0.001") — the truncated series only reached ~0.02"
+    assert(math.abs(dpsi / arc - (-3.788)) < 0.001,
       s"dpsi=${dpsi / arc}")
-    assert(math.abs(deps / arc - 9.443) < 0.05, s"deps=${deps / arc}")
+    assert(math.abs(deps / arc - 9.443) < 0.001, s"deps=${deps / arc}")
     val eps0 = Astro.meanObliquityRad(t)
     val eps0Exp = (23.0 + 26.0 / 60 + 27.407 / 3600) * deg
     assert(math.abs(eps0 - eps0Exp) < 0.002 * arc,
