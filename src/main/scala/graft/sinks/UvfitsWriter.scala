@@ -50,6 +50,14 @@ object UvfitsWriter {
     */
   private val PolSrc: Array[Int] = Array(0, 6, 2, 4)
 
+  /** Assembly route the last [[write]] took — `"concat"` (metadata-only
+    * stitch, no driver byte traffic) or `"stream"` (driver-streamed
+    * copy, the lowest-common-denominator fallback). Test/dev
+    * observability for the single-file tail; see the object-store
+    * contract in BENCH_NOTES.md.
+    */
+  @volatile private[graft] var lastAssemblyRoute: String = ""
+
   private def card(key: String, value: String, comment: String = ""): String = {
     val v = key.take(8).padTo(8, ' ') + "= " +
       value.reverse.padTo(20, ' ').reverse +
@@ -299,7 +307,9 @@ object UvfitsWriter {
       }
     }
 
-    if (!concatAssembly()) {
+    if (concatAssembly()) lastAssemblyRoute = "concat"
+    else {
+      lastAssemblyRoute = "stream"
       val out =
         new BufferedOutputStream(fs.create(outPath, true), 1 << 20)
       out.write(header)
