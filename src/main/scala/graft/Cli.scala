@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * Usage:
   * {{{
   * graft.Cli -d <dataDir> [-m <metafits>] [-u <out.uvfits>]
-  *   [--flag-out <mwafDir>] [--sel-time FROM TO] [--sel-ants A,B,...]
+  *   [-M <out.ms>] [--flag-out <mwafDir>] [--flag-strategy <file>]
+  *   [--sel-time FROM TO] [--sel-ants A,B,...]
   *   [--no-autos] [--avg-time N] [--avg-freq N]
   *   [--flag-edge-chans N] [--no-cable-delay] [--no-geometric-delay]
   *   [--no-digital-gains] [--van-vleck] [--rfi]
@@ -31,7 +32,9 @@ object Cli {
       dataDir: String = "",
       metafits: Option[String] = None,
       uvfitsOut: Option[String] = None,
+      msOut: Option[String] = None,
       mwafOut: Option[String] = None,
+      rfiStrategyFile: Option[String] = None,
       selTime: Option[(Long, Long)] = None,
       selAnts: Seq[Long] = Nil,
       noAutos: Boolean = false,
@@ -57,7 +60,10 @@ object Cli {
         case "-d" :: v :: t => loop(t, c.copy(dataDir = v))
         case "-m" :: v :: t => loop(t, c.copy(metafits = Some(v)))
         case "-u" :: v :: t => loop(t, c.copy(uvfitsOut = Some(v)))
+        case "-M" :: v :: t => loop(t, c.copy(msOut = Some(v)))
         case "--flag-out" :: v :: t => loop(t, c.copy(mwafOut = Some(v)))
+        case "--flag-strategy" :: v :: t =>
+          loop(t, c.copy(rfiStrategyFile = Some(v), rfi = true))
         case "--sel-time" :: a :: b :: t =>
           (a.toLongOption, b.toLongOption) match {
             case (Some(x), Some(y)) if x <= y =>
@@ -112,7 +118,10 @@ object Cli {
     else "digital gains: apply",
     if (cfg.vanVleck) "van vleck: apply (--van-vleck)"
     else "van vleck: skip (default: modern correlator)",
-    if (cfg.rfi) "rfi: apply (--rfi)" else "rfi: skip")
+    cfg.rfiStrategyFile match {
+      case Some(f) => s"rfi: apply (strategy file $f)"
+      case None => if (cfg.rfi) "rfi: apply (--rfi)" else "rfi: skip"
+    })
 
   /** Decorator meta that re-derives the static channel flags with a
     * CLI-chosen edge width (reference --flag-edge-chans): fc within
@@ -163,14 +172,29 @@ object Cli {
       vf.writeMwaf(dir)
     }
 
+    val strategy = cfg.rfiStrategyFile
+      .map(f => graft.ops.RfiStrategy.fromFile(f,
+        spark.sparkContext.hadoopConfiguration))
+      .getOrElse(graft.ops.RfiStrategy())
     val pre = Preprocess(
       vanVleck = cfg.vanVleck,
       cable = !cfg.noCable,
       digitalGains = !cfg.noDigital,
       geometry = !cfg.noGeom,
       rfi = cfg.rfi,
-      meta = meta)
+      meta = meta,
+      rfiStrategy = strategy)
     val processed = vf.preprocess(pre)
+
+    cfg.msOut.foreach { dir =>
+      log(s"[graft] writing MS container to $dir")
+      val uvwDim = graft.ops.GeometryCorrection.partUvw(
+        meta.timestep(spark), meta.antenna(spark))
+      val n = graft.sinks.MsContainer.write(
+        processed.averaged(cfg.avgTime, cfg.avgFreq), uvwDim,
+        meta.antenna(spark), dir, cfg.avgTime, cfg.avgFreq)
+      log(s"[graft] wrote $n MS rows")
+    }
 
     cfg.uvfitsOut.map { path =>
       log(s"[graft] writing uvfits to $path")

@@ -771,6 +771,27 @@ object Oracles {
       s"avg AS (\n$avgBody)", uvwCte)
   }
 
+  /** S4 mwaf container round trip: the Spark side WRITES the per-cc
+    * mwaf FITS files and reads them back; this twin recomputes the
+    * dense grid the files must hold — every (cc ∈ data, t, bl) cell,
+    * present cells carrying the fine-channel flag bitmask, absent
+    * cells fully flagged (missing-HDU semantics,
+    * /root/reference/src/io/mod.rs:297-303; dense table
+    * /root/reference/src/io/mwaf.rs:424-495).
+    */
+  val s4MwafRoundtrip: String = OracleSql.query(
+    s"""SELECT g.cc, g.t, g.bl,
+       |       coalesce(m.flag_mask, CAST(255 AS BIGINT)) AS flag_mask
+       |FROM (SELECT c.cc, ts.t, b.bl
+       |      FROM (SELECT DISTINCT cc FROM vis) c
+       |      CROSS JOIN timestep ts CROSS JOIN baseline b) g
+       |LEFT JOIN (SELECT cc, bl, t,
+       |             CAST(bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)
+       |                         ELSE 0 END) AS BIGINT) AS flag_mask
+       |           FROM vis_flagged GROUP BY 1, 2, 3) m
+       |  ON g.cc = m.cc AND g.t = m.t AND g.bl = m.bl""".stripMargin,
+    OracleSql.visFlaggedCte)
+
   val k3MwafBitmask: String = OracleSql.query(
     """SELECT cc, bl, t,
       |       CAST(bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)

@@ -31,6 +31,12 @@ class CliSpec extends AnyFunSuite {
     assert(cfg.noAutos && cfg.noCable && !cfg.noGeom)
     assert(cfg.avgTime == 4 && cfg.avgFreq == 2)
     assert(cfg.edgeChans.contains(2))
+
+    val cfg2 = Cli.parse(Seq("-d", "/data", "-M", "out.ms",
+      "--flag-strategy", "mwa.strategy")).toOption.get
+    assert(cfg2.msOut.contains("out.ms"))
+    assert(cfg2.rfiStrategyFile.contains("mwa.strategy"))
+    assert(cfg2.rfi, "--flag-strategy implies the rfi stage")
   }
 
   test("parse: malformed input fails loudly") {
@@ -73,9 +79,13 @@ class CliSpec extends AnyFunSuite {
     val metafits = graft.synth.MetafitsSynth.write(
       dir.resolve("obs.metafits").toString)
     val out = dir.resolve("out.uvfits").toString
+    val msOut = dir.resolve("out.ms").toString
+    val strategyFile = dir.resolve("mwa.strategy")
+    Files.writeString(strategyFile, "mad_k = 5.0\npols = yy\n")
 
     val cfg = Cli.parse(Seq(
       "-d", "/root/testdata/sf0.001", "-m", metafits, "-u", out,
+      "-M", msOut, "--flag-strategy", strategyFile.toString,
       "--sel-time", "0", "15", "--avg-time", "2", "--avg-freq", "2"))
       .toOption.get
 
@@ -86,7 +96,13 @@ class CliSpec extends AnyFunSuite {
     assert(Files.size(Paths.get(out)) % 2880 == 0, "FITS block aligned")
     assert(logged.exists(_.contains("cable: apply")))
     assert(logged.exists(_.contains("geometry: apply")))
+    assert(logged.exists(_.contains("rfi: apply (strategy file")))
     assert(logged.exists(_.contains(s"wrote $n uvfits groups")))
+
+    // the MS container landed beside the uvfits and parses back
+    val (_, msRows, _) = graft.sinks.MsContainer.readTable(msOut,
+      spark.sparkContext.hadoopConfiguration)
+    assert(msRows == n, "MS MAIN rows == uvfits groups (same frame)")
 
     // the written file carries non-zero UVW group params (real writer,
     // not the structure-only path)
