@@ -188,11 +188,7 @@ object Cli {
 
     cfg.msOut.foreach { dir =>
       log(s"[graft] writing MS container to $dir")
-      val uvwDim = graft.ops.GeometryCorrection.partUvw(
-        meta.timestep(spark), meta.antenna(spark))
-      val n = graft.sinks.MsContainer.write(
-        processed.averaged(cfg.avgTime, cfg.avgFreq), uvwDim,
-        meta.antenna(spark), dir, cfg.avgTime, cfg.avgFreq)
+      val n = processed.writeMs(dir, cfg.avgTime, cfg.avgFreq)
       log(s"[graft] wrote $n MS rows")
     }
 

@@ -63,6 +63,15 @@ object SparkEntry {
     // -- sources / selection ------------------------------------------
     "q_s1_vis_synth" -> ((s, dir) => VisSynth.vis(s, dir)),
 
+    // S1b: the REAL FITS gpubox container loop — lineage-encoded image
+    // HDUs (one per scan, one file per coarse channel, one file short
+    // of its announced scans to exercise missing-HDU flagging) written
+    // and read back through the slab decoder; the oracle regenerates
+    // every cell from pure range() arithmetic, independent of both
+    // writer and reader
+    "q_s1b_fits_ingest" -> ((s, dir) =>
+      graft.sources.FitsGpubox.read(s, fitsGpuboxFixture, 8)),
+
     "q_p1_sel_time" -> ((s, dir) =>
       FlagOps.selTime(VisSynth.vis(s, dir), 3, 12)
         .select(Seq(col("t"), col("bl"), col("chan")) ++ comps
@@ -398,6 +407,20 @@ object SparkEntry {
   /** Synthetic metafits fixture, written once per JVM (same rationale
     * as [[aocalFixture]]).
     */
+  /** Lineage-encoded FITS gpubox fixtures (written once per JVM):
+    * cc 0 truncated at 12 of 16 announced scans (missing-HDU rows),
+    * cc 1 complete.
+    */
+  private lazy val fitsGpuboxFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbxfits")
+    dir.toFile.deleteOnExit()
+    graft.sources.FitsGpubox.writeFixture(
+      dir.resolve("gpubox00.fits").toString, 0, 16, 8, 8, 12)
+    graft.sources.FitsGpubox.writeFixture(
+      dir.resolve("gpubox01.fits").toString, 1, 16, 8, 8, 16)
+    dir.toString
+  }
+
   /** Scratch dir for the q_s4 mwaf write-then-read-back gate; one per
     * JVM, files overwritten per invocation.
     */
@@ -458,6 +481,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_vis_synth" -> Oracles.s1VisSynth,
+    "q_s1b_fits_ingest" -> Oracles.s1bFitsIngest,
     "q_s2_metafits_cable" -> Oracles.c1Cable,
     "q_s2b_metafits_pipeline" -> Oracles.s2bMetafitsPipeline,
     "q_s3_aocal" -> Oracles.s3Aocal,

@@ -116,6 +116,17 @@ case class VisFrame(spark: SparkSession, df: DataFrame,
       meta.intTimeS, avgTime)
   }
 
+  /** MS container export (directory of casacore-shaped tables) — UVW
+    * and antenna dims from the metadata seam, same frames as the
+    * parquet mirror ([[graft.sinks.MsWriter]]).
+    */
+  def writeMs(dir: String, avgTime: Int = 2, avgFreq: Int = 2): Long = {
+    val uvw = GeometryCorrection.partUvw(meta.timestep(spark),
+      meta.antenna(spark))
+    graft.sinks.MsContainer.write(averaged(avgTime, avgFreq), uvw,
+      meta.antenna(spark), dir, avgTime, avgFreq)
+  }
+
   def writeFlagOccupancy(): DataFrame = Sinks.mwafOccupancy(df)
 
   def writeMwaf(dir: String): Map[Long, Long] =

@@ -22,6 +22,39 @@ object Oracles {
   val s1VisSynth: String = OracleSql.query(
     s"SELECT t, ant1, ant2, bl, cc, fc, chan, freq_hz, $compList, w FROM vis")
 
+  /** S1b oracle: regenerate the lineage-encoded FITS gpubox fixture
+    * (2 coarse channels, 16 announced scans, cc 0 holding only 12
+    * image HDUs) from pure range() arithmetic — independent of both
+    * the fixture writer and the slab decoder under test. Cell value =
+    * cc·1e5 + t·1e4 + blIdx·100 + fc·10 + k (f32-exact integers);
+    * missing slabs are zero-filled and flagged (missing-HDU semantics,
+    * /root/reference/src/io/mod.rs:297-303).
+    */
+  val s1bFitsIngest: String = {
+    val comps = (0 until 8).map { k =>
+      s"       CASE WHEN flag THEN 0.0e0 ELSE cc * 100000.0e0" +
+        s" + t * 10000.0e0 + blidx * 100.0e0 + fc * 10.0e0" +
+        s" + $k.0e0 END AS v$k"
+    }.mkString(",\n")
+    s"""SELECT cc, t, ant1, ant2, bl, fc, chan, flag,
+       |$comps
+       |FROM (
+       |  SELECT f.cc, ts.i AS t, p.ant1, p.ant2, p.bl, p.blidx,
+       |         ch.i AS fc, CAST(f.cc * 8 + ch.i AS BIGINT) AS chan,
+       |         ts.i >= f.present AS flag
+       |  FROM (VALUES (CAST(0 AS BIGINT), 12),
+       |               (CAST(1 AS BIGINT), 16)) f(cc, present)
+       |  CROSS JOIN range(0, 16) ts(i)
+       |  CROSS JOIN (SELECT CAST(a1.i AS BIGINT) AS ant1,
+       |                     CAST(a2.i AS BIGINT) AS ant2,
+       |                     CAST(a1.i * 8 + a2.i AS BIGINT) AS bl,
+       |                     row_number()
+       |                       OVER (ORDER BY a1.i, a2.i) - 1 AS blidx
+       |              FROM range(0, 8) a1(i), range(0, 8) a2(i)
+       |              WHERE a1.i <= a2.i) p
+       |  CROSS JOIN range(0, 8) ch(i))""".stripMargin
+  }
+
   /** S3 oracle: regenerate the dyadic calsol fixture values from pure
     * range() arithmetic — independent of the MWAOCAL binary round trip
     * under test (8 tiles × 4 chans, formula mirrored in SparkEntry's
