@@ -94,7 +94,11 @@ object MwafReader {
     val conf0 = spark.sparkContext.hadoopConfiguration
     val d = new Path(dir)
     val fs = d.getFileSystem(conf0)
-    val pattern = template.replace("%%", "([0-9]+)").r
+    // quote the literal template segments so e.g. the "." in ".mwaf"
+    // can't match arbitrary characters
+    val pattern = template.split("%%", -1)
+      .map(java.util.regex.Pattern.quote)
+      .mkString("([0-9]+)").r
     val files = fs.listStatus(d).toSeq
       .map(_.getPath)
       .flatMap { p =>
