@@ -111,6 +111,12 @@ object MsContainer {
 
   val polCols: Seq[Col] = Seq(Col("NUM_CORR", 1, 1), Col("CORR_TYPE", 1, 4))
 
+  val fieldCols: Seq[Col] = Seq(Col("NAME", 10, 16),
+    Col("PHASE_DIR", 4, 2))
+
+  val observationCols: Seq[Col] = Seq(Col("TELESCOPE_NAME", 10, 16),
+    Col("OBSERVER", 10, 16), Col("TIME_RANGE", 4, 2))
+
   // ---- encoding helpers --------------------------------------------------
 
   private def putStr16(buf: ByteBuffer, s: String): Unit = {
@@ -289,6 +295,24 @@ object MsContainer {
     Seq(9, 10, 11, 12).foreach(polBuf.putInt) // XX XY YX YY Stokes codes
     writeTableFiles(new Path(mainDir, "POLARIZATION"), polCols, 1L,
       "Type = POLARIZATION\n", polBuf.array(), conf)
+
+    val fieldBuf = ByteBuffer.allocate(rowWidth(fieldCols))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    putStr16(fieldBuf, "GRAFT")
+    fieldBuf.putDouble(graft.ops.GeometryCorrection.Ha0)
+    fieldBuf.putDouble(graft.ops.GeometryCorrection.DecRad)
+    writeTableFiles(new Path(mainDir, "FIELD"), fieldCols, 1L,
+      "Type = FIELD\n", fieldBuf.array(), conf)
+
+    val obsBuf = ByteBuffer.allocate(rowWidth(observationCols))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    putStr16(obsBuf, "MWA")
+    putStr16(obsBuf, "graft")
+    val t0 = MsWriter.MjdEpochOffsetS + Obs.GpsStart.toDouble
+    obsBuf.putDouble(t0)
+    obsBuf.putDouble(t0 + Obs.NumTimesteps * Obs.IntTimeS)
+    writeTableFiles(new Path(mainDir, "OBSERVATION"), observationCols,
+      1L, "Type = OBSERVATION\n", obsBuf.array(), conf)
 
     cached.unpersist()
     nRows

@@ -38,8 +38,14 @@ object UvfitsReader {
       StructField("v_s", DoubleType, nullable = false),
       StructField("w_s", DoubleType, nullable = false)))
 
+  /** `uu`/`vv`/`ww`/`baseline` are parameter INDICES found via the
+    * PTYPEn cards; `date1`/`date2` the first and second DATE parameter
+    * (third-party writers order and count parameters differently — a
+    * fixed-index decode only reads back our own files).
+    */
   final case class Header(pcount: Int, gcount: Long, nChans: Int,
-                          dataStart: Long)
+                          dataStart: Long, uu: Int, vv: Int, ww: Int,
+                          date1: Int, date2: Int, baseline: Int)
 
   /** Parse the primary header (2880-byte card blocks up to END). */
   def readHeader(rd: SlabIO.SlabReader): Header = {
@@ -60,11 +66,26 @@ object UvfitsReader {
     }
     require(cards.get("GROUPS").exists(_.startsWith("T")),
       "not a random-groups uvfits file")
+    val pcount = cards("PCOUNT").toInt
+    // PTYPEn values are quoted FITS strings, e.g. 'UU      '
+    val ptypes = (1 to pcount).map { i =>
+      cards.getOrElse(s"PTYPE$i", "").replace("'", "").trim.toUpperCase
+    }
+    def param(name: String): Int = {
+      val i = ptypes.indexWhere(_.startsWith(name))
+      require(i >= 0, s"uvfits: no $name group parameter in $ptypes")
+      i
+    }
+    val d1 = param("DATE")
+    val d2 = ptypes.indexWhere(_.startsWith("DATE"), d1 + 1)
     Header(
-      pcount = cards("PCOUNT").toInt,
+      pcount = pcount,
       gcount = cards("GCOUNT").toLong,
       nChans = cards("NAXIS4").toInt,
-      dataStart = pos)
+      dataStart = pos,
+      uu = param("UU"), vv = param("VV"), ww = param("WW"),
+      date1 = d1, date2 = d2,
+      baseline = param("BASELINE"))
   }
 
   /** Decode groups [from, until) of the file into rows (one row per
@@ -82,14 +103,16 @@ object UvfitsReader {
         .readAt(h.dataStart + g * groupFloats * 4L, groupFloats * 4)
         .order(ByteOrder.BIG_ENDIAN)
       val params = Array.fill(h.pcount)(buf.getFloat())
-      val days = params(3).toDouble
-      val frac = params(4).toDouble
+      val days = params(h.date1).toDouble
+      // writers that emit a single DATE parameter carry the whole
+      // timestamp in it; the split-DATE convention adds the fraction
+      val frac = if (h.date2 >= 0) params(h.date2).toDouble else 0.0
       // groups are stamped at the CENTROID of their output window, so
       // floor recovers the window index (f32 day-fraction ulp ≈ 5 ms,
       // far inside the half-window guard band)
       val tOut = math.floor(
         (days * 86400.0 + frac * 86400.0 - gpsStart) / outStepS).toLong
-      val blCode = math.round(params(5).toDouble)
+      val blCode = math.round(params(h.baseline).toDouble)
       val ant1 = blCode / 256 - 1
       val ant2 = blCode % 256 - 1
       val bl = ant1 * nAnts + ant2
@@ -107,8 +130,8 @@ object UvfitsReader {
           v(9), v(10), // YX
           v(3), v(4)) // YY
         Row.fromSeq(Seq(tOut, bl, ant1, ant2, c.toLong) ++
-          vals.toSeq ++ Seq(v(2).toDouble, params(0).toDouble,
-            params(1).toDouble, params(2).toDouble))
+          vals.toSeq ++ Seq(v(2).toDouble, params(h.uu).toDouble,
+            params(h.vv).toDouble, params(h.ww).toDouble))
       }
     }
     SlabIO.closeOnExhaust(iter)(() => rd.close())

@@ -130,5 +130,21 @@ class MsContainerSpec extends AnyFunSuite {
     assert(pRows == 1)
     assert(MsContainer.cell(pCols, pData, 0, "CORR_TYPE") ==
       Seq(9.0, 10.0, 11.0, 12.0))
+
+    val (fCols, fRows, fData) = MsContainer.readTable(s"$out/FIELD",
+      conf)
+    assert(fRows == 1)
+    assert(MsContainer.strCell(fCols, fData, 0, "NAME") == "GRAFT")
+    assert(MsContainer.cell(fCols, fData, 0, "PHASE_DIR") ==
+      Seq(graft.ops.GeometryCorrection.Ha0,
+        graft.ops.GeometryCorrection.DecRad))
+
+    val (oCols, oRows, oData) =
+      MsContainer.readTable(s"$out/OBSERVATION", conf)
+    assert(oRows == 1)
+    assert(MsContainer.strCell(oCols, oData, 0, "TELESCOPE_NAME") ==
+      "MWA")
+    val tr = MsContainer.cell(oCols, oData, 0, "TIME_RANGE")
+    assert(tr.length == 2 && tr(1) - tr(0) == 32.0) // 16 steps x 2 s
   }
 }
