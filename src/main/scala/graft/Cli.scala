@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * graft.Cli -d <dataDir> [-m <metafits>] [-u <out.uvfits>]
   *   [-M <out.ms>] [--flag-out <mwafDir>] [--flag-strategy <file>]
-  *   [--sel-time FROM TO] [--sel-ants A,B,...]
+  *   [--aocal <solutions.bin>] [--sel-time FROM TO] [--sel-ants A,B,...]
   *   [--no-autos] [--avg-time N] [--avg-freq N]
   *   [--flag-edge-chans N] [--no-cable-delay] [--no-geometric-delay]
   *   [--no-digital-gains] [--van-vleck] [--rfi]
@@ -35,6 +35,7 @@ object Cli {
       msOut: Option[String] = None,
       mwafOut: Option[String] = None,
       rfiStrategyFile: Option[String] = None,
+      aocalFile: Option[String] = None,
       selTime: Option[(Long, Long)] = None,
       selAnts: Seq[Long] = Nil,
       noAutos: Boolean = false,
@@ -64,6 +65,7 @@ object Cli {
         case "--flag-out" :: v :: t => loop(t, c.copy(mwafOut = Some(v)))
         case "--flag-strategy" :: v :: t =>
           loop(t, c.copy(rfiStrategyFile = Some(v), rfi = true))
+        case "--aocal" :: v :: t => loop(t, c.copy(aocalFile = Some(v)))
         case "--sel-time" :: a :: b :: t =>
           (a.toLongOption, b.toLongOption) match {
             case (Some(x), Some(y)) if x <= y =>
@@ -121,6 +123,10 @@ object Cli {
     cfg.rfiStrategyFile match {
       case Some(f) => s"rfi: apply (strategy file $f)"
       case None => if (cfg.rfi) "rfi: apply (--rfi)" else "rfi: skip"
+    },
+    cfg.aocalFile match {
+      case Some(f) => s"calibrate: apply (MWAOCAL solutions $f)"
+      case None => "calibrate: apply (synthetic solutions)"
     })
 
   /** Decorator meta that re-derives the static channel flags with a
@@ -183,7 +189,8 @@ object Cli {
       geometry = !cfg.noGeom,
       rfi = cfg.rfi,
       meta = meta,
-      rfiStrategy = strategy)
+      rfiStrategy = strategy,
+      aocalPath = cfg.aocalFile)
     val processed = vf.preprocess(pre)
 
     cfg.msOut.foreach { dir =>

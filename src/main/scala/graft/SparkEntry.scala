@@ -211,6 +211,16 @@ object SparkEntry {
       Calibration(VisSynth.vis(s, dir), Dims.calsol(s))
         .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
 
+    // C6b: the production flow — solutions read from the MWAOCAL
+    // binary fixture feed the same sandwich; a reader byte-layout or
+    // indexing error changes the Jones values and flips the gate
+    "q_c6b_calibration_aocal" -> ((s, dir) =>
+      Calibration(VisSynth.vis(s, dir),
+        graft.sources.AOCalReader.toDataFrame(s,
+          graft.sources.AOCalReader.read(aocalFixture))
+          .withColumnRenamed("cal_chan", "cc"))
+        .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
+
     "q_c5_van_vleck" -> ((s, dir) =>
       VanVleck(VisSynth.vis(s, dir), flaggedAnts = Seq(7L),
         sampleScale = 2.0)
@@ -505,6 +515,7 @@ object SparkEntry {
     "q_c4c_passband_legacy" -> Oracles.c4PassbandReal(
       graft.model.PfbTables.scrunched(graft.model.PfbTables.CorrLegacy)),
     "q_c6_calibration" -> Oracles.c6Calibration,
+    "q_c6b_calibration_aocal" -> Oracles.c6bCalibrationAocal,
     "q_c5_sigma" -> Oracles.c5Sigma,
     "q_c5_van_vleck" -> Oracles.c5VanVleck,
     "q_c5_cross" -> Oracles.c5Cross,

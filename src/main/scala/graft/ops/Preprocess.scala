@@ -42,7 +42,11 @@ case class Preprocess(vanVleck: Boolean = false,
                       rfiStrategy: RfiStrategy = RfiStrategy(),
                       // C5 iteration-cap policy: true = reference
                       // bit-parity (abandon to khat at the cap)
-                      vvReferenceCapFallback: Boolean = false) {
+                      vvReferenceCapFallback: Boolean = false,
+                      // C6 solutions source: an MWAOCAL binary file
+                      // (the reference's production input) instead of
+                      // the synthetic calsol dimension
+                      aocalPath: Option[String] = None) {
 
   def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
     // metafits auto-skip: the container says these delays are already
@@ -69,11 +73,25 @@ case class Preprocess(vanVleck: Boolean = false,
       (passband, df => PassbandGains(df, pfb)),
       (rfi, df => applyRfi(df)),
       (doGeometry, df => GeometryCorrection(df, uvw)),
-      (calibrate, df => Calibration(df, Dims.calsol(spark))))
+      (calibrate, df => Calibration(df, calsolTable(spark))))
     stages.foldLeft(vis) { case (df, (enabled, stage)) =>
       if (enabled) df.transform(stage) else df
     }
   }
+
+  /** DI solutions: from the MWAOCAL binary when a path is given
+    * (reference AOCalSols, calibration.rs:41-131), else the synthetic
+    * calsol dimension. Both land in the same (ant, cc, j0..j7)
+    * broadcast layout.
+    */
+  private def calsolTable(spark: SparkSession): DataFrame =
+    aocalPath match {
+      case Some(p) =>
+        graft.sources.AOCalReader.toDataFrame(spark,
+          graft.sources.AOCalReader.read(p))
+          .withColumnRenamed("cal_chan", "cc")
+      case None => Dims.calsol(spark)
+    }
 
   /** RFI stage: detect per-baseline, OR the detections back into the
     * frame's flag column (reference flag-OR mode, flags.rs:414-418).

@@ -376,6 +376,45 @@ object Oracles {
         .stripMargin)
   }
 
+  /** C6b: calibration solutions from the MWAOCAL BINARY file — the
+    * reference's production flow (AOCalSols::read_andre_binary then
+    * apply_di_calsol, /root/reference/src/calibration.rs:41-131). The
+    * Spark side reads the fixture file through the binary reader and
+    * applies the sandwich; this twin regenerates the fixture's dyadic
+    * Jones values from pure range() arithmetic, independent of the
+    * reader under test (same independence pattern as q_s3).
+    */
+  val c6bCalibrationAocal: String = {
+    val j1 = (0 until 8).map(k => s"j${k}_1")
+    val v = (0 until 8).map(k => s"v$k")
+    val j2 = (0 until 8).map(k => s"j${k}_2")
+    val comps = Calibration.sandwich(j1, v, j2)(Num.sqlNum)
+    val outs = comps.zipWithIndex
+      .map { case (e, k) => s"  $e AS r$k" }.mkString(",\n")
+    val jsel1 = (0 until 8).map(k => s"c1.j$k AS j${k}_1").mkString(", ")
+    val jsel2 = (0 until 8).map(k => s"c2.j$k AS j${k}_2").mkString(", ")
+    val jDefs = (0 until 8).map { k =>
+      s"         CAST(((i // 4) * 64 + (i % 4) * 8 + $k) * 5 % 97" +
+        s" AS DOUBLE) / 32.0e0 - 1.5e0 AS j$k"
+    }.mkString(",\n")
+    val aocalCte =
+      s"""aocal AS (
+         |  SELECT CAST(i // 4 AS BIGINT) AS ant,
+         |         CAST(i % 4 AS BIGINT) AS cc,
+         |$jDefs
+         |  FROM range(0, 32) r(i))""".stripMargin
+    OracleSql.query(
+      s"""SELECT t, bl, chan,
+         |$outs
+         |FROM (
+         |  SELECT v.*, $jsel1, $jsel2
+         |  FROM vis v
+         |  JOIN aocal c1 ON v.ant1 = c1.ant AND v.cc = c1.cc
+         |  JOIN aocal c2 ON v.ant2 = c2.ant AND v.cc = c2.cc)"""
+        .stripMargin,
+      aocalCte)
+  }
+
   // ---- Van Vleck (C5) ------------------------------------------------
 
   /** Auto-kernel oracle: the reference's published σ̂/σ/σ̂′ vectors

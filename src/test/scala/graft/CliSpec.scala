@@ -33,10 +33,12 @@ class CliSpec extends AnyFunSuite {
     assert(cfg.edgeChans.contains(2))
 
     val cfg2 = Cli.parse(Seq("-d", "/data", "-M", "out.ms",
-      "--flag-strategy", "mwa.strategy")).toOption.get
+      "--flag-strategy", "mwa.strategy", "--aocal", "sol.bin"))
+      .toOption.get
     assert(cfg2.msOut.contains("out.ms"))
     assert(cfg2.rfiStrategyFile.contains("mwa.strategy"))
     assert(cfg2.rfi, "--flag-strategy implies the rfi stage")
+    assert(cfg2.aocalFile.contains("sol.bin"))
   }
 
   test("parse: malformed input fails loudly") {
@@ -82,10 +84,18 @@ class CliSpec extends AnyFunSuite {
     val msOut = dir.resolve("out.ms").toString
     val strategyFile = dir.resolve("mwa.strategy")
     Files.writeString(strategyFile, "mad_k = 5.0\npols = yy\n")
+    val aocal = dir.resolve("sol.bin").toString
+    graft.sources.AOCalReader.write(aocal,
+      graft.sources.AOCalReader.AOCalSols(1, 8, 4, None, None,
+        Array.tabulate(1, 8, 4)((_, tile, ch) =>
+          Array.tabulate(8)(k =>
+            if (k == 0 || k == 6) 1.0 + tile * 0.015625 + ch * 0.03125
+            else 0.0))))
 
     val cfg = Cli.parse(Seq(
       "-d", "/root/testdata/sf0.001", "-m", metafits, "-u", out,
       "-M", msOut, "--flag-strategy", strategyFile.toString,
+      "--aocal", aocal,
       "--sel-time", "0", "15", "--avg-time", "2", "--avg-freq", "2"))
       .toOption.get
 
@@ -97,6 +107,7 @@ class CliSpec extends AnyFunSuite {
     assert(logged.exists(_.contains("cable: apply")))
     assert(logged.exists(_.contains("geometry: apply")))
     assert(logged.exists(_.contains("rfi: apply (strategy file")))
+    assert(logged.exists(_.contains("calibrate: apply (MWAOCAL")))
     assert(logged.exists(_.contains(s"wrote $n uvfits groups")))
 
     // the MS container landed beside the uvfits and parses back
