@@ -87,6 +87,53 @@ object PropertySpecs extends Properties("kernels") {
         math.abs(dRa) * math.cos(decM) < 60 * arc
     }
 
+  private val colGen: Gen[graft.sinks.MsContainer.Col] = for {
+    n <- Gen.chooseNum(1, 24)
+    name <- Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
+    typ <- Gen.oneOf(1, 2, 3, 4, 5, 6, 10).map(_.toByte)
+    elems <- Gen.chooseNum(1, 64)
+  } yield graft.sinks.MsContainer.Col(name, typ, elems)
+
+  property("MS container descriptor round-trips any column set") =
+    Prop.forAll(Gen.nonEmptyListOf(colGen), Gen.chooseNum(0L, 1L << 40)) {
+      (cols, n) =>
+        val (back, m) = graft.sinks.MsContainer.parseDescriptor(
+          graft.sinks.MsContainer.descriptor(cols, n))
+        back == cols && m == n
+    }
+
+  property("mwaf baseline ids are the ascending dense grid") =
+    Prop.forAll(Gen.chooseNum(1, 256)) { n =>
+      val ids = graft.sources.MwafReader.baselineIds(n)
+      ids.length == n * (n + 1) / 2 &&
+        ids.sameElements(ids.sorted) &&
+        ids.distinct.length == ids.length &&
+        ids.head == 0L && ids.last == (n.toLong - 1) * n + (n - 1)
+    }
+
+  property("RFI strategy renders and re-parses to itself") =
+    Prop.forAll(Gen.chooseNum(0.5, 20.0), Gen.chooseNum(0, 8),
+      Gen.chooseNum(1.01, 3.0), Gen.someOf("xx", "xy", "yx", "yy"),
+      Gen.chooseNum(0.1, 8.0), Gen.chooseNum(0.1, 8.0)) {
+      (k, ml, rho, pols0, tw, cw) =>
+        val pols = if (pols0.isEmpty) Seq("xx") else pols0.toSeq
+        val s = graft.ops.RfiStrategy(k, ml, rho, pols, tw, cw)
+        val text =
+          s"""mad_k = $k
+             |max_log2 = $ml
+             |rho = $rho
+             |pols = ${pols.mkString(",")}
+             |time_weight = $tw
+             |chan_weight = $cw""".stripMargin
+        graft.ops.RfiStrategy.parse(text) == s
+    }
+
+  property("electrical length: EL_ literal vs physical x velocity factor") =
+    Prop.forAll(Gen.chooseNum(-500.0, 500.0)) { x =>
+      import graft.sources.MetafitsReader.{elecLen, CoaxVFactor}
+      elecLen(s"EL_$x") == x && elecLen(x.toString) == x * CoaxVFactor
+    }
+
   property("sumthreshold flags are monotone in existing flags") =
     Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0.5, 2.0))) { vals =>
       val amp = vals.toArray.grouped(8).toArray
