@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *   [-M <out.ms>] [--flag-out <mwafDir>] [--flag-strategy <file>]
   *   [--aocal <solutions.bin>] [--sel-time FROM TO] [--sel-ants A,B,...]
   *   [--no-autos] [--avg-time N] [--avg-freq N]
-  *   [--flag-edge-chans N] [--no-cable-delay] [--no-geometric-delay]
+  *   [--flag-edge-chans N] [--flag-times T,...] [--flag-antennas A,...]
+  *   [--quack-time SEC] [--no-cable-delay] [--no-geometric-delay]
   *   [--no-digital-gains] [--van-vleck] [--rfi]
   * }}}
   *
@@ -42,6 +43,9 @@ object Cli {
       avgTime: Int = 2,
       avgFreq: Int = 2,
       edgeChans: Option[Int] = None,
+      flagTimes: Seq[Long] = Nil,
+      flagAnts: Seq[Long] = Nil,
+      quackTime: Option[Double] = None,
       noCable: Boolean = false,
       noGeom: Boolean = false,
       noDigital: Boolean = false,
@@ -91,6 +95,23 @@ object Cli {
           case _ =>
             Left(s"--flag-edge-chans needs a non-negative int, got '$v'")
         }
+        case "--flag-times" :: v :: t =>
+          val ts = v.split(",").toSeq.map(_.trim.toLongOption)
+          if (ts.exists(_.isEmpty))
+            Left(s"--flag-times needs comma-separated integers, got '$v'")
+          else loop(t, c.copy(flagTimes = ts.flatten))
+        case "--flag-antennas" :: v :: t =>
+          val as = v.split(",").toSeq.map(_.trim.toLongOption)
+          if (as.exists(_.isEmpty))
+            Left(
+              s"--flag-antennas needs comma-separated integers, got '$v'")
+          else loop(t, c.copy(flagAnts = as.flatten))
+        case "--quack-time" :: v :: t => v.toDoubleOption match {
+          case Some(q) if q >= 0 => loop(t, c.copy(quackTime = Some(q)))
+          case _ =>
+            Left(s"--quack-time needs a non-negative seconds value, " +
+              s"got '$v'")
+        }
         case "--no-cable-delay" :: t => loop(t, c.copy(noCable = true))
         case "--no-geometric-delay" :: t => loop(t, c.copy(noGeom = true))
         case "--no-digital-gains" :: t => loop(t, c.copy(noDigital = true))
@@ -129,30 +150,17 @@ object Cli {
       case None => "calibrate: apply (synthetic solutions)"
     })
 
-  /** Decorator meta that re-derives the static channel flags with a
-    * CLI-chosen edge width (reference --flag-edge-chans): fc within
-    * `edge` of either coarse-channel boundary, plus the DC centre.
+  /** Stack the requested ad-hoc overrides over the base metadata seam
+    * ([[graft.model.MetaDecorators]]).
     */
-  final case class EdgeFlagMeta(inner: MetaSource, edge: Int)
-      extends MetaSource {
-    def antenna(s: SparkSession): DataFrame = inner.antenna(s)
-    def timestep(s: SparkSession): DataFrame = inner.timestep(s)
-    def baseline(s: SparkSession): DataFrame = inner.baseline(s)
-    def digitalGain(s: SparkSession): DataFrame = inner.digitalGain(s)
-    def flaggedAnts(s: SparkSession): Seq[Long] = inner.flaggedAnts(s)
-    override def cableApplied: Boolean = inner.cableApplied
-    override def geometryApplied: Boolean = inner.geometryApplied
-    override def intTimeS: Double = inner.intTimeS
-    override def weightFactor: Double = inner.weightFactor
-    def chan(s: SparkSession): DataFrame = {
-      val base = inner.chan(s)
-      // fine-chans-per-coarse off the broadcast-sized table itself, so
-      // the decorator works over any container
-      val fpc = base.agg(max("fc")).head().getLong(0) + 1
-      base.withColumn("ch_flag",
-        col("fc") < edge || col("fc") >= fpc - edge ||
-          col("fc") === fpc / 2)
-    }
+  def decorate(base: MetaSource, cfg: Config): MetaSource = {
+    import graft.model.MetaDecorators._
+    var m = base
+    cfg.edgeChans.foreach(e => m = EdgeFlag(m, e))
+    if (cfg.flagTimes.nonEmpty) m = FlagTimes(m, cfg.flagTimes)
+    if (cfg.flagAnts.nonEmpty) m = FlagAnts(m, cfg.flagAnts)
+    cfg.quackTime.foreach(q => m = QuackTime(m, q))
+    m
   }
 
   /** Run one preprocess-and-write pass; returns rows written per sink.
@@ -162,8 +170,7 @@ object Cli {
           log: String => Unit = s => System.err.println(s)): Long = {
     val g0 = Graft(spark)
     val g = cfg.metafits.map(g0.withMetafits).getOrElse(g0)
-    val meta = cfg.edgeChans
-      .map(e => EdgeFlagMeta(g.meta, e): MetaSource).getOrElse(g.meta)
+    val meta = decorate(g.meta, cfg)
 
     decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
 

@@ -1,0 +1,87 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI-style ad-hoc overrides layered over any [[MetaSource]] — the
+  * Spark analogue of the reference CLI's FlagContext mutations
+  * (--flag-times / --flag-antenna / --quack-time / --flag-edge-chans,
+  * /root/reference/src/cli.rs:1057-1169). Each decorator rewrites ONE
+  * dimension table (all broadcast-sized) and delegates everything
+  * else, so stacked decorators compose and the fact-table plans are
+  * untouched.
+  */
+object MetaDecorators {
+
+  /** Shared delegation base: every table from `inner` unless
+    * overridden.
+    */
+  trait Delegating extends MetaSource {
+    def inner: MetaSource
+    def antenna(s: SparkSession): DataFrame = inner.antenna(s)
+    def timestep(s: SparkSession): DataFrame = inner.timestep(s)
+    def chan(s: SparkSession): DataFrame = inner.chan(s)
+    def baseline(s: SparkSession): DataFrame = inner.baseline(s)
+    def digitalGain(s: SparkSession): DataFrame = inner.digitalGain(s)
+    def flaggedAnts(s: SparkSession): Seq[Long] = inner.flaggedAnts(s)
+    override def cableApplied: Boolean = inner.cableApplied
+    override def geometryApplied: Boolean = inner.geometryApplied
+    override def intTimeS: Double = inner.intTimeS
+    override def weightFactor: Double = inner.weightFactor
+  }
+
+  /** Re-derive static channel flags at a chosen edge width: fc within
+    * `edge` of either coarse-channel boundary, plus the DC centre
+    * (reference --flag-edge-chans, cli.rs:1162-1169).
+    */
+  final case class EdgeFlag(inner: MetaSource, edge: Int)
+      extends Delegating {
+    override def chan(s: SparkSession): DataFrame = {
+      val base = inner.chan(s)
+      // fine-chans-per-coarse off the broadcast-sized table itself, so
+      // the decorator works over any container
+      val fpc = base.agg(max("fc")).head().getLong(0) + 1
+      base.withColumn("ch_flag",
+        col("fc") < edge || col("fc") >= fpc - edge ||
+          col("fc") === fpc / 2)
+    }
+  }
+
+  /** Additionally flag specific timesteps (reference --flag-times). */
+  final case class FlagTimes(inner: MetaSource, times: Seq[Long])
+      extends Delegating {
+    override def timestep(s: SparkSession): DataFrame =
+      inner.timestep(s).withColumn("ts_flag",
+        col("ts_flag") || col("t").isin(times: _*))
+  }
+
+  /** Additionally flag antennas (reference --flag-antenna): the
+    * antenna bit, every baseline touching one, and the Van Vleck skip
+    * list all see the union.
+    */
+  final case class FlagAnts(inner: MetaSource, ants: Seq[Long])
+      extends Delegating {
+    override def antenna(s: SparkSession): DataFrame =
+      inner.antenna(s).withColumn("ant_flagged",
+        col("ant_flagged") || col("ant").isin(ants: _*))
+    override def baseline(s: SparkSession): DataFrame =
+      inner.baseline(s).withColumn("bl_flag",
+        col("bl_flag") || col("ant1").isin(ants: _*) ||
+          col("ant2").isin(ants: _*))
+    override def flaggedAnts(s: SparkSession): Seq[Long] =
+      (inner.flaggedAnts(s) ++ ants).distinct.sorted
+  }
+
+  /** Override the quack window: flag the first ceil(quackS/intTime)
+    * timesteps IN ADDITION to the container's own flags (reference
+    * --quack-time, additive like the CLI's flag-OR).
+    */
+  final case class QuackTime(inner: MetaSource, quackS: Double)
+      extends Delegating {
+    override def timestep(s: SparkSession): DataFrame = {
+      val steps = math.ceil(quackS / inner.intTimeS).toLong
+      inner.timestep(s).withColumn("ts_flag",
+        col("ts_flag") || col("t") < steps)
+    }
+  }
+}

@@ -124,11 +124,37 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("edge-chan override reshapes the static channel flags") {
-    val meta = Cli.EdgeFlagMeta(graft.model.SynthDims, 2)
+    val meta = graft.model.MetaDecorators.EdgeFlag(graft.model.SynthDims, 2)
     import org.apache.spark.sql.functions.col
     val flagged = meta.chan(spark).where(col("ch_flag"))
       .select("fc").distinct().collect().map(_.getLong(0)).sorted
     // width-2 edges on fpc=8: fc 0,1,6,7 plus DC fc=4
     assert(flagged.toSeq == Seq(0L, 1L, 4L, 6L, 7L))
+  }
+
+  test("ad-hoc flag decorators stack over any metadata seam") {
+    import org.apache.spark.sql.functions.col
+    val cfg = Cli.parse(Seq("-d", "/data", "--flag-times", "5,9",
+      "--flag-antennas", "2", "--quack-time", "6.0")).toOption.get
+    assert(cfg.flagTimes == Seq(5L, 9L) && cfg.flagAnts == Seq(2L))
+    assert(cfg.quackTime.contains(6.0))
+
+    val meta = Cli.decorate(graft.model.SynthDims, cfg)
+    // quack 6 s at 2 s int-time flags t 0..2; --flag-times adds 5 and
+    // 9; the synthetic seam's own flags (t=0, t=15) stay
+    val ts = meta.timestep(spark).where(col("ts_flag"))
+      .select("t").collect().map(_.getLong(0)).sorted
+    assert(ts.toSeq == Seq(0L, 1L, 2L, 5L, 9L, 15L))
+    // antenna 2 joins the metafits-flagged antenna 7 everywhere
+    assert(meta.flaggedAnts(spark) == Seq(2L, 7L))
+    val blFlagged = meta.baseline(spark)
+      .where(col("bl_flag")).select("ant1", "ant2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(blFlagged.forall { case (a1, a2) =>
+      a1 == 2 || a2 == 2 || a1 == 7 || a2 == 7 })
+    assert(blFlagged.length == 15) // 8 touching ant2 + 8 ant7 - shared
+    // malformed values fail loudly
+    assert(Cli.parse(Seq("-d", "x", "--flag-times", "1,b")).isLeft)
+    assert(Cli.parse(Seq("-d", "x", "--quack-time", "-1")).isLeft)
   }
 }
