@@ -139,7 +139,9 @@ object Cli {
     else "geometry: apply",
     if (cfg.noDigital) "digital gains: skip (--no-digital-gains)"
     else "digital gains: apply",
-    if (cfg.vanVleck) "van vleck: apply (--van-vleck)"
+    if (cfg.vanVleck)
+      s"van vleck: apply (--van-vleck, sample scale " +
+        s"${meta.vvSampleScale()} from container constants)"
     else "van vleck: skip (default: modern correlator)",
     cfg.rfiStrategyFile match {
       case Some(f) => s"rfi: apply (strategy file $f)"
@@ -191,6 +193,7 @@ object Cli {
       .getOrElse(graft.ops.RfiStrategy())
     val pre = Preprocess(
       vanVleck = cfg.vanVleck,
+      sampleScale = meta.vvSampleScale(),
       cable = !cfg.noCable,
       digitalGains = !cfg.noDigital,
       geometry = !cfg.noGeom,

@@ -39,6 +39,22 @@ trait MetaSource {
     * (reference get_weight_factor, /root/reference/src/flags.rs:570-575).
     */
   def weightFactor: Double = Obs.WeightFactor
+
+  /** Van Vleck sample scale from the container constants:
+    * 2·N·bscale where N = fine_chan_width_hz · int_time_s correlation
+    * samples per fine channel (circular symmetry gives the factor 2;
+    * reference get_vv_sample_scale,
+    * /root/reference/src/van_vleck.rs:318-329). Fails like the
+    * reference's BadNSamples when the product underflows one sample.
+    */
+  def vvSampleScale(bscale: Double = 0.5): Double = {
+    val n2 = fineChanWidthHz * intTimeS * 2.0
+    require(n2 >= 1.0, s"bad Van Vleck sample count: $n2 < 1")
+    n2 * bscale
+  }
+
+  /** Fine channel width, Hz (metafits FINECHAN). */
+  def fineChanWidthHz: Double = Obs.FineChanWidthHz
 }
 
 /** The deterministic synthetic observation (graft.model.Dims). */

@@ -316,4 +316,5 @@ final case class MetafitsMeta(mf: MetafitsReader.Metafits)
   override def intTimeS: Double = mf.intTimeS
   override def weightFactor: Double =
     (mf.fineChanWidthHz / 10000.0) * mf.intTimeS
+  override def fineChanWidthHz: Double = mf.fineChanWidthHz
 }

@@ -70,6 +70,13 @@ class CliSpec extends AnyFunSuite {
     assert(dFresh.contains("cable: apply"))
     assert(dFresh.contains("geometry: apply"))
 
+    // Van Vleck sample scale from the container: 40 kHz x 2 s x 2 x
+    // bscale 0.5 = 80000 (reference get_vv_sample_scale worked example)
+    assert(mFresh.vvSampleScale() == 80000.0)
+    val dVv = Cli.decisions(
+      Cli.Config(dataDir = "x", vanVleck = true), mFresh)
+    assert(dVv.exists(_.contains("sample scale 80000.0")))
+
     // explicit flags win over a fresh container
     val dFlag = Cli.decisions(
       Cli.Config(dataDir = "x", noCable = true), mFresh)
