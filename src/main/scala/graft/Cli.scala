@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * graft.Cli -d <dataDir> [-m <metafits>] [-u <out.uvfits>]
   *   [-M <out.ms>] [--flag-out <mwafDir>] [--flag-strategy <file>]
   *   [--aocal <solutions.bin>] [--sel-time FROM TO] [--sel-ants A,B,...]
-  *   [--no-autos] [--avg-time N] [--avg-freq N]
-  *   [--flag-edge-chans N] [--flag-times T,...] [--flag-antennas A,...]
-  *   [--quack-time SEC] [--no-cable-delay] [--no-geometric-delay]
-  *   [--no-digital-gains] [--van-vleck] [--rfi]
+  *   [--sel-chan-ranges SPEC] [--no-autos] [--no-sel-flagged-ants]
+  *   [--avg-time N] [--avg-freq N] [--avg-time-res SEC]
+  *   [--avg-freq-res KHZ] [--flag-edge-chans N] [--flag-times T,...]
+  *   [--flag-antennas A,...] [--flag-coarse-chans C,...]
+  *   [--flag-fine-chans F,...] [--no-flag-dc] [--flag-init-steps N]
+  *   [--flag-end-steps N] [--quack-time SEC] [--pfb-gains jake|cotter|none]
+  *   [--phase-centre RA_DEG DEC_DEG] [--no-cable-delay]
+  *   [--no-geometric-delay] [--no-digital-gains] [--van-vleck] [--rfi]
   * }}}
   *
   * Every option is a lazy DataFrame composition over [[graft.api.Graft]];
@@ -39,13 +43,24 @@ object Cli {
       aocalFile: Option[String] = None,
       selTime: Option[(Long, Long)] = None,
       selAnts: Seq[Long] = Nil,
+      selChanRanges: Option[String] = None,
       noAutos: Boolean = false,
+      noFlaggedAnts: Boolean = false,
       avgTime: Int = 2,
       avgFreq: Int = 2,
+      avgTimeResS: Option[Double] = None,
+      avgFreqResKhz: Option[Double] = None,
       edgeChans: Option[Int] = None,
       flagTimes: Seq[Long] = Nil,
       flagAnts: Seq[Long] = Nil,
+      flagCoarseChans: Seq[Long] = Nil,
+      flagFineChans: Seq[Long] = Nil,
+      noFlagDc: Boolean = false,
+      flagInitSteps: Option[Int] = None,
+      flagEndSteps: Option[Int] = None,
       quackTime: Option[Double] = None,
+      pfbGains: Option[String] = None,
+      phaseCentreDeg: Option[(Double, Double)] = None,
       noCable: Boolean = false,
       noGeom: Boolean = false,
       noDigital: Boolean = false,
@@ -82,6 +97,10 @@ object Cli {
             Left(s"--sel-ants needs comma-separated integers, got '$v'")
           else loop(t, c.copy(selAnts = ants.flatten))
         case "--no-autos" :: t => loop(t, c.copy(noAutos = true))
+        case "--no-sel-flagged-ants" :: t =>
+          loop(t, c.copy(noFlaggedAnts = true))
+        case "--sel-chan-ranges" :: v :: t =>
+          loop(t, c.copy(selChanRanges = Some(v)))
         case "--avg-time" :: v :: t => v.toIntOption match {
           case Some(n) if n >= 1 => loop(t, c.copy(avgTime = n))
           case _ => Left(s"--avg-time needs a positive integer, got '$v'")
@@ -95,6 +114,47 @@ object Cli {
           case _ =>
             Left(s"--flag-edge-chans needs a non-negative int, got '$v'")
         }
+        case "--avg-time-res" :: v :: t => v.toDoubleOption match {
+          case Some(r) if r > 0 => loop(t, c.copy(avgTimeResS = Some(r)))
+          case _ => Left(s"--avg-time-res needs positive seconds, got '$v'")
+        }
+        case "--avg-freq-res" :: v :: t => v.toDoubleOption match {
+          case Some(r) if r > 0 =>
+            loop(t, c.copy(avgFreqResKhz = Some(r)))
+          case _ => Left(s"--avg-freq-res needs positive kHz, got '$v'")
+        }
+        case "--flag-coarse-chans" :: v :: t =>
+          val cs = v.split(",").toSeq.map(_.trim.toLongOption)
+          if (cs.exists(_.isEmpty))
+            Left(s"--flag-coarse-chans needs integers, got '$v'")
+          else loop(t, c.copy(flagCoarseChans = cs.flatten))
+        case "--flag-fine-chans" :: v :: t =>
+          val fs = v.split(",").toSeq.map(_.trim.toLongOption)
+          if (fs.exists(_.isEmpty))
+            Left(s"--flag-fine-chans needs integers, got '$v'")
+          else loop(t, c.copy(flagFineChans = fs.flatten))
+        case "--no-flag-dc" :: t => loop(t, c.copy(noFlagDc = true))
+        case "--flag-init-steps" :: v :: t => v.toIntOption match {
+          case Some(n) if n >= 0 =>
+            loop(t, c.copy(flagInitSteps = Some(n)))
+          case _ => Left(s"--flag-init-steps needs an int, got '$v'")
+        }
+        case "--flag-end-steps" :: v :: t => v.toIntOption match {
+          case Some(n) if n >= 0 =>
+            loop(t, c.copy(flagEndSteps = Some(n)))
+          case _ => Left(s"--flag-end-steps needs an int, got '$v'")
+        }
+        case "--pfb-gains" :: v :: t =>
+          if (Seq("jake", "cotter", "none").contains(v))
+            loop(t, c.copy(pfbGains = Some(v)))
+          else Left(s"--pfb-gains needs jake|cotter|none, got '$v'")
+        case "--phase-centre" :: ra :: dec :: t =>
+          (ra.toDoubleOption, dec.toDoubleOption) match {
+            case (Some(r), Some(d)) =>
+              loop(t, c.copy(phaseCentreDeg = Some((r, d))))
+            case _ =>
+              Left(s"--phase-centre needs RA DEC degrees, got '$ra $dec'")
+          }
         case "--flag-times" :: v :: t =>
           val ts = v.split(",").toSeq.map(_.trim.toLongOption)
           if (ts.exists(_.isEmpty))
@@ -158,11 +218,36 @@ object Cli {
   def decorate(base: MetaSource, cfg: Config): MetaSource = {
     import graft.model.MetaDecorators._
     var m = base
+    // innermost: --no-flag-dc suppresses the seam's DEFAULT DC flag;
+    // the additive layers above can still flag DC cells for their own
+    // reasons (a fully-flagged coarse channel keeps its centre)
+    if (cfg.noFlagDc) m = NoDcFlag(m)
     cfg.edgeChans.foreach(e => m = EdgeFlag(m, e))
     if (cfg.flagTimes.nonEmpty) m = FlagTimes(m, cfg.flagTimes)
     if (cfg.flagAnts.nonEmpty) m = FlagAnts(m, cfg.flagAnts)
     cfg.quackTime.foreach(q => m = QuackTime(m, q))
+    cfg.flagInitSteps.foreach(n => m = FlagInitSteps(m, n))
+    cfg.flagEndSteps.foreach(n => m = FlagEndSteps(m, n))
+    if (cfg.flagCoarseChans.nonEmpty)
+      m = FlagCoarseChans(m, cfg.flagCoarseChans)
+    if (cfg.flagFineChans.nonEmpty)
+      m = FlagFineChans(m, cfg.flagFineChans)
     m
+  }
+
+  /** Effective averaging factors: a resolution wins over a factor
+    * (reference --avg-{time,freq}-res vs -factor, cli.rs:1171-1258),
+    * quantised to the container's own grid.
+    */
+  def avgFactors(cfg: Config, meta: MetaSource): (Int, Int) = {
+    val at = cfg.avgTimeResS
+      .map(r => math.max(1, math.round(r / meta.intTimeS).toInt))
+      .getOrElse(cfg.avgTime)
+    val af = cfg.avgFreqResKhz
+      .map(r =>
+        math.max(1, math.round(r * 1000.0 / meta.fineChanWidthHz).toInt))
+      .getOrElse(cfg.avgFreq)
+    (at, af)
   }
 
   /** Run one preprocess-and-write pass; returns rows written per sink.
@@ -176,9 +261,12 @@ object Cli {
 
     decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
 
+    val (avgT, avgF) = avgFactors(cfg, meta)
     var vf = g.copy(meta = meta).observation(cfg.dataDir)
     cfg.selTime.foreach { case (a, b) => vf = vf.selectTime(a, b) }
     if (cfg.selAnts.nonEmpty) vf = vf.selectAnts(cfg.selAnts)
+    cfg.selChanRanges.foreach(spec => vf = vf.selectChannelRanges(spec))
+    if (cfg.noFlaggedAnts) vf = vf.withoutFlaggedAnts()
     if (cfg.noAutos) vf = vf.withoutAutos()
     vf = vf.withDefaultFlags().withWeights(meta.weightFactor)
 
@@ -196,22 +284,31 @@ object Cli {
       sampleScale = meta.vvSampleScale(),
       cable = !cfg.noCable,
       digitalGains = !cfg.noDigital,
+      passband = !cfg.pfbGains.contains("none"),
       geometry = !cfg.noGeom,
       rfi = cfg.rfi,
+      pfbVersion = cfg.pfbGains match {
+        case Some("jake") => Some(graft.model.PfbTables.CorrMwaxV2)
+        case Some("cotter") => Some(graft.model.PfbTables.CorrLegacy)
+        case _ => None
+      },
       meta = meta,
       rfiStrategy = strategy,
-      aocalPath = cfg.aocalFile)
+      aocalPath = cfg.aocalFile,
+      phaseCentre = cfg.phaseCentreDeg.map { case (r, d) =>
+        (r.toRadians, d.toRadians)
+      })
     val processed = vf.preprocess(pre)
 
     cfg.msOut.foreach { dir =>
       log(s"[graft] writing MS container to $dir")
-      val n = processed.writeMs(dir, cfg.avgTime, cfg.avgFreq)
+      val n = processed.writeMs(dir, avgT, avgF)
       log(s"[graft] wrote $n MS rows")
     }
 
     cfg.uvfitsOut.map { path =>
       log(s"[graft] writing uvfits to $path")
-      val n = processed.writeUvfits(path, cfg.avgTime, cfg.avgFreq)
+      val n = processed.writeUvfits(path, avgT, avgF)
       log(s"[graft] wrote $n uvfits groups")
       n
     }.getOrElse {

@@ -84,4 +84,55 @@ object MetaDecorators {
         col("ts_flag") || col("t") < steps)
     }
   }
+
+  /** Flag the first `n` timesteps (reference --flag-init-steps). */
+  final case class FlagInitSteps(inner: MetaSource, n: Int)
+      extends Delegating {
+    override def timestep(s: SparkSession): DataFrame =
+      inner.timestep(s).withColumn("ts_flag",
+        col("ts_flag") || col("t") < n)
+  }
+
+  /** Flag the last `n` timesteps (reference --flag-end-steps); the
+    * scan count comes off the broadcast-sized table itself.
+    */
+  final case class FlagEndSteps(inner: MetaSource, n: Int)
+      extends Delegating {
+    override def timestep(s: SparkSession): DataFrame = {
+      val base = inner.timestep(s)
+      val nScans = base.agg(max("t")).head().getLong(0) + 1
+      base.withColumn("ts_flag",
+        col("ts_flag") || col("t") >= nScans - n)
+    }
+  }
+
+  /** Flag whole coarse channels (reference --flag-coarse-chans). */
+  final case class FlagCoarseChans(inner: MetaSource, ccs: Seq[Long])
+      extends Delegating {
+    override def chan(s: SparkSession): DataFrame =
+      inner.chan(s).withColumn("ch_flag",
+        col("ch_flag") || col("cc").isin(ccs: _*))
+  }
+
+  /** Flag fine-channel indices within every coarse channel
+    * (reference --flag-fine-chans).
+    */
+  final case class FlagFineChans(inner: MetaSource, fcs: Seq[Long])
+      extends Delegating {
+    override def chan(s: SparkSession): DataFrame =
+      inner.chan(s).withColumn("ch_flag",
+        col("ch_flag") || col("fc").isin(fcs: _*))
+  }
+
+  /** Clear the DC-centre flag (reference --no-flag-dc — MWAX data has
+    * no DC artefact): keep every other static flag bit.
+    */
+  final case class NoDcFlag(inner: MetaSource) extends Delegating {
+    override def chan(s: SparkSession): DataFrame = {
+      val base = inner.chan(s)
+      val fpc = base.agg(max("fc")).head().getLong(0) + 1
+      base.withColumn("ch_flag",
+        col("ch_flag") && !(col("fc") === fpc / 2))
+    }
+  }
 }

@@ -46,7 +46,12 @@ case class Preprocess(vanVleck: Boolean = false,
                       // C6 solutions source: an MWAOCAL binary file
                       // (the reference's production input) instead of
                       // the synthetic calsol dimension
-                      aocalPath: Option[String] = None) {
+                      aocalPath: Option[String] = None,
+                      // J2000 phase centre override (radians) for the
+                      // apparent-place geometry (reference
+                      // --phase-centre); None keeps the fixed gate
+                      // ephemeris constants
+                      phaseCentre: Option[(Double, Double)] = None) {
 
   def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
     // metafits auto-skip: the container says these delays are already
@@ -58,12 +63,13 @@ case class Preprocess(vanVleck: Boolean = false,
     val pfb = pfbVersion
       .map(v => Dims.pfbGainReal(spark, v))
       .getOrElse(Dims.pfbGain(spark))
-    def uvw = if (apparentGeometry)
+    val (raC, decC) = phaseCentre.getOrElse(
+      (GeometryCorrection.AppRaJ2000, GeometryCorrection.AppDecJ2000))
+    def uvw = if (apparentGeometry || phaseCentre.isDefined)
       GeometryCorrection.partUvwAstro(spark, meta.timestep(spark),
         antenna, GeometryCorrection.AppLonRad,
-        GeometryCorrection.AppLatRad, GeometryCorrection.AppRaJ2000,
-        GeometryCorrection.AppDecJ2000, GeometryCorrection.AppDut1Sec,
-        apparent = true)
+        GeometryCorrection.AppLatRad, raC, decC,
+        GeometryCorrection.AppDut1Sec, apparent = true)
     else GeometryCorrection.partUvw(meta.timestep(spark), antenna)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
       (vanVleck, df => VanVleck(df, meta.flaggedAnts(spark),

@@ -164,4 +164,46 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Seq("-d", "x", "--flag-times", "1,b")).isLeft)
     assert(Cli.parse(Seq("-d", "x", "--quack-time", "-1")).isLeft)
   }
+
+  test("channel flag decorators, resolutions, pfb and phase centre") {
+    import org.apache.spark.sql.functions.col
+    val cfg = Cli.parse(Seq("-d", "/data",
+      "--flag-coarse-chans", "2", "--flag-fine-chans", "3",
+      "--no-flag-dc", "--flag-init-steps", "2", "--flag-end-steps", "3",
+      "--avg-time-res", "8.0", "--avg-freq-res", "120",
+      "--pfb-gains", "cotter", "--phase-centre", "15.0", "-30.0",
+      "--sel-chan-ranges", "0-1, 3", "--no-sel-flagged-ants"))
+      .toOption.get
+    assert(cfg.flagCoarseChans == Seq(2L) && cfg.flagFineChans == Seq(3L))
+    assert(cfg.noFlagDc && cfg.noFlaggedAnts)
+    assert(cfg.flagInitSteps.contains(2) && cfg.flagEndSteps.contains(3))
+    assert(cfg.pfbGains.contains("cotter"))
+    assert(cfg.phaseCentreDeg.contains((15.0, -30.0)))
+    assert(cfg.selChanRanges.contains("0-1, 3"))
+
+    // resolutions quantise to the container grid: 8 s at 2 s int-time
+    // = factor 4; 120 kHz at 40 kHz fine channels = factor 3
+    val (at, af) = Cli.avgFactors(cfg, graft.model.SynthDims)
+    assert(at == 4 && af == 3)
+
+    val meta = Cli.decorate(graft.model.SynthDims, cfg)
+    // chan flags: coarse 2 fully flagged, fc=3 everywhere, DC (fc=4)
+    // cleared, edges (fc 0,7) kept
+    val flagged = meta.chan(spark).where(col("ch_flag"))
+      .select("cc", "fc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 8).forall(fc => flagged((2L, fc.toLong))))
+    assert((0 until 4).forall(cc => flagged((cc.toLong, 3L))))
+    assert(!flagged((0L, 4L)), "DC bin cleared by --no-flag-dc")
+    assert(flagged((0L, 0L)) && flagged((0L, 7L)))
+    // timestep flags: first 2 + last 3 of 16 (plus the seam's own 0/15)
+    val ts = meta.timestep(spark).where(col("ts_flag"))
+      .select("t").collect().map(_.getLong(0)).sorted
+    assert(ts.toSeq == Seq(0L, 1L, 13L, 14L, 15L))
+
+    // malformed values fail loudly
+    assert(Cli.parse(Seq("-d", "x", "--pfb-gains", "bogus")).isLeft)
+    assert(Cli.parse(Seq("-d", "x", "--phase-centre", "1.0")).isLeft)
+    assert(Cli.parse(Seq("-d", "x", "--avg-time-res", "0")).isLeft)
+  }
 }
