@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   * {{{
-  * graft.Cli -d <dataDir> [-m <metafits>] [-u <out.uvfits>]
+  * graft.Cli (-d <dataDir> | --gpubox <fitsDir>) [-m <metafits>]
+  *   [-u <out.uvfits>]
   *   [-M <out.ms>] [--flag-out <mwafDir>] [--flag-strategy <file>]
   *   [--aocal <solutions.bin>] [--sel-time FROM TO] [--sel-ants A,B,...]
   *   [--sel-chan-ranges SPEC] [--no-autos] [--no-sel-flagged-ants]
@@ -35,6 +36,7 @@ object Cli {
 
   final case class Config(
       dataDir: String = "",
+      gpuboxDir: Option[String] = None,
       metafits: Option[String] = None,
       uvfitsOut: Option[String] = None,
       msOut: Option[String] = None,
@@ -75,9 +77,11 @@ object Cli {
     def loop(rest: List[String], c: Config): Either[String, Config] =
       rest match {
         case Nil =>
-          if (c.dataDir.isEmpty) Left("missing required -d <dataDir>")
+          if (c.dataDir.isEmpty && c.gpuboxDir.isEmpty)
+            Left("missing input: -d <dataDir> or --gpubox <dir>")
           else Right(c)
         case "-d" :: v :: t => loop(t, c.copy(dataDir = v))
+        case "--gpubox" :: v :: t => loop(t, c.copy(gpuboxDir = Some(v)))
         case "-m" :: v :: t => loop(t, c.copy(metafits = Some(v)))
         case "-u" :: v :: t => loop(t, c.copy(uvfitsOut = Some(v)))
         case "-M" :: v :: t => loop(t, c.copy(msOut = Some(v)))
@@ -262,7 +266,15 @@ object Cli {
     decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
 
     val (avgT, avgF) = avgFactors(cfg, meta)
-    var vf = g.copy(meta = meta).observation(cfg.dataDir)
+    val g2 = g.copy(meta = meta)
+    // the reference's primary input: a directory of gpubox FITS files
+    // (+ metafits); the parquet observation is the testdata path
+    var vf = cfg.gpuboxDir match {
+      case Some(gd) =>
+        log(s"[graft] reading gpubox FITS from $gd (${meta.nAnts} ants)")
+        g2.fitsObservation(gd, meta.nAnts).withRawDefaults()
+      case None => g2.observation(cfg.dataDir)
+    }
     cfg.selTime.foreach { case (a, b) => vf = vf.selectTime(a, b) }
     if (cfg.selAnts.nonEmpty) vf = vf.selectAnts(cfg.selAnts)
     cfg.selChanRanges.foreach(spec => vf = vf.selectChannelRanges(spec))

@@ -86,6 +86,18 @@ case class VisFrame(spark: SparkSession, df: DataFrame,
     next(df.where(cond))
   }
 
+  /** Canonicalise a raw-container frame (GBX1 / FITS gpubox ingest):
+    * centre frequency from the chan dimension, unit pre-weight (raw
+    * correlator samples carry no weight — the weight factor enters at
+    * [[withWeights]]). The ingest's missing-HDU flag column survives
+    * and is OR'd with the static flags by [[withDefaultFlags]].
+    */
+  def withRawDefaults(): VisFrame =
+    next(df
+      .join(org.apache.spark.sql.functions.broadcast(
+        meta.chan(spark).select("chan", "freq_hz")), Seq("chan"))
+      .withColumn("w", lit(1.0)))
+
   // -- flags / weights (F, W) ------------------------------------------
   def withDefaultFlags(): VisFrame =
     next(FlagOps.setFlags(df, meta.timestep(spark), meta.chan(spark),

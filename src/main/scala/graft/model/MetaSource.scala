@@ -55,6 +55,9 @@ trait MetaSource {
 
   /** Fine channel width, Hz (metafits FINECHAN). */
   def fineChanWidthHz: Double = Obs.FineChanWidthHz
+
+  /** Antenna count (metafits TILEDATA). */
+  def nAnts: Int = Obs.NumAnts
 }
 
 /** The deterministic synthetic observation (graft.model.Dims). */

@@ -22,13 +22,21 @@ object FlagOps {
     * WholeStageCodegen span — zero shuffles.
     */
   def setFlags(vis: DataFrame, timestep: DataFrame, chan: DataFrame,
-               baseline: DataFrame): DataFrame =
+               baseline: DataFrame): DataFrame = {
+    val static = col("ts_flag") || col("ch_flag") || col("bl_flag")
+    // a raw-container frame arrives with the ingest's missing-HDU flag
+    // already set (GpuboxSource/FitsGpubox flag=!present) — the static
+    // flags OR onto it, as the reference's set_flags ORs onto the
+    // flag array it is given (flags.rs:217-221)
+    val combined =
+      if (vis.columns.contains("flag")) col("flag") || static else static
     vis
       .join(broadcast(timestep.select("t", "ts_flag")), Seq("t"))
       .join(broadcast(chan.select("chan", "ch_flag")), Seq("chan"))
       .join(broadcast(baseline.select("bl", "bl_flag")), Seq("bl"))
-      .withColumn("flag", col("ts_flag") || col("ch_flag") || col("bl_flag"))
+      .withColumn("flag", combined)
       .drop("ts_flag", "ch_flag", "bl_flag")
+  }
 
   /** P1 `--sel-time` (/root/reference/src/cli.rs:850-868): plain filter on
     * the timestep coordinate — pushed to the parquet scan by Catalyst.

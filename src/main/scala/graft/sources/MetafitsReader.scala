@@ -317,4 +317,5 @@ final case class MetafitsMeta(mf: MetafitsReader.Metafits)
   override def weightFactor: Double =
     (mf.fineChanWidthHz / 10000.0) * mf.intTimeS
   override def fineChanWidthHz: Double = mf.fineChanWidthHz
+  override def nAnts: Int = mf.nAnts
 }

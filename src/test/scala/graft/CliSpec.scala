@@ -165,6 +165,41 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Seq("-d", "x", "--quack-time", "-1")).isLeft)
   }
 
+  test("gpubox FITS + metafits: the reference's primary input path") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("cli_gbx")
+    val gbx = dir.resolve("vis").toString
+    Files.createDirectories(dir.resolve("vis"))
+    // 2 coarse channels, cc 0 missing 4 of its 16 announced scans
+    graft.sources.FitsGpubox.writeFixture(
+      s"$gbx/gpubox00.fits", 0, 16, 8, 8, 12)
+    graft.sources.FitsGpubox.writeFixture(
+      s"$gbx/gpubox01.fits", 1, 16, 8, 8, 16)
+    val metafits = graft.synth.MetafitsSynth.write(
+      dir.resolve("obs.metafits").toString)
+    val out = dir.resolve("raw.uvfits").toString
+
+    val cfg = Cli.parse(Seq("--gpubox", gbx, "-m", metafits,
+      "-u", out, "--no-geometric-delay")).toOption.get
+    val logged = scala.collection.mutable.ArrayBuffer[String]()
+    val n = Cli.run(spark, cfg, logged += _)
+    assert(n > 0)
+    assert(logged.exists(_.contains("reading gpubox FITS")))
+
+    // the missing slabs (cc 0 = c_out 0..3 after 2x freq averaging,
+    // t >= 12 = t_out 6..7) must survive ingest -> static flag OR ->
+    // weights -> averaging as fully-flagged cells: zero weight in the
+    // file, while cc 1 (complete) keeps positive weights there
+    val back = graft.sources.UvfitsReader.read(spark, out, nAnts = 8)
+    val missing = back.where(col("t_out") >= 6 && col("c_out") < 4)
+    assert(missing.count() > 0)
+    assert(missing.where(col("weight_out") > 0).count() == 0,
+      "missing-HDU cells must stay flagged through the pipeline")
+    assert(back.where(col("t_out") === 6 && col("c_out") >= 4 &&
+      col("weight_out") > 0).count() > 0,
+      "complete coarse channel keeps unflagged cells at the same times")
+  }
+
   test("channel flag decorators, resolutions, pfb and phase centre") {
     import org.apache.spark.sql.functions.col
     val cfg = Cli.parse(Seq("-d", "/data",
