@@ -222,11 +222,12 @@ object Cli {
   def decorate(base: MetaSource, cfg: Config): MetaSource = {
     import graft.model.MetaDecorators._
     var m = base
-    // innermost: --no-flag-dc suppresses the seam's DEFAULT DC flag;
-    // the additive layers above can still flag DC cells for their own
+    // EdgeFlag REDERIVES the default channel flags (DC included), so
+    // the DC clear must wrap OUTSIDE it — but still inside the additive
+    // layers, which may legitimately flag DC cells for their own
     // reasons (a fully-flagged coarse channel keeps its centre)
-    if (cfg.noFlagDc) m = NoDcFlag(m)
     cfg.edgeChans.foreach(e => m = EdgeFlag(m, e))
+    if (cfg.noFlagDc) m = NoDcFlag(m)
     if (cfg.flagTimes.nonEmpty) m = FlagTimes(m, cfg.flagTimes)
     if (cfg.flagAnts.nonEmpty) m = FlagAnts(m, cfg.flagAnts)
     cfg.quackTime.foreach(q => m = QuackTime(m, q))
@@ -282,11 +283,6 @@ object Cli {
     if (cfg.noAutos) vf = vf.withoutAutos()
     vf = vf.withDefaultFlags().withWeights(meta.weightFactor)
 
-    cfg.mwafOut.foreach { dir =>
-      log(s"[graft] writing mwaf flags to $dir")
-      vf.writeMwaf(dir)
-    }
-
     val strategy = cfg.rfiStrategyFile
       .map(f => graft.ops.RfiStrategy.fromFile(f,
         spark.sparkContext.hadoopConfiguration))
@@ -311,20 +307,40 @@ object Cli {
         (r.toRadians, d.toRadians)
       })
     val processed = vf.preprocess(pre)
-
-    cfg.msOut.foreach { dir =>
-      log(s"[graft] writing MS container to $dir")
-      val n = processed.writeMs(dir, avgT, avgF)
-      log(s"[graft] wrote $n MS rows")
+    // group parameters must track the SAME phase centre the geometry
+    // stage used — a default-centre table would be inconsistent with
+    // the rotated DATA
+    lazy val uvwT = pre.uvwTable(spark)
+    val phaseRad = cfg.phaseCentreDeg.map { case (r, d) =>
+      (r.toRadians, d.toRadians)
     }
 
-    cfg.uvfitsOut.map { path =>
+    // mwaf flags are written AFTER preprocessing, so RFI detections
+    // (and calibration NaN flags) reach the flag files — the primary
+    // purpose of the mwaf output in the reference
+    val mwafRows = cfg.mwafOut.map { dir =>
+      log(s"[graft] writing mwaf flags to $dir")
+      val counts = processed.writeMwaf(dir)
+      log(s"[graft] wrote ${counts.values.sum} mwaf rows over " +
+        s"${counts.size} coarse channels")
+      counts.values.sum
+    }
+    val msRows = cfg.msOut.map { dir =>
+      log(s"[graft] writing MS container to $dir")
+      val n = processed.writeMs(dir, avgT, avgF, uvw = Some(uvwT),
+        phaseDir = phaseRad)
+      log(s"[graft] wrote $n MS rows")
+      n
+    }
+    val uvRows = cfg.uvfitsOut.map { path =>
       log(s"[graft] writing uvfits to $path")
-      val n = processed.writeUvfits(path, avgT, avgF)
+      val n = processed.writeUvfits(path, avgT, avgF, uvw = Some(uvwT))
       log(s"[graft] wrote $n uvfits groups")
       n
-    }.getOrElse {
-      // no sink requested: count is the action (a dry run)
+    }
+    uvRows.orElse(msRows).orElse(mwafRows).getOrElse {
+      // NO sink requested: count is the dry-run action; when any sink
+      // ran, its own count is the result (no second execution)
       processed.df.count()
     }
   }

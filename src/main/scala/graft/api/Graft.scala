@@ -113,30 +113,36 @@ case class VisFrame(spark: SparkSession, df: DataFrame,
   def averaged(avgTime: Int, avgFreq: Int): DataFrame =
     Averaging.avgTimeFreq(df, avgTime, avgFreq)
 
-  /** uvfits export with real UVW group parameters from the metadata
-    * seam's partial-UVW dimension and its integration time (reference
-    * wrapper /root/reference/src/io/mod.rs:392-467). `withUvw = false`
-    * writes a structure-only file with zeroed parameters.
+  /** uvfits export with real UVW group parameters (reference wrapper
+    * /root/reference/src/io/mod.rs:392-467). Pass `uvw` to keep the
+    * group parameters consistent with a non-default phase tracking
+    * (e.g. [[graft.ops.Preprocess.uvwTable]]); the default is the
+    * metadata seam's mean-place table. `withUvw = false` writes a
+    * structure-only file with zeroed parameters. Timestamps and the
+    * integration time come from the seam's container constants.
     */
   def writeUvfits(path: String, avgTime: Int = 2, avgFreq: Int = 2,
-                  withUvw: Boolean = true): Long = {
-    val uvw = if (withUvw)
-      Some(GeometryCorrection.partUvw(meta.timestep(spark),
-        meta.antenna(spark)))
-    else None
-    UvfitsWriter.write(averaged(avgTime, avgFreq), path, uvw,
-      meta.intTimeS, avgTime)
+                  withUvw: Boolean = true,
+                  uvw: Option[DataFrame] = None): Long = {
+    val table = if (!withUvw) None
+    else uvw.orElse(Some(GeometryCorrection.partUvw(
+      meta.timestep(spark), meta.antenna(spark))))
+    UvfitsWriter.write(averaged(avgTime, avgFreq), path, table,
+      meta.intTimeS, avgTime, meta.gpsStartS)
   }
 
   /** MS container export (directory of casacore-shaped tables) — UVW
-    * and antenna dims from the metadata seam, same frames as the
-    * parquet mirror ([[graft.sinks.MsWriter]]).
+    * and antenna dims from the metadata seam (override `uvw`/`phaseDir`
+    * for non-default phase tracking), same frames as the parquet
+    * mirror ([[graft.sinks.MsWriter]]).
     */
-  def writeMs(dir: String, avgTime: Int = 2, avgFreq: Int = 2): Long = {
-    val uvw = GeometryCorrection.partUvw(meta.timestep(spark),
-      meta.antenna(spark))
-    graft.sinks.MsContainer.write(averaged(avgTime, avgFreq), uvw,
-      meta.antenna(spark), dir, avgTime, avgFreq)
+  def writeMs(dir: String, avgTime: Int = 2, avgFreq: Int = 2,
+              uvw: Option[DataFrame] = None,
+              phaseDir: Option[(Double, Double)] = None): Long = {
+    val table = uvw.getOrElse(GeometryCorrection.partUvw(
+      meta.timestep(spark), meta.antenna(spark)))
+    graft.sinks.MsContainer.write(averaged(avgTime, avgFreq), table,
+      meta.antenna(spark), dir, avgTime, avgFreq, meta, phaseDir)
   }
 
   def writeFlagOccupancy(): DataFrame = Sinks.mwafOccupancy(df)

@@ -24,10 +24,22 @@ object MetaDecorators {
     def baseline(s: SparkSession): DataFrame = inner.baseline(s)
     def digitalGain(s: SparkSession): DataFrame = inner.digitalGain(s)
     def flaggedAnts(s: SparkSession): Seq[Long] = inner.flaggedAnts(s)
+    // EVERY scalar accessor must delegate — a miss here silently
+    // reverts a real container's constants to the synthetic defaults
+    // the moment any decorator is stacked
     override def cableApplied: Boolean = inner.cableApplied
     override def geometryApplied: Boolean = inner.geometryApplied
     override def intTimeS: Double = inner.intTimeS
     override def weightFactor: Double = inner.weightFactor
+    override def vvSampleScale(bscale: Double): Double =
+      inner.vvSampleScale(bscale)
+    override def fineChanWidthHz: Double = inner.fineChanWidthHz
+    override def nAnts: Int = inner.nAnts
+    override def nChans: Int = inner.nChans
+    override def nScans: Int = inner.nScans
+    override def fineChansPerCoarse: Int = inner.fineChansPerCoarse
+    override def gpsStartS: Double = inner.gpsStartS
+    override def baseFreqHz: Double = inner.baseFreqHz
   }
 
   /** Re-derive static channel flags at a chosen edge width: fc within
@@ -37,11 +49,8 @@ object MetaDecorators {
   final case class EdgeFlag(inner: MetaSource, edge: Int)
       extends Delegating {
     override def chan(s: SparkSession): DataFrame = {
-      val base = inner.chan(s)
-      // fine-chans-per-coarse off the broadcast-sized table itself, so
-      // the decorator works over any container
-      val fpc = base.agg(max("fc")).head().getLong(0) + 1
-      base.withColumn("ch_flag",
+      val fpc = inner.fineChansPerCoarse
+      inner.chan(s).withColumn("ch_flag",
         col("fc") < edge || col("fc") >= fpc - edge ||
           col("fc") === fpc / 2)
     }
@@ -93,17 +102,12 @@ object MetaDecorators {
         col("ts_flag") || col("t") < n)
   }
 
-  /** Flag the last `n` timesteps (reference --flag-end-steps); the
-    * scan count comes off the broadcast-sized table itself.
-    */
+  /** Flag the last `n` timesteps (reference --flag-end-steps). */
   final case class FlagEndSteps(inner: MetaSource, n: Int)
       extends Delegating {
-    override def timestep(s: SparkSession): DataFrame = {
-      val base = inner.timestep(s)
-      val nScans = base.agg(max("t")).head().getLong(0) + 1
-      base.withColumn("ts_flag",
-        col("ts_flag") || col("t") >= nScans - n)
-    }
+    override def timestep(s: SparkSession): DataFrame =
+      inner.timestep(s).withColumn("ts_flag",
+        col("ts_flag") || col("t") >= inner.nScans - n)
   }
 
   /** Flag whole coarse channels (reference --flag-coarse-chans). */
@@ -129,9 +133,8 @@ object MetaDecorators {
     */
   final case class NoDcFlag(inner: MetaSource) extends Delegating {
     override def chan(s: SparkSession): DataFrame = {
-      val base = inner.chan(s)
-      val fpc = base.agg(max("fc")).head().getLong(0) + 1
-      base.withColumn("ch_flag",
+      val fpc = inner.fineChansPerCoarse
+      inner.chan(s).withColumn("ch_flag",
         col("ch_flag") && !(col("fc") === fpc / 2))
     }
   }

@@ -58,6 +58,21 @@ trait MetaSource {
 
   /** Antenna count (metafits TILEDATA). */
   def nAnts: Int = Obs.NumAnts
+
+  /** Total fine-channel count (metafits NCHANS). */
+  def nChans: Int = Obs.NumChans
+
+  /** Scan count (metafits NSCANS). */
+  def nScans: Int = Obs.NumTimesteps
+
+  /** Fine channels per coarse channel. */
+  def fineChansPerCoarse: Int = Obs.FineChansPerCoarse
+
+  /** GPS seconds of scan 0 (metafits GPSTIME). */
+  def gpsStartS: Double = Obs.GpsStart.toDouble
+
+  /** Centre frequency of fine channel 0, Hz. */
+  def baseFreqHz: Double = Obs.BaseFreqHz
 }
 
 /** The deterministic synthetic observation (graft.model.Dims). */

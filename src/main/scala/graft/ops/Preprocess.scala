@@ -63,14 +63,7 @@ case class Preprocess(vanVleck: Boolean = false,
     val pfb = pfbVersion
       .map(v => Dims.pfbGainReal(spark, v))
       .getOrElse(Dims.pfbGain(spark))
-    val (raC, decC) = phaseCentre.getOrElse(
-      (GeometryCorrection.AppRaJ2000, GeometryCorrection.AppDecJ2000))
-    def uvw = if (apparentGeometry || phaseCentre.isDefined)
-      GeometryCorrection.partUvwAstro(spark, meta.timestep(spark),
-        antenna, GeometryCorrection.AppLonRad,
-        GeometryCorrection.AppLatRad, raC, decC,
-        GeometryCorrection.AppDut1Sec, apparent = true)
-    else GeometryCorrection.partUvw(meta.timestep(spark), antenna)
+    def uvw = uvwTable(spark)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
       (vanVleck, df => VanVleck(df, meta.flaggedAnts(spark),
         sampleScale, vvReferenceCapFallback)),
@@ -83,6 +76,24 @@ case class Preprocess(vanVleck: Boolean = false,
     stages.foldLeft(vis) { case (df, (enabled, stage)) =>
       if (enabled) df.transform(stage) else df
     }
+  }
+
+  /** The per-(t, ant) partial-UVW table this pipeline's geometry stage
+    * uses — exposed so the uvfits/MS sinks can write group parameters
+    * CONSISTENT with the phases the geometry stage tracked (a sink
+    * computing its own default-centre table would emit UVW
+    * inconsistent with the rotated DATA).
+    */
+  def uvwTable(spark: SparkSession): DataFrame = {
+    val (raC, decC) = phaseCentre.getOrElse(
+      (GeometryCorrection.AppRaJ2000, GeometryCorrection.AppDecJ2000))
+    if (apparentGeometry || phaseCentre.isDefined)
+      GeometryCorrection.partUvwAstro(spark, meta.timestep(spark),
+        meta.antenna(spark), GeometryCorrection.AppLonRad,
+        GeometryCorrection.AppLatRad, raC, decC,
+        GeometryCorrection.AppDut1Sec, apparent = true)
+    else GeometryCorrection.partUvw(meta.timestep(spark),
+      meta.antenna(spark))
   }
 
   /** DI solutions: from the MWAOCAL binary when a path is given

@@ -147,15 +147,21 @@ object MsContainer {
     * (row-count invariant, as every sink here checks).
     */
   def write(avg: DataFrame, uvw: DataFrame, antenna: DataFrame,
-            dir: String, avgTime: Int = 2, avgFreq: Int = 2): Long = {
+            dir: String, avgTime: Int = 2, avgFreq: Int = 2,
+            meta: graft.model.MetaSource = graft.model.SynthDims,
+            phaseDir: Option[(Double, Double)] = None): Long = {
     val spark = avg.sparkSession
-    val nChan = Obs.NumChans / avgFreq
+    // every constant below comes from the metadata seam, not the
+    // synthetic Obs defaults — a real container's channel count,
+    // frequencies, and timing land in the exported tables
+    val nChan = meta.nChans / avgFreq
     val cols = mainCols(nChan)
     val width = rowWidth(cols)
     val sconf = SlabIO.serializableConf(spark)
 
     val cached = avg.cache()
-    val skeleton = MsWriter.msMain(cached, uvw, avgTime)
+    val skeleton = MsWriter.msMain(cached, uvw, avgTime,
+      meta.intTimeS, meta.gpsStartS)
     val payload = cached.groupBy("t_out", "bl").agg(
       expr("array_sort(collect_list(struct(c_out, a0, a1, a2, a3, " +
         "a4, a5, a6, a7, weight_out, flag_out)))").as("chans"))
@@ -275,17 +281,17 @@ object MsContainer {
     writeTableFiles(new Path(mainDir, "ANTENNA"), antennaCols,
       ants.length.toLong, "Type = ANTENNA\n", antBuf.array(), conf)
 
-    val widthHz = Obs.FineChanWidthHz * avgFreq
+    val widthHz = meta.fineChanWidthHz * avgFreq
     val spwBuf = ByteBuffer.allocate(rowWidth(spwCols(nChan)))
       .order(ByteOrder.LITTLE_ENDIAN)
     spwBuf.putInt(nChan)
     (0 until nChan).foreach(c => spwBuf.putDouble(
-      Obs.BaseFreqHz + (c * avgFreq + (avgFreq - 1) / 2.0)
-        * Obs.FineChanWidthHz))
+      meta.baseFreqHz + (c * avgFreq + (avgFreq - 1) / 2.0)
+        * meta.fineChanWidthHz))
     (0 until nChan).foreach(_ => spwBuf.putDouble(widthHz))
     spwBuf.putDouble(widthHz * nChan)
-    spwBuf.putDouble(Obs.BaseFreqHz + (avgFreq - 1) / 2.0
-      * Obs.FineChanWidthHz)
+    spwBuf.putDouble(meta.baseFreqHz + (avgFreq - 1) / 2.0
+      * meta.fineChanWidthHz)
     writeTableFiles(new Path(mainDir, "SPECTRAL_WINDOW"), spwCols(nChan),
       1L, "Type = SPECTRAL_WINDOW\n", spwBuf.array(), conf)
 
@@ -299,8 +305,11 @@ object MsContainer {
     val fieldBuf = ByteBuffer.allocate(rowWidth(fieldCols))
       .order(ByteOrder.LITTLE_ENDIAN)
     putStr16(fieldBuf, "GRAFT")
-    fieldBuf.putDouble(graft.ops.GeometryCorrection.Ha0)
-    fieldBuf.putDouble(graft.ops.GeometryCorrection.DecRad)
+    val (pRa, pDec) = phaseDir.getOrElse(
+      (graft.ops.GeometryCorrection.Ha0,
+        graft.ops.GeometryCorrection.DecRad))
+    fieldBuf.putDouble(pRa)
+    fieldBuf.putDouble(pDec)
     writeTableFiles(new Path(mainDir, "FIELD"), fieldCols, 1L,
       "Type = FIELD\n", fieldBuf.array(), conf)
 
@@ -308,9 +317,9 @@ object MsContainer {
       .order(ByteOrder.LITTLE_ENDIAN)
     putStr16(obsBuf, "MWA")
     putStr16(obsBuf, "graft")
-    val t0 = MsWriter.MjdEpochOffsetS + Obs.GpsStart.toDouble
+    val t0 = MsWriter.MjdEpochOffsetS + meta.gpsStartS
     obsBuf.putDouble(t0)
-    obsBuf.putDouble(t0 + Obs.NumTimesteps * Obs.IntTimeS)
+    obsBuf.putDouble(t0 + meta.nScans * meta.intTimeS)
     writeTableFiles(new Path(mainDir, "OBSERVATION"), observationCols,
       1L, "Type = OBSERVATION\n", obsBuf.array(), conf)
 

@@ -42,9 +42,11 @@ object MsWriter {
     * dimension. Aggregates over the channel axis are shuffle-exact:
     * weight sums are dyadic rationals, FLAG_ROW is a bool_and.
     */
-  def msMain(avg: DataFrame, uvw: DataFrame, avgTime: Int = 2): DataFrame = {
-    val interval = Obs.IntTimeS * avgTime
-    val timeConst = MjdEpochOffsetS + Obs.GpsStart.toDouble + interval / 2.0
+  def msMain(avg: DataFrame, uvw: DataFrame, avgTime: Int = 2,
+             intTimeS: Double = Obs.IntTimeS,
+             gpsStartS: Double = Obs.GpsStart.toDouble): DataFrame = {
+    val interval = intTimeS * avgTime
+    val timeConst = MjdEpochOffsetS + gpsStartS + interval / 2.0
     val rows = avg.groupBy("t_out", "bl", "ant1", "ant2").agg(
       count(lit(1)).as("n_chan"),
       expr("bool_and(flag_out)").as("flag_row"),

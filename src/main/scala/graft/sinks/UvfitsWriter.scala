@@ -88,7 +88,8 @@ object UvfitsWriter {
   def write(avg: DataFrame, path: String,
             uvw: Option[DataFrame] = None,
             intTimeS: Double = Obs.IntTimeS,
-            avgTime: Int = 2): Long = {
+            avgTime: Int = 2,
+            gpsStartS: Double = Obs.GpsStart.toDouble): Long = {
     val spark = avg.sparkSession
     // the UVW dim is O(timesteps x antennas) — collect + broadcast is
     // the same model-sized pattern the MS sink's broadcast joins use
@@ -143,7 +144,7 @@ object UvfitsWriter {
     val header = (headerStr + " " * ((2880 - headerStr.length % 2880)
       % 2880)).getBytes("ASCII")
 
-    val gpsStart = Obs.GpsStart.toDouble
+    val gpsStart = gpsStartS
     val outStepS = intTimeS * avgTime
     val sconf = SlabIO.serializableConf(spark)
 

@@ -318,4 +318,11 @@ final case class MetafitsMeta(mf: MetafitsReader.Metafits)
     (mf.fineChanWidthHz / 10000.0) * mf.intTimeS
   override def fineChanWidthHz: Double = mf.fineChanWidthHz
   override def nAnts: Int = mf.nAnts
+  override def nChans: Int = mf.nChans
+  override def nScans: Int = mf.nScans
+  override def fineChansPerCoarse: Int = mf.fineChansPerCoarse
+  override def gpsStartS: Double = mf.obsId.toDouble
+  override def baseFreqHz: Double =
+    math.round(mf.freqCentHz
+      - mf.fineChanWidthHz * (mf.nChans / 2.0)).toDouble
 }

@@ -241,4 +241,47 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Seq("-d", "x", "--phase-centre", "1.0")).isLeft)
     assert(Cli.parse(Seq("-d", "x", "--avg-time-res", "0")).isLeft)
   }
+
+  test("decorators preserve the inner container's scalar constants") {
+    import org.apache.spark.sql.functions.col
+    // a seam with non-default constants: decorators must DELEGATE
+    // every scalar, not revert to the synthetic defaults
+    val base = new graft.model.MetaSource {
+      def antenna(s: org.apache.spark.sql.SparkSession) =
+        graft.model.Dims.antenna(s)
+      def timestep(s: org.apache.spark.sql.SparkSession) =
+        graft.model.Dims.timestep(s)
+      def chan(s: org.apache.spark.sql.SparkSession) =
+        graft.model.Dims.chan(s)
+      def baseline(s: org.apache.spark.sql.SparkSession) =
+        graft.model.Dims.baseline(s)
+      def digitalGain(s: org.apache.spark.sql.SparkSession) =
+        graft.model.Dims.digitalGain(s)
+      def flaggedAnts(s: org.apache.spark.sql.SparkSession) = Seq(7L)
+      override def nAnts: Int = 128
+      override def fineChanWidthHz: Double = 10000.0
+      override def intTimeS: Double = 0.5
+      override def nChans: Int = 3072
+      override def nScans: Int = 240
+      override def gpsStartS: Double = 1.4e9
+      override def baseFreqHz: Double = 1.8e8
+    }
+    val cfg = Cli.parse(Seq("-d", "/data", "--quack-time", "4",
+      "--flag-edge-chans", "1", "--flag-antennas", "3")).toOption.get
+    val m = Cli.decorate(base, cfg)
+    assert(m.nAnts == 128)
+    assert(m.fineChanWidthHz == 10000.0 && m.intTimeS == 0.5)
+    assert(m.nChans == 3072 && m.nScans == 240)
+    assert(m.gpsStartS == 1.4e9 && m.baseFreqHz == 1.8e8)
+    assert(m.vvSampleScale() == 10000.0 * 0.5 * 2.0 * 0.5)
+
+    // --no-flag-dc composed with --flag-edge-chans: the edge rederive
+    // must not resurrect the DC flag
+    val cfg2 = Cli.parse(Seq("-d", "/data", "--flag-edge-chans", "1",
+      "--no-flag-dc")).toOption.get
+    val m2 = Cli.decorate(graft.model.SynthDims, cfg2)
+    val fcs = m2.chan(spark).where(col("ch_flag"))
+      .select("fc").distinct().collect().map(_.getLong(0)).sorted
+    assert(fcs.toSeq == Seq(0L, 7L), s"DC must stay clear, got $fcs")
+  }
 }
