@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.io.BufferedOutputStream
 
-import graft.model.Obs
+
 import graft.sources.SlabIO
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.DataFrame
@@ -47,34 +47,38 @@ object MwafWriter {
     * per cc.
     */
   def write(visFlagged: DataFrame, dir: String,
-            template: String = "flags_%%.mwaf"): Map[Long, Long] = {
+            template: String = "flags_%%.mwaf",
+            meta: graft.model.MetaSource = graft.model.SynthDims)
+      : Map[Long, Long] = {
     val spark = visFlagged.sparkSession
     import spark.implicits._
-    // densify to the full (cc, t, bl) grid — the reference's tables are
-    // dense by construction; cells with NO data are fully flagged
-    // (missing-HDU semantics, /root/reference/src/io/mod.rs:297-303),
-    // matching GpuboxSource's flag=!present on ingest
-    val allFlagged = (1L << graft.model.Obs.FineChansPerCoarse) - 1L
+    // densify to the full (cc, t, bl) grid FROM THE METADATA SEAM —
+    // the reference's tables are dense by construction; cells with NO
+    // data are fully flagged (missing-HDU semantics,
+    // /root/reference/src/io/mod.rs:297-303), matching GpuboxSource's
+    // flag=!present on ingest
+    val allFlagged = (1L << meta.fineChansPerCoarse) - 1L
     val ccs = visFlagged.select("cc").distinct().as[Long].collect().sorted
     val grid = ccs.toSeq.toDF("cc")
-      .crossJoin(graft.model.Dims.timestep(spark).select("t"))
-      .crossJoin(graft.model.Dims.baseline(spark).select("bl"))
+      .crossJoin(meta.timestep(spark).select("t"))
+      .crossJoin(meta.baseline(spark).select("bl"))
     val masks = grid
       .join(Sinks.mwafBitmask(visFlagged), Seq("cc", "t", "bl"), "left")
       .withColumn("flag_mask", coalesce(col("flag_mask"),
         lit(allFlagged)))
       .select("cc", "t", "bl", "flag_mask")
 
-    val nScans = Obs.NumTimesteps
-    val nBl = Obs.NumAnts * (Obs.NumAnts + 1) / 2
-    val bytesPerRow = (Obs.FineChansPerCoarse + 7) / 8
+    val nScans = meta.nScans
+    val nBl = meta.nAnts * (meta.nAnts + 1) / 2
+    val bytesPerRow = (meta.fineChansPerCoarse + 7) / 8
+    val obsId = meta.gpsStartS.toLong
     val header = Seq(
       card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
       card("VERSION", "'2.0'"),
-      card("OBSID", Obs.GpsStart.toString),
-      card("GPSSTART", Obs.GpsStart.toString),
-      card("NCHANS", Obs.FineChansPerCoarse.toString),
-      card("NANTENNA", Obs.NumAnts.toString),
+      card("OBSID", obsId.toString),
+      card("GPSSTART", obsId.toString),
+      card("NCHANS", meta.fineChansPerCoarse.toString),
+      card("NANTENNA", meta.nAnts.toString),
       card("NSCANS", nScans.toString),
       "END".padTo(80, ' ')).mkString
     val headPad = header + " " * ((2880 - header.length % 2880) % 2880)
