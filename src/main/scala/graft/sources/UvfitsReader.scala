@@ -45,7 +45,17 @@ object UvfitsReader {
     */
   final case class Header(pcount: Int, gcount: Long, nChans: Int,
                           dataStart: Long, uu: Int, vv: Int, ww: Int,
-                          date1: Int, date2: Int, baseline: Int)
+                          date1: Int, date2: Int, baseline: Int,
+                          pzero: Array[Double], pscal: Array[Double]) {
+    /** Physical value of parameter `i` per the FITS random-groups
+      * convention: PZEROn + PSCALn·raw. The identity case returns the
+      * raw value UNTRANSFORMED so a file's -0.0f survives bit-exactly
+      * (0.0 + -0.0 would normalise it).
+      */
+    def param(raw: Array[Float], i: Int): Double =
+      if (pzero(i) == 0.0 && pscal(i) == 1.0) raw(i).toDouble
+      else pzero(i) + pscal(i) * raw(i).toDouble
+  }
 
   /** Parse the primary header (2880-byte card blocks up to END). */
   def readHeader(rd: SlabIO.SlabReader): Header = {
@@ -78,6 +88,12 @@ object UvfitsReader {
     }
     val d1 = param("DATE")
     val d2 = ptypes.indexWhere(_.startsWith("DATE"), d1 + 1)
+    // PZEROn/PSCALn offsets (third-party writers carry the epoch in
+    // PZERO so a single f32 DATE can still resolve seconds)
+    val pzero = Array.tabulate(pcount)(i =>
+      cards.get(s"PZERO${i + 1}").map(_.toDouble).getOrElse(0.0))
+    val pscal = Array.tabulate(pcount)(i =>
+      cards.get(s"PSCAL${i + 1}").map(_.toDouble).getOrElse(1.0))
     Header(
       pcount = pcount,
       gcount = cards("GCOUNT").toLong,
@@ -85,7 +101,8 @@ object UvfitsReader {
       dataStart = pos,
       uu = param("UU"), vv = param("VV"), ww = param("WW"),
       date1 = d1, date2 = d2,
-      baseline = param("BASELINE"))
+      baseline = param("BASELINE"),
+      pzero = pzero, pscal = pscal)
   }
 
   /** Decode groups [from, until) of the file into rows (one row per
@@ -103,16 +120,17 @@ object UvfitsReader {
         .readAt(h.dataStart + g * groupFloats * 4L, groupFloats * 4)
         .order(ByteOrder.BIG_ENDIAN)
       val params = Array.fill(h.pcount)(buf.getFloat())
-      val days = params(h.date1).toDouble
+      val days = h.param(params, h.date1)
       // writers that emit a single DATE parameter carry the whole
-      // timestamp in it; the split-DATE convention adds the fraction
-      val frac = if (h.date2 >= 0) params(h.date2).toDouble else 0.0
+      // timestamp in it (epoch in PZERO); the split-DATE convention
+      // adds the fraction as a second parameter
+      val frac = if (h.date2 >= 0) h.param(params, h.date2) else 0.0
       // groups are stamped at the CENTROID of their output window, so
       // floor recovers the window index (f32 day-fraction ulp ≈ 5 ms,
       // far inside the half-window guard band)
       val tOut = math.floor(
         (days * 86400.0 + frac * 86400.0 - gpsStart) / outStepS).toLong
-      val blCode = math.round(params(h.baseline).toDouble)
+      val blCode = math.round(h.param(params, h.baseline))
       val ant1 = blCode / 256 - 1
       val ant2 = blCode % 256 - 1
       val bl = ant1 * nAnts + ant2
@@ -130,8 +148,8 @@ object UvfitsReader {
           v(9), v(10), // YX
           v(3), v(4)) // YY
         Row.fromSeq(Seq(tOut, bl, ant1, ant2, c.toLong) ++
-          vals.toSeq ++ Seq(v(2).toDouble, params(h.uu).toDouble,
-            params(h.vv).toDouble, params(h.ww).toDouble))
+          vals.toSeq ++ Seq(v(2).toDouble, h.param(params, h.uu),
+            h.param(params, h.vv), h.param(params, h.ww)))
       }
     }
     SlabIO.closeOnExhaust(iter)(() => rd.close())
