@@ -277,6 +277,40 @@ object SparkEntry {
         Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
         GeometryCorrection.partUvw(Dims.timestep(s), Dims.antenna(s)))),
 
+    // K2b: the BINARY MS container loop — MAIN is written through the
+    // fixed-width container encode and its scalars read back out of
+    // table.f0 in physical row order; any byte-layout, descriptor, or
+    // row-order error in writer or reader flips the gate
+    "q_k2b_ms_container" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
+        msFixtureDir)
+      val (cols, nRows, data) = graft.sinks.MsContainer.readTable(
+        msFixtureDir, s.sparkContext.hadoopConfiguration)
+      import graft.sinks.MsContainer.cell
+      val rows = (0L until nRows).map { r =>
+        (r,
+          cell(cols, data, r, "TIME").head,
+          cell(cols, data, r, "ANTENNA1").head.toLong,
+          cell(cols, data, r, "ANTENNA2").head.toLong,
+          cell(cols, data, r, "UVW")(0),
+          cell(cols, data, r, "UVW")(1),
+          cell(cols, data, r, "UVW")(2),
+          cell(cols, data, r, "INTERVAL").head,
+          cell(cols, data, r, "EXPOSURE").head,
+          cell(cols, data, r, "FLAG_ROW").head == 1.0,
+          cell(cols, data, r, "DATA_DESC_ID").head.toLong,
+          cell(cols, data, r, "FIELD_ID").head.toLong,
+          cell(cols, data, r, "SCAN_NUMBER").head.toLong)
+      }
+      import s.implicits._
+      rows.toDF("row_idx", "time_s", "ant1", "ant2", "u_m", "v_m",
+        "w_m", "interval_s", "exposure_s", "flag_row", "data_desc_id",
+        "field_id", "scan_number")
+    }),
+
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
       Sinks.mwafOccupancy(flagged(s, dir))),
 
@@ -431,6 +465,15 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Scratch dir for the q_k2b MS-container write-then-read-back gate;
+    * one per JVM, overwritten per invocation.
+    */
+  private lazy val msFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_k2b")
+    dir.toFile.deleteOnExit()
+    dir.resolve("obs.ms").toString
+  }
+
   /** Scratch dir for the q_s4 mwaf write-then-read-back gate; one per
     * JVM, files overwritten per invocation.
     */
@@ -526,6 +569,7 @@ object SparkEntry {
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k2_ms_order" -> Oracles.k2MsOrder,
+    "q_k2b_ms_container" -> Oracles.k2bMsContainer,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_s4_mwaf_roundtrip" -> Oracles.s4MwafRoundtrip,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,

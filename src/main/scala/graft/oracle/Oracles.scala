@@ -817,31 +817,47 @@ object Oracles {
     * baseline UVW from the shared uvw CTE, and the channel-axis
     * aggregates (n_chan, FLAG_ROW, exact dyadic weight sums).
     */
-  val k2MsOrder: String = {
+  private val k2Inner: String = {
     val timeConst = fmt(graft.sinks.MsWriter.MjdEpochOffsetS
       + graft.model.Obs.GpsStart.toDouble + 2.0)
-    OracleSql.queryWeighted(
-      s"""SELECT *, row_number() OVER (ORDER BY t_out, bl) - 1 AS row_idx
-         |FROM (
-         |  SELECT m.t_out, m.bl, m.ant1, m.ant2,
-         |         $timeConst + CAST(m.t_out AS DOUBLE) * 4.0e0 AS time_s,
-         |         4.0e0 AS interval_s, 4.0e0 AS exposure_s,
-         |         round(u1.u_m - u2.u_m, 6) AS u_m,
-         |         round(u1.v_m - u2.v_m, 6) AS v_m,
-         |         round(u1.w_m - u2.w_m, 6) AS w_m,
-         |         m.n_chan, m.flag_row, m.weight_sum,
-         |         CAST(0 AS BIGINT) AS data_desc_id,
-         |         CAST(0 AS BIGINT) AS field_id,
-         |         CAST(1 AS BIGINT) AS scan_number
-         |  FROM (SELECT t_out, bl, ant1, ant2, count(*) AS n_chan,
-         |               bool_and(flag_out) AS flag_row,
-         |               sum(weight_out) AS weight_sum
-         |        FROM avg GROUP BY 1, 2, 3, 4) m
-         |  JOIN uvw u1 ON u1.t = m.t_out * 2 AND u1.ant = m.ant1
-         |  JOIN uvw u2 ON u2.t = m.t_out * 2 AND u2.ant = m.ant2)"""
-        .stripMargin,
-      s"avg AS (\n$avgBody)", uvwCte)
+    s"""SELECT m.t_out, m.bl, m.ant1, m.ant2,
+       |       $timeConst + CAST(m.t_out AS DOUBLE) * 4.0e0 AS time_s,
+       |       4.0e0 AS interval_s, 4.0e0 AS exposure_s,
+       |       round(u1.u_m - u2.u_m, 6) AS u_m,
+       |       round(u1.v_m - u2.v_m, 6) AS v_m,
+       |       round(u1.w_m - u2.w_m, 6) AS w_m,
+       |       m.n_chan, m.flag_row, m.weight_sum,
+       |       CAST(0 AS BIGINT) AS data_desc_id,
+       |       CAST(0 AS BIGINT) AS field_id,
+       |       CAST(1 AS BIGINT) AS scan_number
+       |FROM (SELECT t_out, bl, ant1, ant2, count(*) AS n_chan,
+       |             bool_and(flag_out) AS flag_row,
+       |             sum(weight_out) AS weight_sum
+       |      FROM avg GROUP BY 1, 2, 3, 4) m
+       |JOIN uvw u1 ON u1.t = m.t_out * 2 AND u1.ant = m.ant1
+       |JOIN uvw u2 ON u2.t = m.t_out * 2 AND u2.ant = m.ant2"""
+      .stripMargin
   }
+
+  val k2MsOrder: String = OracleSql.queryWeighted(
+    s"""SELECT *, row_number() OVER (ORDER BY t_out, bl) - 1 AS row_idx
+       |FROM (
+       |$k2Inner)""".stripMargin,
+    s"avg AS (\n$avgBody)", uvwCte)
+
+  /** K2b: the BINARY MS container's MAIN scalars, read back out of the
+    * written table.f0 — the same skeleton as q_k2's oracle restricted
+    * to the columns the container stores, in its physical row order.
+    * Covers the fixed-width encode → descriptor → decode loop the
+    * parquet-mirror gate cannot see.
+    */
+  val k2bMsContainer: String = OracleSql.queryWeighted(
+    s"""SELECT row_number() OVER (ORDER BY t_out, bl) - 1 AS row_idx,
+       |       time_s, ant1, ant2, u_m, v_m, w_m, interval_s,
+       |       exposure_s, flag_row, data_desc_id, field_id, scan_number
+       |FROM (
+       |$k2Inner)""".stripMargin,
+    s"avg AS (\n$avgBody)", uvwCte)
 
   /** S4 mwaf container round trip: the Spark side WRITES the per-cc
     * mwaf FITS files and reads them back; this twin recomputes the
