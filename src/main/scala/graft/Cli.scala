@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *   [--avg-freq-res KHZ] [--flag-edge-chans N] [--flag-times T,...]
   *   [--flag-antennas A,...] [--flag-coarse-chans C,...]
   *   [--flag-fine-chans F,...] [--no-flag-dc] [--flag-init-steps N]
-  *   [--flag-end-steps N] [--quack-time SEC] [--pfb-gains jake|cotter|none]
+  *   [--flag-end-steps N] [--quack-time SEC]
+  *   [--pfb-gains auto|jake|jake_oversampled|cotter|none]
   *   [--phase-centre RA_DEG DEC_DEG] [--no-cable-delay]
-  *   [--no-geometric-delay] [--no-digital-gains] [--van-vleck] [--rfi]
+  *   [--no-geometric-delay] [--no-digital-gains] [--van-vleck]
+  *   [--no-rfi] [--aocal FILE]
   * }}}
   *
   * Every option is a lazy DataFrame composition over [[graft.api.Graft]];
@@ -67,7 +69,9 @@ object Cli {
       noGeom: Boolean = false,
       noDigital: Boolean = false,
       vanVleck: Boolean = false,
-      rfi: Boolean = false)
+      // the reference runs RFI flagging by DEFAULT and offers
+      // --no-rfi to disable (cli.rs:810, applied :1455)
+      rfi: Boolean = true)
 
   /** Parse reference-style arguments; Left(message) on any malformed
     * or unknown token (the CLI must fail loudly, as clap does).
@@ -87,7 +91,7 @@ object Cli {
         case "-M" :: v :: t => loop(t, c.copy(msOut = Some(v)))
         case "--flag-out" :: v :: t => loop(t, c.copy(mwafOut = Some(v)))
         case "--flag-strategy" :: v :: t =>
-          loop(t, c.copy(rfiStrategyFile = Some(v), rfi = true))
+          loop(t, c.copy(rfiStrategyFile = Some(v)))
         case "--aocal" :: v :: t => loop(t, c.copy(aocalFile = Some(v)))
         case "--sel-time" :: a :: b :: t =>
           (a.toLongOption, b.toLongOption) match {
@@ -149,9 +153,11 @@ object Cli {
           case _ => Left(s"--flag-end-steps needs an int, got '$v'")
         }
         case "--pfb-gains" :: v :: t =>
-          if (Seq("jake", "cotter", "none").contains(v))
+          if (Seq("auto", "jake", "jake_oversampled", "cotter", "none")
+              .contains(v))
             loop(t, c.copy(pfbGains = Some(v)))
-          else Left(s"--pfb-gains needs jake|cotter|none, got '$v'")
+          else Left(s"--pfb-gains needs " +
+            s"auto|jake|jake_oversampled|cotter|none, got '$v'")
         case "--phase-centre" :: ra :: dec :: t =>
           (ra.toDoubleOption, dec.toDoubleOption) match {
             case (Some(r), Some(d)) =>
@@ -181,9 +187,39 @@ object Cli {
         case "--no-digital-gains" :: t => loop(t, c.copy(noDigital = true))
         case "--van-vleck" :: t => loop(t, c.copy(vanVleck = true))
         case "--rfi" :: t => loop(t, c.copy(rfi = true))
+        case "--no-rfi" :: t => loop(t, c.copy(rfi = false))
         case other :: _ => Left(s"unknown or incomplete argument '$other'")
       }
     loop(args.toList, Config())
+  }
+
+  /** Passband table selection — the reference's `--passband-gains`
+    * with default `auto` (cli.rs:1401-1443): an explicit table wins;
+    * auto picks by the container's correlator version, or disables
+    * the stage entirely when deripple was already applied upstream.
+    * Returns (decision line, None = unity passband | Some((version,
+    * oversampled))).
+    */
+  def passbandSelect(cfg: Config, meta: MetaSource)
+      : (String, Option[(graft.model.PfbTables.MwaVersion, Boolean)]) = {
+    import graft.model.PfbTables._
+    cfg.pfbGains.getOrElse("auto") match {
+      case "none" => ("passband: skip (--pfb-gains none)", None)
+      case "jake" =>
+        ("passband: apply (jake 2022 — mwax)", Some((CorrMwaxV2, false)))
+      case "jake_oversampled" =>
+        ("passband: apply (jake 2025 — mwax, oversampled)",
+          Some((CorrMwaxV2, true)))
+      case "cotter" =>
+        ("passband: apply (cotter 2014 — legacy)",
+          Some((CorrLegacy, false)))
+      case _ if meta.derippleApplied =>
+        ("passband: skip (auto: deripple already applied)", None)
+      case _ =>
+        val v = meta.mwaVersion
+        (s"passband: apply (auto: $v, oversampled=${meta.oversampled})",
+          Some((v, meta.oversampled)))
+    }
   }
 
   /** The stage decisions the run will take, with their reasons — the
@@ -203,17 +239,20 @@ object Cli {
     else "geometry: apply",
     if (cfg.noDigital) "digital gains: skip (--no-digital-gains)"
     else "digital gains: apply",
+    passbandSelect(cfg, meta)._1,
     if (cfg.vanVleck)
       s"van vleck: apply (--van-vleck, sample scale " +
         s"${meta.vvSampleScale()} from container constants)"
     else "van vleck: skip (default: modern correlator)",
     cfg.rfiStrategyFile match {
-      case Some(f) => s"rfi: apply (strategy file $f)"
-      case None => if (cfg.rfi) "rfi: apply (--rfi)" else "rfi: skip"
+      case Some(f) if cfg.rfi => s"rfi: apply (strategy file $f)"
+      case _ =>
+        if (cfg.rfi) "rfi: apply (default strategy)"
+        else "rfi: skip (--no-rfi)"
     },
     cfg.aocalFile match {
       case Some(f) => s"calibrate: apply (MWAOCAL solutions $f)"
-      case None => "calibrate: apply (synthetic solutions)"
+      case None => "calibrate: skip (no solutions file)"
     })
 
   /** Stack the requested ad-hoc overrides over the base metadata seam
@@ -264,6 +303,13 @@ object Cli {
     val g = cfg.metafits.map(g0.withMetafits).getOrElse(g0)
     val meta = decorate(g.meta, cfg)
 
+    // Van Vleck is a legacy-correlator correction; the reference CLI
+    // rejects --van-vleck on anything else (cli.rs:1378-1388)
+    require(!cfg.vanVleck ||
+        meta.mwaVersion == graft.model.PfbTables.CorrLegacy,
+      s"--van-vleck expects legacy correlator files, " +
+        s"got ${meta.mwaVersion}")
+
     decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
 
     val (avgT, avgF) = avgFactors(cfg, meta)
@@ -287,19 +333,21 @@ object Cli {
       .map(f => graft.ops.RfiStrategy.fromFile(f,
         spark.sparkContext.hadoopConfiguration))
       .getOrElse(graft.ops.RfiStrategy())
+    val pbSel = passbandSelect(cfg, meta)._2
     val pre = Preprocess(
       vanVleck = cfg.vanVleck,
       sampleScale = meta.vvSampleScale(),
       cable = !cfg.noCable,
       digitalGains = !cfg.noDigital,
-      passband = !cfg.pfbGains.contains("none"),
+      passband = pbSel.isDefined,
       geometry = !cfg.noGeom,
       rfi = cfg.rfi,
-      pfbVersion = cfg.pfbGains match {
-        case Some("jake") => Some(graft.model.PfbTables.CorrMwaxV2)
-        case Some("cotter") => Some(graft.model.PfbTables.CorrLegacy)
-        case _ => None
-      },
+      pfbVersion = pbSel.map(_._1),
+      pfbOversampled = pbSel.exists(_._2),
+      // DI calibration ONLY when a solutions file is given — the
+      // reference applies it only under --apply-di-cal (cli.rs:1637);
+      // a default run must never multiply by synthetic solutions
+      calibrate = cfg.aocalFile.isDefined,
       meta = meta,
       rfiStrategy = strategy,
       aocalPath = cfg.aocalFile,

@@ -117,19 +117,19 @@ object VanVleckKernel {
     * guard failure (mirrors van_vleck_crosses_int's unwrap_or,
     * van_vleck.rs:736-748).
     *
-    * DOCUMENTED DEVIATION (also in the SURVEY coverage map): at the
-    * 100-iteration cap the reference abandons the cell to khat
-    * (van_vleck.rs:745); by default this kernel instead ACCEPTS the
-    * iterate when its residual is sub-nano (|δ| ≤ 1e-9), because the
-    * accept-vs-cap decision is a knife edge different libm builds land
-    * on different sides of — the acceptance makes the result
-    * engine-stable where the reference's rule makes it build-dependent.
-    * Pass `referenceCapFallback = true` for bit-faithful reference
-    * behaviour on those knife-edge cells.
+    * Iteration-cap policy: at the 100-iteration cap the reference
+    * abandons the cell to khat (van_vleck.rs:745), and that is the
+    * DEFAULT here — a reference-matching engine must be reference-
+    * faithful out of the box. Pass `referenceCapFallback = false` to
+    * instead ACCEPT the iterate when its residual is sub-nano
+    * (|δ| ≤ 1e-9): the accept-vs-cap decision is a knife edge
+    * different libm builds land on different sides of, and the
+    * acceptance makes the result engine-stable where the reference's
+    * rule is build-dependent.
     */
   def vanVleckCrossInt(khat: Double, sigmaX: Double,
                        sigmaY: Double,
-                       referenceCapFallback: Boolean = false): Double = {
+                       referenceCapFallback: Boolean = true): Double = {
     if (sigmaX <= 0.0 || sigmaY <= 0.0) return khat
     val sign = math.signum(khat)
     val k = math.abs(khat)

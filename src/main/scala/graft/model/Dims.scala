@@ -119,9 +119,11 @@ object Dims {
     */
   def pfbGainReal(spark: SparkSession,
                   version: PfbTables.MwaVersion = PfbTables.CorrMwaxV2,
-                  oversampled: Boolean = false): DataFrame = {
+                  oversampled: Boolean = false,
+                  nFineChansPerCoarse: Int = FineChansPerCoarse)
+      : DataFrame = {
     import spark.implicits._
-    PfbTables.scrunched(version, oversampled, FineChansPerCoarse)
+    PfbTables.scrunched(version, oversampled, nFineChansPerCoarse)
       .zipWithIndex
       .map { case (g, i) => (i.toLong, g) }.toSeq
       .toDF("fc", "pfb_gain")

@@ -40,6 +40,13 @@ object MetaDecorators {
     override def fineChansPerCoarse: Int = inner.fineChansPerCoarse
     override def gpsStartS: Double = inner.gpsStartS
     override def baseFreqHz: Double = inner.baseFreqHz
+    override def mwaVersion: PfbTables.MwaVersion = inner.mwaVersion
+    override def oversampled: Boolean = inner.oversampled
+    override def derippleApplied: Boolean = inner.derippleApplied
+    override def phaseCentreDeg: Option[(Double, Double)] =
+      inner.phaseCentreDeg
+    override def pointingCentreDeg: Option[(Double, Double)] =
+      inner.pointingCentreDeg
   }
 
   /** Re-derive static channel flags at a chosen edge width: fc within

@@ -73,6 +73,36 @@ trait MetaSource {
 
   /** Centre frequency of fine channel 0, Hz. */
   def baseFreqHz: Double = Obs.BaseFreqHz
+
+  /** Correlator version (MWAX metafits CORR_VER = 2) — drives the
+    * passband auto-select (reference cli.rs:1420-1436) and the
+    * Van Vleck legacy-only CLI check (cli.rs:1378-1388). The
+    * synthetic observation models a modern MWAX correlator.
+    */
+  def mwaVersion: PfbTables.MwaVersion = PfbTables.CorrMwaxV2
+
+  /** MWAX oversampled-PFB flag (metafits OVERSAMP) — selects the 2025
+    * oversampled gain table under `--pfb-gains auto`.
+    */
+  def oversampled: Boolean = false
+
+  /** Whether PFB deripple was already applied upstream (metafits
+    * DERIPPLE) — passband auto-select becomes a no-op then
+    * (reference cli.rs:1416-1418).
+    */
+  def derippleApplied: Boolean = false
+
+  /** J2000 phase centre from the container (RAPHASE/DECPHASE, falling
+    * back to the tile pointing), degrees; None when the container has
+    * neither (the synthetic seam uses the fixed gate ephemeris).
+    * Reference: RADec::from_mwalib_phase_or_pointing (cli.rs:1376).
+    */
+  def phaseCentreDeg: Option[(Double, Double)] = None
+
+  /** Tile pointing centre (metafits RA/DEC), degrees — the
+    * `--pointing-centre` target (reference cli.rs:1377).
+    */
+  def pointingCentreDeg: Option[(Double, Double)] = None
 }
 
 /** The deterministic synthetic observation (graft.model.Dims). */

@@ -34,15 +34,17 @@ case class Preprocess(vanVleck: Boolean = false,
                       // apparent-place ephemeris for geometry
                       pfbVersion: Option[graft.model.PfbTables.MwaVersion]
                         = None,
+                      pfbOversampled: Boolean = false,
                       apparentGeometry: Boolean = false,
                       // metadata seam: SynthDims or a parsed metafits
                       // (graft.sources.MetafitsMeta)
                       meta: graft.model.MetaSource =
                         graft.model.SynthDims,
                       rfiStrategy: RfiStrategy = RfiStrategy(),
-                      // C5 iteration-cap policy: true = reference
-                      // bit-parity (abandon to khat at the cap)
-                      vvReferenceCapFallback: Boolean = false,
+                      // C5 iteration-cap policy: true (default) =
+                      // reference bit-parity (abandon to khat at the
+                      // cap); false = engine-stable sub-nano acceptance
+                      vvReferenceCapFallback: Boolean = true,
                       // C6 solutions source: an MWAOCAL binary file
                       // (the reference's production input) instead of
                       // the synthetic calsol dimension
@@ -61,7 +63,8 @@ case class Preprocess(vanVleck: Boolean = false,
     val doGeometry = geometry && !meta.geometryApplied
     val antenna = meta.antenna(spark)
     val pfb = pfbVersion
-      .map(v => Dims.pfbGainReal(spark, v))
+      .map(v => Dims.pfbGainReal(spark, v, pfbOversampled,
+        meta.fineChansPerCoarse))
       .getOrElse(Dims.pfbGain(spark))
     def uvw = uvwTable(spark)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(

@@ -51,10 +51,10 @@ object VanVleck {
   }
 
   /** Cross-kernel UDF with the iteration-cap policy threaded through:
-    * refCap = true reproduces the reference bit-for-bit (abandon to
-    * khat at the 100-iteration cap, van_vleck.rs:723-730); false (the
-    * engine-stable default the oracle gates pin) accepts a sub-nano
-    * residual at the cap instead of discarding the dequantisation.
+    * refCap = true (the DEFAULT, which the oracle gates pin)
+    * reproduces the reference bit-for-bit — abandon to khat at the
+    * 100-iteration cap (van_vleck.rs:723-730); false opts into the
+    * engine-stable acceptance of a sub-nano residual at the cap.
     */
   private def vvCrossUdf(refCap: Boolean) =
     udf((k: Double, sx: Double, sy: Double) =>
@@ -85,7 +85,7 @@ object VanVleck {
     */
   def apply(vis: DataFrame, flaggedAnts: Seq[Long],
             sampleScale: Double,
-            referenceCapFallback: Boolean = false): DataFrame = {
+            referenceCapFallback: Boolean = true): DataFrame = {
     val vvCross = vvCrossUdf(referenceCapFallback)
     val sigma = sigmaTable(vis, flaggedAnts, sampleScale)
     val s1 = sigma.select(col("t"), col("ant").as("ant1"), col("chan"),
@@ -173,6 +173,6 @@ object VanVleck {
         (lit(1.0) + ((col("ant2") * 23 + col("chan") * 11) % 64)
           .cast("double") / 128.0).as("sy"))
       .withColumn("kappa_u",
-        floor(vvCrossUdf(refCap = false)(col("khat"), col("sx"),
+        floor(vvCrossUdf(refCap = true)(col("khat"), col("sx"),
           col("sy")) * 1.0e6 + 0.5))
 }

@@ -504,13 +504,11 @@ object Oracles {
   private def c5VvresCte: String =
     """vvres AS (
       |  SELECT khat, sx, sy,
-      |         CASE WHEN abs(delta) <= 1.0e-12
-      |              THEN sgn * guess * sx * sy
-      |         -- cap acceptance, mirrored from the kernel: a capped
-      |         -- 2-cycle with sub-nano residual is a converged root
-      |         -- (cnt > 100 excludes escape-guard rows, which stop
-      |         -- at cnt <= 100)
-      |              WHEN cnt > 100 AND abs(delta) <= 1.0e-9
+      |         -- cnt <= 100: the kernel's reference cap policy
+      |         -- (van_vleck.rs:723-730) abandons to khat after the
+      |         -- 101st Newton step WITHOUT re-checking the residual,
+      |         -- so a cnt=101 row is khat even when |δ| converged
+      |              CASE WHEN cnt <= 100 AND abs(delta) <= 1.0e-12
       |              THEN sgn * guess * sx * sy
       |              ELSE khat END AS kappa
       |  FROM (SELECT *, row_number() OVER (PARTITION BY khat, sx, sy

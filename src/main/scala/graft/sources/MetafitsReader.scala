@@ -81,6 +81,43 @@ object MetafitsReader {
       */
     def geometryApplied: Boolean =
       keywords.get("GEODEL").exists(_.toDouble != 0)
+
+    /** Correlator version: MWAX metafits carry CORR_VER = 2; a
+      * container without the keyword is the legacy correlator. The
+      * reference CLI branches passband auto-select and the Van Vleck
+      * legacy check on this (cli.rs:1378-1388, 1420-1436).
+      */
+    def mwaVersion: graft.model.PfbTables.MwaVersion =
+      keywords.get("CORR_VER").map(_.trim) match {
+        case Some("2") => graft.model.PfbTables.CorrMwaxV2
+        case _ => graft.model.PfbTables.CorrLegacy
+      }
+
+    private def boolKw(k: String): Boolean =
+      keywords.get(k).map(_.trim).exists(v => v == "1" || v == "T")
+
+    /** MWAX oversampled-PFB flag (OVERSAMP keyword). */
+    def oversampled: Boolean = boolKw("OVERSAMP")
+
+    /** PFB deripple already applied upstream (DERIPPLE keyword) —
+      * auto passband selection becomes a no-op (cli.rs:1416-1418).
+      */
+    def derippleApplied: Boolean = boolKw("DERIPPLE")
+
+    private def degPair(rk: String, dk: String)
+        : Option[(Double, Double)] =
+      for (r <- keywords.get(rk); d <- keywords.get(dk))
+        yield (r.trim.toDouble, d.trim.toDouble)
+
+    /** Tile pointing centre (RA/DEC keywords), degrees. */
+    def pointingCentreDeg: Option[(Double, Double)] =
+      degPair("RA", "DEC")
+
+    /** J2000 phase centre: RAPHASE/DECPHASE, falling back to the tile
+      * pointing — RADec::from_mwalib_phase_or_pointing semantics.
+      */
+    def phaseCentreDeg: Option[(Double, Double)] =
+      degPair("RAPHASE", "DECPHASE").orElse(pointingCentreDeg)
   }
 
   // ---- BINTABLE codec --------------------------------------------------
@@ -325,4 +362,12 @@ final case class MetafitsMeta(mf: MetafitsReader.Metafits)
   override def baseFreqHz: Double =
     math.round(mf.freqCentHz
       - mf.fineChanWidthHz * (mf.nChans / 2.0)).toDouble
+  override def mwaVersion: graft.model.PfbTables.MwaVersion =
+    mf.mwaVersion
+  override def oversampled: Boolean = mf.oversampled
+  override def derippleApplied: Boolean = mf.derippleApplied
+  override def phaseCentreDeg: Option[(Double, Double)] =
+    mf.phaseCentreDeg
+  override def pointingCentreDeg: Option[(Double, Double)] =
+    mf.pointingCentreDeg
 }

@@ -45,11 +45,27 @@ object MetafitsSynth {
 
   /** Write the synthetic metafits; returns the path. `cableApplied` /
     * `geometryApplied` set the CABLEDEL/GEODEL keywords that drive the
-    * CLI's auto-skip decisions (reference cli.rs:1389-1452).
+    * CLI's auto-skip decisions (reference cli.rs:1389-1452);
+    * `corrVersion` (CORR_VER, 2 = MWAX) / `oversampled` (OVERSAMP) /
+    * `deripple` (DERIPPLE) drive the passband auto-select and the Van
+    * Vleck legacy check (cli.rs:1378-1388, 1416-1436); `pointingDeg` /
+    * `phaseDeg` emit the RA/DEC and RAPHASE/DECPHASE centres the
+    * `--pointing-centre` path consumes (cli.rs:1364-1377).
     */
   def write(path: String, cableApplied: Boolean = false,
-            geometryApplied: Boolean = false): String = {
+            geometryApplied: Boolean = false,
+            corrVersion: Int = 2,
+            oversampled: Boolean = false,
+            deripple: Boolean = false,
+            pointingDeg: Option[(Double, Double)] = None,
+            phaseDeg: Option[(Double, Double)] = None): String = {
     val nIn = Obs.NumAnts * 2
+
+    val centreCards =
+      pointingDeg.toSeq.flatMap { case (r, d) =>
+        Seq(card("RA", r.toString), card("DEC", d.toString)) } ++
+      phaseDeg.toSeq.flatMap { case (r, d) =>
+        Seq(card("RAPHASE", r.toString), card("DECPHASE", d.toString)) }
 
     val primary = (Seq(
       card("SIMPLE", "T"),
@@ -69,7 +85,11 @@ object MetafitsSynth {
       card("FREQCENT", ((Obs.BaseFreqHz +
         Obs.FineChanWidthHz * Obs.NumChans / 2.0) / 1e6).toString),
       card("CABLEDEL", if (cableApplied) "1" else "0"),
-      card("GEODEL", if (geometryApplied) "1" else "0"))
+      card("GEODEL", if (geometryApplied) "1" else "0"),
+      card("CORR_VER", corrVersion.toString),
+      card("OVERSAMP", if (oversampled) "1" else "0"),
+      card("DERIPPLE", if (deripple) "1" else "0"))
+      ++ centreCards
       :+ "END".padTo(80, ' ')).mkString
 
     val tableHdr = (Seq(

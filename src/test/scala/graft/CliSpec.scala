@@ -37,8 +37,72 @@ class CliSpec extends AnyFunSuite {
       .toOption.get
     assert(cfg2.msOut.contains("out.ms"))
     assert(cfg2.rfiStrategyFile.contains("mwa.strategy"))
-    assert(cfg2.rfi, "--flag-strategy implies the rfi stage")
+    assert(cfg2.rfi, "rfi flagging defaults ON, as the reference")
     assert(cfg2.aocalFile.contains("sol.bin"))
+
+    // reference default semantics: RFI on unless --no-rfi
+    // (cli.rs:810, applied :1455); --rfi stays as a no-op alias
+    assert(Cli.parse(Seq("-d", "/data")).toOption.get.rfi)
+    assert(!Cli.parse(Seq("-d", "/data", "--no-rfi")).toOption.get.rfi)
+    assert(Cli.parse(Seq("-d", "/data", "--rfi")).toOption.get.rfi)
+  }
+
+  test("default decisions: no synthetic calibration, auto passband") {
+    val d = Cli.decisions(Cli.Config(dataDir = "x"),
+      graft.model.SynthDims)
+    assert(d.contains("calibrate: skip (no solutions file)"),
+      "a run without --aocal must NOT apply synthetic solutions")
+    assert(d.exists(_.startsWith("rfi: apply (default strategy)")))
+    assert(d.exists(_.contains("passband: apply (auto: CorrMwaxV2")))
+
+    val dNoRfi = Cli.decisions(
+      Cli.Config(dataDir = "x", rfi = false), graft.model.SynthDims)
+    assert(dNoRfi.contains("rfi: skip (--no-rfi)"))
+
+    // explicit tables and none win over auto
+    val dNone = Cli.decisions(
+      Cli.Config(dataDir = "x", pfbGains = Some("none")),
+      graft.model.SynthDims)
+    assert(dNone.contains("passband: skip (--pfb-gains none)"))
+    assert(Cli.passbandSelect(
+      Cli.Config(dataDir = "x", pfbGains = Some("cotter")),
+      graft.model.SynthDims)._2
+      .contains((graft.model.PfbTables.CorrLegacy, false)))
+    assert(Cli.passbandSelect(
+      Cli.Config(dataDir = "x", pfbGains = Some("jake_oversampled")),
+      graft.model.SynthDims)._2
+      .contains((graft.model.PfbTables.CorrMwaxV2, true)))
+  }
+
+  test("metafits correlator keywords drive passband auto-select") {
+    val dir = Files.createTempDirectory("cli_corr")
+    def meta(name: String, ver: Int, os: Boolean = false,
+             dr: Boolean = false) =
+      graft.sources.MetafitsMeta(graft.sources.MetafitsReader.read(
+        graft.synth.MetafitsSynth.write(dir.resolve(name).toString,
+          corrVersion = ver, oversampled = os, deripple = dr)))
+
+    val legacy = meta("legacy.metafits", 1)
+    assert(legacy.mwaVersion == graft.model.PfbTables.CorrLegacy)
+    assert(Cli.passbandSelect(Cli.Config(dataDir = "x"), legacy)._2
+      .contains((graft.model.PfbTables.CorrLegacy, false)))
+
+    val mwaxOs = meta("mwax_os.metafits", 2, os = true)
+    assert(Cli.passbandSelect(Cli.Config(dataDir = "x"), mwaxOs)._2
+      .contains((graft.model.PfbTables.CorrMwaxV2, true)))
+
+    val derippled = meta("dr.metafits", 2, dr = true)
+    assert(derippled.derippleApplied)
+    assert(Cli.passbandSelect(Cli.Config(dataDir = "x"), derippled)._2
+      .isEmpty, "deripple applied disables auto passband")
+
+    // --van-vleck is legacy-only (reference cli.rs:1378-1388)
+    val cfgVv = Cli.Config(dataDir = "/root/testdata/sf0.001",
+      vanVleck = true)
+    val ex = intercept[IllegalArgumentException] {
+      Cli.run(spark, cfgVv, _ => ())
+    }
+    assert(ex.getMessage.contains("legacy correlator"))
   }
 
   test("parse: malformed input fails loudly") {
