@@ -272,6 +272,28 @@ object SparkEntry {
         .distinct()
     }),
 
+    // K1c: the AIPS AN antenna extension table — write the file with
+    // the antenna dim, read the AN HDU back out, and gate names,
+    // 1-based station numbers, and ENH→XYZ positions (micro-metre
+    // integers) against a range()-arithmetic oracle twin. A missing or
+    // byte-shifted antenna table flips this gate.
+    "q_k1c_antenna_table" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.UvfitsWriter.write(avg, k1cFixture, Some(uvw),
+        antenna = Some(Dims.antenna(s)))
+      def micro(c: String) =
+        floor(col(c) * 1e6 + 0.5).cast("long")
+      graft.sources.UvfitsReader.readAntennaTable(s, k1cFixture)
+        .select(col("anname"), col("nosta"), col("mntsta"),
+          micro("stab_x_m").as("stabx_u"),
+          micro("stab_y_m").as("staby_u"),
+          micro("stab_z_m").as("stabz_u"),
+          col("poltya"), col("poltyb"),
+          col("polab_deg").cast("long").as("polab"))
+    }),
+
     "q_k2_ms_order" -> ((s, dir) =>
       graft.sinks.MsWriter.msMain(
         Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -492,6 +514,13 @@ object SparkEntry {
     dir.resolve("k1b.uvfits").toString
   }
 
+  /** Scratch path for the q_k1c antenna-table write→read-back gate. */
+  private lazy val k1cFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_k1c")
+    dir.toFile.deleteOnExit()
+    dir.resolve("k1c.uvfits").toString
+  }
+
   private lazy val metafitsFixture: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_metafits")
     graft.synth.MetafitsSynth.write(
@@ -568,6 +597,7 @@ object SparkEntry {
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
+    "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,
     "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k2b_ms_container" -> Oracles.k2bMsContainer,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,

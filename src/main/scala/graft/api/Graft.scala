@@ -128,7 +128,9 @@ case class VisFrame(spark: SparkSession, df: DataFrame,
     else uvw.orElse(Some(GeometryCorrection.partUvw(
       meta.timestep(spark), meta.antenna(spark))))
     UvfitsWriter.write(averaged(avgTime, avgFreq), path, table,
-      meta.intTimeS, avgTime, meta.gpsStartS)
+      meta.intTimeS, avgTime, meta.gpsStartS,
+      antenna = Some(meta.antenna(spark)),
+      baseFreqHz = meta.baseFreqHz)
   }
 
   /** MS container export (directory of casacore-shaped tables) — UVW

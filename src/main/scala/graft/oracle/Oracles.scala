@@ -803,11 +803,40 @@ object Oracles {
     OracleSql.queryWeighted(
       s"""SELECT g.t_out, g.ant1, g.ant2,
          |$uvwSec
+         |-- centroid convention: UVW at input step t_out*2 + 1, the
+         |-- instant the DATE group params are stamped at
          |FROM (SELECT DISTINCT t_out, ant1, ant2 FROM avg) g
-         |JOIN uvw u1 ON u1.t = g.t_out * 2 AND u1.ant = g.ant1
-         |JOIN uvw u2 ON u2.t = g.t_out * 2 AND u2.ant = g.ant2"""
+         |JOIN uvw u1 ON u1.t = g.t_out * 2 + 1 AND u1.ant = g.ant1
+         |JOIN uvw u2 ON u2.t = g.t_out * 2 + 1 AND u2.ant = g.ant2"""
         .stripMargin,
       s"avg AS (\n$avgBody)", uvwCte)
+  }
+
+  /** K1c: the AIPS AN antenna table read back from the written uvfits
+    * file — TileNNN names, 1-based NOSTA (the BASELINE id convention),
+    * alt-az MNTSTA, X/Y linear feeds, and the ENH→local-XYZ station
+    * positions at the geometry stage's latitude in micro-metre
+    * integers. The latitude trig enters as Scala-formatted literals,
+    * so both engines run the identical IEEE expression over the dyadic
+    * ENH coordinates — the micro-unit floor is then exact on both
+    * sides.
+    */
+  val k1cAntennaTable: String = {
+    import GeometryCorrection._
+    val sl = fmt(math.sin(LatRad)); val cl = fmt(math.cos(LatRad))
+    OracleSql.query(
+      s"""SELECT 'Tile' || lpad(CAST(ant AS VARCHAR), 3, '0') AS anname,
+         |       CAST(ant + 1 AS BIGINT) AS nosta,
+         |       CAST(0 AS BIGINT) AS mntsta,
+         |       CAST(floor(((- north_m) * $sl + height_m * $cl)
+         |            * 1.0e6 + 0.5e0) AS BIGINT) AS stabx_u,
+         |       CAST(floor(east_m * 1.0e6 + 0.5e0) AS BIGINT)
+         |         AS staby_u,
+         |       CAST(floor((north_m * $cl + height_m * $sl)
+         |            * 1.0e6 + 0.5e0) AS BIGINT) AS stabz_u,
+         |       'X' AS poltya, 'Y' AS poltyb,
+         |       CAST(90 AS BIGINT) AS polab
+         |FROM antenna""".stripMargin)
   }
 
   /** K2 MS MAIN-table oracle: the row skeleton of `MsWriter.msMain` —
@@ -832,8 +861,10 @@ object Oracles {
        |             bool_and(flag_out) AS flag_row,
        |             sum(weight_out) AS weight_sum
        |      FROM avg GROUP BY 1, 2, 3, 4) m
-       |JOIN uvw u1 ON u1.t = m.t_out * 2 AND u1.ant = m.ant1
-       |JOIN uvw u2 ON u2.t = m.t_out * 2 AND u2.ant = m.ant2"""
+       |-- centroid convention: UVW at input step t_out*2 + 1, the
+       |-- same instant the TIME column is stamped at
+       |JOIN uvw u1 ON u1.t = m.t_out * 2 + 1 AND u1.ant = m.ant1
+       |JOIN uvw u2 ON u2.t = m.t_out * 2 + 1 AND u2.ant = m.ant2"""
       .stripMargin
   }
 

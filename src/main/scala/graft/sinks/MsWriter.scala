@@ -42,6 +42,36 @@ object MsWriter {
     * dimension. Aggregates over the channel axis are shuffle-exact:
     * weight sums are dyadic rationals, FLAG_ROW is a bool_and.
     */
+  /** The per-(t_out, ant) partial-UVW dim evaluated at each output
+    * window's CENTROID — the same instant the MAIN TIME column (and
+    * the uvfits DATE) is stamped at; the reference evaluates UVWs at
+    * centroid timesteps too. In input-step coordinates the centroid is
+    * t_out·avgTime + avgTime/2: an exact table entry when avgTime is
+    * even, the midpoint of the two neighbouring steps when odd
+    * (clamped to the lower step at the end of the scan).
+    */
+  def centroidUvw(uvw: DataFrame, avgTime: Int): DataFrame = {
+    val half = avgTime / 2
+    val lo = uvw
+      .where((col("t") - half) % avgTime === 0)
+      .select(((col("t") - half) / avgTime).cast("long").as("t_out"),
+        col("t"), col("ant"), col("u_m"), col("v_m"), col("w_m"))
+    if (avgTime % 2 == 0) lo.drop("t")
+    else {
+      val hi = uvw.select((col("t") - 1).as("t"), col("ant"),
+        col("u_m").as("u_hi"), col("v_m").as("v_hi"),
+        col("w_m").as("w_hi"))
+      lo.join(hi, Seq("t", "ant"), "left")
+        .select(col("t_out"), col("ant"),
+          ((col("u_m") + coalesce(col("u_hi"), col("u_m"))) / 2.0)
+            .as("u_m"),
+          ((col("v_m") + coalesce(col("v_hi"), col("v_m"))) / 2.0)
+            .as("v_m"),
+          ((col("w_m") + coalesce(col("w_hi"), col("w_m"))) / 2.0)
+            .as("w_m"))
+    }
+  }
+
   def msMain(avg: DataFrame, uvw: DataFrame, avgTime: Int = 2,
              intTimeS: Double = Obs.IntTimeS,
              gpsStartS: Double = Obs.GpsStart.toDouble): DataFrame = {
@@ -51,16 +81,16 @@ object MsWriter {
       count(lit(1)).as("n_chan"),
       expr("bool_and(flag_out)").as("flag_row"),
       sum("weight_out").as("weight_sum"))
-    val u1 = broadcast(uvw.select(col("t").as("t_uvw"),
+    val uvwC = centroidUvw(uvw, avgTime)
+    val u1 = broadcast(uvwC.select(col("t_out"),
       col("ant").as("ant1"), col("u_m").as("u1"), col("v_m").as("v1"),
       col("w_m").as("w1")))
-    val u2 = broadcast(uvw.select(col("t").as("t_uvw"),
+    val u2 = broadcast(uvwC.select(col("t_out"),
       col("ant").as("ant2"), col("u_m").as("u2"), col("v_m").as("v2"),
       col("w_m").as("w2")))
     val joined = rows
-      .withColumn("t_uvw", col("t_out") * avgTime)
-      .join(u1, Seq("t_uvw", "ant1"))
-      .join(u2, Seq("t_uvw", "ant2"))
+      .join(u1, Seq("t_out", "ant1"))
+      .join(u2, Seq("t_out", "ant2"))
       .select(col("t_out"), col("bl"), col("ant1"), col("ant2"),
         (lit(timeConst) + col("t_out").cast("double") * lit(interval))
           .as("time_s"),

@@ -67,6 +67,111 @@ object UvfitsWriter {
 
   private def endCard: String = "END".padTo(80, ' ')
 
+  /** MWA geocentric (ITRF) array centre, metres — the published array
+    * position every MWA data product carries (same constants the
+    * reference's array-position default resolves to).
+    */
+  val ArrayXyzM: (Double, Double, Double) =
+    (-2559454.08, 5095372.14, -2849057.18)
+
+  /** Earth rotation rate, degrees per UT1 day (IAU conventional). */
+  val DegPerDay: Double = 360.98564497329994
+
+  /** Encode the AIPS AN antenna extension HDU (the standard uvfits
+    * antenna-table layout — AIPS Memo 117 §4.1; the reference's writer
+    * receives the same names + ENH→XYZ positions,
+    * /root/reference/src/io/mod.rs:431-455): one BINTABLE row per
+    * antenna with ANNAME, STABXYZ (local-geodetic metres, the ENH
+    * transform shared with the geometry stage), NOSTA (1-based — the
+    * BASELINE group-parameter convention), MNTSTA 0 (alt-az), and the
+    * X/Y linear-feed polarisation columns. Array-geometry keywords
+    * (ARRAYX/Y/Z, GSTIA0, DEGPDY, RDATE, FREQ) make the table
+    * self-describing for AIPS/CASA-class readers.
+    *
+    * `ants` = (ant, name, east, north, height), any order; rows are
+    * emitted in ascending antenna id.
+    */
+  def antennaHdu(ants: Seq[(Long, String, Double, Double, Double)],
+                 latRad: Double, baseFreqHz: Double,
+                 gpsStartS: Double): Array[Byte] = {
+    val rowLen = 62
+    val n = ants.length
+    // RDATE = UTC date of the observation start; GSTIA0 = GMST (deg)
+    // at 0h UT1 on RDATE, from the library's own sidereal-time chain
+    val unixS = gpsStartS + 315964800.0 - 18.0 // GPS−UTC 18 s era
+    val dayStartUnix = math.floor(unixS / 86400.0) * 86400.0
+    val rdate = java.time.LocalDate.ofEpochDay(
+      (dayStartUnix / 86400.0).toLong).toString
+    val jd0 = dayStartUnix / 86400.0 + 2440587.5
+    val gstia0Deg = math.toDegrees(
+      graft.functions.Astro.gmstRad(jd0)) match {
+      case d if d < 0 => d + 360.0
+      case d => d % 360.0
+    }
+    val (ax, ay, az) = ArrayXyzM
+    val forms = Seq(
+      ("ANNAME", "8A", ""), ("STABXYZ", "3D", "METERS"),
+      ("NOSTA", "1J", ""), ("MNTSTA", "1J", ""),
+      ("STAXOF", "1E", "METERS"), ("POLTYA", "1A", ""),
+      ("POLAA", "1E", "DEGREES"), ("POLCALA", "1E", ""),
+      ("POLTYB", "1A", ""), ("POLAB", "1E", "DEGREES"),
+      ("POLCALB", "1E", ""))
+    val colCards = forms.zipWithIndex.flatMap { case ((t, f, u), i) =>
+      Seq(card(s"TTYPE${i + 1}", s"'$t'"),
+        card(s"TFORM${i + 1}", s"'$f'")) ++
+        (if (u.nonEmpty) Seq(card(s"TUNIT${i + 1}", s"'$u'")) else Nil)
+    }
+    val cards = Seq(
+      card("XTENSION", "'BINTABLE'", "antenna table"),
+      card("BITPIX", "8"),
+      card("NAXIS", "2"),
+      card("NAXIS1", rowLen.toString, "bytes per row"),
+      card("NAXIS2", n.toString, "antennas"),
+      card("PCOUNT", "0"), card("GCOUNT", "1"),
+      card("TFIELDS", forms.length.toString)) ++ colCards ++ Seq(
+      card("EXTNAME", "'AIPS AN '"),
+      card("EXTVER", "1"),
+      card("ARRAYX", ax.toString, "MWA geocentric x, m"),
+      card("ARRAYY", ay.toString, "MWA geocentric y, m"),
+      card("ARRAYZ", az.toString, "MWA geocentric z, m"),
+      card("FREQ", baseFreqHz.toString, "reference frequency, Hz"),
+      card("GSTIA0", f"$gstia0Deg%.12f", "GST at 0h on RDATE, deg"),
+      card("DEGPDY", DegPerDay.toString, "earth rotation, deg/day"),
+      card("RDATE", s"'$rdate'", "reference date"),
+      card("POLARX", "0.0"), card("POLARY", "0.0"),
+      card("UT1UTC", "0.0"), card("DATUTC", "0.0"),
+      card("TIMSYS", "'UTC     '"),
+      card("ARRNAM", "'MWA     '"),
+      card("NUMORB", "0"), card("NOPCAL", "0"),
+      card("POLTYPE", "'X-Y LIN '"),
+      card("FREQID", "-1"),
+      endCard)
+    val headerStr = cards.mkString
+    val header = (headerStr + " " * ((2880 - headerStr.length % 2880)
+      % 2880)).getBytes("ASCII")
+
+    val (sLat, cLat) = (math.sin(latRad), math.cos(latRad))
+    val data = ByteBuffer.allocate(n * rowLen) // big-endian default
+    ants.sortBy(_._1).foreach { case (ant, name, e, nn, hh) =>
+      // ENH → local XYZ, the same transform the geometry stage uses
+      // (reference ENH::to_xyz_inner, consumed io/mod.rs:436-442)
+      val x = -nn * sLat + hh * cLat
+      val y = e
+      val z = nn * cLat + hh * sLat
+      data.put(name.take(8).padTo(8, ' ').getBytes("ASCII"))
+      data.putDouble(x).putDouble(y).putDouble(z)
+      data.putInt(ant.toInt + 1) // NOSTA: 1-based, as BASELINE ids
+      data.putInt(0) // MNTSTA: alt-az
+      data.putFloat(0.0f) // STAXOF
+      data.put('X'.toByte).putFloat(0.0f).putFloat(0.0f)
+      data.put('Y'.toByte).putFloat(90.0f).putFloat(0.0f)
+    }
+    val dataLen = n * rowLen
+    val padded = java.util.Arrays.copyOf(data.array(),
+      (dataLen + 2879) / 2880 * 2880)
+    header ++ padded
+  }
+
   /** Write an averaged frame (columns bl, ant1, ant2, t_out, c_out,
     * a0..a7, flag_out, weight_out) as a random-groups uvfits file.
     * Returns the number of groups written (row-count invariant,
@@ -77,9 +182,9 @@ object UvfitsWriter {
     * calc_part_uvws /root/reference/src/corrections.rs:652-676); the
     * group parameters are then u,v,w = part(ant1) − part(ant2) in
     * SECONDS (metres / c — the uvfits convention, reference writer
-    * /root/reference/src/io/mod.rs:392-467) at the window-start input
-    * timestep t_out·avgTime. None writes zeroed parameters (a
-    * structure-only export).
+    * /root/reference/src/io/mod.rs:392-467) at the window CENTROID —
+    * the same instant the DATE params are stamped at. None writes
+    * zeroed parameters (a structure-only export).
     *
     * `intTimeS` is the input integration time from the metadata seam
     * (metafits INTTIME); output groups are stamped at the centroid of
@@ -89,8 +194,26 @@ object UvfitsWriter {
             uvw: Option[DataFrame] = None,
             intTimeS: Double = Obs.IntTimeS,
             avgTime: Int = 2,
-            gpsStartS: Double = Obs.GpsStart.toDouble): Long = {
+            gpsStartS: Double = Obs.GpsStart.toDouble,
+            antenna: Option[DataFrame] = None,
+            arrayLatRad: Double = graft.ops.GeometryCorrection.LatRad,
+            baseFreqHz: Double = Obs.BaseFreqHz): Long = {
     val spark = avg.sparkSession
+    // AIPS AN antenna extension: dimension-sized (one row per tile),
+    // encoded on the driver and appended after the random-groups data.
+    // Names come from the container's tile_name when present (real
+    // metafits), else the MWA TileNNN convention
+    val anBytes: Option[Array[Byte]] = antenna.map { a =>
+      val hasName = a.columns.contains("tile_name")
+      val cols = Seq("ant", "east_m", "north_m", "height_m") ++
+        (if (hasName) Seq("tile_name") else Nil)
+      val ants = a.select(cols.head, cols.tail: _*).collect().map { r =>
+        val ant = r.getLong(0)
+        val name = if (hasName) r.getString(4) else f"Tile$ant%03d"
+        (ant, name, r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }.toSeq
+      antennaHdu(ants, arrayLatRad, baseFreqHz, gpsStartS)
+    }
     // the UVW dim is O(timesteps x antennas) — collect + broadcast is
     // the same model-sized pattern the MS sink's broadcast joins use
     val uvwB = uvw.map { d =>
@@ -100,21 +223,26 @@ object UvfitsWriter {
             (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
           .toMap)
     }
+    // the writer scans the frame three times (channel extent, GCOUNT,
+    // encode) — cache it for the duration of the write so the upstream
+    // pipeline materialises ONCE, as MsContainer.write already does; at
+    // 100 TB the recompute would be 3x the dominant sink cost
+    val frame = avg.cache()
     // channel slots are offsets from the lowest selected channel — a
     // picket-fence or range-selected frame does not start at c_out = 0
     val (cMinL, cMaxL) = {
-      val r = avg.agg(min("c_out"), max("c_out")).head()
+      val r = frame.agg(min("c_out"), max("c_out")).head()
       (r.getLong(0), r.getLong(1))
     }
     val cMin = cMinL.toInt
     val nChans = (cMaxL - cMinL + 1).toInt
-    val ordered = avg
+    val ordered = frame
       .repartitionByRange(32, col("t_out"), col("bl"))
       .sortWithinPartitions("t_out", "bl", "c_out")
       .select("t_out", "bl", "ant1", "ant2", "c_out",
         "a0", "a1", "a2", "a3", "a4", "a5", "a6", "a7", "weight_out")
 
-    val nGroupEst = avg.select(countDistinct(struct("t_out", "bl")))
+    val nGroupEst = frame.select(countDistinct(struct("t_out", "bl")))
       .head().getLong(0)
     val pcount = 6
     val floatsPerChan = 4 * 3 // pol x (re, im, wt)
@@ -187,11 +315,23 @@ object UvfitsWriter {
             val buf = ByteBuffer.allocate(groupFloats * 4) // big-endian
             uvwB match {
               case Some(b) =>
-                val tIn = curT * avgTime
+                // UVW at the window CENTROID — the same instant DATE
+                // is stamped at (input step t_out·avgTime + avgTime/2;
+                // an exact entry for even avgTime, the midpoint of the
+                // neighbouring steps for odd, clamped at scan end) —
+                // mirroring MsWriter.centroidUvw
+                val tLo = curT * avgTime + avgTime / 2
                 val m = b.value
-                def part(ant: Long): (Double, Double, Double) =
-                  m.getOrElse((tIn, ant), sys.error(
-                    s"uvfits UVW: no partial UVW for (t=$tIn, ant=$ant)"))
+                def part(ant: Long): (Double, Double, Double) = {
+                  val lo = m.getOrElse((tLo, ant), sys.error(
+                    s"uvfits UVW: no partial UVW for (t=$tLo, ant=$ant)"))
+                  if (avgTime % 2 == 0) lo
+                  else {
+                    val hi = m.getOrElse((tLo + 1, ant), lo)
+                    ((lo._1 + hi._1) / 2.0, (lo._2 + hi._2) / 2.0,
+                      (lo._3 + hi._3) / 2.0)
+                  }
+                }
                 val (u1, v1, w1) = part(curA1)
                 val (u2, v2, w2) = part(curA2)
                 buf.putFloat(((u1 - u2) / Obs.SpeedOfLight).toFloat)
@@ -248,6 +388,7 @@ object UvfitsWriter {
       }
       .collect()
     uvwB.foreach(_.unpersist())
+    frame.unpersist()
     require(partCounts.length == actualParts,
       s"uvfits partition invariant: ${partCounts.length} part results " +
         s"for $actualParts partitions")
@@ -284,6 +425,7 @@ object UvfitsWriter {
       val srcs = partPaths.filter(p => fs.getFileStatus(p).getLen > 0)
       if (srcs.isEmpty) return false
       val padPath = new Path(s"$path.pad")
+      val anPath = new Path(s"$path.an")
       try {
         val hout = fs.create(outPath, true)
         hout.write(header)
@@ -294,7 +436,17 @@ object UvfitsWriter {
           pout.close()
           srcs :+ padPath
         } else srcs
-        fs.concat(outPath, withPad.toArray)
+        // the antenna HDU is its own concat source, appended after the
+        // group-data pad — same metadata-only stitch as the slices
+        val withAn = anBytes match {
+          case Some(b) =>
+            val aout = fs.create(anPath, true)
+            aout.write(b)
+            aout.close()
+            withPad :+ anPath
+          case None => withPad
+        }
+        fs.concat(outPath, withAn.toArray)
         partPaths.filterNot(srcs.contains).foreach(fs.delete(_, false))
         true
       } catch {
@@ -304,6 +456,7 @@ object UvfitsWriter {
         // any failure here must fall back to the streamed copy
         case scala.util.control.NonFatal(_) =>
           fs.delete(padPath, false)
+          fs.delete(anPath, false)
           false
       }
     }
@@ -321,6 +474,7 @@ object UvfitsWriter {
         fs.delete(p, false)
       }
       out.write(new Array[Byte](pad))
+      anBytes.foreach(out.write)
       out.close()
     }
     require(written == nGroupEst,

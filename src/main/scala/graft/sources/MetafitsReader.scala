@@ -268,10 +268,10 @@ object MetafitsReader {
       val y = ins.find(_.pol == "Y").getOrElse(
         sys.error(s"antenna $ant has no Y input"))
       (ant.toLong, x.flagged || y.flagged, x.elecLenM, y.elecLenM,
-        x.eastM, x.northM, x.heightM)
+        x.eastM, x.northM, x.heightM, x.tileName.trim)
     }
     rows.toDF("ant", "ant_flagged", "elec_len_x_m", "elec_len_y_m",
-      "east_m", "north_m", "height_m")
+      "east_m", "north_m", "height_m", "tile_name")
   }
 
   /** Digital gains in the [[graft.model.Dims.digitalGain]] layout:

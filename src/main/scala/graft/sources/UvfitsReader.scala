@@ -155,6 +155,116 @@ object UvfitsReader {
     SlabIO.closeOnExhaust(iter)(() => rd.close())
   }
 
+  /** Read back the AIPS AN antenna extension HDU
+    * ([[graft.sinks.UvfitsWriter.antennaHdu]]; standard uvfits antenna
+    * table, AIPS Memo 117 §4.1) as a DataFrame — TTYPE-driven column
+    * decode, so any conforming writer's table reads, not just ours.
+    * The table is dimension-sized (one row per tile), so the decode is
+    * a driver-side positioned read, like every other dim ingest.
+    */
+  def readAntennaTable(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rd = new SlabIO.SlabReader(path, conf)
+    val rows = try {
+      val h = readHeader(rd)
+      val groupFloats = h.pcount + h.nChans * 12
+      var pos = h.dataStart +
+        (h.gcount * groupFloats * 4L + 2879) / 2880 * 2880
+      var result: Option[Seq[Row]] = None
+      // walk extension HDUs until EXTNAME = 'AIPS AN'
+      while (result.isEmpty && pos + 2880 <= rd.size) {
+        val cards = scala.collection.mutable.Map[String, String]()
+        var ended = false
+        while (!ended) {
+          require(pos + 2880 <= rd.size, "unterminated extension header")
+          val text = new String(rd.readAt(pos, 2880).array(), "ASCII")
+          (0 until 36).foreach { i =>
+            val card = text.substring(i * 80, (i + 1) * 80)
+            val key = card.take(8).trim
+            if (key == "END") ended = true
+            else if (!ended && card.length > 9 && card.charAt(8) == '=')
+              cards(key) = card.substring(10).takeWhile(_ != '/').trim
+          }
+          pos += 2880
+        }
+        val rowLen = cards("NAXIS1").toInt
+        val nRows = cards("NAXIS2").toInt
+        val dataLen = rowLen.toLong * nRows +
+          cards.getOrElse("PCOUNT", "0").toLong
+        val extName =
+          cards.getOrElse("EXTNAME", "").replace("'", "").trim
+        if (extName == "AIPS AN") {
+          // TTYPE/TFORM-driven column offsets (A/E/D/J supported)
+          val tfields = cards("TFIELDS").toInt
+          var off = 0
+          val cols: Map[String, (Char, Int, Int)] =
+            (1 to tfields).map { i =>
+              val name = cards(s"TTYPE$i").replace("'", "").trim
+              val form = cards(s"TFORM$i").replace("'", "").trim
+              // a bare TFORM letter means repeat 1 per the standard
+              val repeat =
+                if (form.length > 1) form.init.toInt else 1
+              val typ = form.last
+              val width = typ match {
+                case 'A' | 'L' | 'B' => 1
+                case 'I' => 2
+                case 'J' | 'E' => 4
+                case 'K' | 'D' => 8
+                case other => sys.error(s"AIPS AN: TFORM type $other")
+              }
+              val entry = name -> ((typ, repeat, off))
+              off += repeat * width
+              entry
+            }.toMap
+          require(off <= rowLen, s"AIPS AN row decode $off > $rowLen")
+          val data = rd.readAt(pos, (rowLen * nRows).toInt)
+            .order(ByteOrder.BIG_ENDIAN)
+          def str(r: Int, c: String): String = {
+            val (_, rep, o) = cols(c)
+            val b = new Array[Byte](rep)
+            (0 until rep).foreach(k => b(k) = data.get(r * rowLen + o + k))
+            new String(b, "ASCII").trim
+          }
+          def dbl(r: Int, c: String, k: Int = 0): Double = {
+            val (t, _, o) = cols(c)
+            t match {
+              case 'D' => data.getDouble(r * rowLen + o + 8 * k)
+              case 'E' => data.getFloat(r * rowLen + o + 4 * k).toDouble
+              case 'J' => data.getInt(r * rowLen + o + 4 * k).toDouble
+              case other => sys.error(s"AIPS AN: numeric read of $other")
+            }
+          }
+          def int(r: Int, c: String): Long = {
+            val (_, _, o) = cols(c)
+            data.getInt(r * rowLen + o).toLong
+          }
+          result = Some((0 until nRows).map { r =>
+            Row(str(r, "ANNAME"), int(r, "NOSTA"), int(r, "MNTSTA"),
+              dbl(r, "STABXYZ", 0), dbl(r, "STABXYZ", 1),
+              dbl(r, "STABXYZ", 2), dbl(r, "STAXOF"),
+              str(r, "POLTYA"), dbl(r, "POLAA"),
+              str(r, "POLTYB"), dbl(r, "POLAB"))
+          })
+        } else pos += (dataLen + 2879) / 2880 * 2880
+      }
+      result.getOrElse(sys.error(s"no AIPS AN extension in $path"))
+    } finally rd.close()
+    val anSchema = StructType(Seq(
+      StructField("anname", StringType, nullable = false),
+      StructField("nosta", LongType, nullable = false),
+      StructField("mntsta", LongType, nullable = false),
+      StructField("stab_x_m", DoubleType, nullable = false),
+      StructField("stab_y_m", DoubleType, nullable = false),
+      StructField("stab_z_m", DoubleType, nullable = false),
+      StructField("staxof_m", DoubleType, nullable = false),
+      StructField("poltya", StringType, nullable = false),
+      StructField("polaa_deg", DoubleType, nullable = false),
+      StructField("poltyb", StringType, nullable = false),
+      StructField("polab_deg", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), anSchema)
+  }
+
   /** Read a uvfits file into the averaged-frame schema. `cMin` restores
     * the channel offset the writer normalised away (0 for full-band
     * writes).

@@ -101,6 +101,50 @@ class UvfitsSpec extends AnyFunSuite {
       col("w_s") =!= 0.0).count() == 0)
   }
 
+  test("AIPS AN table: metafits tile names and positions round-trip") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val metafits = graft.synth.MetafitsSynth.write(
+      Files.createTempDirectory("uvf_an").resolve("an.metafits")
+        .toString)
+    val meta = graft.sources.MetafitsMeta(
+      graft.sources.MetafitsReader.read(metafits))
+    val vis = VisSynth.vis(spark, dir)
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(vis,
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val tmp = Files.createTempDirectory("uvf_an2").toString +
+      "/an.uvfits"
+    UvfitsWriter.write(avg, tmp, antenna = Some(meta.antenna(spark)))
+
+    val an = graft.sources.UvfitsReader.readAntennaTable(spark, tmp)
+    assert(an.count() == 8)
+    // container tile names (MetafitsSynth: TileN), 1-based NOSTA,
+    // X/Y linear feeds
+    val r0 = an.where(col("nosta") === 1).head()
+    assert(r0.getAs[String]("anname") == "Tile0")
+    assert(r0.getAs[String]("poltya") == "X")
+    assert(r0.getAs[Double]("polab_deg") == 90.0)
+    assert(an.where(col("mntsta") =!= 0).count() == 0)
+    // ENH -> XYZ at the geometry latitude: ant 0 has N=-50 E=-150
+    // H=377 (dyadic), so the f64 stored positions are exactly the
+    // driver-side transform
+    val (sl, cl) = (math.sin(GeometryCorrection.LatRad),
+      math.cos(GeometryCorrection.LatRad))
+    assert(r0.getAs[Double]("stab_x_m") == -(-50.0) * sl + 377.0 * cl)
+    assert(r0.getAs[Double]("stab_y_m") == -150.0)
+    assert(r0.getAs[Double]("stab_z_m") == -50.0 * cl + 377.0 * sl)
+
+    // a file written WITHOUT an antenna dim has no AN HDU — loud error
+    val bare = Files.createTempDirectory("uvf_an3").toString +
+      "/bare.uvfits"
+    UvfitsWriter.write(avg, bare)
+    val ex = intercept[RuntimeException] {
+      graft.sources.UvfitsReader.readAntennaTable(spark, bare)
+    }
+    assert(ex.getMessage.contains("no AIPS AN extension"))
+  }
+
   test("uvfits UVW group params round-trip the partial-UVW differences") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
@@ -118,15 +162,16 @@ class UvfitsSpec extends AnyFunSuite {
     assert(back.where(col("u_s") =!= 0.0 || col("v_s") =!= 0.0 ||
       col("w_s") =!= 0.0).count() > 0, "UVW params must be non-zero")
 
-    // expected: (part(ant1) - part(ant2)) / c at the window-start input
-    // timestep, at f32 — exactly what the group parameters hold
+    // expected: (part(ant1) - part(ant2)) / c at the window CENTROID
+    // input timestep (t_out*2 + 1 for avgTime=2 — the same instant the
+    // DATE params stamp), at f32 — exactly what the group params hold
     val c = graft.model.Obs.SpeedOfLight
     val u1 = uvw.select(col("t").as("t_uvw"), col("ant").as("ant1"),
       col("u_m").as("u1"), col("v_m").as("v1"), col("w_m").as("w1"))
     val u2 = uvw.select(col("t").as("t_uvw"), col("ant").as("ant2"),
       col("u_m").as("u2"), col("v_m").as("v2"), col("w_m").as("w2"))
     val expected = avg.select("t_out", "ant1", "ant2").distinct()
-      .withColumn("t_uvw", col("t_out") * 2)
+      .withColumn("t_uvw", col("t_out") * 2 + 1)
       .join(u1, Seq("t_uvw", "ant1")).join(u2, Seq("t_uvw", "ant2"))
       .select(col("t_out"), col("ant1"), col("ant2"),
         ((col("u1") - col("u2")) / c).cast("float").cast("double")
