@@ -305,9 +305,16 @@ object MsContainer {
     val fieldBuf = ByteBuffer.allocate(rowWidth(fieldCols))
       .order(ByteOrder.LITTLE_ENDIAN)
     putStr16(fieldBuf, "GRAFT")
-    val (pRa, pDec) = phaseDir.getOrElse(
-      (graft.ops.GeometryCorrection.Ha0,
-        graft.ops.GeometryCorrection.DecRad))
+    // PHASE_DIR is a J2000 RA/Dec pair: explicit override first, then
+    // the container's phase (or pointing) centre, then the fixed gate
+    // ephemeris — NEVER the geometry stage's hour-angle constant (an
+    // HA is not an RA; writing it here would hand consumers a
+    // meaningless direction)
+    val (pRa, pDec) = phaseDir
+      .orElse(meta.phaseCentreDeg.map { case (r, d) =>
+        (r.toRadians, d.toRadians) })
+      .getOrElse((graft.ops.GeometryCorrection.AppRaJ2000,
+        graft.ops.GeometryCorrection.AppDecJ2000))
     fieldBuf.putDouble(pRa)
     fieldBuf.putDouble(pDec)
     writeTableFiles(new Path(mainDir, "FIELD"), fieldCols, 1L,
@@ -339,6 +346,13 @@ object MsContainer {
     val fs = d.getFileSystem(conf)
     def slurp(name: String): Array[Byte] = {
       val st = fs.getFileStatus(new Path(d, name))
+      // the in-memory decode addresses cells through one ByteBuffer;
+      // past 2 GiB the Int casts below would silently truncate and
+      // return garbage — fail loudly instead (larger tables need the
+      // positioned-read path the uvfits reader uses)
+      require(st.getLen <= Int.MaxValue,
+        s"MS container $dir/$name is ${st.getLen} B — in-memory " +
+          "read-back handles < 2 GiB")
       val in = fs.open(new Path(d, name))
       val out = new Array[Byte](st.getLen.toInt)
       in.readFully(0, out)
@@ -367,6 +381,8 @@ object MsContainer {
   def cell(cols: Seq[Col], data: ByteBuffer, r: Long,
            name: String): Seq[Double] = {
     val c = cols.find(_.name == name).get
+    // safe Int cast: slurp() guarantees the buffer (= rowWidth·nRows)
+    // is < 2 GiB, so r·rowWidth for any in-range row fits an Int
     val base = (r * rowWidth(cols)).toInt + colOffset(cols, name)
     if (c.typeCode == 6)
       (0 until c.elems * 2).map(k => data.getFloat(base + k * 4).toDouble)

@@ -52,12 +52,19 @@ object MwafWriter {
       : Map[Long, Long] = {
     val spark = visFlagged.sparkSession
     import spark.implicits._
+    // the Long bitvector carries at most 64 fine channels per coarse;
+    // a wider container (legacy 10 kHz = 128) would silently wrap into
+    // corrupt flag files — fail loudly until the multi-word row layout
+    // exists (documented limitation, SURVEY §2.8)
+    val fpc = meta.fineChansPerCoarse
+    require(fpc >= 1 && fpc <= 64,
+      s"mwaf writer supports at most 64 fine chans per coarse, got $fpc")
     // densify to the full (cc, t, bl) grid FROM THE METADATA SEAM —
     // the reference's tables are dense by construction; cells with NO
     // data are fully flagged (missing-HDU semantics,
     // /root/reference/src/io/mod.rs:297-303), matching GpuboxSource's
     // flag=!present on ingest
-    val allFlagged = (1L << meta.fineChansPerCoarse) - 1L
+    val allFlagged = if (fpc == 64) -1L else (1L << fpc) - 1L
     val ccs = visFlagged.select("cc").distinct().as[Long].collect().sorted
     val grid = ccs.toSeq.toDF("cc")
       .crossJoin(meta.timestep(spark).select("t"))

@@ -55,8 +55,13 @@ object Sinks {
     */
   def mwafBitmask(visFlagged: DataFrame): DataFrame =
     visFlagged.groupBy("cc", "bl", "t")
-      .agg(expr("bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)" +
-        " ELSE 0 END)").cast("long").as("flag_mask"),
+      // BIGINT shift — a 32-bit `1 << fc` silently wraps at fc = 32,
+      // corrupting flag files for real containers (legacy fine-channel
+      // counts exceed 32 per coarse); valid through fc = 63, and the
+      // mwaf writer/reader guard the width at entry
+      .agg(expr("bit_or(CASE WHEN flag THEN" +
+        " shiftleft(CAST(1 AS BIGINT), CAST(fc AS INT))" +
+        " ELSE CAST(0 AS BIGINT) END)").cast("long").as("flag_mask"),
         count(lit(1)).as("n_samples"))
 
   /** Write the canonical bucketed mirror: parquet bucketed (and sorted)

@@ -68,6 +68,12 @@ object MwafReader {
       : Iterator[Row] = {
     val rd = new SlabIO.SlabReader(path, conf)
     val h = readHeader(rd)
+    // the Long flag_mask column holds at most 64 fine channels; a
+    // wider file would silently drop bits past the 8th byte — fail
+    // loudly (matching the writer's guard)
+    require(h.nChans >= 1 && h.nChans <= 64,
+      s"mwaf reader supports at most 64 fine chans per coarse, " +
+        s"got ${h.nChans} in $path")
     val bls = baselineIds(h.nAnts)
     val nBl = bls.length
     val bytesPerRow = (h.nChans + 7) / 8

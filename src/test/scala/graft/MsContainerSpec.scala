@@ -135,9 +135,11 @@ class MsContainerSpec extends AnyFunSuite {
       conf)
     assert(fRows == 1)
     assert(MsContainer.strCell(fCols, fData, 0, "NAME") == "GRAFT")
+    // default PHASE_DIR is a real RA/Dec (the fixed gate ephemeris),
+    // not the geometry stage's hour-angle constant
     assert(MsContainer.cell(fCols, fData, 0, "PHASE_DIR") ==
-      Seq(graft.ops.GeometryCorrection.Ha0,
-        graft.ops.GeometryCorrection.DecRad))
+      Seq(graft.ops.GeometryCorrection.AppRaJ2000,
+        graft.ops.GeometryCorrection.AppDecJ2000))
 
     val (oCols, oRows, oData) =
       MsContainer.readTable(s"$out/OBSERVATION", conf)

@@ -39,4 +39,43 @@ class MwafSpec extends AnyFunSuite {
       assert(bytes.drop(2880).exists(_ != 0))
     }
   }
+
+  test("bitmask handles fine channels past 32; width > 64 fails loudly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // fc = 40 would wrap to bit 8 under a 32-bit shift — the BIGINT
+    // shift must set bit 40 exactly
+    val wide = Seq((0L, 0L, 0L, 40L, true), (0L, 0L, 0L, 2L, true),
+      (0L, 0L, 0L, 63L, true), (0L, 0L, 0L, 10L, false))
+      .toDF("cc", "bl", "t", "fc", "flag")
+    val mask = graft.sinks.Sinks.mwafBitmask(wide)
+      .select("flag_mask").head().getLong(0)
+    assert(mask == ((1L << 40) | (1L << 2) | (1L << 63)),
+      s"got mask $mask")
+
+    // a 128-chans-per-coarse container (real legacy MWA) must be
+    // rejected, not silently truncated to its low 64 bits
+    val meta128 = new graft.model.MetaSource {
+      def antenna(s: org.apache.spark.sql.SparkSession) =
+        Dims.antenna(s)
+      def timestep(s: org.apache.spark.sql.SparkSession) =
+        Dims.timestep(s)
+      def chan(s: org.apache.spark.sql.SparkSession) = Dims.chan(s)
+      def baseline(s: org.apache.spark.sql.SparkSession) =
+        Dims.baseline(s)
+      def digitalGain(s: org.apache.spark.sql.SparkSession) =
+        Dims.digitalGain(s)
+      def flaggedAnts(s: org.apache.spark.sql.SparkSession) = Seq(7L)
+      override def fineChansPerCoarse: Int = 128
+    }
+    val flagged = FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
+    val ex = intercept[IllegalArgumentException] {
+      MwafWriter.write(flagged,
+        Files.createTempDirectory("mwaf_wide").toString,
+        meta = meta128)
+    }
+    assert(ex.getMessage.contains("64 fine chans"))
+  }
 }
