@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *   [--flag-antennas A,...] [--flag-coarse-chans C,...]
   *   [--flag-fine-chans F,...] [--no-flag-dc] [--flag-init-steps N]
   *   [--flag-end-steps N] [--quack-time SEC]
+  *   [--flag-edge-width KHZ] [--flag-autos] [--no-flag-metafits]
   *   [--pfb-gains auto|jake|jake_oversampled|cotter|none]
-  *   [--phase-centre RA_DEG DEC_DEG] [--no-cable-delay]
+  *   [--phase-centre RA_DEG DEC_DEG] [--pointing-centre]
+  *   [--emulate-cotter] [--time-chunk STEPS] [--max-memory GIB]
+  *   [--no-cable-delay]
   *   [--no-geometric-delay] [--no-digital-gains] [--van-vleck]
   *   [--no-rfi] [--aocal FILE]
   * }}}
@@ -65,6 +68,13 @@ object Cli {
       quackTime: Option[Double] = None,
       pfbGains: Option[String] = None,
       phaseCentreDeg: Option[(Double, Double)] = None,
+      pointingCentre: Boolean = false,
+      emulateCotter: Boolean = false,
+      flagEdgeWidthKhz: Option[Double] = None,
+      flagAutos: Boolean = false,
+      noFlagMetafits: Boolean = false,
+      timeChunk: Option[Int] = None,
+      maxMemoryGib: Option[Double] = None,
       noCable: Boolean = false,
       noGeom: Boolean = false,
       noDigital: Boolean = false,
@@ -81,8 +91,15 @@ object Cli {
     def loop(rest: List[String], c: Config): Either[String, Config] =
       rest match {
         case Nil =>
+          // clap-style conflict checks (reference cli.rs:748-749, 681)
           if (c.dataDir.isEmpty && c.gpuboxDir.isEmpty)
             Left("missing input: -d <dataDir> or --gpubox <dir>")
+          else if (c.pointingCentre && c.phaseCentreDeg.isDefined)
+            Left("--pointing-centre conflicts with --phase-centre")
+          else if (c.timeChunk.isDefined && c.maxMemoryGib.isDefined)
+            Left("--time-chunk conflicts with --max-memory")
+          else if (c.flagEdgeWidthKhz.isDefined && c.edgeChans.isDefined)
+            Left("--flag-edge-width conflicts with --flag-edge-chans")
           else Right(c)
         case "-d" :: v :: t => loop(t, c.copy(dataDir = v))
         case "--gpubox" :: v :: t => loop(t, c.copy(gpuboxDir = Some(v)))
@@ -182,6 +199,30 @@ object Cli {
             Left(s"--quack-time needs a non-negative seconds value, " +
               s"got '$v'")
         }
+        case "--pointing-centre" :: t =>
+          loop(t, c.copy(pointingCentre = true))
+        case "--emulate-cotter" :: t =>
+          loop(t, c.copy(emulateCotter = true))
+        case "--flag-edge-width" :: v :: t => v.toDoubleOption match {
+          case Some(k) if k >= 0 =>
+            loop(t, c.copy(flagEdgeWidthKhz = Some(k)))
+          case _ =>
+            Left(s"--flag-edge-width needs non-negative kHz, got '$v'")
+        }
+        case "--flag-autos" :: t => loop(t, c.copy(flagAutos = true))
+        case "--no-flag-metafits" :: t =>
+          loop(t, c.copy(noFlagMetafits = true))
+        case "--time-chunk" :: v :: t => v.toIntOption match {
+          case Some(n) if n >= 1 => loop(t, c.copy(timeChunk = Some(n)))
+          case _ => Left(s"--time-chunk needs a positive step count, " +
+            s"got '$v'")
+        }
+        case "--max-memory" :: v :: t => v.toDoubleOption match {
+          case Some(g) if g * 1024 * 1024 * 1024 >= 1.0 =>
+            loop(t, c.copy(maxMemoryGib = Some(g)))
+          case _ =>
+            Left(s"--max-memory needs at least one byte in GiB, got '$v'")
+        }
         case "--no-cable-delay" :: t => loop(t, c.copy(noCable = true))
         case "--no-geometric-delay" :: t => loop(t, c.copy(noGeom = true))
         case "--no-digital-gains" :: t => loop(t, c.copy(noDigital = true))
@@ -222,11 +263,42 @@ object Cli {
     }
   }
 
+  /** Effective J2000 phase centre (radians): explicit --phase-centre
+    * wins; --pointing-centre phases to the container's tile pointing;
+    * else the container's RAPHASE/DECPHASE-or-pointing (reference
+    * RADec::from_mwalib_phase_or_pointing, cli.rs:1364-1377); None for
+    * a container with no centre (the fixed gate ephemeris).
+    */
+  def effectivePhaseCentre(cfg: Config, meta: MetaSource)
+      : Option[(Double, Double)] =
+    cfg.phaseCentreDeg
+      .orElse {
+        if (cfg.pointingCentre)
+          Some(meta.pointingCentreDeg.getOrElse(sys.error(
+            "--pointing-centre: container carries no RA/DEC tile " +
+              "pointing")))
+        else meta.phaseCentreDeg
+      }
+      .map { case (r, d) => (r.toRadians, d.toRadians) }
+
   /** The stage decisions the run will take, with their reasons — the
     * reference logs exactly these before preprocessing (cli.rs:1389+).
     * Pure so the spec can assert them without running the pipeline.
     */
   def decisions(cfg: Config, meta: MetaSource): Seq[String] = Seq(
+    if (cfg.emulateCotter)
+      "array position: cotter emulation (--emulate-cotter)"
+    else "array position: default site",
+    (cfg.phaseCentreDeg, cfg.pointingCentre,
+        meta.phaseCentreDeg) match {
+      case (Some((r, d)), _, _) =>
+        s"phase centre: explicit ($r, $d) deg (--phase-centre)"
+      case (_, true, _) =>
+        "phase centre: tile pointing (--pointing-centre)"
+      case (_, _, Some((r, d))) =>
+        s"phase centre: container ($r, $d) deg"
+      case _ => "phase centre: fixed gate ephemeris"
+    },
     if (cfg.noCable)
       "cable: skip (--no-cable-delay)"
     else if (meta.cableApplied)
@@ -261,11 +333,29 @@ object Cli {
   def decorate(base: MetaSource, cfg: Config): MetaSource = {
     import graft.model.MetaDecorators._
     var m = base
+    // clear the container's own antenna flags FIRST, so ad-hoc
+    // --flag-antennas stacked later still apply (reference
+    // clear-then-add order, cli.rs:1029-1053)
+    if (cfg.noFlagMetafits) m = ClearAntFlags(m)
     // EdgeFlag REDERIVES the default channel flags (DC included), so
     // the DC clear must wrap OUTSIDE it — but still inside the additive
     // layers, which may legitimately flag DC cells for their own
     // reasons (a fully-flagged coarse channel keeps its centre)
     cfg.edgeChans.foreach(e => m = EdgeFlag(m, e))
+    // kHz edge width → fine-channel count against the container grid;
+    // a non-multiple width fails loudly (reference cli.rs:1079-1092)
+    cfg.flagEdgeWidthKhz.foreach { khz =>
+      val perChanKhz = base.fineChanWidthHz / 1000.0
+      val n = khz / perChanKhz
+      require(math.abs(n - math.floor(n)) <= 1e-5,
+        s"--flag-edge-width $khz kHz is not a multiple of the fine " +
+          s"channel width ($perChanKhz kHz)")
+      require(n.toInt < base.fineChansPerCoarse / 2,
+        s"--flag-edge-width $khz kHz = ${n.toInt} chans >= half the " +
+          s"coarse channel (${base.fineChansPerCoarse})")
+      m = EdgeFlag(m, n.toInt)
+    }
+    if (cfg.flagAutos) m = FlagAutos(m)
     if (cfg.noFlagDc) m = NoDcFlag(m)
     if (cfg.flagTimes.nonEmpty) m = FlagTimes(m, cfg.flagTimes)
     if (cfg.flagAnts.nonEmpty) m = FlagAnts(m, cfg.flagAnts)
@@ -313,6 +403,19 @@ object Cli {
     decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
 
     val (avgT, avgF) = avgFactors(cfg, meta)
+    // chunking flags parse and validate as the reference's do
+    // (cli.rs:1275-1320); execution-wise Spark's partition streaming
+    // IS the chunking — each task holds one partition, sized by
+    // spark.sql.files.maxPartitionBytes, never the whole observation —
+    // so the values need no further plumbing here
+    cfg.timeChunk.foreach { n =>
+      require(n % avgT == 0,
+        s"--time-chunk $n is not a multiple of the temporal " +
+          s"averaging factor $avgT")
+      log(s"[graft] time chunk: $n steps (Spark partition streaming)")
+    }
+    cfg.maxMemoryGib.foreach(g =>
+      log(s"[graft] max memory: $g GiB (Spark partition streaming)"))
     val g2 = g.copy(meta = meta)
     // the reference's primary input: a directory of gpubox FITS files
     // (+ metafits); the parquet observation is the testdata path
@@ -351,17 +454,18 @@ object Cli {
       meta = meta,
       rfiStrategy = strategy,
       aocalPath = cfg.aocalFile,
-      phaseCentre = cfg.phaseCentreDeg.map { case (r, d) =>
-        (r.toRadians, d.toRadians)
-      })
+      phaseCentre = effectivePhaseCentre(cfg, meta),
+      arrayPos =
+        if (cfg.emulateCotter)
+          Some((graft.ops.GeometryCorrection.CotterLonRad,
+            graft.ops.GeometryCorrection.CotterLatRad))
+        else None)
     val processed = vf.preprocess(pre)
     // group parameters must track the SAME phase centre the geometry
     // stage used — a default-centre table would be inconsistent with
     // the rotated DATA
     lazy val uvwT = pre.uvwTable(spark)
-    val phaseRad = cfg.phaseCentreDeg.map { case (r, d) =>
-      (r.toRadians, d.toRadians)
-    }
+    val phaseRad = effectivePhaseCentre(cfg, meta)
 
     // mwaf flags are written AFTER preprocessing, so RFI detections
     // (and calibration NaN flags) reach the flag files — the primary

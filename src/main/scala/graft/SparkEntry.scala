@@ -184,6 +184,23 @@ object SparkEntry {
           floor(col("v_m") * 1.0e9 + 0.5).as("v_n"),
           floor(col("w_m") * 1.0e9 + 0.5).as("w_n"))),
 
+    // C2d: the --pointing-centre path — the phase centre comes from
+    // the container's RA/DEC tile-pointing keywords and reaches the
+    // apparent-place UVW chain through the CLI's own resolution seam
+    // (Cli.effectivePhaseCentre); a centre-plumbing bug anywhere on
+    // that path flips the integer-nanometre gate
+    "q_c2d_pointing_uvw" -> ((s, dir) => {
+      val meta = graft.sources.MetafitsMeta(
+        graft.sources.MetafitsReader.read(pointingMetafitsFixture))
+      val pre = graft.ops.Preprocess(meta = meta,
+        phaseCentre = Cli.effectivePhaseCentre(
+          Cli.Config(dataDir = "x", pointingCentre = true), meta))
+      pre.uvwTable(s).select(col("t"), col("ant"),
+        floor(col("u_m") * 1.0e9 + 0.5).cast("long").as("u_n"),
+        floor(col("v_m") * 1.0e9 + 0.5).cast("long").as("v_n"),
+        floor(col("w_m") * 1.0e9 + 0.5).cast("long").as("w_n"))
+    }),
+
     "q_c3_digital_gains" -> ((s, dir) =>
       DigitalGains(VisSynth.vis(s, dir), Dims.digitalGain(s))
         .select(col("t") +: col("bl") +: col("chan") +: renameComps(): _*)),
@@ -527,6 +544,16 @@ object SparkEntry {
       dir.resolve("synthetic.metafits").toString)
   }
 
+  /** Metafits fixture carrying RA/DEC tile-pointing keywords, for the
+    * q_c2d --pointing-centre gate.
+    */
+  private lazy val pointingMetafitsFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pointing")
+    graft.synth.MetafitsSynth.write(
+      dir.resolve("pointing.metafits").toString,
+      pointingDeg = Some((30.0, -20.0)))
+  }
+
   /** The fixture parsed ONCE per JVM: the parse is gated by the first
     * q_s2* invocation either way; re-parsing on every bench repetition
     * only measures driver-side file IO, not the operator.
@@ -580,6 +607,7 @@ object SparkEntry {
     "q_c2_geometry" -> Oracles.c2Geometry,
     "q_c2b_geometry_app" -> Oracles.c2bGeometryApp,
     "q_c2c_apparent_uvw" -> Oracles.c2cApparentUvw,
+    "q_c2d_pointing_uvw" -> Oracles.c2dPointingUvw,
     "q_c3_digital_gains" -> Oracles.c3DigitalGains,
     "q_c4_passband" -> Oracles.c4Passband,
     "q_c4b_passband_mwax" -> Oracles.c4PassbandReal(

@@ -88,6 +88,29 @@ object MetaDecorators {
       (inner.flaggedAnts(s) ++ ants).distinct.sorted
   }
 
+  /** Flag every autocorrelation baseline (reference --flag-autos,
+    * cli.rs:1054-1056): the ad-hoc alternative to dropping autos from
+    * the selection entirely (--no-autos).
+    */
+  final case class FlagAutos(inner: MetaSource) extends Delegating {
+    override def baseline(s: SparkSession): DataFrame =
+      inner.baseline(s).withColumn("bl_flag",
+        col("bl_flag") || col("ant1") === col("ant2"))
+  }
+
+  /** Clear the container's own antenna flags (reference
+    * --no-flag-metafits, cli.rs:1029-1033) — ad-hoc --flag-antennas
+    * stacked OUTSIDE this decorator still apply, exactly the
+    * reference's clear-then-add order.
+    */
+  final case class ClearAntFlags(inner: MetaSource) extends Delegating {
+    override def antenna(s: SparkSession): DataFrame =
+      inner.antenna(s).withColumn("ant_flagged", lit(false))
+    override def baseline(s: SparkSession): DataFrame =
+      inner.baseline(s).withColumn("bl_flag", lit(false))
+    override def flaggedAnts(s: SparkSession): Seq[Long] = Nil
+  }
+
   /** Override the quack window: flag the first ceil(quackS/intTime)
     * timesteps IN ADDITION to the container's own flags (reference
     * --quack-time, additive like the CLI's flag-OR).

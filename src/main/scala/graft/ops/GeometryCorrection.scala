@@ -48,6 +48,16 @@ object GeometryCorrection {
   val AppDecJ2000: Double = -0.5
   val AppDut1Sec: Double = 0.05
 
+  // Cotter's MWA array position (the published constants Cotter bakes
+  // in, surfaced by the reference as COTTER_MWA_* and selected by
+  // --emulate-cotter, /root/reference/src/cli.rs:1353-1360). A few
+  // hundredths of an arcsecond off the default site — enough to move
+  // long-baseline w at the millimetre level, which Cotter-comparison
+  // workflows must reproduce exactly.
+  val CotterLonRad: Double = 2.0362897754687257
+  val CotterLatRad: Double = -0.46606083776035967
+  val CotterHeightM: Double = 377.0
+
   /** Per-(t, ant) partial UVW dimension (reference calc_part_uvws).
     * XYZ from ENH: X = -N sinφ + H cosφ, Y = E, Z = N cosφ + H sinφ;
     * then u = sinH·X + cosH·Y

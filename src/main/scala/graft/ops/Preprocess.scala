@@ -53,7 +53,12 @@ case class Preprocess(vanVleck: Boolean = false,
                       // apparent-place geometry (reference
                       // --phase-centre); None keeps the fixed gate
                       // ephemeris constants
-                      phaseCentre: Option[(Double, Double)] = None) {
+                      phaseCentre: Option[(Double, Double)] = None,
+                      // array position override (lon, lat radians) for
+                      // the apparent-place geometry (reference
+                      // --emulate-cotter swaps in Cotter's constants,
+                      // cli.rs:1353-1360)
+                      arrayPos: Option[(Double, Double)] = None) {
 
   def apply(spark: SparkSession, vis: DataFrame): DataFrame = {
     // metafits auto-skip: the container says these delays are already
@@ -90,10 +95,11 @@ case class Preprocess(vanVleck: Boolean = false,
   def uvwTable(spark: SparkSession): DataFrame = {
     val (raC, decC) = phaseCentre.getOrElse(
       (GeometryCorrection.AppRaJ2000, GeometryCorrection.AppDecJ2000))
-    if (apparentGeometry || phaseCentre.isDefined)
+    val (lonA, latA) = arrayPos.getOrElse(
+      (GeometryCorrection.AppLonRad, GeometryCorrection.AppLatRad))
+    if (apparentGeometry || phaseCentre.isDefined || arrayPos.isDefined)
       GeometryCorrection.partUvwAstro(spark, meta.timestep(spark),
-        meta.antenna(spark), GeometryCorrection.AppLonRad,
-        GeometryCorrection.AppLatRad, raC, decC,
+        meta.antenna(spark), lonA, latA, raC, decC,
         GeometryCorrection.AppDut1Sec, apparent = true)
     else GeometryCorrection.partUvw(meta.timestep(spark),
       meta.antenna(spark))

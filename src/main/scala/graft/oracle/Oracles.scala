@@ -305,6 +305,36 @@ object Oracles {
         s"FROM (VALUES\n  $rows) u(t, ant, u_n, v_n, w_n)")
   }
 
+  /** C2d: the --pointing-centre UVW twin — the same fixed-epoch
+    * apparent-place generator as [[c2cApparentUvw]], evaluated at the
+    * synth metafits fixture's RA/DEC tile pointing (30°, −20°) instead
+    * of the fixed gate ephemeris. Different centre ⇒ different UVW, so
+    * a pointing-centre plumbing bug cannot alias the c2c gate.
+    */
+  val c2dPointingUvw: String = {
+    import GeometryCorrection._
+    val (ra, dec) = (math.toRadians(30.0), math.toRadians(-20.0))
+    val rows = (for {
+      t <- 0L until graft.model.Obs.NumTimesteps.toLong
+      ant <- 0L until graft.model.Obs.NumAnts.toLong
+    } yield {
+      val e = (ant % 4) * 100.0 - 150.0
+      val n = (ant / 4) * 100.0 - 50.0
+      val h = 377.0 + ant * 0.5
+      val gps = graft.model.Obs.GpsStart + t * 2
+      val (u, v, w) = graft.functions.Astro.partUvwApparentAt(
+        gps.toDouble + graft.model.Obs.IntTimeS / 2, AppLonRad,
+        AppLatRad, ra, dec, AppDut1Sec, e, n, h)
+      def nano(x: Double): Long = math.floor(x * 1.0e9 + 0.5).toLong
+      s"($t, $ant, ${nano(u)}, ${nano(v)}, ${nano(w)})"
+    }).mkString(",\n  ")
+    OracleSql.query(
+      "SELECT CAST(t AS BIGINT) AS t, CAST(ant AS BIGINT) AS ant,\n" +
+        "       CAST(u_n AS BIGINT) AS u_n, CAST(v_n AS BIGINT) AS v_n,\n" +
+        "       CAST(w_n AS BIGINT) AS w_n\n" +
+        s"FROM (VALUES\n  $rows) u(t, ant, u_n, v_n, w_n)")
+  }
+
   val c3DigitalGains: String = {
     val pols = Seq(
       (Seq(0, 1), "(g1x * g2x)"), (Seq(2, 3), "(g1x * g2y)"),

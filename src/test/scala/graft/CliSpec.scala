@@ -306,6 +306,78 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Seq("-d", "x", "--avg-time-res", "0")).isLeft)
   }
 
+  test("pointing/cotter/chunking/edge-width flag vocabulary") {
+    import org.apache.spark.sql.functions.col
+    val cfg = Cli.parse(Seq("-d", "/data", "--pointing-centre",
+      "--emulate-cotter", "--flag-edge-width", "120", "--flag-autos",
+      "--no-flag-metafits", "--time-chunk", "4")).toOption.get
+    assert(cfg.pointingCentre && cfg.emulateCotter && cfg.flagAutos)
+    assert(cfg.noFlagMetafits && cfg.timeChunk.contains(4))
+    assert(cfg.flagEdgeWidthKhz.contains(120.0))
+
+    // clap-style conflicts (reference cli.rs:748-749, 681)
+    assert(Cli.parse(Seq("-d", "x", "--pointing-centre",
+      "--phase-centre", "1", "2")).isLeft)
+    assert(Cli.parse(Seq("-d", "x", "--time-chunk", "4",
+      "--max-memory", "2")).isLeft)
+    assert(Cli.parse(Seq("-d", "x", "--flag-edge-width", "80",
+      "--flag-edge-chans", "2")).isLeft)
+    assert(Cli.parse(Seq("-d", "x", "--max-memory", "0")).isLeft)
+
+    // 120 kHz at 40 kHz fine channels = 3 edge chans on each side
+    val m = Cli.decorate(graft.model.SynthDims, cfg)
+    val flagged = m.chan(spark).where(col("ch_flag"))
+      .select("fc").distinct().collect().map(_.getLong(0)).sorted
+    assert(flagged.toSeq == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L))
+    // --flag-autos flags every auto baseline; --no-flag-metafits
+    // cleared the container's ant-7 flags first
+    assert(m.flaggedAnts(spark).isEmpty)
+    val blFlagged = m.baseline(spark).where(col("bl_flag"))
+      .select("ant1", "ant2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(blFlagged.length == 8)
+    assert(blFlagged.forall { case (a1, a2) => a1 == a2 })
+
+    // a non-multiple edge width fails loudly (reference cli.rs:1079)
+    val bad = Cli.parse(Seq("-d", "x", "--flag-edge-width", "50"))
+      .toOption.get
+    val ex = intercept[IllegalArgumentException] {
+      Cli.decorate(graft.model.SynthDims, bad)
+    }
+    assert(ex.getMessage.contains("not a multiple"))
+
+    // --time-chunk must be a multiple of the averaging factor
+    val cfgChunk = Cli.parse(Seq("-d", "/root/testdata/sf0.001",
+      "--time-chunk", "3", "--avg-time", "2", "--no-rfi")).toOption.get
+    val ex2 = intercept[IllegalArgumentException] {
+      Cli.run(spark, cfgChunk, _ => ())
+    }
+    assert(ex2.getMessage.contains("multiple of the temporal"))
+
+    // decision lines surface the centre + array-position choices
+    val meta = graft.sources.MetafitsMeta(graft.sources.MetafitsReader
+      .read(graft.synth.MetafitsSynth.write(
+        Files.createTempDirectory("cli_pt").resolve("p.metafits")
+          .toString,
+        pointingDeg = Some((30.0, -20.0)))))
+    val d = Cli.decisions(
+      Cli.Config(dataDir = "x", pointingCentre = true,
+        emulateCotter = true), meta)
+    assert(d.contains("phase centre: tile pointing (--pointing-centre)"))
+    assert(d.contains("array position: cotter emulation " +
+      "(--emulate-cotter)"))
+    assert(Cli.effectivePhaseCentre(
+      Cli.Config(dataDir = "x", pointingCentre = true), meta)
+      .contains((math.toRadians(30.0), math.toRadians(-20.0))))
+    // container phase centre is the default source when present
+    assert(Cli.effectivePhaseCentre(Cli.Config(dataDir = "x"), meta)
+      .contains((math.toRadians(30.0), math.toRadians(-20.0))))
+    // explicit --phase-centre wins
+    assert(Cli.effectivePhaseCentre(
+      Cli.Config(dataDir = "x", phaseCentreDeg = Some((15.0, -30.0))),
+      meta).contains((math.toRadians(15.0), math.toRadians(-30.0))))
+  }
+
   test("decorators preserve the inner container's scalar constants") {
     import org.apache.spark.sql.functions.col
     // a seam with non-default constants: decorators must DELEGATE
