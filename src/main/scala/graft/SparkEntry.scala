@@ -171,7 +171,8 @@ object SparkEntry {
     }),
 
     // C2c: the apparent-place UVW table itself at 1e-9 m — the whole
-    // ephemeris chain (precession + full IAU-1980 nutation + aberration
+    // ephemeris chain (frame bias + IAU-2006 precession + IAU-2000B
+    // nutation + aberration
     // + dut1) gated per (timestep, antenna)
     "q_c2c_apparent_uvw" -> ((s, dir) =>
       GeometryCorrection.partUvwAstro(s, Dims.timestep(s),

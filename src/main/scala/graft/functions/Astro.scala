@@ -284,12 +284,18 @@ object Astro {
     val jdUt1 = unixToJd(unix + dut1Sec)
     val lst = gmstRad(jdUt1) + lonRad
     val (ra, dec) = precessRaDec(raJ2000, decJ2000, unixToJd(unix))
-    enhRotate(lst - ra, dec, latRad, east, north, height)
+    enhRotateAt(lst - ra, dec, latRad, east, north, height)
   }
 
   /** Apparent-place variant of [[partUvwAt]]: hour angle from GAST
     * (so nutation enters the sidereal frame too) against the fully
     * apparent — precessed, nutated, aberrated — phase centre.
+    *
+    * This is the classical IAU-1976/1980 equinox chain, kept for its
+    * Meeus worked-example anchors; the production apparent-UVW path is
+    * [[Iau2006.partUvwApparent06At]] (frame bias + IAU-2006 precession
+    * + IAU-2000B nutation, anchored to the published ERFA check values
+    * in Iau2006Spec).
     */
   def partUvwApparentAt(gpsSec: Double, lonRad: Double, latRad: Double,
                         raJ2000: Double, decJ2000: Double,
@@ -300,11 +306,15 @@ object Astro {
     val jdTt = unixToJd(unix)
     val lst = gastRad(jdUt1, jdTt) + lonRad
     val (ra, dec) = apparentRaDec(raJ2000, decJ2000, jdTt)
-    enhRotate(lst - ra, dec, latRad, east, north, height)
+    enhRotateAt(lst - ra, dec, latRad, east, north, height)
   }
 
-  private def enhRotate(ha: Double, dec: Double, latRad: Double,
-                        east: Double, north: Double, height: Double)
+  /** ENH → (u, v, w) rotation at hour angle / declination — shared by
+    * the classical and IAU-2006 chains.
+    */
+  private[functions] def enhRotateAt(ha: Double, dec: Double,
+                                     latRad: Double, east: Double,
+                                     north: Double, height: Double)
       : (Double, Double, Double) = {
     val x = -north * math.sin(latRad) + height * math.cos(latRad)
     val y = east

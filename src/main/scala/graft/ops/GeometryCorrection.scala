@@ -106,7 +106,11 @@ object GeometryCorrection {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3)))
-    val at = if (apparent) Astro.partUvwApparentAt _ else Astro.partUvwAt _
+    // apparent chain: IAU-2006/2000B (the reference's ERFA-class
+    // model); mean chain: classical IAU-1976 equinox precession
+    val at =
+      if (apparent) graft.functions.Iau2006.partUvwApparent06At _
+      else Astro.partUvwAt _
     val rows = for {
       (t, gps) <- ts.toSeq
       (ant, e, n, h) <- ants.toSeq

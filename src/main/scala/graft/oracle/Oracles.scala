@@ -247,8 +247,8 @@ object Oracles {
 
   /** Apparent-place C2 oracle (`q_c2b_geometry_app`): same rotation
     * body, but the per-(t, ant) w values come from the apparent-UVW
-    * chain (IAU 1976 precession + IAU 1980 nutation + annual aberration
-    * + dut1, `Astro.partUvwApparentAt`) evaluated at the fixed epochs of
+    * chain (frame bias + IAU 2006 precession + IAU 2000B nutation +
+    * annual aberration + dut1, `Iau2006.partUvwApparent06At`) at
     * the synthetic observation and inlined as literals. The chain's
     * astronomy is anchored to published worked values in AstroSpec; this
     * gate pins the distributed join + rotation against those fixed
@@ -264,7 +264,7 @@ object Oracles {
       val n = (ant / 4) * 100.0 - 50.0
       val h = 377.0 + ant * 0.5
       val gps = graft.model.Obs.GpsStart + t * 2
-      val (_, _, w) = graft.functions.Astro.partUvwApparentAt(
+      val (_, _, w) = graft.functions.Iau2006.partUvwApparent06At(
         gps.toDouble + graft.model.Obs.IntTimeS / 2, AppLonRad,
         AppLatRad, AppRaJ2000, AppDecJ2000, AppDut1Sec, e, n, h)
       s"($t, $ant, ${fmt(w)})"
@@ -276,11 +276,12 @@ object Oracles {
 
   /** C2c: the apparent-place UVW table ITSELF, gated in integer
     * nanometres (floor(x·1e9 + 0.5) — 1e-9 m resolution on the full
-    * ephemeris chain: IAU-1976 precession, full 63-term IAU-1980
-    * nutation, annual aberration, dut1). Fixed-epoch literals pin the
-    * driver-computed table; the independent CORRECTNESS anchors for the
-    * chain are the published worked examples in AstroSpec (nutation to
-    * 0.001″, apparent place to 0.2″).
+    * ephemeris chain: GCRS frame bias + IAU-2006 precession + 77-term
+    * IAU-2000B nutation + annual aberration + dut1). Fixed-epoch
+    * literals pin the driver-computed table; the independent
+    * CORRECTNESS anchors for the chain are the published SOFA/ERFA
+    * check values in Iau2006Spec (nutation/precession to ~µas, GAST to
+    * ~1e-9 rad) and the Meeus worked examples in AstroSpec.
     */
   val c2cApparentUvw: String = {
     import GeometryCorrection._
@@ -292,7 +293,7 @@ object Oracles {
       val n = (ant / 4) * 100.0 - 50.0
       val h = 377.0 + ant * 0.5
       val gps = graft.model.Obs.GpsStart + t * 2
-      val (u, v, w) = graft.functions.Astro.partUvwApparentAt(
+      val (u, v, w) = graft.functions.Iau2006.partUvwApparent06At(
         gps.toDouble + graft.model.Obs.IntTimeS / 2, AppLonRad,
         AppLatRad, AppRaJ2000, AppDecJ2000, AppDut1Sec, e, n, h)
       def nano(x: Double): Long = math.floor(x * 1.0e9 + 0.5).toLong
@@ -322,7 +323,7 @@ object Oracles {
       val n = (ant / 4) * 100.0 - 50.0
       val h = 377.0 + ant * 0.5
       val gps = graft.model.Obs.GpsStart + t * 2
-      val (u, v, w) = graft.functions.Astro.partUvwApparentAt(
+      val (u, v, w) = graft.functions.Iau2006.partUvwApparent06At(
         gps.toDouble + graft.model.Obs.IntTimeS / 2, AppLonRad,
         AppLatRad, ra, dec, AppDut1Sec, e, n, h)
       def nano(x: Double): Long = math.floor(x * 1.0e9 + 0.5).toLong

@@ -53,8 +53,12 @@ class MetafitsSpec extends AnyFunSuite {
   }
 
   test("parsed dimension tables equal the synthetic Dims bit-for-bit") {
-    assert(rows(MetafitsReader.antenna(spark, mf)) ==
-      rows(Dims.antenna(spark)))
+    // the parsed table is a strict superset: Dims layout + tile_name
+    val parsedAnt = MetafitsReader.antenna(spark, mf)
+    assert(rows(parsedAnt.drop("tile_name")) == rows(Dims.antenna(spark)))
+    assert(parsedAnt.select("ant", "tile_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      (0L until mf.nAnts).map(a => a -> s"Tile$a").toMap)
     assert(rows(MetafitsReader.digitalGain(spark, mf)) ==
       rows(Dims.digitalGain(spark)))
     assert(rows(MetafitsReader.chan(spark, mf)) ==
