@@ -18,10 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def roundComps(prefixIn: String = "v",
-                         prefixOut: String = "r"): Seq[Column] =
-    (0 until 8).map(k => round(col(s"$prefixIn$k"), 6).as(s"$prefixOut$k"))
-
   private def renameComps(prefixIn: String = "v",
                           prefixOut: String = "r"): Seq[Column] =
     (0 until 8).map(k => col(s"$prefixIn$k").as(s"$prefixOut$k"))
@@ -119,7 +115,7 @@ object SparkEntry {
     // -- corrections ---------------------------------------------------
     "q_c1_cable" -> ((s, dir) =>
       CableCorrection(VisSynth.vis(s, dir), Dims.antenna(s))
-        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+        .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)),
 
     // S2: metafits container loop — the synthetic observation's
     // metadata written as a REAL metafits (keyword HDU + TILEDATA
@@ -130,7 +126,7 @@ object SparkEntry {
     "q_s2_metafits_cable" -> ((s, dir) =>
       CableCorrection(VisSynth.vis(s, dir),
         graft.sources.MetafitsReader.antenna(s, metafitsParsed))
-        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)),
+        .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)),
 
     // S2b: metafits-driven end-to-end — the reference's entry-point-2
     // path (/root/reference/src/lib.rs:8-84): EVERY metadata table
@@ -154,7 +150,7 @@ object SparkEntry {
       val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
         Dims.antenna(s))
       GeometryCorrection(VisSynth.vis(s, dir), uvw)
-        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)
+        .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)
     }),
 
     // apparent-place geometry: nutation + aberration + dut1 on top of
@@ -167,7 +163,7 @@ object SparkEntry {
         GeometryCorrection.AppDecJ2000, GeometryCorrection.AppDut1Sec,
         apparent = true)
       GeometryCorrection(VisSynth.vis(s, dir), uvw)
-        .select(col("t") +: col("bl") +: col("chan") +: roundComps(): _*)
+        .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)
     }),
 
     // C2c: the apparent-place UVW table itself at 1e-9 m — the whole

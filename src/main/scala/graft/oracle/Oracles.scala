@@ -141,10 +141,12 @@ object Oracles {
     val outs = pols.flatMap { case (ri, ii, dl) =>
       val th = s"-2.0e0 * pi() * $dl * freq_hz / 299792458.0e0"
       Seq(
-        s"  round(CASE WHEN ant1 = ant2 THEN v$ri ELSE " +
-          s"v$ri * cos($th) - v$ii * sin($th) END, 6) AS r$ri",
-        s"  round(CASE WHEN ant1 = ant2 THEN v$ii ELSE " +
-          s"v$ri * sin($th) + v$ii * cos($th) END, 6) AS r$ii")
+        s"  CAST(floor((CASE WHEN ant1 = ant2 THEN v$ri ELSE " +
+          s"v$ri * cos($th) - v$ii * sin($th) END) * 1.0e6 + 0.5e0) " +
+          s"AS BIGINT) AS r$ri",
+        s"  CAST(floor((CASE WHEN ant1 = ant2 THEN v$ii ELSE " +
+          s"v$ri * sin($th) + v$ii * cos($th) END) * 1.0e6 + 0.5e0) " +
+          s"AS BIGINT) AS r$ii")
     }.mkString(",\n")
     OracleSql.query(
       s"""SELECT t, bl, chan,
@@ -227,8 +229,10 @@ object Oracles {
     val rot = (0 until 4).flatMap { p =>
       val (ri, ii) = (2 * p, 2 * p + 1)
       Seq(
-        s"  round(v$ri * cs - v$ii * sn, 6) AS r$ri",
-        s"  round(v$ri * sn + v$ii * cs, 6) AS r$ii")
+        s"  CAST(floor((v$ri * cs - v$ii * sn) * 1.0e6 + 0.5e0) " +
+          s"AS BIGINT) AS r$ri",
+        s"  CAST(floor((v$ri * sn + v$ii * cs) * 1.0e6 + 0.5e0) " +
+          s"AS BIGINT) AS r$ii")
     }.mkString(",\n")
     s"""SELECT t, bl, chan,
        |$rot
