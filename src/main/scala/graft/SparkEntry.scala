@@ -405,6 +405,15 @@ object SparkEntry {
     "q_d7_boilerplate" -> ((s, dir) =>
       Dedup.boilerplate(docs(s, dir))),
 
+    // corpus preparation: context chunking, contamination screen,
+    // stratified sampling (graft.llm.Corpus)
+    "q_t10_chunk_windows" -> ((s, dir) =>
+      graft.llm.Corpus.chunkWindows(docs(s, dir))),
+    "q_t11_contamination" -> ((s, dir) =>
+      graft.llm.Corpus.contamination(docs(s, dir))),
+    "q_t12_stratified_sample" -> ((s, dir) =>
+      graft.llm.Corpus.stratifiedSample(docs(s, dir))),
+
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
     "q_doc_pipeline" -> ((s, dir) =>
@@ -656,6 +665,10 @@ object SparkEntry {
     "q_t7_repetition" -> LlmOracles.t7Repetition,
     "q_t8_scrub" -> LlmOracles.t8Scrub,
     "q_t9_corpus_mix" -> LlmOracles.t9CorpusMix,
+    "q_t10_chunk_windows" -> graft.llm.Corpus.chunkWindowsSql(),
+    "q_t11_contamination" -> graft.llm.Corpus.contaminationSql,
+    "q_t12_stratified_sample" ->
+      graft.llm.Corpus.stratifiedSampleSql(),
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,

@@ -1,0 +1,212 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextExprs._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * cleaning/dedup: fixed-size context chunking, benchmark-contamination
+  * screening, and stratified sampling to a target language mix. All
+  * three are row-local or broadcast-shaped (no fact-table shuffle
+  * except the one aggregation each declares), so they hold at 100 TB.
+  *
+  * Cross-engine arithmetic (token windows, md5-derived hashes) renders
+  * through [[TextExprs]] so the DuckDB oracle twins evaluate the same
+  * operations in the same order.
+  */
+object Corpus {
+
+  private implicit val d: Dialect = SparkD
+
+  /** Fixed-size token-window chunking (context packing precursor):
+    * split each document's whitespace token stream into windows of
+    * `win` tokens advancing by `stride` (stride ≤ win ⇒ overlapping
+    * context windows, the standard LM pre-training shape). Emits one
+    * row per window with its 1-based token offset, actual length
+    * (the final window may be short), and a content hash of the joined
+    * window text for downstream dedup/addressing.
+    *
+    * Row-local: the explode fan-out is bounded by ceil(n_tokens /
+    * stride) per document — no shuffle at all.
+    */
+  def chunkWindows(docs: DataFrame, win: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    require(win >= 1 && stride >= 1 && stride <= win,
+      s"need 1 <= stride <= win, got win=$win stride=$stride")
+    val base = docs.selectExpr("doc_id", s"${tokens("text")} AS toks")
+      .selectExpr("doc_id", "toks",
+        s"CAST(${listSize("toks")} AS BIGINT) AS n_toks")
+      .selectExpr("doc_id", "toks", "n_toks",
+        s"""CASE WHEN n_toks <= $win THEN CAST(1 AS BIGINT)
+           |ELSE 1 + CAST(floor(CAST(n_toks - $win + $stride - 1
+           |  AS DOUBLE) / $stride) AS BIGINT) END AS n_wins"""
+          .stripMargin)
+    base
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_wins - 1)"))
+          .as("win_idx"))
+      .selectExpr("doc_id", "win_idx", "toks", "n_toks",
+        s"win_idx * $stride + 1 AS tok_start")
+      .selectExpr("doc_id", "win_idx", "tok_start",
+        s"least(CAST($win AS BIGINT), n_toks - tok_start + 1)" +
+          " AS win_len", "toks")
+      .selectExpr("doc_id", "win_idx", "tok_start", "win_len",
+        hex8FromMd5(s"md5(${joinList(
+          listSlice("toks", "tok_start", "win_len"))})") + " AS win_hash")
+  }
+
+  /** The DuckDB twin of [[chunkWindows]] (same window arithmetic and
+    * hash, rendered in the other dialect).
+    */
+  def chunkWindowsSql(win: Int = 64, stride: Int = 48): String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH base AS (
+       |  SELECT doc_id, toks,
+       |         CAST(${listSize("toks")} AS BIGINT) AS n_toks
+       |  FROM (SELECT doc_id, ${tokens("text")} AS toks
+       |        FROM documents)),
+       |wins AS (
+       |  SELECT doc_id, toks, n_toks,
+       |    CASE WHEN n_toks <= $win THEN CAST(1 AS BIGINT)
+       |    ELSE 1 + CAST(floor(CAST(n_toks - $win + $stride - 1
+       |      AS DOUBLE) / $stride) AS BIGINT) END AS n_wins
+       |  FROM base),
+       |ex AS (
+       |  SELECT doc_id, toks, n_toks,
+       |         unnest(range(0, n_wins)) AS win_idx
+       |  FROM wins),
+       |pos AS (
+       |  SELECT doc_id, win_idx, toks,
+       |         win_idx * $stride + 1 AS tok_start,
+       |         least(CAST($win AS BIGINT),
+       |               n_toks - (win_idx * $stride + 1) + 1) AS win_len
+       |  FROM ex)
+       |SELECT doc_id, win_idx, tok_start, win_len,
+       |  ${hex8FromMd5(s"md5(${joinList(
+            listSlice("toks", "tok_start", "win_len"))})")} AS win_hash
+       |FROM pos""".stripMargin
+  }
+
+  /** Benchmark-contamination screen: the probe set (here every doc_id
+    * divisible by 97 — standing in for a held-out eval suite) is
+    * reduced to its distinct word-3-shingle hashes; every non-probe
+    * document reports how many of its own distinct shingles appear in
+    * the probe set, and is flagged contaminated at ≥ 20 % overlap.
+    *
+    * 100 TB shape: the probe side is benchmark-sized — broadcast —
+    * so the screen is a map-side semi-join plus one per-doc count
+    * aggregation; the corpus is never shuffled by content.
+    */
+  def contamination(docs: DataFrame): DataFrame = {
+    // per-doc distinct happens ROW-LOCALLY (array_distinct), so the
+    // corpus is never shuffled by shingle content; the only shuffles
+    // are probe-sized (distinct of the benchmark's hashes) and the
+    // per-doc count of semi-join survivors
+    val withH = docs.selectExpr("doc_id",
+      s"${tokens("text")} AS toks", "text")
+      .selectExpr("doc_id",
+        s"array_distinct(${hashList(shingles("text", "toks"))}) AS hs")
+    val probeHashes = withH.where(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val nonProbe = withH.where(col("doc_id") % 97 =!= 0)
+    val counts = nonProbe.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_shingles"))
+    val hits = nonProbe
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(probeHashes), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_probe_hits"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"))
+      .withColumn("contaminated",
+        col("n_probe_hits") * 5 >= col("n_shingles"))
+  }
+
+  /** DuckDB twin of [[contamination]]. */
+  def contaminationSql: String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH dh AS (
+       |  SELECT doc_id, list_distinct(hs) AS hs
+       |  FROM (SELECT doc_id,
+       |          ${hashList(shingles("text", "toks"))} AS hs
+       |        FROM (SELECT doc_id, text, ${tokens("text")} AS toks
+       |              FROM documents))),
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM dh),
+       |probe AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+       |counts AS (SELECT doc_id, CAST(${listSize("hs")} AS BIGINT)
+       |             AS n_shingles
+       |           FROM dh WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+       |         FROM sh WHERE doc_id % 97 <> 0
+       |           AND h IN (SELECT h FROM probe)
+       |         GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_shingles,
+       |       coalesce(h.n_probe_hits, CAST(0 AS BIGINT))
+       |         AS n_probe_hits,
+       |       coalesce(h.n_probe_hits, CAST(0 AS BIGINT)) * 5
+       |         >= c.n_shingles AS contaminated
+       |FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
+      .stripMargin
+  }
+
+  /** Per-language target document counts for the stratified sampler
+    * gate (a typical "rebalance the mix" request).
+    */
+  val SampleTargets: Seq[(String, Long)] = Seq(
+    "en" -> 100L, "de" -> 50L, "es" -> 50L, "fr" -> 50L, "zh" -> 50L)
+
+  /** Stratified corpus sampling to a target per-language mix, as a
+    * DETERMINISTIC expected-fraction sampler: each document draws
+    * u = H(salt ‖ doc_id) mod 1e6 and is kept iff u < cutoff(lang),
+    * cutoff = min(1e6, floor(target·1e6 / group_size)). Deterministic ⇒
+    * re-runs and the oracle agree exactly; expected-fraction ⇒ achieved
+    * counts are binomial around the target (documented, not hidden).
+    *
+    * 100 TB shape: one language-sized count aggregate, a broadcast
+    * cutoff dim, then a row-local hash filter — the corpus itself is
+    * never shuffled.
+    */
+  def stratifiedSample(docs: DataFrame,
+                       targets: Seq[(String, Long)] = SampleTargets)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("lang", "target_n")
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("group_n"))
+    val cutoffs = sizes.join(tgt, Seq("lang"))
+      .select(col("lang"),
+        least(lit(1000000L), floor(col("target_n") * 1000000L /
+          col("group_n")).cast("long")).as("cutoff"))
+    docs.join(broadcast(cutoffs), Seq("lang"))
+      .selectExpr("doc_id", "lang", "cutoff",
+        s"${hex8ToLong(s"concat('strat', ${toStr("doc_id")})")}" +
+          " % 1000000 AS u")
+      .where(col("u") < col("cutoff"))
+      .select("doc_id", "lang", "u", "cutoff")
+  }
+
+  /** DuckDB twin of [[stratifiedSample]]. */
+  def stratifiedSampleSql(targets: Seq[(String, Long)] = SampleTargets)
+      : String = {
+    implicit val d: Dialect = DuckD
+    val values = targets
+      .map { case (l, n) => s"('$l', CAST($n AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH tgt(lang, target_n) AS (VALUES $values),
+       |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS group_n
+       |          FROM documents GROUP BY lang),
+       |cutoffs AS (
+       |  SELECT s.lang,
+       |         least(CAST(1000000 AS BIGINT),
+       |               CAST(floor(t.target_n * 1000000 / s.group_n)
+       |                    AS BIGINT)) AS cutoff
+       |  FROM sizes s JOIN tgt t ON s.lang = t.lang)
+       |SELECT doc_id, lang, u, cutoff
+       |FROM (
+       |  SELECT d.doc_id, d.lang, c.cutoff,
+       |         ${hex8ToLong(s"concat('strat', ${toStr("d.doc_id")})")}
+       |           % 1000000 AS u
+       |  FROM documents d JOIN cutoffs c ON d.lang = c.lang)
+       |WHERE u < cutoff""".stripMargin
+  }
+}

@@ -144,6 +144,22 @@ object TextExprs {
     }
   }
 
+  /** 1-based, length-bounded list slice (Spark's slice takes INT
+    * positions; DuckDB slices are stop-inclusive).
+    */
+  def listSlice(l: String, start1: String, len: String)
+               (implicit d: Dialect): String = d match {
+    case SparkD =>
+      s"slice($l, CAST($start1 AS INT), CAST($len AS INT))"
+    case DuckD  => s"$l[($start1):(($start1) + ($len) - 1)]"
+  }
+
+  /** Integer → string, spelled per dialect (same digits both sides). */
+  def toStr(e: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"CAST($e AS STRING)"
+    case DuckD  => s"CAST($e AS VARCHAR)"
+  }
+
   /** Join a string list with single spaces. */
   def joinList(l: String)(implicit d: Dialect): String = d match {
     case SparkD => s"array_join($l, ' ')"

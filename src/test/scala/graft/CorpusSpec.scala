@@ -1,0 +1,92 @@
+package graft
+
+import graft.llm.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-preparation operators: window arithmetic, contamination
+  * semantics, sampler determinism. The DuckDB parity of each operator
+  * is driven by the q_t10/q_t11/q_t12 oracle gates.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsOf(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "lang", "text")
+  }
+
+  test("chunkWindows: overlapping cover with a short final window") {
+    // 100 tokens, win 64, stride 48 -> windows at 1 (len 64) and 49
+    // (len 52): together they cover tokens 1..100 with 16 overlapping
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Corpus.chunkWindows(docsOf((7L, "en", text)), 64, 48)
+      .orderBy("win_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("tok_start") == 1L &&
+      out(0).getAs[Long]("win_len") == 64L)
+    assert(out(1).getAs[Long]("tok_start") == 49L &&
+      out(1).getAs[Long]("win_len") == 52L)
+    assert(out(1).getAs[Long]("tok_start") +
+      out(1).getAs[Long]("win_len") - 1 == 100L)
+  }
+
+  test("chunkWindows: short document is one full-coverage window") {
+    val out = Corpus.chunkWindows(docsOf((1L, "en", "a b c")), 64, 48)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("win_len") == 3L)
+  }
+
+  test("chunkWindows: identical windows hash identically, " +
+    "different windows differently") {
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val a = Corpus.chunkWindows(docsOf((1L, "en", text)), 32, 32)
+      .select("win_idx", "win_hash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Corpus.chunkWindows(docsOf((2L, "en", text)), 32, 32)
+      .select("win_idx", "win_hash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "same text, same windows, same hashes")
+    assert(a.values.toSet.size > 1, "distinct windows hash apart")
+  }
+
+  test("contamination: a copy of a probe doc is flagged, fresh text " +
+    "is not, probe docs are excluded") {
+    val probeText = (1 to 30).map(i => s"p$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"f$i").mkString(" ")
+    val out = Corpus.contamination(docsOf(
+      (0L, "en", probeText),   // probe (0 % 97 == 0)
+      (5L, "en", probeText),   // verbatim copy -> contaminated
+      (6L, "en", fresh)))      // disjoint -> clean
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(out == Map(5L -> true, 6L -> false))
+  }
+
+  test("stratifiedSample: deterministic, honours cutoffs, " +
+    "oversized targets keep everything") {
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"doc $i text"))
+    val targets = Seq("en" -> 30L, "de" -> 1000L)
+    val docs = docsOf(rows: _*)
+    val s1 = Corpus.stratifiedSample(docs, targets).collect()
+    val s2 = Corpus.stratifiedSample(docs, targets).collect()
+    assert(s1.map(_.getLong(0)).sorted.sameElements(
+      s2.map(_.getLong(0)).sorted), "deterministic")
+    val byLang = s1.groupBy(_.getString(1))
+    // de cutoff saturates at 1e6 -> all 100 kept
+    assert(byLang("de").length == 100)
+    // en is an expected-fraction sample around 30 of 100
+    val en = byLang("en").length
+    assert(en > 5 && en < 60, s"en kept $en of 100 for target 30")
+    assert(s1.forall(r => r.getAs[Long]("u") < r.getAs[Long]("cutoff")))
+  }
+}
