@@ -20,11 +20,48 @@ object Astro {
 
   private val TwoPi = 2.0 * math.Pi
 
-  /** Julian date from unix seconds (UTC, ignoring leap-second offset —
-    * adequate for the synthetic obs; a production port would track
-    * TAI-UTC as the reference does via hifitime).
+  /** Julian date from unix seconds on the SAME time scale (the unix
+    * count is treated as a uniform day count — use [[ttJd]] when a
+    * Terrestrial Time date is needed from a UTC-based unix count).
     */
   def unixToJd(unixSec: Double): Double = 2440587.5 + unixSec / 86400.0
+
+  /** TAI−UTC leap-second table (IERS Bulletin C — public standards
+    * data; thresholds as unix seconds of the UTC day each leap took
+    * effect). 37 s since 2017-01-01 is current through the mid-2020s.
+    * The reference gets the same accounting from hifitime.
+    */
+  private val LeapSeconds: Array[(Long, Double)] = {
+    def ep(y: Int, m: Int): Long =
+      java.time.LocalDate.of(y, m, 1).toEpochDay * 86400L
+    Array(
+      ep(1972, 1) -> 10.0, ep(1972, 7) -> 11.0, ep(1973, 1) -> 12.0,
+      ep(1974, 1) -> 13.0, ep(1975, 1) -> 14.0, ep(1976, 1) -> 15.0,
+      ep(1977, 1) -> 16.0, ep(1978, 1) -> 17.0, ep(1979, 1) -> 18.0,
+      ep(1980, 1) -> 19.0, ep(1981, 7) -> 20.0, ep(1982, 7) -> 21.0,
+      ep(1983, 7) -> 22.0, ep(1985, 7) -> 23.0, ep(1988, 1) -> 24.0,
+      ep(1990, 1) -> 25.0, ep(1991, 1) -> 26.0, ep(1992, 7) -> 27.0,
+      ep(1993, 7) -> 28.0, ep(1994, 7) -> 29.0, ep(1996, 1) -> 30.0,
+      ep(1997, 7) -> 31.0, ep(1999, 1) -> 32.0, ep(2006, 1) -> 33.0,
+      ep(2009, 1) -> 34.0, ep(2012, 7) -> 35.0, ep(2015, 7) -> 36.0,
+      ep(2017, 1) -> 37.0)
+  }
+
+  /** TAI−UTC (seconds) at a UTC unix epoch; 0 before 1972. */
+  def taiMinusUtc(unixSec: Double): Double = {
+    var i = LeapSeconds.length - 1
+    while (i >= 0) {
+      if (unixSec >= LeapSeconds(i)._1) return LeapSeconds(i)._2
+      i -= 1
+    }
+    0.0
+  }
+
+  /** Terrestrial Time Julian date from a UTC unix epoch:
+    * TT = UTC + (TAI−UTC) + 32.184 s.
+    */
+  def ttJd(unixSec: Double): Double =
+    unixToJd(unixSec + taiMinusUtc(unixSec) + 32.184)
 
   /** GPS seconds → unix seconds (constant 315964800 offset, leap seconds
     * folded into dut1 handling as in the reference).
@@ -283,7 +320,7 @@ object Astro {
     val unix = gpsToUnix(gpsSec)
     val jdUt1 = unixToJd(unix + dut1Sec)
     val lst = gmstRad(jdUt1) + lonRad
-    val (ra, dec) = precessRaDec(raJ2000, decJ2000, unixToJd(unix))
+    val (ra, dec) = precessRaDec(raJ2000, decJ2000, ttJd(unix))
     enhRotateAt(lst - ra, dec, latRad, east, north, height)
   }
 
@@ -303,7 +340,7 @@ object Astro {
                         height: Double): (Double, Double, Double) = {
     val unix = gpsToUnix(gpsSec)
     val jdUt1 = unixToJd(unix + dut1Sec)
-    val jdTt = unixToJd(unix)
+    val jdTt = ttJd(unix)
     val lst = gastRad(jdUt1, jdTt) + lonRad
     val (ra, dec) = apparentRaDec(raJ2000, decJ2000, jdTt)
     enhRotateAt(lst - ra, dec, latRad, east, north, height)

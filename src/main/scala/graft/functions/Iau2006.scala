@@ -430,7 +430,7 @@ object Iau2006 {
                           height: Double): (Double, Double, Double) = {
     val unix = Astro.gpsToUnix(gpsSec)
     val jdUt1 = Astro.unixToJd(unix + dut1Sec)
-    val jdTt = Astro.unixToJd(unix)
+    val jdTt = Astro.ttJd(unix)
     val lst = gast06(jdUt1, jdTt) + lonRad
     val (ra, dec) = apparentRaDec06(raJ2000, decJ2000, jdTt)
     Astro.enhRotateAt(lst - ra, dec, latRad, east, north, height)

