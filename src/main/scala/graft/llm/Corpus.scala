@@ -97,27 +97,39 @@ object Corpus {
     * so the screen is a map-side semi-join plus one per-doc count
     * aggregation; the corpus is never shuffled by content.
     */
-  def contamination(docs: DataFrame): DataFrame = {
-    // per-doc distinct happens ROW-LOCALLY (array_distinct); the probe
-    // side is benchmark-sized, so it is collected once (same
-    // model-sized-collect budget as ANN centroids/codebooks) and the
-    // whole screen becomes ONE row-local pass over the corpus —
-    // a single scan, zero shuffles
-    val withH = docs.selectExpr("doc_id",
-      s"${tokens("text")} AS toks", "text")
+  /** Per-document DISTINCT shingle-hash arrays, computed row-locally
+    * (array_distinct — the corpus is never shuffled by content).
+    */
+  private def distinctShingleHashes(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"${tokens("text")} AS toks", "text")
       .selectExpr("doc_id",
         s"array_distinct(${hashList(shingles("text", "toks"))}) AS hs")
-    val probe: Array[Long] = withH.where(col("doc_id") % 97 === 0)
+
+  /** The probe (benchmark) side of the screen: distinct shingle hashes
+    * of every doc_id divisible by 97, collected once — benchmark-sized
+    * driver state, the same budget as ANN centroids/codebooks.
+    */
+  def probeHashes(docs: DataFrame): Array[Long] =
+    distinctShingleHashes(docs).where(col("doc_id") % 97 === 0)
       .select(explode(col("hs")).as("h")).distinct()
       .collect().map(_.getLong(0)).sorted
-    withH.where(col("doc_id") % 97 =!= 0)
+
+  /** The row-local screen against a precomputed probe set — one scan,
+    * zero shuffles; works identically on a batch or streaming frame
+    * (see [[graft.streaming.CorpusStream]]).
+    */
+  def contaminationWith(docs: DataFrame,
+                        probe: Array[Long]): DataFrame =
+    distinctShingleHashes(docs).where(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_shingles"),
         size(array_intersect(col("hs"),
           typedLit(probe))).cast("long").as("n_probe_hits"))
       .withColumn("contaminated",
         col("n_probe_hits") * 5 >= col("n_shingles"))
-  }
+
+  def contamination(docs: DataFrame): DataFrame =
+    contaminationWith(docs, probeHashes(docs))
 
   /** DuckDB twin of [[contamination]]. */
   def contaminationSql: String = {

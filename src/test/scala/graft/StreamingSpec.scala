@@ -63,4 +63,24 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b, s"streaming rows ${s.size} vs batch ${b.size}")
   }
+
+  test("streaming corpus chunking equals the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.CorpusStream.chunkOnce(spark, dir)
+    val batch = graft.llm.Corpus.chunkWindows(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"streaming ${s.size} windows vs batch ${b.size}")
+  }
+
+  test("streaming contamination screen equals the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.CorpusStream.screenOnce(spark, dir)
+    val batch = graft.llm.Corpus.contamination(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"streaming ${s.size} rows vs batch ${b.size}")
+  }
 }
