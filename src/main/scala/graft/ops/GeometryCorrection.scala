@@ -87,7 +87,9 @@ object GeometryCorrection {
         + lit(math.sin(DecRad)) * col("zc")).as("w_m"))
   }
 
-  /** Ephemeris-accurate UVW table: GMST + IAU-1976 precession via
+  /** Ephemeris-accurate UVW table: apparent = frame bias + IAU-2006
+    * precession + IAU-2000B nutation + aberration
+    * ([[graft.functions.Iau2006]]); mean = GMST + IAU-1976 precession via
     * [[graft.functions.Astro]], evaluated per (timestep, antenna) on the
     * driver (metadata-sized), returned as the same broadcastable shape
     * as [[partUvw]]. This is the production table producer; the dyadic

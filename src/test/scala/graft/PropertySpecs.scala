@@ -134,6 +134,63 @@ object PropertySpecs extends Properties("kernels") {
       elecLen(s"EL_$x") == x && elecLen(x.toString) == x * CoaxVFactor
     }
 
+  property("npb06 is a proper rotation at any epoch (±2 centuries)") =
+    Prop.forAll(Gen.chooseNum(-2.0, 2.0)) { t =>
+      val m = graft.functions.Iau2006.npb06(t)
+      val orth = (for (i <- 0 until 3; j <- 0 until 3) yield {
+        val dot = (0 until 3).map(k => m(i)(k) * m(j)(k)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+      val det =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+          m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+          m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      orth < 1e-13 && math.abs(det - 1.0) < 1e-13
+    }
+
+  property("IAU-2006 vs classical apparent UVW stay within the " +
+    "frame-bias envelope") =
+    Prop.forAll(Gen.chooseNum(0.9e9, 1.4e9), Gen.chooseNum(-3.0, 3.0),
+      Gen.chooseNum(-1.2, 1.2)) { (gps, ra, dec) =>
+      import graft.functions.{Astro, Iau2006}
+      val (u0, v0, w0) = Astro.partUvwApparentAt(gps, 2.0, -0.46, ra,
+        dec, 0.0, 120.0, -80.0, 377.0)
+      val (u6, v6, w6) = Iau2006.partUvwApparent06At(gps, 2.0, -0.46,
+        ra, dec, 0.0, 120.0, -80.0, 377.0)
+      val d = math.sqrt((u6 - u0) * (u6 - u0) +
+        (v6 - v0) * (v6 - v0) + (w6 - w0) * (w6 - w0))
+      // both proper rotations of the same ENH vector, differing by
+      // bias (~23 mas) + model revisions on a ~400 m lever arm
+      d < 2e-3
+    }
+
+  property("taiMinusUtc is monotone non-decreasing") =
+    Prop.forAll(Gen.chooseNum(-5e8, 2e9), Gen.chooseNum(0.0, 1e8)) {
+      (a, dt) =>
+        import graft.functions.Astro.taiMinusUtc
+        taiMinusUtc(a) <= taiMinusUtc(a + dt)
+    }
+
+  property("chunk window arithmetic covers the token stream exactly") =
+    Prop.forAll(Gen.chooseNum(1, 400), Gen.chooseNum(1, 64),
+      Gen.chooseNum(1, 64)) { (n, winRaw, strideRaw) =>
+      val win = math.max(winRaw, strideRaw)
+      val stride = math.min(winRaw, strideRaw)
+      // mirror of Corpus.chunkWindows' arithmetic
+      val nWins = if (n <= win) 1L
+        else 1L + math.floor((n - win + stride - 1).toDouble /
+          stride).toLong
+      val starts = (0L until nWins).map(_ * stride + 1)
+      val ends = starts.map(s => s + math.min(win, n - s + 1) - 1)
+      // windows are in-range, non-empty, and the last one reaches n
+      starts.forall(_ >= 1) && ends.forall(_ <= n) &&
+        ends.zip(starts).forall { case (e, s) => e >= s } &&
+        ends.last == n &&
+        // consecutive windows leave no gap
+        starts.zip(ends.dropRight(1)).drop(1)
+          .forall { case (s, prevEnd) => s <= prevEnd + 1 }
+    }
+
   property("sumthreshold flags are monotone in existing flags") =
     Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0.5, 2.0))) { vals =>
       val amp = vals.toArray.grouped(8).toArray
