@@ -413,6 +413,12 @@ object SparkEntry {
       graft.llm.Corpus.contamination(docs(s, dir))),
     "q_t12_stratified_sample" -> ((s, dir) =>
       graft.llm.Corpus.stratifiedSample(docs(s, dir))),
+    "q_t13_bpe_pairs" -> ((s, dir) =>
+      graft.llm.Corpus.bpePairStats(docs(s, dir))),
+    "q_d8_repeated_spans" -> ((s, dir) =>
+      graft.llm.Corpus.repeatedSpans(docs(s, dir))),
+    "q_d9_source_overlap" -> ((s, dir) =>
+      graft.llm.Corpus.sourceOverlap(docs(s, dir))),
 
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
@@ -669,6 +675,9 @@ object SparkEntry {
     "q_t11_contamination" -> graft.llm.Corpus.contaminationSql,
     "q_t12_stratified_sample" ->
       graft.llm.Corpus.stratifiedSampleSql(),
+    "q_t13_bpe_pairs" -> graft.llm.Corpus.bpePairStatsSql(),
+    "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
+    "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,

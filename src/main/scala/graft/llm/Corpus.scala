@@ -194,6 +194,167 @@ object Corpus {
       .select("doc_id", "lang", "u", "cutoff")
   }
 
+  /** BPE-style adjacent character-pair statistics — the distributed
+    * primitive of tokenizer training (one merge iteration of byte-pair
+    * encoding counts every adjacent symbol pair across the corpus and
+    * merges the most frequent). Emits the `topK` most frequent
+    * character pairs with counts and a dense 1-based rank, totally
+    * ordered by (count desc, pair asc) so the cut is deterministic.
+    *
+    * 100 TB shape: the pair explode is row-local; the count is ONE
+    * hash aggregate with map-side combine whose output is
+    * alphabet²-sized (≤ a few million pairs for any real corpus), and
+    * the top-k collapses to a TakeOrderedAndProject — no full sort of
+    * the aggregate. The final rank window runs over `topK` rows.
+    */
+  def bpePairStats(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(explode(expr(tokens("text"))).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        s"transform(${idxSeq1("length(tok) - 1")}," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("pair").asc))
+        .cast("long"))
+  }
+
+  /** DuckDB twin of [[bpePairStats]]. */
+  def bpePairStatsSql(topK: Int = 50): String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH tok AS (
+       |  SELECT unnest(${tokens("text")}) AS tok FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(${idxSeq1("length(tok) - 1")},
+       |           i -> substring(tok, i, 2))) AS pair
+       |  FROM tok WHERE length(tok) >= 2),
+       |counts AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pairs GROUP BY pair)
+       |SELECT pair, cnt,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC)
+       |       AS BIGINT) AS rk
+       |FROM counts ORDER BY cnt DESC, pair ASC LIMIT $topK"""
+      .stripMargin
+  }
+
+  /** Repeated token-`k`-gram span detection — the shape of
+    * substring-level training-data dedup (find spans that occur more
+    * than once anywhere in the corpus, within OR across documents;
+    * the exact-substring analogue of the suffix-array approach of
+    * Lee et al. 2022). Every document reports its total `k`-gram
+    * count and how many of those grams occur ≥ 2 times corpus-wide;
+    * documents shorter than `k` tokens report zeros.
+    *
+    * 100 TB shape: the gram explode is row-local (one md5 per gram);
+    * the global occurrence count is a window count partitioned on the
+    * gram hash (ONE shuffle, no join, no second scan of the gram
+    * frame), and the per-document rollup is one more hash aggregate.
+    * Nothing is quadratic in corpus size.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), expr(tokens("text")).as("toks"))
+      .where(expr(s"${listSize("toks")} >= $k"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(${idxSeq1(s"${listSize("toks")} - ${k - 1}")}," +
+          s" p -> md5(${joinList(listSlice("toks", "p", k.toString))}))"))
+        .as("h"))
+    val perDoc = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("has_dup", col("n_dup_grams") > 0)
+  }
+
+  /** DuckDB twin of [[repeatedSpans]] (join formulation — same
+    * occurrence counts as the window).
+    */
+  def repeatedSpansSql(k: Int = 8): String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      ${idxSeq1(s"${listSize("toks")} - ${k - 1}")},
+       |      p -> md5(${joinList(listSlice("toks", "p", k.toString))})))
+       |      AS h
+       |  FROM base WHERE ${listSize("toks")} >= $k),
+       |counts AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM grams GROUP BY h),
+       |perdoc AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_dup_grams
+       |  FROM grams g JOIN counts c ON g.h = c.h GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       |       coalesce(p.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+       |       coalesce(p.n_dup_grams, CAST(0 AS BIGINT)) > 0 AS has_dup
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
+  /** Cross-source duplicate-overlap census: fingerprint every document
+    * by its first `prefixTokens` tokens (the cheap URL-less proxy for
+    * "same page crawled into two dumps") and report, for every source
+    * pair, how many distinct fingerprints they share. The corpus-level
+    * diagnostic a mix designer reads before weighting sources.
+    *
+    * 100 TB shape: the fingerprint is row-local; ONE hash aggregate
+    * groups by fingerprint carrying a set of sources (bounded by the
+    * source vocabulary, not the corpus); the pair expansion is
+    * row-local over those sets and the final count output is
+    * source-pair-sized. The corpus is never self-joined.
+    */
+  def sourceOverlap(docs: DataFrame, prefixTokens: Int = 20)
+      : DataFrame =
+    docs
+      .select(expr(s"md5(${joinList(listSlice(tokens("text"), "1",
+        prefixTokens.toString))})").as("h"), col("source"))
+      .groupBy("h").agg(array_sort(collect_set("source")).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ss) - 1),
+          |  i -> transform(sequence(i + 1, size(ss)),
+          |    j -> named_struct('source_a', element_at(ss, i),
+          |                      'source_b', element_at(ss, j)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** DuckDB twin of [[sourceOverlap]] (self-join formulation over the
+    * distinct (fingerprint, source) set — same pair counts as the
+    * set expansion; `<` on sources matches `array_sort`'s
+    * lexicographic order).
+    */
+  def sourceOverlapSql(prefixTokens: Int = 20): String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH fp AS (
+       |  SELECT DISTINCT
+       |    md5(${joinList(listSlice(tokens("text"), "1",
+              prefixTokens.toString))}) AS h,
+       |    source
+       |  FROM documents)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB twin of [[stratifiedSample]]. */
   def stratifiedSampleSql(targets: Seq[(String, Long)] = SampleTargets)
       : String = {

@@ -144,6 +144,14 @@ object TextExprs {
     }
   }
 
+  /** 1..to inclusive integer sequence (Spark's `sequence` is
+    * stop-inclusive, DuckDB's `range` stop-exclusive).
+    */
+  def idxSeq1(to: String)(implicit d: Dialect): String = d match {
+    case SparkD => s"sequence(1, $to)"
+    case DuckD  => s"range(1, ($to) + 1)"
+  }
+
   /** 1-based, length-bounded list slice (Spark's slice takes INT
     * positions; DuckDB slices are stop-inclusive).
     */

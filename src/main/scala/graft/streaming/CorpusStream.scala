@@ -33,9 +33,34 @@ object CorpusStream {
     graft.llm.Corpus.contaminationWith(docStream(spark, dir), probe)
   }
 
+  /** Streaming BPE pair counting — the tokenizer-training statistic
+    * maintained INCREMENTALLY as corpus shards arrive: the same
+    * row-local pair explode as [[graft.llm.Corpus.bpePairStats]]
+    * feeding a streaming grouped count (complete-mode output, since a
+    * later shard can promote any pair). The state store holds one
+    * counter per distinct pair — alphabet²-sized, the same budget the
+    * batch aggregate carries — so state is bounded regardless of how
+    * much text has streamed. Top-k/rank stay a finishing step on the
+    * complete output (they need the total order, which streaming
+    * cannot cut early).
+    */
+  def pairCountStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextExprs._
+    import org.apache.spark.sql.functions._
+    implicit val d: Dialect = SparkD
+    docStream(spark, dir)
+      .select(explode(expr(tokens("text"))).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        s"transform(${idxSeq1("length(tok) - 1")}," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+  }
+
   private def runOnce(df: DataFrame, spark: SparkSession,
-                      queryName: String): DataFrame = {
-    val q: StreamingQuery = df.writeStream.outputMode("append")
+                      queryName: String,
+                      mode: String = "append"): DataFrame = {
+    val q: StreamingQuery = df.writeStream.outputMode(mode)
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
@@ -47,4 +72,8 @@ object CorpusStream {
 
   def screenOnce(spark: SparkSession, dir: String): DataFrame =
     runOnce(screenStream(spark, dir), spark, "corpus_screen_stream")
+
+  def pairCountOnce(spark: SparkSession, dir: String): DataFrame =
+    runOnce(pairCountStream(spark, dir), spark,
+      "corpus_pairs_stream", mode = "complete")
 }

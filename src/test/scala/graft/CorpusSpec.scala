@@ -89,4 +89,73 @@ class CorpusSpec extends AnyFunSuite {
     assert(en > 5 && en < 60, s"en kept $en of 100 for target 30")
     assert(s1.forall(r => r.getAs[Long]("u") < r.getAs[Long]("cutoff")))
   }
+
+  private def srcDocsOf(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "source", "text")
+  }
+
+  test("bpePairStats: counts adjacent character pairs with " +
+    "deterministic rank and top-k cut") {
+    // "abab" yields pairs ab, ba, ab; twice over -> ab=4, ba=2
+    val out = Corpus.bpePairStats(
+      docsOf((1L, "en", "abab abab"))).collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("ab" -> (4L, 1L), "ba" -> (2L, 2L)))
+    val top1 = Corpus.bpePairStats(
+      docsOf((1L, "en", "abab abab")), topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "ab")
+  }
+
+  test("bpePairStats: single-char tokens contribute nothing; " +
+    "ties rank by pair text") {
+    assert(Corpus.bpePairStats(docsOf((1L, "en", "a b c"))).isEmpty)
+    // zz and aa both count 1 -> aa ranks first
+    val out = Corpus.bpePairStats(docsOf((1L, "en", "zz aa")))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("aa", "zz"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+  }
+
+  test("repeatedSpans: detects within-doc and cross-doc repeated " +
+    "8-grams; short docs report zeros") {
+    val eight = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docA = s"$eight filler $eight" // 17 tokens, grams 1 and 10 equal
+    val docB = eight                   // its single gram matches docA's
+    val docC = (1 to 12).map(i => s"u$i").mkString(" ") // all unique
+    val docD = "too short"             // < 8 tokens
+    val out = Corpus.repeatedSpans(srcDocsOf(
+      (1L, "s", docA), (2L, "s", docB), (3L, "s", docC),
+      (4L, "s", docD))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out(1L) == ((10L, 2L, true)), s"docA got ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, true)))
+    assert(out(3L) == ((5L, 0L, false)))
+    assert(out(4L) == ((0L, 0L, false)))
+  }
+
+  test("sourceOverlap: counts shared prefix fingerprints per " +
+    "source pair; same-source dups are invisible") {
+    val p1 = (1 to 25).map(i => s"p$i").mkString(" ")
+    val p2 = (1 to 25).map(i => s"q$i").mkString(" ")
+    val out = Corpus.sourceOverlap(srcDocsOf(
+      (1L, "sA", p1), (2L, "sB", p1), (3L, "sC", p1), // p1 in A,B,C
+      (4L, "sA", p2), (5L, "sB", p2 + " tail"),       // p2 in A,B
+      (6L, "sD", "unique one"), (7L, "sD", "unique one"))) // same src
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("sA", "sB") -> 2L, ("sA", "sC") -> 1L, ("sB", "sC") -> 1L))
+  }
+
+  test("sourceOverlap: documents shorter than the prefix " +
+    "fingerprint on their full text") {
+    val out = Corpus.sourceOverlap(srcDocsOf(
+      (1L, "x", "short text"), (2L, "y", "short text"))).collect()
+    assert(out.length == 1 &&
+      out(0).getLong(2) == 1L)
+  }
 }

@@ -83,4 +83,16 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b, s"streaming ${s.size} rows vs batch ${b.size}")
   }
+
+  test("streaming BPE pair counts equal the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.CorpusStream.pairCountOnce(spark, dir)
+    // batch twin of the pre-top-k aggregate: same explode + count
+    val batch = graft.llm.Corpus.bpePairStats(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      topK = Int.MaxValue).drop("rk")
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"streaming ${s.size} pairs vs batch ${b.size}")
+  }
 }
