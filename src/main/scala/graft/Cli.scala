@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   * {{{
-  * graft.Cli (-d <dataDir> | --gpubox <fitsDir>) [-m <metafits>]
-  *   [-u <out.uvfits>]
-  *   [-M <out.ms>] [--flag-out <mwafDir>] [--flag-strategy <file>]
+  * graft.Cli (-d <dataDir> | --gpubox <fitsDir> | <gpubox.fits>...)
+  *   [-m|--metafits <metafits>]
+  *   [-u|--uvfits-out <out.uvfits>]
+  *   [-M|--ms-out <out.ms>] [--flag-out <mwafDir>]
+  *   [-f|--flag-template <path_%%.mwaf>]
+  *   [--flag-strategy|--aoflagger-strategy <file>]
+  *   [--dry-run] [--no-draw-progress] [--provided-chan-ranges]
+  *   [--flag-init SEC] [--flag-end SEC] [--flag-dc]
   *   [--aocal <solutions.bin>] [--sel-time FROM TO] [--sel-ants A,B,...]
   *   [--sel-chan-ranges SPEC] [--no-autos] [--no-sel-flagged-ants]
   *   [--avg-time N] [--avg-freq N] [--avg-time-res SEC]
@@ -31,7 +36,12 @@ import org.apache.spark.sql.functions._
   *   [--emulate-cotter] [--time-chunk STEPS] [--max-memory GIB]
   *   [--no-cable-delay]
   *   [--no-geometric-delay] [--no-digital-gains] [--van-vleck]
-  *   [--no-rfi] [--aocal FILE]
+  *   [--no-rfi] [--aocal|--apply-di-cal FILE]
+  *
+  * Long-name synonyms from the reference vocabulary are accepted
+  * everywhere (`--passband-gains`, `--avg-time-factor`,
+  * `--avg-freq-factor`, `--no-sel-autos`, ...), as is clap's
+  * `--opt=value` spelling.
   * }}}
   *
   * Every option is a lazy DataFrame composition over [[graft.api.Graft]];
@@ -65,6 +75,9 @@ object Cli {
       noFlagDc: Boolean = false,
       flagInitSteps: Option[Int] = None,
       flagEndSteps: Option[Int] = None,
+      flagInitS: Option[Double] = None,
+      flagEndS: Option[Double] = None,
+      forceDcFlag: Boolean = false,
       quackTime: Option[Double] = None,
       pfbGains: Option[String] = None,
       phaseCentreDeg: Option[(Double, Double)] = None,
@@ -75,6 +88,9 @@ object Cli {
       noFlagMetafits: Boolean = false,
       timeChunk: Option[Int] = None,
       maxMemoryGib: Option[Double] = None,
+      mwafTemplate: String = "flags_%%.mwaf",
+      fitsFiles: Seq[String] = Nil,
+      dryRun: Boolean = false,
       noCable: Boolean = false,
       noGeom: Boolean = false,
       noDigital: Boolean = false,
@@ -87,26 +103,88 @@ object Cli {
     * or unknown token (the CLI must fail loudly, as clap does).
     */
   def parse(args: Seq[String]): Either[String, Config] = {
+    // clap accepts both `--opt value` and `--opt=value`; normalise the
+    // latter before matching
+    val norm = args.flatMap {
+      case a if a.startsWith("--") && a.contains('=') =>
+        val i = a.indexOf('=')
+        Seq(a.substring(0, i), a.substring(i + 1))
+      case a => Seq(a)
+    }
+    // reference long-name and short-name synonyms for options this CLI
+    // spells differently (the canonical clap vocabulary, cli.rs:636-812)
+    val aliases = Map(
+      "--metafits" -> "-m", "--uvfits-out" -> "-u", "--ms-out" -> "-M",
+      "--passband-gains" -> "--pfb-gains", "--apply-di-cal" -> "--aocal",
+      "--avg-time-factor" -> "--avg-time",
+      "--avg-freq-factor" -> "--avg-freq",
+      "--aoflagger-strategy" -> "--flag-strategy",
+      "--no-sel-autos" -> "--no-autos", "-f" -> "--flag-template")
     @annotation.tailrec
     def loop(rest: List[String], c: Config): Either[String, Config] =
       rest match {
         case Nil =>
-          // clap-style conflict checks (reference cli.rs:748-749, 681)
-          if (c.dataDir.isEmpty && c.gpuboxDir.isEmpty)
-            Left("missing input: -d <dataDir> or --gpubox <dir>")
-          else if (c.pointingCentre && c.phaseCentreDeg.isDefined)
-            Left("--pointing-centre conflicts with --phase-centre")
-          else if (c.timeChunk.isDefined && c.maxMemoryGib.isDefined)
-            Left("--time-chunk conflicts with --max-memory")
-          else if (c.flagEdgeWidthKhz.isDefined && c.edgeChans.isDefined)
-            Left("--flag-edge-width conflicts with --flag-edge-chans")
-          else Right(c)
+          // positional gpubox FITS paths (the reference's primary input
+          // form, `arg!(fits_paths: <PATHS>...)`): all must share one
+          // directory — the container is that directory
+          val posDir: Either[String, Option[String]] =
+            if (c.fitsFiles.isEmpty) Right(None)
+            else {
+              val parents = c.fitsFiles
+                .map(f => Option(new java.io.File(f).getParent)
+                  .getOrElse("."))
+                .distinct
+              if (parents.length == 1) Right(Some(parents.head))
+              else Left(s"positional gpubox files span directories " +
+                s"${parents.mkString(", ")} — one container per run")
+            }
+          posDir match {
+            case Left(e) => Left(e)
+            case Right(pd) =>
+              val c2 = (pd, c.gpuboxDir) match {
+                case (Some(d), None) => c.copy(gpuboxDir = Some(d))
+                case _ => c
+              }
+              // clap-style conflict checks (reference cli.rs:748-749,
+              // 681, 695, 726)
+              if (c2.dataDir.isEmpty && c2.gpuboxDir.isEmpty)
+                Left("missing input: -d <dataDir>, --gpubox <dir>, " +
+                  "or positional gpubox FITS paths")
+              else if (c2.pointingCentre && c2.phaseCentreDeg.isDefined)
+                Left("--pointing-centre conflicts with --phase-centre")
+              else if (c2.timeChunk.isDefined &&
+                  c2.maxMemoryGib.isDefined)
+                Left("--time-chunk conflicts with --max-memory")
+              else if (c2.flagEdgeWidthKhz.isDefined &&
+                  c2.edgeChans.isDefined)
+                Left("--flag-edge-width conflicts with " +
+                  "--flag-edge-chans")
+              else if (c2.flagInitS.isDefined &&
+                  c2.flagInitSteps.isDefined)
+                Left("--flag-init conflicts with --flag-init-steps")
+              else if (c2.flagEndS.isDefined &&
+                  c2.flagEndSteps.isDefined)
+                Left("--flag-end conflicts with --flag-end-steps")
+              else if (c2.forceDcFlag && c2.noFlagDc)
+                Left("--flag-dc conflicts with --no-flag-dc")
+              else Right(c2)
+          }
         case "-d" :: v :: t => loop(t, c.copy(dataDir = v))
         case "--gpubox" :: v :: t => loop(t, c.copy(gpuboxDir = Some(v)))
         case "-m" :: v :: t => loop(t, c.copy(metafits = Some(v)))
         case "-u" :: v :: t => loop(t, c.copy(uvfitsOut = Some(v)))
         case "-M" :: v :: t => loop(t, c.copy(msOut = Some(v)))
         case "--flag-out" :: v :: t => loop(t, c.copy(mwafOut = Some(v)))
+        // reference -f/--flag-template: a PATH whose basename contains
+        // %% (coarse-channel id) — split into output dir + file template
+        case "--flag-template" :: v :: t =>
+          val file = new java.io.File(v)
+          val tmpl = file.getName
+          if (!tmpl.contains("%%"))
+            Left(s"--flag-template needs %% in the file name, got '$v'")
+          else loop(t, c.copy(
+            mwafOut = Some(Option(file.getParent).getOrElse(".")),
+            mwafTemplate = tmpl))
         case "--flag-strategy" :: v :: t =>
           loop(t, c.copy(rfiStrategyFile = Some(v)))
         case "--aocal" :: v :: t => loop(t, c.copy(aocalFile = Some(v)))
@@ -169,6 +247,25 @@ object Cli {
             loop(t, c.copy(flagEndSteps = Some(n)))
           case _ => Left(s"--flag-end-steps needs an int, got '$v'")
         }
+        // seconds variants (reference cli.rs:688, 696) — validated
+        // against the container's timestep length at run time
+        case "--flag-init" :: v :: t => v.toDoubleOption match {
+          case Some(s) if s >= 0 => loop(t, c.copy(flagInitS = Some(s)))
+          case _ =>
+            Left(s"--flag-init needs non-negative seconds, got '$v'")
+        }
+        case "--flag-end" :: v :: t => v.toDoubleOption match {
+          case Some(s) if s >= 0 => loop(t, c.copy(flagEndS = Some(s)))
+          case _ =>
+            Left(s"--flag-end needs non-negative seconds, got '$v'")
+        }
+        case "--flag-dc" :: t => loop(t, c.copy(forceDcFlag = true))
+        case "--dry-run" :: t => loop(t, c.copy(dryRun = true))
+        // parse-accepted, semantically inert here: Spark metrics/UI are
+        // the progress surface, and range derivation already considers
+        // only channels the container provides (reference cli.rs:654, 673)
+        case "--no-draw-progress" :: t => loop(t, c)
+        case "--provided-chan-ranges" :: t => loop(t, c)
         case "--pfb-gains" :: v :: t =>
           if (Seq("auto", "jake", "jake_oversampled", "cotter", "none")
               .contains(v))
@@ -229,9 +326,13 @@ object Cli {
         case "--van-vleck" :: t => loop(t, c.copy(vanVleck = true))
         case "--rfi" :: t => loop(t, c.copy(rfi = true))
         case "--no-rfi" :: t => loop(t, c.copy(rfi = false))
+        // positional gpubox FITS paths (reference
+        // `arg!(fits_paths: <PATHS>...)`)
+        case p :: t if !p.startsWith("-") =>
+          loop(t, c.copy(fitsFiles = c.fitsFiles :+ p))
         case other :: _ => Left(s"unknown or incomplete argument '$other'")
       }
-    loop(args.toList, Config())
+    loop(norm.map(a => aliases.getOrElse(a, a)).toList, Config())
   }
 
   /** Passband table selection — the reference's `--passband-gains`
@@ -357,11 +458,25 @@ object Cli {
     }
     if (cfg.flagAutos) m = FlagAutos(m)
     if (cfg.noFlagDc) m = NoDcFlag(m)
+    if (cfg.forceDcFlag) m = DcFlag(m)
     if (cfg.flagTimes.nonEmpty) m = FlagTimes(m, cfg.flagTimes)
     if (cfg.flagAnts.nonEmpty) m = FlagAnts(m, cfg.flagAnts)
     cfg.quackTime.foreach(q => m = QuackTime(m, q))
     cfg.flagInitSteps.foreach(n => m = FlagInitSteps(m, n))
     cfg.flagEndSteps.foreach(n => m = FlagEndSteps(m, n))
+    // seconds → steps against the container grid; a non-multiple fails
+    // loudly exactly as the reference's check does (cli.rs:1104-1121)
+    def secondsToSteps(flag: String, s: Double): Int = {
+      val d = base.intTimeS
+      val rem = s % d
+      require(rem < 1e-6 || d - rem < 1e-6,
+        s"$flag $s s is not a multiple of the timestep length ($d s)")
+      math.round(s / d).toInt
+    }
+    cfg.flagInitS.foreach(s =>
+      m = FlagInitSteps(m, secondsToSteps("--flag-init", s)))
+    cfg.flagEndS.foreach(s =>
+      m = FlagEndSteps(m, secondsToSteps("--flag-end", s)))
     if (cfg.flagCoarseChans.nonEmpty)
       m = FlagCoarseChans(m, cfg.flagCoarseChans)
     if (cfg.flagFineChans.nonEmpty)
@@ -401,6 +516,18 @@ object Cli {
         s"got ${meta.mwaVersion}")
 
     decisions(cfg, meta).foreach(d => log(s"[graft] $d"))
+
+    // reference --dry-run (cli.rs:653): print the summary and exit
+    // before touching any visibility data
+    if (cfg.dryRun) {
+      log(s"[graft] dry run: ${meta.nAnts} ants, " +
+        s"${meta.nAnts * (meta.nAnts + 1) / 2} baselines, " +
+        s"${meta.nScans} timesteps @ ${meta.intTimeS} s, " +
+        s"${meta.nChans} fine chans @ ${meta.fineChanWidthHz / 1e3} " +
+        s"kHz (${meta.fineChansPerCoarse}/coarse), " +
+        s"correlator ${meta.mwaVersion}")
+      return 0L
+    }
 
     val (avgT, avgF) = avgFactors(cfg, meta)
     // chunking flags parse and validate as the reference's do
@@ -472,7 +599,7 @@ object Cli {
     // purpose of the mwaf output in the reference
     val mwafRows = cfg.mwafOut.map { dir =>
       log(s"[graft] writing mwaf flags to $dir")
-      val counts = processed.writeMwaf(dir)
+      val counts = processed.writeMwaf(dir, cfg.mwafTemplate)
       log(s"[graft] wrote ${counts.values.sum} mwaf rows over " +
         s"${counts.size} coarse channels")
       counts.values.sum

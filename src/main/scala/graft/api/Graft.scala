@@ -149,8 +149,9 @@ case class VisFrame(spark: SparkSession, df: DataFrame,
 
   def writeFlagOccupancy(): DataFrame = Sinks.mwafOccupancy(df)
 
-  def writeMwaf(dir: String): Map[Long, Long] =
-    graft.sinks.MwafWriter.write(df, dir, meta = meta)
+  def writeMwaf(dir: String,
+                template: String = "flags_%%.mwaf"): Map[Long, Long] =
+    graft.sinks.MwafWriter.write(df, dir, template, meta = meta)
 
   /** Picket-fence fan-out (reference run_ranges,
     * /root/reference/src/cli.rs:1524-1574): derive contiguous

@@ -158,6 +158,18 @@ object MetaDecorators {
         col("ch_flag") || col("fc").isin(fcs: _*))
   }
 
+  /** Force the DC-centre flag ON (reference --flag-dc,
+    * cli.rs:723-726 — overrides the MWAX default of leaving the
+    * centre fine channel unflagged).
+    */
+  final case class DcFlag(inner: MetaSource) extends Delegating {
+    override def chan(s: SparkSession): DataFrame = {
+      val fpc = inner.fineChansPerCoarse
+      inner.chan(s).withColumn("ch_flag",
+        col("ch_flag") || col("fc") === fpc / 2)
+    }
+  }
+
   /** Clear the DC-centre flag (reference --no-flag-dc — MWAX data has
     * no DC artefact): keep every other static flag bit.
     */

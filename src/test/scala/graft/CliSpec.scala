@@ -420,4 +420,84 @@ class CliSpec extends AnyFunSuite {
       .select("fc").distinct().collect().map(_.getLong(0)).sorted
     assert(fcs.toSeq == Seq(0L, 7L), s"DC must stay clear, got $fcs")
   }
+
+  test("reference long-name synonyms and --opt=value both parse") {
+    val cfg = Cli.parse(Seq("--metafits", "obs.metafits",
+      "--uvfits-out=out.uvfits", "--ms-out", "out.ms",
+      "--passband-gains", "cotter", "--apply-di-cal=sol.bin",
+      "--avg-time-factor", "4", "--avg-freq-factor=2",
+      "--aoflagger-strategy", "mwa.lua", "--no-sel-autos",
+      "-d", "/data")).toOption.get
+    assert(cfg.metafits.contains("obs.metafits"))
+    assert(cfg.uvfitsOut.contains("out.uvfits"))
+    assert(cfg.msOut.contains("out.ms"))
+    assert(cfg.pfbGains.contains("cotter"))
+    assert(cfg.aocalFile.contains("sol.bin"))
+    assert(cfg.avgTime == 4 && cfg.avgFreq == 2)
+    assert(cfg.rfiStrategyFile.contains("mwa.lua"))
+    assert(cfg.noAutos)
+  }
+
+  test("positional gpubox paths: one directory required") {
+    val cfg = Cli.parse(Seq("-m", "obs.metafits",
+      "/obs/gpubox01_00.fits", "/obs/gpubox02_00.fits")).toOption.get
+    assert(cfg.gpuboxDir.contains("/obs"))
+    assert(cfg.fitsFiles.length == 2)
+    val bad = Cli.parse(Seq("-m", "m.fits",
+      "/a/gpubox01.fits", "/b/gpubox02.fits"))
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("span directories"))
+  }
+
+  test("flag-template parses dir + %% template; %% is required") {
+    val cfg = Cli.parse(Seq("-d", "/data",
+      "-f", "/out/FlagfileMWA_%%.mwaf")).toOption.get
+    assert(cfg.mwafOut.contains("/out"))
+    assert(cfg.mwafTemplate == "FlagfileMWA_%%.mwaf")
+    assert(Cli.parse(Seq("-d", "/data",
+      "--flag-template", "/out/flags.mwaf")).isLeft)
+  }
+
+  test("flag-init/--flag-end seconds: grid-validated, conflicts " +
+    "with the steps variants; --flag-dc forces the DC flag") {
+    import org.apache.spark.sql.functions.col
+    val cfg = Cli.parse(Seq("-d", "/data", "--flag-init", "4",
+      "--flag-end", "2")).toOption.get
+    // SynthDims intTimeS = 2.0 -> 2 and 1 steps
+    val m = Cli.decorate(graft.model.SynthDims, cfg)
+    val flagged = m.timestep(spark).where(col("ts_flag"))
+      .select("t").collect().map(_.getLong(0)).toSet
+    val n = graft.model.SynthDims.nScans
+    assert(flagged.contains(0L) && flagged.contains(1L),
+      "first 4 s = 2 steps quacked")
+    assert(flagged.contains(n - 1L), "last 2 s = 1 step flagged")
+    // non-multiple seconds fail loudly, as the reference
+    val badCfg = Cli.parse(Seq("-d", "/data", "--flag-init", "3"))
+      .toOption.get
+    assertThrows[IllegalArgumentException](
+      Cli.decorate(graft.model.SynthDims, badCfg))
+    assert(Cli.parse(Seq("-d", "/data", "--flag-init", "4",
+      "--flag-init-steps", "2")).isLeft)
+    assert(Cli.parse(Seq("-d", "/data", "--flag-end", "4",
+      "--flag-end-steps", "2")).isLeft)
+    assert(Cli.parse(Seq("-d", "/data", "--flag-dc", "--no-flag-dc"))
+      .isLeft)
+    // --flag-dc forces the centre channel on over a cleared default
+    val dcCfg = Cli.parse(Seq("-d", "/data", "--flag-dc")).toOption.get
+    val dcM = Cli.decorate(graft.model.SynthDims, dcCfg)
+    val fpc = graft.model.SynthDims.fineChansPerCoarse
+    assert(dcM.chan(spark).where(col("fc") === fpc / 2)
+      .select("ch_flag").collect().forall(_.getBoolean(0)))
+  }
+
+  test("dry-run prints the summary and runs nothing") {
+    var logs = Vector.empty[String]
+    val cfg = Cli.parse(Seq("-d", "/does/not/exist", "--dry-run",
+      "--no-draw-progress", "--provided-chan-ranges")).toOption.get
+    // dataDir does not exist: only a dry run can return without error
+    val n = Cli.run(spark, cfg, s => logs :+= s)
+    assert(n == 0L)
+    assert(logs.exists(_.contains("dry run:")))
+    assert(logs.exists(_.contains("calibrate: skip")))
+  }
 }
