@@ -109,8 +109,8 @@ object Dedup {
     * bit b set iff the sum of ±1 votes from token-hash bit b is positive.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(expr(tokens("text"))).as("tok"))
+    val tok = Corpus.explodeNoInfer(docs, expr(tokens("text")),
+        "tok", col("doc_id"))
       .withColumn("m5", expr("md5(tok)"))
       .withColumn("h", expr(hex8FromMd5("m5")))
     val bitSums = (0 until 32).map { b =>
@@ -131,7 +131,7 @@ object Dedup {
     */
   def ngramJaccardCandidates(docs: DataFrame): DataFrame = {
     val hs = hashedShingles(docs).cache()
-    val sh = hs.select(col("doc_id"), explode(col("hs")).as("sh"))
+    val sh = Corpus.explodeNoInfer(hs, col("hs"), "sh", col("doc_id"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = lshCandidatesFromSig(
@@ -166,11 +166,10 @@ object Dedup {
     // builders inline their argument textually, and interpreted
     // higher-order lambdas have no subexpression elimination — an
     // inlined split() re-tokenises the document per element (O(n²))
-    val sh = docs
-      .withColumn("toks", expr(tokens("text")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(expr(hashList(shingles("text", "toks"))))
-          .as("sh"))
+    val sh = Corpus.explodeNoInfer(
+      docs.withColumn("toks", expr(tokens("text"))),
+      expr(hashList(shingles("text", "toks"))), "sh",
+      col("doc_id"), col("lang"), col("source"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
@@ -204,10 +203,9 @@ object Dedup {
     * the shuffle.
     */
   def boilerplate(docs: DataFrame, minDocs: Int = 5): DataFrame =
-    docs
-      .withColumn("toks", expr(tokens("text")))
-      .select(col("doc_id"),
-        explode(expr(shingles("text", "toks"))).as("shingle"))
+    Corpus.explodeNoInfer(
+      docs.withColumn("toks", expr(tokens("text"))),
+      expr(shingles("text", "toks")), "shingle", col("doc_id"))
       .groupBy("shingle")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))

@@ -39,8 +39,8 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val tok = docs.select(col("doc_id"),
-      explode(expr(tokens("text"))).as("word"))
+    val tok = Corpus.explodeNoInfer(docs, expr(tokens("text")),
+      "word", col("doc_id"))
     val hits = tok.join(broadcast(stopwordDim(spark)), Seq("word"))
       .groupBy("doc_id", "lang_cand")
       .agg(count(lit(1)).as("n_hits"))
@@ -149,8 +149,8 @@ object TextAnalysis {
     // second scan before the pipeline even started); here the count
     // branch is column-pruned to parquet footers
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tok = docs.select(col("doc_id"),
-      explode(expr(tokens("text"))).as("term"))
+    val tok = Corpus.explodeNoInfer(docs, expr(tokens("text")),
+      "term", col("doc_id"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -187,8 +187,8 @@ object TextAnalysis {
         expr(listSize("toks")).cast("long").as("n_tokens"),
         expr(listDistinctSize("toks")).cast("long").as("n_distinct"),
         col("toks"))
-    val counts = base
-      .select(col("doc_id"), explode(expr(grams2("toks"))).as("gram"))
+    val counts = Corpus.explodeNoInfer(base, expr(grams2("toks")),
+        "gram", col("doc_id"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("cnt").desc, col("gram").asc)

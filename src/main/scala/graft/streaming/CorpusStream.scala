@@ -48,12 +48,12 @@ object CorpusStream {
     import graft.llm.TextExprs._
     import org.apache.spark.sql.functions._
     implicit val d: Dialect = SparkD
-    docStream(spark, dir)
-      .select(explode(expr(tokens("text"))).as("tok"))
-      .where(length(col("tok")) >= 2)
-      .select(explode(expr(
-        s"transform(${idxSeq1("length(tok) - 1")}," +
-          " i -> substring(tok, i, 2))")).as("pair"))
+    graft.llm.Corpus.explodeNoInfer(
+      graft.llm.Corpus.explodeNoInfer(
+        docStream(spark, dir), expr(tokens("text")), "tok")
+        .where(length(col("tok")) >= 2),
+      expr(s"transform(${idxSeq1("length(tok) - 1")}," +
+        " i -> substring(tok, i, 2))"), "pair")
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
   }
 

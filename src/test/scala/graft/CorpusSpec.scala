@@ -151,6 +151,32 @@ class CorpusSpec extends AnyFunSuite {
       ("sA", "sB") -> 2L, ("sA", "sC") -> 1L, ("sB", "sC") -> 1L))
   }
 
+  test("corpus invariants on real testdata: pair totals and gram " +
+    "counts tie to token arithmetic") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    import spark.implicits._
+    // total pair count over ALL pairs == sum over tokens of (len-1)
+    val allPairs = Corpus.bpePairStats(docs, topK = Int.MaxValue)
+      .agg(sum("cnt")).as[Long].head()
+    val expectPairs = docs
+      .selectExpr("aggregate(transform(split(text, ' '), " +
+        "t -> CAST(greatest(0, length(t) - 1) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS n")
+      .agg(sum("n")).as[Long].head()
+    assert(allPairs == expectPairs,
+      s"pair total $allPairs != token arithmetic $expectPairs")
+    // per-doc n_grams == max(0, n_tokens - 7); dup counts bounded
+    val spans = Corpus.repeatedSpans(docs)
+    val mismatch = spans.join(docs, "doc_id")
+      .selectExpr("doc_id", "n_grams", "n_dup_grams",
+        "CAST(greatest(0, size(split(text, ' ')) - 7) AS BIGINT)" +
+          " AS expect_grams")
+      .where(col("n_grams") =!= col("expect_grams") ||
+        col("n_dup_grams") > col("n_grams"))
+    assert(mismatch.isEmpty, mismatch.head(3).mkString("; "))
+  }
+
   test("sourceOverlap: documents shorter than the prefix " +
     "fingerprint on their full text") {
     val out = Corpus.sourceOverlap(srcDocsOf(
