@@ -449,6 +449,8 @@ object SparkEntry {
 
     "q_m3_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(docs(s, dir))),
+    "q_m5_phash_neardup" -> ((s, dir) =>
+      Multimodal.phashNearDup(docs(s, dir))),
     "q_m4_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(docs(s, dir))),
 
@@ -662,6 +664,7 @@ object SparkEntry {
     "q_m2_features" -> LlmOracles.m2Features,
     "q_m2_decode_stub" -> LlmOracles.m2DecodeStub,
     "q_m3_frame_sample" -> LlmOracles.m3FrameSample,
+    "q_m5_phash_neardup" -> LlmOracles.m5PhashNearDup,
     "q_m4_resize_plan" -> LlmOracles.m4ResizePlan,
     "q_h1_pricing_summary" -> LlmOracles.h1PricingSummary,
     "q_h2_revenue_rollup" -> LlmOracles.h2RevenueRollup,

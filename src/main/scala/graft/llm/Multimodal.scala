@@ -201,4 +201,85 @@ object Multimodal {
         .as("scale_x"),
       round(lit(outH.toDouble) / col("stub_h").cast("double"), 6)
         .as("scale_y"))
+
+  /** A 64-bit perceptual hash as four 16-bit bands. */
+  final case class PHash(doc_id: Long, b0: Int, b1: Int, b2: Int,
+                         b3: Int)
+
+  /** STUB 64-pixel "grayscale thumbnail": byte sums at stride-64
+    * positions mod 256. A codec-backed deployment replaces this with
+    * a real decode + 8×8 luma downsample; the hash/band/join shape
+    * downstream is unchanged (same honesty contract as
+    * [[decodeStub]]).
+    */
+  def decodePixelsStub(payload: Array[Byte]): Array[Int] = {
+    val pix = new Array[Long](64)
+    var j = 0
+    while (j < payload.length) {
+      pix(j % 64) += payload(j) & 0xff
+      j += 1
+    }
+    pix.map(p => (p % 256).toInt)
+  }
+
+  /** Average-hash (aHash) over the 64 stub pixels: bit i set iff
+    * pixel_i exceeds the mean (strict integer compare
+    * `pixel·64 > sum`, so both engines agree exactly), packed as four
+    * 16-bit bands — the banding is the LSH key for
+    * [[phashNearDup]], and 4×16 avoids 64-bit sign-overflow
+    * differences across engines.
+    */
+  def perceptualHash(docs: DataFrame): Dataset[PHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val pix = decodePixelsStub(payload)
+          val s = pix.map(_.toLong).sum
+          val bits = pix.map(p => if (p * 64L > s) 1 else 0)
+          def band(k: Int): Int =
+            (0 until 16).map(i => bits(16 * k + i) << i).sum
+          PHash(id, band(0), band(1), band(2), band(3))
+        }
+      }
+  }
+
+  /** Perceptual-hash near-duplicate pairs — the standard image-dedup
+    * shape: candidate pairs share at least one EXACT 16-bit band
+    * (banded LSH, the same recall structure as MinHash banding), then
+    * the exact 64-bit Hamming distance verifies candidates only.
+    *
+    * 100 TB shape: the hash is one mapPartitions pass; the candidate
+    * join is bucketed on (band_idx, band_val) — never all-pairs; the
+    * verify join touches candidates only. The hash frame is cached
+    * for its four band projections + two verify sides.
+    */
+  def phashNearDup(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    val ph = perceptualHash(docs).toDF().cache()
+    val bands = (0 to 3).map { k =>
+      ph.select(col("doc_id"), lit(k).as("band_idx"),
+        col(s"b$k").as("band_val"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    cand
+      .join(ph.select(col("doc_id").as("doc1"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+        "doc1")
+      .join(ph.select(col("doc_id").as("doc2"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")),
+        "doc2")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .where(col("hamming") <= maxDist)
+      .select("doc1", "doc2", "hamming")
+  }
 }

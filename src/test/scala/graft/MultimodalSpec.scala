@@ -77,4 +77,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(out(0L).features(0) - 40.0 / (4 * 255)) < 1e-6)
     assert(out(1L).width == 16 + 1) // stub path
   }
+
+  test("decodePixelsStub: stride-64 byte sums mod 256") {
+    // payload of 130 bytes: positions 0 and 64 and 128 fold into
+    // pixel 0; position 1, 65, 129 into pixel 1; etc.
+    val payload = Array.tabulate[Byte](130)(i => (i % 100).toByte)
+    val pix = Multimodal.decodePixelsStub(payload)
+    assert(pix.length == 64)
+    assert(pix(0) == (0 + 64 + (128 % 100)) % 256)
+    assert(pix(1) == (1 + 65 + (129 % 100)) % 256)
+    assert(pix(2) == (2 + 66) % 256)
+    // empty payload: all-zero pixels, all-zero hash bits
+    assert(Multimodal.decodePixelsStub(Array.emptyByteArray)
+      .forall(_ == 0))
+  }
+
+  test("perceptualHash deterministic; identical payloads hash " +
+    "identically and near-dup finds them at hamming 0") {
+    import spark.implicits._
+    val text = ("the quick brown fox jumps over the lazy dog " * 20)
+    val docs = Seq(
+      (1L, text), (2L, text),           // exact pair
+      (3L, "completely different content " * 30))
+      .toDF("doc_id", "text")
+    val h = Multimodal.perceptualHash(docs).collect()
+      .map(p => p.doc_id -> ((p.b0, p.b1, p.b2, p.b3))).toMap
+    assert(h(1L) == h(2L))
+    assert(h.values.forall { case (b0, b1, b2, b3) =>
+      Seq(b0, b1, b2, b3).forall(b => b >= 0 && b < 65536) })
+    val pairs = Multimodal.phashNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), s"got ${pairs.toSeq}")
+  }
 }
