@@ -419,6 +419,8 @@ object SparkEntry {
       graft.llm.Corpus.repeatedSpans(docs(s, dir))),
     "q_d9_source_overlap" -> ((s, dir) =>
       graft.llm.Corpus.sourceOverlap(docs(s, dir))),
+    "q_d10_span_clean" -> ((s, dir) =>
+      graft.llm.Corpus.spanDedupClean(docs(s, dir))),
 
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
@@ -681,6 +683,7 @@ object SparkEntry {
     "q_t13_bpe_pairs" -> graft.llm.Corpus.bpePairStatsSql(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
+    "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,

@@ -350,6 +350,81 @@ object Corpus {
        |LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
   }
 
+  /** Repeated-span REMOVAL (the acting half of [[repeatedSpans]]'s
+    * detection): every token-`k`-gram occurrence is ranked corpus-wide
+    * within its gram (ordered by (doc_id, position)); the FIRST
+    * occurrence is canonical and kept, every later one has its
+    * `k`-token span excised — the keep-first exact-substring dedup of
+    * Lee et al. 2022, token-granular. Overlapping removable spans
+    * union; documents shorter than `k` tokens pass through unchanged.
+    * Emits every document with its cleaned text and removed-token
+    * count.
+    *
+    * 100 TB shape: gram explode row-local; ONE window rank over the
+    * gram hash; the removable-coverage set is (dup-occurrence ×
+    * k)-sized, aggregated per doc and joined back on doc_id; the
+    * final token filter is row-local. Nothing quadratic, no
+    * all-pairs.
+    */
+  def spanDedupClean(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), expr(tokens("text")).as("toks"))
+    val grams = explodeNoInfer(
+      base.where(expr(s"${listSize("toks")} >= $k")),
+      expr(idxSeq1(s"${listSize("toks")} - ${k - 1}")), "p",
+      col("doc_id"), col("toks"))
+      .select(col("doc_id"), col("p"),
+        expr(s"md5(${joinList(listSlice("toks", "p", k.toString))})")
+          .as("h"))
+    val ranked = grams.withColumn("rk",
+      row_number().over(Window.partitionBy("h").orderBy("doc_id", "p")))
+    val cov = ranked.where(col("rk") >= 2)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${k - 1})")).as("idx"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_list("idx").as("cidx"))
+    base.join(cov, Seq("doc_id"), "left")
+      .withColumn("cidx2",
+        coalesce(col("cidx"), typedLit(Array.empty[Long])))
+      .select(col("doc_id"),
+        expr("array_join(filter(toks, (x, i0) -> NOT array_contains(" +
+          "cidx2, CAST(i0 + 1 AS BIGINT))), ' ')").as("cleaned"),
+        expr("CAST(size(cidx2) AS BIGINT)").as("n_removed"))
+  }
+
+  /** DuckDB twin of [[spanDedupClean]]. */
+  def spanDedupCleanSql(k: Int = 8): String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       |ex AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(1, ${listSize("toks")} - ${k - 2})) AS p
+       |  FROM base WHERE ${listSize("toks")} >= $k),
+       |grams AS (
+       |  SELECT doc_id, p,
+       |         md5(${joinList(listSlice("toks", "p", k.toString))})
+       |           AS h
+       |  FROM ex),
+       |ranked AS (
+       |  SELECT doc_id, p,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, p)
+       |           AS rk
+       |  FROM grams),
+       |cover AS (
+       |  SELECT DISTINCT doc_id, unnest(range(p, p + $k)) AS idx
+       |  FROM ranked WHERE rk >= 2),
+       |cov AS (SELECT doc_id, list(idx) AS cidx
+       |        FROM cover GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  coalesce(array_to_string(list_filter(b.toks,
+       |    (x, i) -> NOT list_contains(coalesce(c.cidx, []), i)), ' '),
+       |    '') AS cleaned,
+       |  CAST(len(coalesce(c.cidx, [])) AS BIGINT) AS n_removed
+       |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id"""
+      .stripMargin
+  }
+
   /** Cross-source duplicate-overlap census: fingerprint every document
     * by its first `prefixTokens` tokens (the cheap URL-less proxy for
     * "same page crawled into two dumps") and report, for every source

@@ -136,6 +136,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, false)))
   }
 
+  test("spanDedupClean: keep-first removal of repeated 8-grams, " +
+    "overlap union, short docs untouched") {
+    val eight = (1 to 8).map(i => s"t$i").mkString(" ")
+    // docA holds the canonical (first) occurrence; its later in-doc
+    // repeat AND docB's copy are excised
+    val docA = s"$eight mid $eight"           // 17 tokens
+    val docB = s"pre $eight post"             // 10 tokens, copy at p=2
+    val docC = "too short"
+    val out = Corpus.spanDedupClean(srcDocsOf(
+      (1L, "s", docA), (2L, "s", docB), (3L, "s", docC))).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // docA: gram at p=1 is canonical; p=10 removed (tokens 10..17);
+    // grams p=2..9 involve 'mid' and are unique
+    assert(out(1L) == (((1 to 8).map(i => s"t$i").mkString(" ") +
+      " mid", 8L)), s"docA got ${out(1L)}")
+    // docB: its copy (p=2, tokens 2..9) removed, pre/post kept
+    assert(out(2L) == (("pre post", 8L)))
+    assert(out(3L) == (("too short", 0L)))
+  }
+
+  test("spanDedupClean invariant on testdata: token counts add up") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    import spark.implicits._
+    val bad = Corpus.spanDedupClean(docs).join(docs, "doc_id")
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n0",
+        "CASE WHEN cleaned = '' THEN CAST(0 AS INT) " +
+          "ELSE size(split(cleaned, ' ')) END AS n1",
+        "n_removed")
+      .where(col("n0") =!= col("n1") + col("n_removed"))
+    assert(bad.isEmpty, bad.head(3).mkString("; "))
+  }
+
   test("sourceOverlap: counts shared prefix fingerprints per " +
     "source pair; same-source dups are invisible") {
     val p1 = (1 to 25).map(i => s"p$i").mkString(" ")
