@@ -10,9 +10,16 @@ import org.apache.spark.sql.SparkSession
   * warmup job absorbs JVM/codegen startup so per-query numbers measure
   * the plan, not classloading.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in a fixed
-  * (sorted) query order and the per-query MEDIAN is reported, so a
-  * single co-tenant hiccup can't masquerade as a plan regression.
+  * Methodology (matches the QBench dev tool so round-over-round and
+  * spot-check numbers are comparable): each query runs
+  * SPARK_GRAFT_BENCH_RUNS + 1 times BACK-TO-BACK — the first run is a
+  * warm-up DISCARD (it pays that query's codegen/classload/page-cache
+  * cost) and the median of the remaining runs is reported. The earlier
+  * interleaved-suite design (run the whole suite N times, median per
+  * query across passes) made every sample cold-ish once the suite grew
+  * past ~80 queries: by a query's second pass, dozens of other plans
+  * had evicted its JIT/code-cache state, which showed up as a uniform
+  * ~1.5x inflation that masked real per-query regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,13 +63,10 @@ object Bench {
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // run the full suite `runs` times in the same order (inter-run
-    // interleaving keeps page-cache/JIT state comparable across runs)
-    val samples = (1 to runs).map { _ =>
-      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-    }
-    val results = ordered.map { case (name, _) =>
-      name -> median(samples.map(_(name)))
+    // per-query consecutive runs: 1 warm-up discard + `runs` timed
+    val results = ordered.map { case (name, fn) =>
+      timeOnce(name, fn) // warm-up, discarded
+      name -> median((1 to runs).map(_ => timeOnce(name, fn)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

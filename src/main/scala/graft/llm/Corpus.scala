@@ -293,30 +293,48 @@ object Corpus {
     * documents shorter than `k` tokens report zeros.
     *
     * 100 TB shape: the gram explode is row-local (one md5 per gram);
-    * the global occurrence count is a window count partitioned on the
-    * gram hash (ONE shuffle, no join, no second scan of the gram
-    * frame), and the per-document rollup is one more hash aggregate.
-    * Nothing is quadratic in corpus size.
+    * `n_grams` is pure row-local arithmetic (size − k + 1) and never
+    * touches the shuffle. The dup count is computed by SUBTRACTION —
+    * n_dup_grams = n_grams − n_singleton_grams — so the whole operator
+    * is a chain of three hash aggregates, every one of them map-side
+    * combined, with no window and no join against the raw gram stream
+    * at all: (1) occurrences pre-aggregate to (h, doc_id) — a viral
+    * boilerplate gram repeating 10⁸ times inside documents collapses
+    * per map task; (2) the (h, doc_id) frame aggregates to per-gram
+    * corpus totals — a gram spread across 10⁸ documents ALSO combines
+    * map-side (sum/min are associative), so no hot key ever
+    * concentrates in one task; (3) grams with total = 1 carry their
+    * unique owning doc_id out of (2), and a doc-sized aggregate counts
+    * singletons per document. The gram explode+md5 runs exactly once,
+    * the only broadcast is the doc-sized singleton dim. Nothing is
+    * quadratic in corpus size; no window over an unbounded hot-key
+    * partition.
     */
   def repeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col("doc_id"), expr(tokens("text")).as("toks"))
     val grams = explodeNoInfer(
-      docs
-        .select(col("doc_id"), expr(tokens("text")).as("toks"))
-        .where(expr(s"${listSize("toks")} >= $k")),
+      base.where(expr(s"${listSize("toks")} >= $k")),
       expr(
         s"transform(${idxSeq1(s"${listSize("toks")} - ${k - 1}")}," +
           s" p -> md5(${joinList(listSlice("toks", "p", k.toString))}))"),
       "h", col("doc_id"))
-    val perDoc = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    val perDocGram = grams.groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    // total = 1 ⇒ the gram has exactly one (h, doc_id) row, so
+    // min(doc_id) IS its unique owning document.
+    val singletons = perDocGram.groupBy("h")
+      .agg(sum("c").as("tot"), min("doc_id").as("doc_id"))
+      .where(col("tot") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_singleton"))
+    base
       .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+        expr(s"CAST(greatest(0, ${listSize("toks")} - ${k - 1})" +
+          " AS BIGINT)").as("n_grams"))
+      .join(singletons, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_singleton"), lit(0L)))
+          .as("n_dup_grams"))
       .withColumn("has_dup", col("n_dup_grams") > 0)
   }
 
@@ -360,14 +378,21 @@ object Corpus {
     * Emits every document with its cleaned text and removed-token
     * count.
     *
-    * 100 TB shape: gram explode row-local; ONE window rank over the
-    * gram hash; the removable-coverage set is (dup-occurrence ×
-    * k)-sized, aggregated per doc and joined back on doc_id; the
-    * final token filter is row-local. Nothing quadratic, no
-    * all-pairs.
+    * 100 TB shape: gram explode row-local; "first occurrence" is NOT a
+    * rank window (a window over an unbounded hot-gram partition puts a
+    * 10⁸-occurrence boilerplate span in one task) but a map-side-
+    * combined `min(struct(doc_id, p))` aggregate per gram hash — the
+    * hot key collapses to one combiner row per map task — filtered to
+    * `cnt ≥ 2` so singleton grams (the vast majority) never enter the
+    * occurrence join; the join of the gram stream against that dup-
+    * gram dim is AQE-skew-splittable on the probe side. The removable-
+    * coverage set is (dup-occurrence × k)-sized, aggregated per doc
+    * and joined back on doc_id; the final token filter is row-local
+    * and linear (`array_except` builds one hash set of the removed
+    * positions per row — not a per-token scan of the removal list).
+    * Nothing quadratic, no all-pairs, no hot-key window.
     */
   def spanDedupClean(docs: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), expr(tokens("text")).as("toks"))
     val grams = explodeNoInfer(
       base.where(expr(s"${listSize("toks")} >= $k")),
@@ -376,9 +401,21 @@ object Corpus {
       .select(col("doc_id"), col("p"),
         expr(s"md5(${joinList(listSlice("toks", "p", k.toString))})")
           .as("h"))
-    val ranked = grams.withColumn("rk",
-      row_number().over(Window.partitionBy("h").orderBy("doc_id", "p")))
-    val cov = ranked.where(col("rk") >= 2)
+    // one hash-agg pass: occurrence count + lexicographic-min (doc, p)
+    // per gram; both map-side combine, so a hot gram is one row here.
+    val dupFirst = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .where(col("cnt") >= 2)
+      .select(col("h"), col("first.doc_id").as("first_doc"),
+        col("first.p").as("first_p"))
+    // every occurrence of a duplicated gram EXCEPT its canonical first
+    // — identical to the old rank-window's rk >= 2 rows (row_number
+    // ordered by (doc_id, p) makes rk = 1 exactly the lexicographic
+    // min; (doc_id, p) is unique per occurrence so there are no ties).
+    val cov = grams.join(dupFirst, Seq("h"))
+      .where(col("doc_id") =!= col("first_doc") ||
+        col("p") =!= col("first_p"))
       .select(col("doc_id"),
         explode(expr(s"sequence(p, p + ${k - 1})")).as("idx"))
       .distinct()
@@ -387,8 +424,13 @@ object Corpus {
       .withColumn("cidx2",
         coalesce(col("cidx"), typedLit(Array.empty[Long])))
       .select(col("doc_id"),
-        expr("array_join(filter(toks, (x, i0) -> NOT array_contains(" +
-          "cidx2, CAST(i0 + 1 AS BIGINT))), ' ')").as("cleaned"),
+        // sequence(1, 0) would yield a DESCENDING [1, 0] on an empty
+        // token array, so the zero-token row is special-cased.
+        expr("CASE WHEN size(toks) = 0 THEN '' ELSE " +
+          "array_join(transform(array_except(sequence(CAST(1 AS " +
+          "BIGINT), CAST(size(toks) AS BIGINT)), cidx2), " +
+          "i -> element_at(toks, CAST(i AS INT))), ' ') END")
+          .as("cleaned"),
         expr("CAST(size(cidx2) AS BIGINT)").as("n_removed"))
   }
 

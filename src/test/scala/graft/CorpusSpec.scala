@@ -157,6 +157,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == (("too short", 0L)))
   }
 
+  test("spanDedupClean: a 50k-token doc that is ~50% removable spans " +
+    "completes in bounded time (linear token filter, no per-token " +
+    "scan of the removal list)") {
+    // 3125 blocks of 16 tokens: a fixed 8-gram (repeats corpus-wide)
+    // followed by 8 block-unique tokens. Every a-gram occurrence after
+    // the first is excised -> n_removed = 8 * 3124 = 24992 of 50000.
+    val blocks = 3125
+    val eight = (1 to 8).map(i => s"a$i").mkString(" ")
+    val text = (1 to blocks).map(b =>
+      eight + " " + (1 to 8).map(j => s"u${b}_$j").mkString(" "))
+      .mkString(" ")
+    val t0 = System.nanoTime()
+    val out = Corpus.spanDedupClean(srcDocsOf((1L, "s", text)))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 8L * (blocks - 1),
+      s"n_removed ${out(0).getLong(2)}")
+    val cleanedToks = out(0).getString(1).split(" ")
+    assert(cleanedToks.length == 16 * blocks - 8 * (blocks - 1))
+    assert(cleanedToks.take(8).mkString(" ") == eight,
+      "canonical first occurrence kept")
+    assert(secs < 60.0, s"bounded-time regression: took $secs s")
+  }
+
   test("spanDedupClean invariant on testdata: token counts add up") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
