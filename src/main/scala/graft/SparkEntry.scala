@@ -261,7 +261,8 @@ object SparkEntry {
     // .fromFile reads, so the strategy-file path is load-bearing
     "q_r1b_strategy" -> ((s, dir) =>
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
-        "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5"))),
+        "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
+          "sir_eta_time = 0.3\nsir_eta_chan = 0.1"))),
 
     "q_r1_threshold_flags" -> ((s, dir) =>
       ThresholdFlag(VisSynth.vis(s, dir))),

@@ -15,10 +15,18 @@ package graft.functions
   * which one backward (running max) and one forward (running min) scan
   * evaluate in O(N) — the published linear-time formulation.
   *
+  * [[graft.ops.RfiFlag]] applies this after SumThreshold (time
+  * direction, then channel reading the time pass's output — the
+  * sequential order AOFlagger's operator uses), driven by the
+  * `sir_eta_time` / `sir_eta_chan` strategy keys; the q_r1 /
+  * q_r1b driver gates pin it against the DuckDB twin
+  * (`Oracles.sirPass`).
+  *
   * Weights are carried as INTEGERS (η scaled by [[SirKernel.EtaDen]])
   * so the kernel's arithmetic is exact and the DuckDB oracle's
-  * window-function twin is bit-identical by construction — no
-  * floating-point prefix-sum ordering to reconcile between engines.
+  * window-function twin (`Oracles.sirPass` — prefix sum, suffix max,
+  * strict-prefix min, all BIGINT) is bit-identical by construction —
+  * no floating-point prefix-sum ordering to reconcile between engines.
   * η = 0 is the identity (only already-flagged samples survive the
   * predicate); η ≥ 1 would flag every sample, so callers bound it.
   */

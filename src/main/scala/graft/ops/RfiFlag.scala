@@ -39,10 +39,20 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
                        rho: Double = 1.5,
                        pols: Seq[String] = Seq("xx"),
                        timeWeight: Double = 1.0,
-                       chanWeight: Double = 1.0) {
+                       chanWeight: Double = 1.0,
+                       // scale-invariant rank post-extension (Offringa
+                       // et al. 2012); AOFlagger's published default
+                       // strategies run SIR after SumThreshold with
+                       // η = 0.2 in both directions, so that is the
+                       // default here too. 0 disables (exact identity).
+                       sirEtaTime: Double = 0.2,
+                       sirEtaChan: Double = 0.2) {
   require(pols.nonEmpty && pols.forall(RfiStrategy.PolComps.contains),
     s"pols must be non-empty from ${RfiStrategy.PolComps.keys}, " +
       s"got $pols")
+  require(sirEtaTime >= 0 && sirEtaTime < 1 &&
+    sirEtaChan >= 0 && sirEtaChan < 1,
+    s"SIR eta must be in [0, 1), got ($sirEtaTime, $sirEtaChan)")
 }
 
 object RfiStrategy {
@@ -78,10 +88,12 @@ object RfiStrategy {
               s.copy(pols = x.split(",").toSeq.map(_.trim.toLowerCase))
             case ("time_weight", x) => s.copy(timeWeight = x.toDouble)
             case ("chan_weight", x) => s.copy(chanWeight = x.toDouble)
+            case ("sir_eta_time", x) => s.copy(sirEtaTime = x.toDouble)
+            case ("sir_eta_chan", x) => s.copy(sirEtaChan = x.toDouble)
             case (other, _) =>
               sys.error(s"unknown strategy key '$other' " +
                 "(expected mad_k, max_log2, rho, pols, time_weight, " +
-                "chan_weight)")
+                "chan_weight, sir_eta_time, sir_eta_chan)")
           }
           case _ => sys.error(s"malformed strategy line '$line'")
         }
@@ -173,6 +185,30 @@ object RfiFlag {
           i += 1
         }
         p += 1
+      }
+      // scale-invariant rank post-extension (Offringa et al. 2012),
+      // time direction first, then channel reading the time pass's
+      // output — the sequential order AOFlagger's operator applies and
+      // the same direction convention as the SumThreshold passes above.
+      // η = 0 is the exact identity, so skipping it is a pure shortcut.
+      val etaT = graft.functions.SirKernel.etaNum(strategy.sirEtaTime)
+      val etaC = graft.functions.SirKernel.etaNum(strategy.sirEtaChan)
+      if (etaT > 0) {
+        var j = 0
+        while (j < cs.length) {
+          val colMask = Array.tabulate(ts.length)(i => out(i)(j))
+          val ext = graft.functions.SirKernel.extend(colMask, etaT)
+          var i = 0
+          while (i < ts.length) { out(i)(j) = ext(i); i += 1 }
+          j += 1
+        }
+      }
+      if (etaC > 0) {
+        var i = 0
+        while (i < ts.length) {
+          out(i) = graft.functions.SirKernel.extend(out(i), etaC)
+          i += 1
+        }
       }
       for {
         i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)

@@ -707,9 +707,44 @@ object Oracles {
     * ρ^l·weight (computed here in the same double arithmetic)
     * reproduces it bit-for-bit.
     */
+  /** SIR twin: the scale-invariant rank extension (graft.functions
+    * .SirKernel) as three exact-integer window ops per direction —
+    * inclusive prefix sum P of the fixed-point weights (flagged ⇒ ηN,
+    * else ηN − 1000), suffix max of P, strict-prefix min of P capped
+    * at 0 — flagging where max_{j≥i} P(j) ≥ min(0, min_{j<i} P(j)).
+    * All BIGINT arithmetic, so this layer is bit-identical to the
+    * kernel by construction. η = 0 renders no layer (exact identity
+    * on both sides).
+    */
+  private def sirPass(prev: String, cur: String, part: String,
+                      ord: String, etaNum: Long): String =
+    s"""$cur AS (
+       |  SELECT bl, t, chan, seen, res, chi1,
+       |         (sirmax >= least(CAST(0 AS BIGINT),
+       |                          coalesce(sirminpre, CAST(0 AS BIGINT))))
+       |           AS flg
+       |  FROM (
+       |    SELECT *,
+       |           max(sirp) OVER (PARTITION BY $part ORDER BY $ord
+       |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |             AS sirmax,
+       |           min(sirp) OVER (PARTITION BY $part ORDER BY $ord
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |             AS sirminpre
+       |    FROM (
+       |      SELECT *,
+       |             sum(CASE WHEN flg THEN CAST($etaNum AS BIGINT)
+       |                 ELSE CAST(${etaNum - 1000L} AS BIGINT) END)
+       |               OVER (PARTITION BY $part ORDER BY $ord
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING
+       |                     AND CURRENT ROW) AS sirp
+       |      FROM $prev)))""".stripMargin
+
   private def r1SumThresholdWith(ampExpr: String, madK: Double,
                                  timeWeight: Double,
-                                 chanWeight: Double): String = {
+                                 chanWeight: Double,
+                                 sirEtaTime: Double = 0.2,
+                                 sirEtaChan: Double = 0.2): String = {
     val chiDivT =
       (0 to 5).map(l => fmt(math.pow(1.5, l.toDouble) * timeWeight))
     val chiDivC =
@@ -790,21 +825,37 @@ object Oracles {
         pass(s"p${2 * l + 1}", s"p${2 * l + 2}", "bl, t", "chan", m,
           chiDivC(l)))
     }
+    // SIR post-extension, time then chan, matching RfiFlag's order;
+    // η = 0 emits no layer (identity on both sides)
+    val sirT = graft.functions.SirKernel.etaNum(sirEtaTime)
+    val sirC = graft.functions.SirKernel.etaNum(sirEtaChan)
+    var last = "p12"
+    val sirLayers = scala.collection.mutable.ArrayBuffer[String]()
+    if (sirT > 0) {
+      sirLayers += sirPass(last, "p13", "bl, chan", "t", sirT)
+      last = "p13"
+    }
+    if (sirC > 0) {
+      sirLayers += sirPass(last, "p14", "bl, t", "chan", sirC)
+      last = "p14"
+    }
     OracleSql.query(
-      "SELECT bl, t, chan, flg AS rfi FROM p12 WHERE seen",
-      (OracleSql.visFlaggedCte +: prep +: layers): _*)
+      s"SELECT bl, t, chan, flg AS rfi FROM $last WHERE seen",
+      (OracleSql.visFlaggedCte +: prep +: (layers ++ sirLayers)): _*)
   }
 
   val r1SumThreshold: String =
     r1SumThresholdWith("sqrt(v0 * v0 + v1 * v1)", 6.0, 1.0, 1.0)
 
   /** R1b: a NON-default strategy (yy image, mad_k 5, time-aggressive /
-    * channel-conservative direction weights) — proves the strategy
-    * knobs are load-bearing end-to-end: this gate and q_r1's must both
-    * be hash-green while flagging different occupancies.
+    * channel-conservative direction weights, asymmetric SIR) — proves
+    * the strategy knobs are load-bearing end-to-end: this gate and
+    * q_r1's must both be hash-green while flagging different
+    * occupancies.
     */
   val r1bStrategy: String =
-    r1SumThresholdWith("sqrt(v6 * v6 + v7 * v7)", 5.0, 2.0, 0.5)
+    r1SumThresholdWith("sqrt(v6 * v6 + v7 * v7)", 5.0, 2.0, 0.5,
+      sirEtaTime = 0.3, sirEtaChan = 0.1)
 
   val r1ThresholdFlags: String = OracleSql.query(
     """SELECT t, bl, chan, amp > lim AS rfi

@@ -203,6 +203,40 @@ class KernelSpecs extends AnyFunSuite {
     assert((0 until 32).forall(c => !out(6)(c)))
   }
 
+  test("sir: single flag dilates by eta-fraction intervals, exact " +
+    "brute-force parity") {
+    import graft.functions.SirKernel
+    // one flag in 32 samples at eta=0.5: an interval [a,b) containing
+    // it qualifies while flagged fraction >= 0.5, i.e. length <= 2 -> the
+    // flag extends one sample each side
+    val flags = Array.tabulate(32)(_ == 16)
+    val out = SirKernel.extend(flags, SirKernel.etaNum(0.5))
+    assert(out.count(identity) == 3 && out(15) && out(16) && out(17))
+  }
+
+  test("sir: eta=0 is the identity; all-flagged stays all-flagged") {
+    import graft.functions.SirKernel
+    val flags = Array(false, true, true, false, true, false, false)
+    assert(SirKernel.extend(flags, 0L).sameElements(flags))
+    val all = Array.fill(9)(true)
+    assert(SirKernel.extend(all, SirKernel.etaNum(0.2))
+      .sameElements(all))
+  }
+
+  test("sir: two nearby flag blocks bridge when the gap fraction " +
+    "allows") {
+    import graft.functions.SirKernel
+    // blocks [4,8) and [10,14) with a 2-gap: over [4,14) the flagged
+    // fraction is 8/10 = 0.8 >= 1 - 0.25 -> the gap bridges at eta=0.25
+    val flags = Array.tabulate(20)(i => (i >= 4 && i < 8) ||
+      (i >= 10 && i < 14))
+    val out = SirKernel.extend(flags, SirKernel.etaNum(0.25))
+    assert((8 until 10).forall(out), "gap bridged")
+    // at eta=0.05 a 10-interval needs >= 9.5 flagged -> no bridge
+    val tight = SirKernel.extend(flags, SirKernel.etaNum(0.05))
+    assert(!(8 until 10).exists(tight), "gap kept at tight eta")
+  }
+
   test("sumthreshold: existing flags contribute chi, not their value") {
     val amp = mkMatrix(8, 8)
     amp(3)(3) = 1e9 // absurd value, but pre-flagged

@@ -191,6 +191,33 @@ object PropertySpecs extends Properties("kernels") {
           .forall { case (s, prevEnd) => s <= prevEnd + 1 }
     }
 
+  property("SIR extension matches the O(n^2) interval brute force") =
+    Prop.forAll(Gen.listOfN(40, Gen.oneOf(true, false)),
+      Gen.chooseNum(0L, 999L)) { (fl, etaNum) =>
+      import graft.functions.SirKernel
+      val flags = fl.toArray
+      val n = flags.length
+      val w = flags.map(f => if (f) etaNum else etaNum - SirKernel.EtaDen)
+      // flag i iff some interval [a, b) covering i has weight sum >= 0
+      val brute = Array.tabulate(n) { i =>
+        (0 to i).exists(a => (i + 1 to n).exists(b =>
+          (a until b).map(w).sum >= 0))
+      }
+      SirKernel.extend(flags, etaNum).sameElements(brute)
+    }
+
+  property("SIR extension is a superset of the input and monotone " +
+    "in eta") =
+    Prop.forAll(Gen.listOfN(48, Gen.oneOf(true, false)),
+      Gen.chooseNum(0L, 900L)) { (fl, etaNum) =>
+      import graft.functions.SirKernel
+      val flags = fl.toArray
+      val out = SirKernel.extend(flags, etaNum)
+      val outMore = SirKernel.extend(flags, etaNum + 99L)
+      flags.indices.forall(i => !flags(i) || out(i)) &&
+        flags.indices.forall(i => !out(i) || outMore(i))
+    }
+
   property("sumthreshold flags are monotone in existing flags") =
     Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0.5, 2.0))) { vals =>
       val amp = vals.toArray.grouped(8).toArray
