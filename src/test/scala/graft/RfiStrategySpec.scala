@@ -75,4 +75,67 @@ class RfiStrategySpec extends AnyFunSuite {
     val both = occupancy(RfiStrategy(madK = 4.0, pols = Seq("xx", "yy")))
     assert(both >= math.max(xxOnly, yyOnly))
   }
+
+  // modeled on the published AOFlagger default MWA strategy's shape
+  // (function execute(input), local option block, sumthreshold + SIR
+  // calls) with an observatory's tuned values
+  private val tunedLua =
+    """--[[ observatory-tuned MWA strategy (AOFlagger lua surface) ]]--
+      |function execute(input)
+      |  local base_threshold = 0.8333333333333334 -- rel. sensitivity
+      |  local iteration_count = 1
+      |  local sumthreshold_level_time = 0.5
+      |  local sumthreshold_level_freq = 2.0
+      |  local flag_polarizations = { aoflagger.Polarization.YY }
+      |  local data = input:convert_to_complex("complex")
+      |  aoflagger.sumthreshold(data, sumthreshold_level_time,
+      |    sumthreshold_level_freq, true, true)
+      |  aoflagger.scale_invariant_rank_operator(data, 0.3, 0.1)
+      |  aoflagger.high_pass_filter(data, 21, 31, 2.5, 5.0)
+      |  aoflagger.set_progress(1, 1)
+      |end""".stripMargin
+
+  test("Lua translation: tuned MWA-shaped file maps exactly onto the " +
+    "q_r1b strategy; untranslatable calls surface verbatim") {
+    import graft.ops.LuaStrategy
+    val tr = LuaStrategy.translate(tunedLua)
+    // 6.0 * 0.8333333333333334 == 5.0 exactly in IEEE doubles, and the
+    // 0.5 / 2.0 levels reciprocate exactly — the translation equals the
+    // q_r1b gate's strategy bit-for-bit
+    assert(tr.strategy == RfiStrategy.parse(
+      "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
+        "sir_eta_time = 0.3\nsir_eta_chan = 0.1"))
+    assert(tr.unmapped ==
+      Seq("aoflagger.high_pass_filter(data, 21, 31, 2.5, 5.0)"),
+      s"unmapped was ${tr.unmapped}")
+  }
+
+  test("Lua translation: q_r1b output reproduced end-to-end from the " +
+    "translated file") {
+    import graft.ops.LuaStrategy
+    val dir = java.nio.file.Files.createTempDirectory("lua")
+    val f = dir.resolve("mwa-tuned.lua")
+    java.nio.file.Files.writeString(f, tunedLua)
+    val tr = LuaStrategy.fromFile(f.toString)
+    val flagged = FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
+    val fromLua = RfiFlag(flagged, tr.strategy)
+    val gate = RfiFlag(flagged, RfiStrategy.parse(
+      "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
+        "sir_eta_time = 0.3\nsir_eta_chan = 0.1"))
+    assert(fromLua.except(gate).isEmpty && gate.except(fromLua).isEmpty,
+      "translated Lua strategy must reproduce the q_r1b gate rows")
+  }
+
+  test("Lua translation: a file that never calls SIR runs without " +
+    "SIR, not with engine defaults") {
+    import graft.ops.LuaStrategy
+    val tr = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.sumthreshold(data, 1.0, 1.0, true, true)
+        |end""".stripMargin)
+    assert(tr.strategy.sirEtaTime == 0.0 && tr.strategy.sirEtaChan == 0.0)
+    assert(tr.unmapped.isEmpty)
+  }
 }
