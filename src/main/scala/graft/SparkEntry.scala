@@ -97,6 +97,17 @@ object SparkEntry {
     "q_f7_unflagged_ranges" -> ((s, dir) =>
       FlagOps.unflaggedTimestepRanges(flagged(s, dir))),
 
+    // F8: quack-time step rounding — the reference takes flag_init from
+    // the metafits QUACKTIM with NO multiple-of-timestep validation
+    // (flags.rs:133) and flags by time comparison against
+    // common_start + flag_init (flags.rs:165-172), which for a
+    // non-integer multiple of corr_int_time_ms is CEILING-of-steps
+    // semantics. QUACKTIM 3.0 s at 2.0 s int-time must quack exactly
+    // ceil(3/2) = 2 leading timesteps; the oracle pins the literal 2,
+    // so a floor/round slip silently unflagging timestep 1 flips it
+    "q_f8_quack_ceiling" -> ((s, dir) =>
+      graft.sources.MetafitsReader.timestep(s, quackMetafitsParsed)),
+
     "q_w2_weights" -> ((s, dir) =>
       weighted(s, dir).select("t", "bl", "chan", "weight")),
 
@@ -578,6 +589,17 @@ object SparkEntry {
   private lazy val metafitsParsed: graft.sources.MetafitsReader.Metafits =
     graft.sources.MetafitsReader.read(metafitsFixture)
 
+  /** Metafits fixture whose QUACKTIM (3.0 s) is a non-integer multiple
+    * of INTTIME (2.0 s), for the q_f8 ceiling-semantics gate.
+    */
+  private lazy val quackMetafitsParsed
+      : graft.sources.MetafitsReader.Metafits = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quack")
+    dir.toFile.deleteOnExit()
+    graft.sources.MetafitsReader.read(graft.synth.MetafitsSynth.write(
+      dir.resolve("quack.metafits").toString, quackTimS = Some(3.0)))
+  }
+
   private lazy val aocalFixture: String = {
     val (tiles, chans) = (8, 4)
     val jones = Array.tabulate(1, tiles, chans) { (_, tile, ch) =>
@@ -618,6 +640,7 @@ object SparkEntry {
     "q_p5_picket_ranges" -> Oracles.p5PicketRanges,
     "q_f6_set_flags" -> Oracles.f6SetFlags,
     "q_f7_unflagged_ranges" -> Oracles.f7UnflaggedRanges,
+    "q_f8_quack_ceiling" -> Oracles.f8QuackCeiling,
     "q_w2_weights" -> Oracles.w2Weights,
     "q_a1_avg" -> Oracles.a1Avg,
     "q_c1_cable" -> Oracles.c1Cable,

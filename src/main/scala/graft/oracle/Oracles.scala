@@ -109,6 +109,19 @@ object Oracles {
       |GROUP BY grp""".stripMargin,
     OracleSql.visFlaggedCte)
 
+  /** q_f8: QUACKTIM 3.0 s at 2.0 s int-time quacks ceil(3/2) = 2
+    * leading timesteps (reference flags.rs:133 takes flag_init from the
+    * metafits unvalidated; flags.rs:165-172 flags by time comparison,
+    * i.e. ceiling over steps). The `i < 2` literal IS the pin — a
+    * floor/round slip in the seconds→steps derivation flips the gate.
+    */
+  val f8QuackCeiling: String =
+    """SELECT CAST(i AS BIGINT) AS t,
+      |  1254670392 + CAST(i * 2 AS BIGINT) AS gps_s,
+      |  1254670392e0 + i * 2e0 + 1e0 AS centroid_s,
+      |  (i < 2 OR i >= 15) AS ts_flag
+      |FROM range(0, 16) r(i)""".stripMargin
+
   val w2Weights: String = OracleSql.queryWeighted(
     "SELECT t, bl, chan, weight FROM vis_weighted")
 

@@ -58,7 +58,8 @@ object MetafitsSynth {
             oversampled: Boolean = false,
             deripple: Boolean = false,
             pointingDeg: Option[(Double, Double)] = None,
-            phaseDeg: Option[(Double, Double)] = None): String = {
+            phaseDeg: Option[(Double, Double)] = None,
+            quackTimS: Option[Double] = None): String = {
     val nIn = Obs.NumAnts * 2
 
     val centreCards =
@@ -76,7 +77,8 @@ object MetafitsSynth {
       card("FINECHAN", (Obs.FineChanWidthHz / 1000.0).toString),
       card("NCHANS", Obs.NumChans.toString),
       card("NSCANS", Obs.NumTimesteps.toString),
-      card("QUACKTIM", (Obs.FlagInitSteps * Obs.IntTimeS).toString),
+      card("QUACKTIM",
+        quackTimS.getOrElse(Obs.FlagInitSteps * Obs.IntTimeS).toString),
       card("NINPUTS", nIn.toString),
       card("CHANNELS",
         "'" + (109 until 109 + Obs.NumCoarse).mkString(",") + "'"),

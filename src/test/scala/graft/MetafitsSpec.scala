@@ -67,6 +67,25 @@ class MetafitsSpec extends AnyFunSuite {
       rows(Dims.timestep(spark)))
   }
 
+  test("QUACKTIM that is a non-integer multiple of INTTIME quacks " +
+    "ceil(quack/int) steps (reference flags.rs:133+165-172)") {
+    val dir = java.nio.file.Files.createTempDirectory("metafits_q")
+    val m3 = MetafitsReader.read(MetafitsSynth.write(
+      dir.resolve("q3.metafits").toString, quackTimS = Some(3.0)))
+    // the reference flags timesteps with unix_time < common_start +
+    // trunc(flag_init·1000) ms — at 2 s steps, 3.0 s quacks t0 and t1
+    assert(m3.quackTimS == 3.0 && m3.quackSteps == 2)
+    val flagged = MetafitsReader.timestep(spark, m3)
+      .where(org.apache.spark.sql.functions.col("ts_flag"))
+      .select("t").collect().map(_.getLong(0)).sorted
+    assert(flagged.toSeq == Seq(0L, 1L, 15L),
+      "t0,t1 quacked by ceiling; t15 by flag_end")
+    // exact multiple stays exact: 4.0 s quacks exactly 2, not 3
+    val m4 = MetafitsReader.read(MetafitsSynth.write(
+      dir.resolve("q4.metafits").toString, quackTimS = Some(4.0)))
+    assert(m4.quackSteps == 2)
+  }
+
   test("cable correction on parsed metafits == on synthetic dims") {
     val vis = VisSynth.vis(spark, "/root/testdata/sf0.001")
     val onParsed = CableCorrection(vis,
