@@ -7,18 +7,31 @@ import org.apache.spark.sql.functions._
 /** Event-stream operators over the `events` table (batch side; the
   * Structured Streaming twin lives in graft.streaming.EventsStream).
   *
-  * The events parquet stores nanosecond timestamps, which Spark's parquet
-  * reader rejects; [[readEvents]] reads them as raw nano longs
-  * (spark.sql.legacy.parquet.nanosAsLong) and all window math is integer
-  * arithmetic on nanos — deterministic and identical to the DuckDB
-  * oracle's epoch_ns.
+  * The events fixture has shipped with two physical `ts` encodings
+  * (nanosecond int64, which Spark reads as raw longs under
+  * spark.sql.legacy.parquet.nanosAsLong, and plain microsecond
+  * TIMESTAMP); [[readEvents]] normalises BOTH to one integer `ts_us`
+  * epoch-microsecond column so every downstream window is integer
+  * arithmetic — deterministic and identical to the DuckDB oracle's
+  * `epoch_ns(ts) // 1000`.
   */
 object Events {
 
+  /** Epoch-microseconds expression for a `ts` column of either physical
+    * type. Timestamp columns go through a cast to session-zoned
+    * timestamp; every entry point pins spark.sql.session.timeZone=UTC,
+    * so this matches DuckDB's treat-naive-as-UTC epoch_ns exactly.
+    */
+  def tsMicros(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+  }
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", tsMicros(raw.schema("ts").dataType))
   }
 
   /** Tumbling 5-minute windows per event type: count + sum(value).

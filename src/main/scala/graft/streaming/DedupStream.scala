@@ -25,9 +25,7 @@ object DedupStream {
     * realistic cardinality, unlike the handful-valued event_type).
     */
   def dedupByContent(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventsStream.schema)
-      .parquet(s"$dir/events.*")
+    EventsStream.readEventsStream(spark, dir)
       .withColumn("content_hash", md5(col("props")))
       .dropDuplicates("content_hash")
       .select("content_hash", "props")

@@ -18,16 +18,32 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** The events schema with nanosecond timestamps as raw longs (matching
-    * Events.readEvents).
+  /** Streams must pin a schema up front, but the events fixture has
+    * shipped with two physical `ts` encodings (nanosecond int64 and
+    * microsecond TIMESTAMP — see Events.readEvents). Discover the real
+    * schema from the existing files' footers (driver-side, no data
+    * scan) so the pinned stream schema always matches the bytes on
+    * disk; new micro-batch files of the same table keep that schema.
     */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def discoverSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.*").schema
+  }
+
+  /** Schema-adaptive streaming read of an events dir, normalised to an
+    * integer `ts_us` epoch-microsecond column plus an `event_time`
+    * TIMESTAMP for watermarking — the streaming twin of
+    * Events.readEvents. The glob scopes the stream to the events table:
+    * a bare testdata dir holds OTHER tables' parquet too, which a
+    * schema-pinned reader would surface as all-null rows.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = discoverSchema(spark, dir)
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/events.*")
+      .withColumn("ts_us", graft.llm.Events.tsMicros(schema("ts").dataType))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+  }
 
   /** Windowed count/sum per event type with a 10-minute watermark.
     * `dir` is a directory of events parquet files (files appearing later
@@ -35,15 +51,7 @@ object EventsStream {
     */
   def windowedCounts(spark: SparkSession, dir: String,
                      windowDur: String = "5 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // scope the stream to the events table (glob — the source wants a
-    // directory or pattern): a bare testdata dir holds OTHER tables'
-    // parquet too, which a schema-pinned reader would surface as
-    // all-null rows
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.*")
-      .withColumn("event_time",
-        timestamp_micros(expr("ts div 1000")))
+    val stream = readEventsStream(spark, dir)
     stream
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), windowDur), col("event_type"))

@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: Spark's reading of the driver testdata's awkward types
-  * (nanosecond parquet timestamps in events — read as raw nanos longs).
+/** Dev probe: Spark's reading of the driver testdata's timestamp
+  * encodings (the events fixture has shipped as both nanosecond int64
+  * and microsecond TIMESTAMP — Events.readEvents adapts to either).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -13,11 +14,9 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.llm.Events.readEvents(spark, "/root/testdata/sf0.001")
     ev.printSchema()
-    ev.select(col("ts"), (col("ts") / 1000L).cast("long").as("us"))
-      .show(3, false)
+    ev.select(col("ts"), col("ts_us")).show(3, false)
     spark.stop()
   }
 }
