@@ -17,7 +17,18 @@ final case class MwafRow(cc: Long, t: Long, bl: Long, flag_mask: Long)
   * VERSION/OBSID/GPSSTART/NCHANS/NANTENNA/NSCANS (mwaf.rs:263-349), and
   * a FLAGS bit-column table with one row per (timestep, baseline), each
   * cell a fine-channel bitvector (mwaf.rs:424-495). `finalise` verifies
-  * the row count (mwaf.rs:504-510) — mirrored here by a require().
+  * the row count (mwaf.rs:504-510) — mirrored here by a require() —
+  * and then bakes occupancy/provenance extension tables into each file
+  * (mwaf.rs:512-625): CH_OCC (per-fine-channel flagged count +
+  * occupancy fraction over all rows), BL_OCC (per-baseline ant pair,
+  * flagged count, occupancy over timesteps·channels), and TILES
+  * (antenna index → tile name). The same three tables are appended
+  * here, accumulated ON THE EXECUTORS while the rows stream out (the
+  * reference accumulates them in its write loop the same way,
+  * mwaf.rs:452-467) — zero extra passes over the data. Extension rows
+  * are big-endian fixed-width records under 2880-byte card-block
+  * headers (XTENSION/EXTNAME/NAXIS2/NROWBYTE), the same GRAFT dialect
+  * deviation as the primary data block (README "Format notes").
   *
   * Fully distributed: the bit-packing runs in the
   * [[Sinks.mwafBitmask]] aggregate, and the per-coarse-channel files are
@@ -41,6 +52,28 @@ object MwafWriter {
   private def card(key: String, value: String): String =
     (key.take(8).padTo(8, ' ') + "= " +
       value.reverse.padTo(20, ' ').reverse).padTo(80, ' ')
+
+  /** One finalise extension table as bytes: a card-block header
+    * (XTENSION/EXTNAME/NAXIS2/NROWBYTE then END, padded to 2880) and
+    * `nRows` big-endian fixed-width records zero-padded to the next
+    * 2880 boundary. `fill` appends record `i` to the buffer.
+    */
+  private def extBlock(extname: String, nRows: Int, rowBytes: Int)
+      (fill: (java.nio.ByteBuffer, Int) => Unit): Array[Byte] = {
+    val head = Seq(
+      card("XTENSION", "'BINTABLE'"),
+      card("EXTNAME", s"'$extname'"),
+      card("NAXIS2", nRows.toString),
+      card("NROWBYTE", rowBytes.toString),
+      "END".padTo(80, ' ')).mkString
+    val headPad = head + " " * ((2880 - head.length % 2880) % 2880)
+    val dataLen = nRows * rowBytes
+    val padded = dataLen + ((2880 - dataLen % 2880) % 2880)
+    val buf = java.nio.ByteBuffer.allocate(headPad.length + padded)
+    buf.put(headPad.getBytes("ASCII"))
+    (0 until nRows).foreach(i => fill(buf, i))
+    buf.array()
+  }
 
   /** Write one file per coarse channel into `dir`, named
     * `flags_%%.mwaf` with %% = coarse channel id. Returns rows written
@@ -76,8 +109,26 @@ object MwafWriter {
       .select("cc", "t", "bl", "flag_mask")
 
     val nScans = meta.nScans
-    val nBl = meta.nAnts * (meta.nAnts + 1) / 2
+    val nAnts = meta.nAnts
+    val nBl = nAnts * (nAnts + 1) / 2
     val bytesPerRow = (meta.fineChansPerCoarse + 7) / 8
+    // TILES provenance: container tile_name when present (real
+    // metafits), else the MWA TileNNN convention — the same seam the
+    // uvfits AIPS AN writer uses. Dimension-sized driver state.
+    val antDf = meta.antenna(spark)
+    val tileNames: Array[String] =
+      (if (antDf.columns.contains("tile_name"))
+         antDf.select(col("ant"), col("tile_name"))
+           .as[(Long, String)].collect()
+       else antDf.select(col("ant")).as[Long].collect()
+         .map(a => (a, f"Tile$a%03d")))
+        .sortBy(_._1).map(_._2)
+    require(tileNames.length == nAnts,
+      s"antenna dim has ${tileNames.length} rows, metadata says $nAnts")
+    // dense (ant1 <= ant2) pair enumeration — the bl sort order
+    val antPairs: Array[(Int, Int)] =
+      (for (a1 <- 0 until nAnts; a2 <- a1 until nAnts)
+        yield (a1, a2)).toArray
     val obsId = meta.gpsStartS.toLong
     val header = Seq(
       card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
@@ -118,6 +169,10 @@ object MwafWriter {
         var out: BufferedOutputStream = null
         var curCc = -1L
         var rowsInFile = 0L
+        // finalise-state accumulated while rows stream out (reference
+        // mwaf.rs:452-467 keeps the same two counters in its loop)
+        val chCount = new Array[Long](fpc)
+        val blCount = new Array[Long](nBl)
         def tmpPath(cc: Long) = new Path(dirPath,
           "." + template.replace("%%", cc.toString) + s".attempt$attempt")
         def finalPath(cc: Long) = new Path(dirPath,
@@ -126,9 +181,28 @@ object MwafWriter {
           val dataLen = rowsInFile * bytesPerRow
           out.write(
             new Array[Byte](((2880 - dataLen % 2880) % 2880).toInt))
-          out.close()
+          // finalise (reference mwaf.rs:504-625): row-count invariant,
+          // then the occupancy/provenance extension tables
           require(rowsInFile == nScans.toLong * nBl,
             s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
+          val totalRows = nScans.toLong * nBl
+          out.write(extBlock("CH_OCC", fpc, 20) { (buf, i) =>
+            buf.putInt(i)
+            buf.putLong(chCount(i))
+            buf.putDouble(chCount(i).toDouble / totalRows)
+          })
+          out.write(extBlock("BL_OCC", nBl, 28) { (buf, i) =>
+            buf.putInt(i)
+            buf.putInt(antPairs(i)._1)
+            buf.putInt(antPairs(i)._2)
+            buf.putLong(blCount(i))
+            buf.putDouble(blCount(i).toDouble / (nScans.toLong * fpc))
+          })
+          out.write(extBlock("TILES", nAnts, 12) { (buf, i) =>
+            buf.putInt(i)
+            buf.put(tileNames(i).take(8).padTo(8, ' ').getBytes("ASCII"))
+          })
+          out.close()
           FileContext.getFileContext(dirPath.toUri, conf)
             .rename(tmpPath(curCc), finalPath(curCc),
               Options.Rename.OVERWRITE)
@@ -140,6 +214,8 @@ object MwafWriter {
             closeFile()
             curCc = r.cc
             rowsInFile = 0
+            java.util.Arrays.fill(chCount, 0L)
+            java.util.Arrays.fill(blCount, 0L)
             inFlight = Some(tmpPath(curCc))
             out = new BufferedOutputStream(
               fs.create(tmpPath(curCc), true), 1 << 16)
@@ -150,6 +226,15 @@ object MwafWriter {
             out.write(((r.flag_mask >> (8 * b)) & 0xff).toInt)
             b += 1
           }
+          // occupancy accumulation: rows stream in (t, bl) order, so
+          // the dense baseline index is rowsInFile mod nBl
+          var ch = 0
+          while (ch < fpc) {
+            chCount(ch) += (r.flag_mask >> ch) & 1L
+            ch += 1
+          }
+          blCount((rowsInFile % nBl).toInt) +=
+            java.lang.Long.bitCount(r.flag_mask)
           rowsInFile += 1
         }
         closeFile()
