@@ -14,6 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait MetaSource {
   def antenna(s: SparkSession): DataFrame
+
+  /** The antenna dim when this source actually provides one.
+    * Provenance-only consumers (the mwaf TILES extension) consult this
+    * and fall back to the MWA `TileNNN` naming convention derived from
+    * `nAnts` alone when it is `None` — mwaf writing itself needs only
+    * the timestep/baseline dims (the contract `MwafForeignSpec` pins;
+    * the reference's finalise likewise writes provenance from context
+    * it already holds, /root/reference/src/io/mwaf.rs:504-625, never
+    * demanding extra inputs at finalise time).
+    */
+  def antennaOpt(s: SparkSession): Option[DataFrame] = Some(antenna(s))
   def timestep(s: SparkSession): DataFrame
   def chan(s: SparkSession): DataFrame
   def baseline(s: SparkSession): DataFrame

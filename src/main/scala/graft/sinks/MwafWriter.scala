@@ -11,24 +11,29 @@ import org.apache.spark.sql.functions._
 /** One dense-grid row of the mwaf flag table. */
 final case class MwafRow(cc: Long, t: Long, bl: Long, flag_mask: Long)
 
-/** K3: mwaf-style binary flag files
+/** K3: mwaf binary flag files
   * (/root/reference/src/io/mwaf.rs): one FITS file per coarse channel
-  * (template `%%` → gpubox id, mwaf.rs:105-138), header keys
-  * VERSION/OBSID/GPSSTART/NCHANS/NANTENNA/NSCANS (mwaf.rs:263-349), and
-  * a FLAGS bit-column table with one row per (timestep, baseline), each
-  * cell a fine-channel bitvector (mwaf.rs:424-495). `finalise` verifies
-  * the row count (mwaf.rs:504-510) — mirrored here by a require() —
-  * and then bakes occupancy/provenance extension tables into each file
-  * (mwaf.rs:512-625): CH_OCC (per-fine-channel flagged count +
-  * occupancy fraction over all rows), BL_OCC (per-baseline ant pair,
-  * flagged count, occupancy over timesteps·channels), and TILES
-  * (antenna index → tile name). The same three tables are appended
-  * here, accumulated ON THE EXECUTORS while the rows stream out (the
-  * reference accumulates them in its write loop the same way,
-  * mwaf.rs:452-467) — zero extra passes over the data. Extension rows
-  * are big-endian fixed-width records under 2880-byte card-block
-  * headers (XTENSION/EXTNAME/NAXIS2/NROWBYTE), the same GRAFT dialect
-  * deviation as the primary data block (README "Format notes").
+  * (template `%%` → gpubox id, mwaf.rs:105-138), a primary HDU carrying
+  * VERSION/OBSID/GPSSTART/NCHANS/NANTENNA/NSCANS (mwaf.rs:263-349), a
+  * FLAGS binary table with one row per (timestep, baseline), each cell
+  * a fine-channel bit-array column (TFORM `nX`, mwaf.rs:424-495), and —
+  * baked in at `finalise` after the row count is verified
+  * (mwaf.rs:504-510) — three occupancy/provenance extension tables
+  * (mwaf.rs:512-625): CH_OCC (Index/Count/Occupancy per fine channel),
+  * BL_OCC (Index/Antenna1/Antenna2/Count/Occupancy per baseline) and
+  * TILES (Antenna/TileName). All four tables are written as
+  * STANDARD-CONFORMING FITS BINTABLE extensions (fixed-format cards,
+  * XTENSION/BITPIX/NAXIS1/NAXIS2/PCOUNT/GCOUNT/TFIELDS/TTYPEn/TFORMn/
+  * EXTNAME, big-endian column payloads, 2880-byte block alignment) with
+  * the reference's column names and types, so an astropy-class FITS
+  * reader parses them exactly as it parses the reference's files. Bit
+  * columns follow the FITS `X` convention: the first bit of the field
+  * is the MOST significant bit of the first byte (cfitsio ffpclx
+  * packing, used by the reference's writer at mwaf.rs:474-482).
+  *
+  * The occupancy tables are accumulated ON THE EXECUTORS while the
+  * rows stream out (the reference accumulates them in its write loop
+  * the same way, mwaf.rs:452-467) — zero extra passes over the data.
   *
   * Fully distributed: the bit-packing runs in the
   * [[Sinks.mwafBitmask]] aggregate, and the per-coarse-channel files are
@@ -49,30 +54,78 @@ final case class MwafRow(cc: Long, t: Long, bl: Long, flag_mask: Long)
   */
 object MwafWriter {
 
+  /** Fixed-format FITS card with a right-justified value (integers,
+    * logicals) in columns 11–30.
+    */
   private def card(key: String, value: String): String =
     (key.take(8).padTo(8, ' ') + "= " +
       value.reverse.padTo(20, ' ').reverse).padTo(80, ' ')
 
-  /** One finalise extension table as bytes: a card-block header
-    * (XTENSION/EXTNAME/NAXIS2/NROWBYTE then END, padded to 2880) and
-    * `nRows` big-endian fixed-width records zero-padded to the next
-    * 2880 boundary. `fill` appends record `i` to the buffer.
+  /** Fixed-format FITS card with a quoted string value starting at
+    * column 11, padded to the standard's 8-char minimum.
     */
-  private def extBlock(extname: String, nRows: Int, rowBytes: Int)
-      (fill: (java.nio.ByteBuffer, Int) => Unit): Array[Byte] = {
-    val head = Seq(
-      card("XTENSION", "'BINTABLE'"),
-      card("EXTNAME", s"'$extname'"),
+  private def cardStr(key: String, value: String): String =
+    (key.take(8).padTo(8, ' ') + "= '" + value.padTo(8, ' ') + "'")
+      .padTo(80, ' ')
+
+  private def pad2880(s: String): Array[Byte] =
+    (s + " " * ((2880 - s.length % 2880) % 2880)).getBytes("ASCII")
+
+  /** Conforming BINTABLE extension header: mandatory cards in the
+    * standard's order, one TTYPE/TFORM pair per field, EXTNAME, END.
+    */
+  private def binTableHeader(extname: String, nRows: Long, rowBytes: Int,
+                             fields: Seq[(String, String)]): Array[Byte] = {
+    val cards = Seq(
+      cardStr("XTENSION", "BINTABLE"),
+      card("BITPIX", "8"),
+      card("NAXIS", "2"),
+      card("NAXIS1", rowBytes.toString),
       card("NAXIS2", nRows.toString),
-      card("NROWBYTE", rowBytes.toString),
-      "END".padTo(80, ' ')).mkString
-    val headPad = head + " " * ((2880 - head.length % 2880) % 2880)
+      card("PCOUNT", "0"),
+      card("GCOUNT", "1"),
+      card("TFIELDS", fields.length.toString)) ++
+      fields.zipWithIndex.flatMap { case ((ttype, tform), i) =>
+        Seq(cardStr(s"TTYPE${i + 1}", ttype),
+          cardStr(s"TFORM${i + 1}", tform))
+      } ++ Seq(cardStr("EXTNAME", extname), "END".padTo(80, ' '))
+    pad2880(cards.mkString)
+  }
+
+  /** One finalise extension table as bytes: conforming BINTABLE header
+    * then `nRows` big-endian fixed-width records zero-padded to the
+    * next 2880 boundary. `fill` appends record `i` to the buffer.
+    */
+  private def extBlock(extname: String, nRows: Int, rowBytes: Int,
+                       fields: Seq[(String, String)])
+      (fill: (java.nio.ByteBuffer, Int) => Unit): Array[Byte] = {
+    val head = binTableHeader(extname, nRows.toLong, rowBytes, fields)
     val dataLen = nRows * rowBytes
     val padded = dataLen + ((2880 - dataLen % 2880) % 2880)
-    val buf = java.nio.ByteBuffer.allocate(headPad.length + padded)
-    buf.put(headPad.getBytes("ASCII"))
+    val buf = java.nio.ByteBuffer.allocate(head.length + padded)
+    buf.put(head)
     (0 until nRows).foreach(i => fill(buf, i))
     buf.array()
+  }
+
+  /** Pack a fine-channel flag mask (bit `ch` = channel `ch` flagged)
+    * into FITS `X`-column bytes: channel `8b+k` lands in byte `b` at
+    * bit `7-k` (first bit = MSB of first byte, the cfitsio packing).
+    */
+  def packBits(mask: Long, fpc: Int, out: Array[Byte]): Unit = {
+    var b = 0
+    val n = (fpc + 7) / 8
+    while (b < n) {
+      var byte = 0
+      var k = 0
+      while (k < 8) {
+        val ch = 8 * b + k
+        if (ch < fpc && ((mask >> ch) & 1L) == 1L) byte |= 1 << (7 - k)
+        k += 1
+      }
+      out(b) = byte.toByte
+      b += 1
+    }
   }
 
   /** Write one file per coarse channel into `dir`, named
@@ -111,18 +164,21 @@ object MwafWriter {
     val nScans = meta.nScans
     val nAnts = meta.nAnts
     val nBl = nAnts * (nAnts + 1) / 2
-    val bytesPerRow = (meta.fineChansPerCoarse + 7) / 8
-    // TILES provenance: container tile_name when present (real
-    // metafits), else the MWA TileNNN convention — the same seam the
-    // uvfits AIPS AN writer uses. Dimension-sized driver state.
-    val antDf = meta.antenna(spark)
-    val tileNames: Array[String] =
-      (if (antDf.columns.contains("tile_name"))
-         antDf.select(col("ant"), col("tile_name"))
-           .as[(Long, String)].collect()
-       else antDf.select(col("ant")).as[Long].collect()
-         .map(a => (a, f"Tile$a%03d")))
-        .sortBy(_._1).map(_._2)
+    val bytesPerRow = (fpc + 7) / 8
+    // TILES provenance: container tile_name when the seam provides an
+    // antenna dim (real metafits), else the MWA TileNNN convention
+    // derived from nAnts alone — mwaf writing itself must keep needing
+    // only the timestep/baseline dims (MwafForeignSpec's contract).
+    val tileNames: Array[String] = meta.antennaOpt(spark) match {
+      case Some(antDf) if antDf.columns.contains("tile_name") =>
+        antDf.select(col("ant"), col("tile_name"))
+          .as[(Long, String)].collect().sortBy(_._1).map(_._2)
+      case Some(antDf) =>
+        antDf.select(col("ant")).as[Long].collect().sorted
+          .map(a => f"Tile$a%03d")
+      case None =>
+        Array.tabulate(nAnts)(a => f"Tile$a%03d")
+    }
     require(tileNames.length == nAnts,
       s"antenna dim has ${tileNames.length} rows, metadata says $nAnts")
     // dense (ant1 <= ant2) pair enumeration — the bl sort order
@@ -130,16 +186,22 @@ object MwafWriter {
       (for (a1 <- 0 until nAnts; a2 <- a1 until nAnts)
         yield (a1, a2)).toArray
     val obsId = meta.gpsStartS.toLong
-    val header = Seq(
+    // primary HDU: NAXIS=0 + the reference's observation keys
+    // (mwaf.rs:293-310; GPSSTART written as a string there too)
+    val primary = pad2880(Seq(
       card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
-      card("VERSION", "'2.0'"),
+      card("EXTEND", "T"),
+      cardStr("VERSION", "2.0"),
       card("OBSID", obsId.toString),
-      card("GPSSTART", obsId.toString),
-      card("NCHANS", meta.fineChansPerCoarse.toString),
-      card("NANTENNA", meta.nAnts.toString),
+      cardStr("GPSSTART", obsId.toString),
+      card("NCHANS", fpc.toString),
+      card("NANTENNA", nAnts.toString),
       card("NSCANS", nScans.toString),
-      "END".padTo(80, ' ')).mkString
-    val headPad = header + " " * ((2880 - header.length % 2880) % 2880)
+      card("NPOLS", "1"),
+      cardStr("SOFTWARE", "graft"),
+      "END".padTo(80, ' ')).mkString)
+    val flagsHead = binTableHeader("FLAGS", nScans.toLong * nBl,
+      bytesPerRow, Seq(("FLAGS", s"${fpc}X")))
     val sconf = SlabIO.serializableConf(spark)
 
     // hash-partition on cc: every coarse channel lands whole in one
@@ -173,6 +235,7 @@ object MwafWriter {
         // mwaf.rs:452-467 keeps the same two counters in its loop)
         val chCount = new Array[Long](fpc)
         val blCount = new Array[Long](nBl)
+        val rowBuf = new Array[Byte](bytesPerRow)
         def tmpPath(cc: Long) = new Path(dirPath,
           "." + template.replace("%%", cc.toString) + s".attempt$attempt")
         def finalPath(cc: Long) = new Path(dirPath,
@@ -182,23 +245,29 @@ object MwafWriter {
           out.write(
             new Array[Byte](((2880 - dataLen % 2880) % 2880).toInt))
           // finalise (reference mwaf.rs:504-625): row-count invariant,
-          // then the occupancy/provenance extension tables
+          // then the occupancy/provenance extension tables with the
+          // reference's exact column names/types (mwaf.rs:547-624)
           require(rowsInFile == nScans.toLong * nBl,
             s"mwaf row-count invariant: $rowsInFile != $nScans*$nBl")
           val totalRows = nScans.toLong * nBl
-          out.write(extBlock("CH_OCC", fpc, 20) { (buf, i) =>
-            buf.putInt(i)
-            buf.putLong(chCount(i))
-            buf.putDouble(chCount(i).toDouble / totalRows)
+          out.write(extBlock("CH_OCC", fpc, 20, Seq(
+            ("Index", "1J"), ("Count", "1K"), ("Occupancy", "1D"))) {
+            (buf, i) =>
+              buf.putInt(i)
+              buf.putLong(chCount(i))
+              buf.putDouble(chCount(i).toDouble / totalRows)
           })
-          out.write(extBlock("BL_OCC", nBl, 28) { (buf, i) =>
+          out.write(extBlock("BL_OCC", nBl, 28, Seq(
+            ("Index", "1J"), ("Antenna1", "1J"), ("Antenna2", "1J"),
+            ("Count", "1K"), ("Occupancy", "1D"))) { (buf, i) =>
             buf.putInt(i)
             buf.putInt(antPairs(i)._1)
             buf.putInt(antPairs(i)._2)
             buf.putLong(blCount(i))
             buf.putDouble(blCount(i).toDouble / (nScans.toLong * fpc))
           })
-          out.write(extBlock("TILES", nAnts, 12) { (buf, i) =>
+          out.write(extBlock("TILES", nAnts, 12, Seq(
+            ("Antenna", "1J"), ("TileName", "8A"))) { (buf, i) =>
             buf.putInt(i)
             buf.put(tileNames(i).take(8).padTo(8, ' ').getBytes("ASCII"))
           })
@@ -219,13 +288,11 @@ object MwafWriter {
             inFlight = Some(tmpPath(curCc))
             out = new BufferedOutputStream(
               fs.create(tmpPath(curCc), true), 1 << 16)
-            out.write(headPad.getBytes("ASCII"))
+            out.write(primary)
+            out.write(flagsHead)
           }
-          var b = 0
-          while (b < bytesPerRow) {
-            out.write(((r.flag_mask >> (8 * b)) & 0xff).toInt)
-            b += 1
-          }
+          packBits(r.flag_mask, fpc, rowBuf)
+          out.write(rowBuf)
           // occupancy accumulation: rows stream in (t, bl) order, so
           // the dense baseline index is rowsInFile mod nBl
           var ch = 0

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * reads its own mwaf output the same way in the round-trip tests,
   * /root/reference/src/io/mwaf.rs:513-599).
   *
-  * Layout recap (one FITS file per coarse channel, `flags_<cc>.mwaf`):
-  * a primary header (2880-byte card blocks to END) carrying
-  * NCHANS (fine chans per coarse), NANTENNA, NSCANS; then the dense
-  * flag table — NSCANS·nBaselines rows in (t, bl-ascending) order,
-  * each row ceil(NCHANS/8) bytes of little-endian fine-channel
-  * bitmask. Baseline ids enumerate (ant1 ≤ ant2) pairs ascending by
-  * ant1·NANTENNA + ant2 — the same dense grid the writer emits.
+  * Layout recap (one standard FITS file per coarse channel,
+  * `flags_<cc>.mwaf`): a primary HDU (NAXIS=0) carrying NCHANS (fine
+  * chans per coarse), NANTENNA, NSCANS; a FLAGS BINTABLE extension —
+  * NSCANS·nBaselines rows in (t, bl-ascending) order, each row a
+  * ceil(NCHANS/8)-byte FITS `X` bit column (first bit = MSB of the
+  * first byte, the cfitsio packing); then the finalise extensions
+  * CH_OCC, BL_OCC and TILES as conforming BINTABLEs (big-endian
+  * fixed-width records; see the writer scaladoc). Baseline ids
+  * enumerate (ant1 ≤ ant2) pairs ascending by ant1·NANTENNA + ant2 —
+  * the same dense grid the writer emits.
   *
   * Scale shape: one task per file; each task streams its rows through
   * a positioned reader (memory O(row)). File count = coarse channels,
@@ -33,10 +36,13 @@ object MwafReader {
   final case class Header(nChans: Int, nAnts: Int, nScans: Int,
                           dataStart: Long)
 
-  /** Parse the primary header card blocks. */
-  def readHeader(rd: SlabIO.SlabReader): Header = {
+  /** Parse one 2880-aligned card block starting at `pos`; returns the
+    * keyword map and the position just past the block (= data start).
+    */
+  def readCards(rd: SlabIO.SlabReader, pos0: Long)
+      : (Map[String, String], Long) = {
     val cards = scala.collection.mutable.Map[String, String]()
-    var pos = 0L
+    var pos = pos0
     var ended = false
     while (!ended) {
       require(pos + 2880 <= rd.size, "unterminated mwaf header")
@@ -50,17 +56,67 @@ object MwafReader {
       }
       pos += 2880
     }
-    Header(
+    (cards.toMap, pos)
+  }
+
+  /** Strip the FITS string-value quoting (`'FLAGS   '` → `FLAGS`). */
+  def strVal(v: String): String =
+    v.stripPrefix("'").reverse.dropWhile(_ == ' ').reverse
+      .stripSuffix("'").reverse.dropWhile(_ == ' ').reverse
+
+  /** Walk the extension HDUs to the one named `extname`; returns its
+    * cards and data start.
+    */
+  def findExt(rd: SlabIO.SlabReader, extname: String)
+      : (Map[String, String], Long) = {
+    var (_, pos) = readCards(rd, 0L) // primary (NAXIS=0, no data)
+    while (pos < rd.size) {
+      val (cards, dataStart) = readCards(rd, pos)
+      val dataLen =
+        cards("NAXIS1").toLong * cards("NAXIS2").toLong
+      if (cards.get("EXTNAME").map(strVal).contains(extname))
+        return (cards, dataStart)
+      pos = dataStart + dataLen + ((2880 - dataLen % 2880) % 2880)
+    }
+    sys.error(s"no $extname extension in mwaf file")
+  }
+
+  /** Parse the primary header and locate the FLAGS table. */
+  def readHeader(rd: SlabIO.SlabReader): Header = {
+    val (cards, afterPrimary) = readCards(rd, 0L)
+    // the FLAGS BINTABLE is the first extension (reference
+    // create_table order, mwaf.rs:434-440)
+    val (ext, dataStart) = readCards(rd, afterPrimary)
+    require(ext.get("EXTNAME").map(strVal).contains("FLAGS"),
+      s"first mwaf extension is ${ext.get("EXTNAME")}, expected FLAGS")
+    val h = Header(
       nChans = cards("NCHANS").toInt,
       nAnts = cards("NANTENNA").toInt,
       nScans = cards("NSCANS").toInt,
-      dataStart = pos)
+      dataStart = dataStart)
+    require(ext("NAXIS1").toInt == (h.nChans + 7) / 8,
+      s"FLAGS NAXIS1 ${ext("NAXIS1")} != ceil(NCHANS/8)")
+    h
   }
 
   /** Ascending baseline ids of the dense (ant1 ≤ ant2) grid. */
   def baselineIds(nAnts: Int): Array[Long] =
     (for (a1 <- 0 until nAnts; a2 <- a1 until nAnts)
       yield (a1 * nAnts + a2).toLong).toArray
+
+  /** Unpack FITS `X`-column bytes back to the logical mask (bit `ch` =
+    * channel `ch`): channel `8b+k` is bit `7-k` of byte `b`.
+    */
+  def unpackBits(buf: java.nio.ByteBuffer, nChans: Int): Long = {
+    var mask = 0L
+    var ch = 0
+    while (ch < nChans) {
+      val byte = buf.get(ch / 8) & 0xff
+      if (((byte >> (7 - ch % 8)) & 1) == 1) mask |= 1L << ch
+      ch += 1
+    }
+    mask
+  }
 
   /** Decode one mwaf file into (cc, t, bl, flag_mask, n_chans) rows. */
   def decodeFile(path: String, cc: Long,
@@ -82,16 +138,51 @@ object MwafReader {
       s"mwaf truncated: $path declares $nRows rows")
     val iter = (0L until nRows).iterator.map { idx =>
       val buf = rd.readAt(h.dataStart + idx * bytesPerRow, bytesPerRow)
-      var mask = 0L
-      var b = 0
-      while (b < bytesPerRow) {
-        mask |= (buf.get(b) & 0xffL) << (8 * b)
-        b += 1
-      }
-      Row(cc, idx / nBl, bls((idx % nBl).toInt), mask,
-        h.nChans.toLong)
+      Row(cc, idx / nBl, bls((idx % nBl).toInt),
+        unpackBits(buf, h.nChans), h.nChans.toLong)
     }
     SlabIO.closeOnExhaust(iter)(() => rd.close())
+  }
+
+  /** Read the TILES provenance extension: (Antenna, TileName) rows —
+    * used by specs to pin the finalise provenance against the
+    * reference's schema (mwaf.rs:607-624). Dimension-sized.
+    */
+  def readTiles(path: String,
+                conf: org.apache.hadoop.conf.Configuration)
+      : Array[(Int, String)] = {
+    val rd = new SlabIO.SlabReader(path, conf)
+    try {
+      val (cards, dataStart) = findExt(rd, "TILES")
+      val n = cards("NAXIS2").toInt
+      val rowB = cards("NAXIS1").toInt
+      require(rowB == 12, s"TILES NAXIS1 $rowB != 12")
+      (0 until n).toArray.map { i =>
+        val buf = rd.readAt(dataStart + i.toLong * rowB, rowB)
+        val ant = buf.getInt(0)
+        val name = new Array[Byte](8)
+        var k = 0
+        while (k < 8) { name(k) = buf.get(4 + k); k += 1 }
+        (ant, new String(name, "ASCII").trim)
+      }
+    } finally rd.close()
+  }
+
+  /** Read the CH_OCC occupancy extension: (Index, Count, Occupancy). */
+  def readChOcc(path: String,
+                conf: org.apache.hadoop.conf.Configuration)
+      : Array[(Int, Long, Double)] = {
+    val rd = new SlabIO.SlabReader(path, conf)
+    try {
+      val (cards, dataStart) = findExt(rd, "CH_OCC")
+      val n = cards("NAXIS2").toInt
+      val rowB = cards("NAXIS1").toInt
+      require(rowB == 20, s"CH_OCC NAXIS1 $rowB != 20")
+      (0 until n).toArray.map { i =>
+        val buf = rd.readAt(dataStart + i.toLong * rowB, rowB)
+        (buf.getInt(0), buf.getLong(4), buf.getDouble(12))
+      }
+    } finally rd.close()
   }
 
   /** Read every `flags_<cc>.mwaf` under `dir` into one DataFrame. */

@@ -36,6 +36,9 @@ class MwafForeignSpec extends AnyFunSuite {
         .toDF("bl", "ant1", "ant2", "bl_flag")
     }
     def antenna(s: SparkSession): DataFrame = sys.error("unused")
+    // no antenna dim: the writer must fall back to TileNNN names
+    // derived from nAnts alone — mwaf needs only timestep/baseline
+    override def antennaOpt(s: SparkSession): Option[DataFrame] = None
     def chan(s: SparkSession): DataFrame = sys.error("unused")
     def digitalGain(s: SparkSession): DataFrame = sys.error("unused")
     def flaggedAnts(s: SparkSession): Seq[Long] = Nil
@@ -69,5 +72,40 @@ class MwafForeignSpec extends AnyFunSuite {
     // baseline ids enumerate the 4-antenna grid, not the default 8
     val bls = back.select("bl").distinct().as[Long].collect().sorted
     assert(bls.toSeq == graft.sources.MwafReader.baselineIds(4).toSeq)
+    // the TILES provenance fell back to the TileNNN convention
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tiles = graft.sources.MwafReader
+      .readTiles(s"$dir/flags_0.mwaf", conf)
+    assert(tiles.toSeq ==
+      (0 until 4).map(a => (a, f"Tile$a%03d")))
+  }
+
+  test("TILES carries real tile names when the antenna dim has them") {
+    import spark.implicits._
+    val named = new graft.model.MetaSource {
+      override def nAnts: Int = 4
+      override def nScans: Int = 3
+      override def fineChansPerCoarse: Int = 4
+      override def gpsStartS: Double = 999.0
+      def timestep(s: SparkSession): DataFrame = TinyMeta.timestep(s)
+      def baseline(s: SparkSession): DataFrame = TinyMeta.baseline(s)
+      def antenna(s: SparkSession): DataFrame = {
+        import s.implicits._
+        Seq((0L, "HexE001"), (1L, "HexE002"), (2L, "LBA4"),
+          (3L, "LBG7")).toDF("ant", "tile_name")
+      }
+      def chan(s: SparkSession): DataFrame = sys.error("unused")
+      def digitalGain(s: SparkSession): DataFrame = sys.error("unused")
+      def flaggedAnts(s: SparkSession): Seq[Long] = Nil
+    }
+    val vis = Seq((0L, 0L, 0L, 1L, true))
+      .toDF("cc", "t", "bl", "fc", "flag")
+    val dir = Files.createTempDirectory("mwaf_named").toString
+    graft.sinks.MwafWriter.write(vis, dir, meta = named)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tiles = graft.sources.MwafReader
+      .readTiles(s"$dir/flags_0.mwaf", conf)
+    assert(tiles.toSeq == Seq((0, "HexE001"), (1, "HexE002"),
+      (2, "LBA4"), (3, "LBG7")))
   }
 }
