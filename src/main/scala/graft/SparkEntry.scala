@@ -326,37 +326,67 @@ object SparkEntry {
         GeometryCorrection.partUvw(Dims.timestep(s), Dims.antenna(s)))),
 
     // K2b: the BINARY MS container loop — MAIN is written through the
-    // fixed-width container encode and its scalars read back out of
-    // table.f0 in physical row order; any byte-layout, descriptor, or
-    // row-order error in writer or reader flips the gate
+    // casacore-structure container encode (AipsIO + StManAipsIO) and
+    // its scalars read back out of table.f0 in physical row order;
+    // any byte-layout, descriptor, or row-order error in writer or
+    // reader flips the gate
     "q_k2b_ms_container" -> ((s, dir) => {
       val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
       val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
         Dims.antenna(s))
       graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
         msFixtureDir)
-      val (cols, nRows, data) = graft.sinks.MsContainer.readTable(
+      val dec = graft.sinks.MsContainer.readTable(
         msFixtureDir, s.sparkContext.hadoopConfiguration)
       import graft.sinks.MsContainer.cell
-      val rows = (0L until nRows).map { r =>
+      val rows = (0L until dec.nRows).map { r =>
         (r,
-          cell(cols, data, r, "TIME").head,
-          cell(cols, data, r, "ANTENNA1").head.toLong,
-          cell(cols, data, r, "ANTENNA2").head.toLong,
-          cell(cols, data, r, "UVW")(0),
-          cell(cols, data, r, "UVW")(1),
-          cell(cols, data, r, "UVW")(2),
-          cell(cols, data, r, "INTERVAL").head,
-          cell(cols, data, r, "EXPOSURE").head,
-          cell(cols, data, r, "FLAG_ROW").head == 1.0,
-          cell(cols, data, r, "DATA_DESC_ID").head.toLong,
-          cell(cols, data, r, "FIELD_ID").head.toLong,
-          cell(cols, data, r, "SCAN_NUMBER").head.toLong)
+          cell(dec, r, "TIME").head,
+          cell(dec, r, "ANTENNA1").head.toLong,
+          cell(dec, r, "ANTENNA2").head.toLong,
+          cell(dec, r, "UVW")(0),
+          cell(dec, r, "UVW")(1),
+          cell(dec, r, "UVW")(2),
+          cell(dec, r, "INTERVAL").head,
+          cell(dec, r, "EXPOSURE").head,
+          cell(dec, r, "FLAG_ROW").head == 1.0,
+          cell(dec, r, "DATA_DESC_ID").head.toLong,
+          cell(dec, r, "FIELD_ID").head.toLong,
+          cell(dec, r, "SCAN_NUMBER").head.toLong)
       }
       import s.implicits._
       rows.toDF("row_idx", "time_s", "ant1", "ant2", "u_m", "v_m",
         "w_m", "interval_s", "exposure_s", "flag_row", "data_desc_id",
         "field_id", "scan_number")
+    }),
+
+    // K2c: casacore STRUCTURAL audit of the written container — every
+    // AipsIO object header in table.dat and table.f0 of every table
+    // is walked with its 0xbebebebe magic verified by an independent
+    // decoder; the gate pins per-table row counts, column counts and
+    // object counts (which encode the whole Table → TableDesc →
+    // ColumnDesc* → ColumnSet / StManAipsIO → StManColumnAipsIO*
+    // chain shape). Runs after q_k2b's write of the same fixture.
+    "q_k2c_ms_casacore" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
+        msFixtureDir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val tables = Seq("MAIN" -> msFixtureDir,
+        "ANTENNA" -> s"$msFixtureDir/ANTENNA",
+        "FIELD" -> s"$msFixtureDir/FIELD",
+        "OBSERVATION" -> s"$msFixtureDir/OBSERVATION",
+        "POLARIZATION" -> s"$msFixtureDir/POLARIZATION",
+        "SPECTRAL_WINDOW" -> s"$msFixtureDir/SPECTRAL_WINDOW")
+      val rows = tables.map { case (name, d) =>
+        val (nRows, nCols, datObjs, f0Objs) =
+          graft.sinks.MsContainer.audit(d, conf)
+        (name, nRows, nCols.toLong, datObjs.toLong, f0Objs.toLong)
+      }
+      import s.implicits._
+      rows.toDF("tab", "n_rows", "n_cols", "dat_objs", "f0_objs")
     }),
 
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
@@ -668,6 +698,7 @@ object SparkEntry {
     "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,
     "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k2b_ms_container" -> Oracles.k2bMsContainer,
+    "q_k2c_ms_casacore" -> Oracles.k2cMsCasacore,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_s4_mwaf_roundtrip" -> Oracles.s4MwafRoundtrip,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,

@@ -987,6 +987,32 @@ object Oracles {
        |$k2Inner)""".stripMargin,
     s"avg AS (\n$avgBody)", uvwCte)
 
+  /** K2c casacore structural audit twin: the Spark side walks every
+    * AipsIO object header of the written container; this recomputes
+    * the expected structure counts from first principles — object
+    * counts are a pure function of the column sets (per table:
+    * 7 framework objects + 3 per scalar column + 4 per array column
+    * in table.dat; 1 + ncols in table.f0), MAIN row count is the
+    * distinct (t_out, bl) grid, ANTENNA row count the antenna dim.
+    */
+  val k2cMsCasacore: String = OracleSql.queryWeighted(
+    s"""SELECT tab, n_rows, n_cols, dat_objs, f0_objs FROM (VALUES
+       |  ('MAIN',
+       |   (SELECT count(*) FROM (SELECT DISTINCT t_out, bl FROM avg)),
+       |   CAST(13 AS BIGINT), CAST(50 AS BIGINT), CAST(14 AS BIGINT)),
+       |  ('ANTENNA', (SELECT count(*) FROM antenna),
+       |   CAST(5 AS BIGINT), CAST(23 AS BIGINT), CAST(6 AS BIGINT)),
+       |  ('FIELD', CAST(1 AS BIGINT),
+       |   CAST(2 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT)),
+       |  ('OBSERVATION', CAST(1 AS BIGINT),
+       |   CAST(3 AS BIGINT), CAST(17 AS BIGINT), CAST(4 AS BIGINT)),
+       |  ('POLARIZATION', CAST(1 AS BIGINT),
+       |   CAST(2 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT)),
+       |  ('SPECTRAL_WINDOW', CAST(1 AS BIGINT),
+       |   CAST(5 AS BIGINT), CAST(24 AS BIGINT), CAST(6 AS BIGINT))
+       |) AS t(tab, n_rows, n_cols, dat_objs, f0_objs)""".stripMargin,
+    s"avg AS (\n$avgBody)")
+
   /** S4 mwaf container round trip: the Spark side WRITES the per-cc
     * mwaf FITS files and reads them back; this twin recomputes the
     * dense grid the files must hold — every (cc ∈ data, t, bl) cell,

@@ -1,0 +1,461 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+/** casacore on-disk table structure: the AipsIO object stream and the
+  * Table / TableDesc / ColumnDesc / ColumnSet / StManAipsIO chain a
+  * casacore `table.dat` + `table.f0` pair is built from. The reference
+  * writes real casatables through rubbl
+  * (/root/reference/src/io/mod.rs:542-595, a vendored casacore); this
+  * module re-creates that structure directly.
+  *
+  * What is EXACT here (the casacore structural invariants any
+  * AipsIO-aware reader checks): the AipsIO object protocol — every
+  * object is `[uInt totalLen][uInt 0xbebebebe][String type][uInt
+  * version]` with big-endian (canonical) primitives, `String` = uInt
+  * length + bytes, nested objects counted inside the parent's length,
+  * the length inclusive of its own 4 bytes; the storage-manager
+  * vocabulary (`StManAipsIO` / `StManColumnAipsIO` objects, column-
+  * major data in per-extension chunks, each `[uInt nrows][values]`,
+  * Bool data bit-packed LSB-first per extension); and the casacore
+  * DataType enum codes (TpBool=0 … TpString=11).
+  *
+  * What is BEST-EFFORT (documented deviation, README "Format notes"):
+  * the exact field sequences inside `Table` / `TableDesc` /
+  * `ColumnDesc` / `ColumnSet` / record objects follow the public
+  * casacore writers (tables/Tables/{PlainTable,TableDesc,BaseColDesc,
+  * ColumnSet}.cc, casa/IO/AipsIO.cc) as closely as reconstructable
+  * without a casacore build to validate against — none exists in this
+  * environment, so byte-exactness against `casacore::Table::open` is
+  * NOT verified. The `q_k2c` gate pins the structural layer through an
+  * independent decoder ([[CasaTables.walk]]); the parquet mirror
+  * remains the interoperable sibling export.
+  *
+  * Row counts are uInt (Table format v2, same as rubbl's vendored
+  * casacore) — a 100 TB MAIN table beyond 4.29e9 rows needs the v3
+  * 64-bit row format, flagged loudly in [[CasaMsContainer]].
+  */
+object CasaTables {
+
+  val Magic: Long = 0xbebebebeL
+
+  // casacore DataType enum (casa/Utilities/DataType.h)
+  val TpBool = 0; val TpInt = 5; val TpFloat = 7; val TpDouble = 8
+  val TpComplex = 9; val TpString = 11
+
+  /** casacore ValType type-name suffixes for templated class names. */
+  def typeName(tp: Int): String = tp match {
+    case TpBool => "Bool"
+    case TpInt => "Int"
+    case TpFloat => "Float"
+    case TpDouble => "Double"
+    case TpComplex => "Complex"
+    case TpString => "String"
+    case other => sys.error(s"unsupported casacore DataType $other")
+  }
+
+  /** Bytes per element in canonical encoding (strings excluded). */
+  def elemBytes(tp: Int): Int = tp match {
+    case TpInt | TpFloat => 4
+    case TpDouble | TpComplex => 8
+    case other => sys.error(s"elemBytes: not fixed-width for $other")
+  }
+
+  // ---- AipsIO encoder ----------------------------------------------------
+
+  /** In-memory AipsIO stream builder: canonical (big-endian)
+    * primitives, putstart/putend object framing with length backpatch.
+    */
+  final class Out {
+    private val bytes = new ByteArrayOutputStream()
+    private val out = new DataOutputStream(bytes)
+    private var starts: List[Int] = Nil
+
+    def size: Int = out.size()
+    def putInt(v: Int): this.type = { out.writeInt(v); this }
+    def putUInt(v: Long): this.type = { out.writeInt(v.toInt); this }
+    def putLong(v: Long): this.type = { out.writeLong(v); this }
+    def putFloat(v: Float): this.type = { out.writeFloat(v); this }
+    def putDouble(v: Double): this.type = { out.writeDouble(v); this }
+    def putBool(v: Boolean): this.type = {
+      out.writeByte(if (v) 1 else 0); this
+    }
+    def putString(s: String): this.type = {
+      val b = s.getBytes("ASCII")
+      out.writeInt(b.length); out.write(b); this
+    }
+    /** Bool array, bit-packed LSB-first (Conversion::boolToBit). */
+    def putBools(vs: Array[Boolean]): this.type = {
+      out.write(packBools(vs)); this
+    }
+
+    def putstart(tpe: String, version: Int): this.type = {
+      starts = out.size() :: starts
+      putUInt(0L) // length, backpatched at putend
+      putUInt(Magic)
+      putString(tpe)
+      putUInt(version.toLong)
+      this
+    }
+
+    def putend(): this.type = {
+      val start = starts.head
+      starts = starts.tail
+      out.flush()
+      val arr = bytes.toByteArray // snapshot to patch; small tables only
+      val len = arr.length - start
+      val patched = ByteBuffer.wrap(arr)
+      patched.putInt(start, len)
+      bytes.reset()
+      bytes.write(arr, 0, arr.length)
+      this
+    }
+
+    def toBytes: Array[Byte] = {
+      require(starts.isEmpty, "unbalanced putstart/putend")
+      out.flush(); bytes.toByteArray
+    }
+  }
+
+  /** LSB-first bit packing (casacore Conversion::boolToBit). */
+  def packBools(vs: Array[Boolean]): Array[Byte] = {
+    val outB = new Array[Byte]((vs.length + 7) / 8)
+    var i = 0
+    while (i < vs.length) {
+      if (vs(i)) outB(i / 8) = (outB(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    outB
+  }
+
+  def unpackBools(b: Array[Byte], n: Int): Array[Boolean] =
+    Array.tabulate(n)(i => ((b(i / 8) >> (i % 8)) & 1) == 1)
+
+  /** Byte size of the AipsIO object framing for a given type name:
+    * len(4) + magic(4) + string(4+n) + version(4). Lets the streaming
+    * MAIN writer compute object lengths without buffering the data.
+    */
+  def frameBytes(tpe: String): Int = 16 + tpe.length
+
+  // ---- table description -------------------------------------------------
+
+  /** One column of a casacore table. `shape` empty = scalar; else a
+    * fixed-shape direct array (casacore column-major cell order —
+    * first axis varies fastest).
+    */
+  final case class CasaCol(name: String, tp: Int, shape: Seq[Int]) {
+    def isArray: Boolean = shape.nonEmpty
+    def cellElems: Int = if (shape.isEmpty) 1 else shape.product
+    def className: String =
+      (if (isArray) "ArrayColumnDesc<" else "ScalarColumnDesc<") +
+        typeName(tp) + ">"
+  }
+
+  /** IPosition object (casa/Arrays/IPosition AipsIO form). */
+  private def putIPosition(o: Out, shape: Seq[Int]): Unit = {
+    o.putstart("IPosition", 1)
+    o.putUInt(shape.length.toLong)
+    shape.foreach(o.putInt)
+    o.putend()
+  }
+
+  /** Empty TableRecord (casa/Containers TableRecord + RecordDesc). */
+  private def putEmptyRecord(o: Out): Unit = {
+    o.putstart("TableRecord", 1)
+    o.putstart("RecordDesc", 2)
+    o.putUInt(0L)
+    o.putend()
+    o.putend()
+  }
+
+  /** `table.dat` bytes for one table: the Table → TableDesc →
+    * ColumnDesc* → ColumnSet chain, all columns bound to one
+    * StManAipsIO storage manager (seqnr 0 → data file `table.f0`).
+    */
+  def tableDat(descName: String, nRows: Long,
+               cols: Seq[CasaCol]): Array[Byte] = {
+    val o = new Out
+    o.putstart("Table", 2)
+    o.putUInt(nRows)
+    o.putUInt(0L) // format 0 = canonical / big-endian
+    o.putString("PlainTable")
+    // TableDesc (tables/Tables/TableDesc.cc putFile)
+    o.putstart("TableDesc", 2)
+    o.putString(descName)
+    o.putString("") // version string
+    o.putString("") // comment
+    putEmptyRecord(o) // table keywords
+    putEmptyRecord(o) // private keywords
+    o.putUInt(cols.length.toLong)
+    cols.foreach { c =>
+      // BaseColumnDesc::putFile under the concrete class name
+      o.putstart(c.className, 1)
+      o.putString(c.name)
+      o.putString("") // comment
+      o.putString("StManAipsIO") // dataManagerType
+      o.putString("StManAipsIO") // dataManagerGroup
+      o.putInt(c.tp) // valueType (scalar DataType code)
+      // option: FixedShape|Direct (5) for arrays, 0 for scalars
+      o.putInt(if (c.isArray) 5 else 0)
+      o.putInt(c.shape.length) // ndim
+      if (c.isArray) putIPosition(o, c.shape)
+      o.putInt(0) // maxLength
+      putEmptyRecord(o) // column keywords
+      o.putend()
+    }
+    o.putend()
+    // ColumnSet (tables/Tables/ColumnSet.cc putFile): row count, the
+    // data-manager list, and per-manager seqnr/type/group
+    o.putstart("ColumnSet", 2)
+    o.putUInt(nRows)
+    o.putUInt(1L) // number of data managers
+    o.putUInt(0L) // seqnr 0 -> table.f0
+    o.putString("StManAipsIO")
+    o.putString("") // group
+    o.putend()
+    o.putend()
+    o.toBytes
+  }
+
+  // ---- StManAipsIO data file (driver-side, small tables) -----------------
+
+  /** Column values for a driver-written (dimension-sized) table. Each
+    * column's data: numeric columns `Seq[Seq[Double]]` (per row, cell
+    * elems flat, complex as re,im interleaved), Bool columns the same
+    * with 0/1, String scalar columns `Seq[String]` passed separately.
+    */
+  def stManF0(nRows: Long, cols: Seq[CasaCol],
+              num: Map[String, Seq[Seq[Double]]],
+              strs: Map[String, Seq[String]] = Map.empty): Array[Byte] = {
+    val o = new Out
+    o.putstart("StManAipsIO", 2)
+    o.putUInt(0L) // uniqnr
+    o.putUInt(nRows)
+    o.putUInt(cols.length.toLong)
+    cols.foreach { c =>
+      o.putstart("StManColumnAipsIO", 2)
+      o.putUInt(nRows)
+      // single extension: [uInt nrows][values]
+      o.putUInt(nRows)
+      c.tp match {
+        case TpString =>
+          strs(c.name).foreach(o.putString)
+        case TpBool =>
+          val flat = num(c.name).flatten.map(_ != 0.0).toArray
+          o.putBools(flat)
+        case TpInt =>
+          num(c.name).flatten.foreach(v => o.putInt(v.toInt))
+        case TpFloat =>
+          num(c.name).flatten.foreach(v => o.putFloat(v.toFloat))
+        case TpDouble =>
+          num(c.name).flatten.foreach(o.putDouble)
+        case TpComplex => // re,im interleaved doubles -> float pairs
+          num(c.name).flatten.foreach(v => o.putFloat(v.toFloat))
+        case other => sys.error(s"stManF0: unsupported type $other")
+      }
+      o.putend()
+    }
+    o.putend()
+    o.toBytes
+  }
+
+  // ---- decoder (the independent side of the q_k2c gate) ------------------
+
+  /** One decoded AipsIO object header. */
+  final case class ObjHead(offset: Long, length: Long, tpe: String,
+                           version: Long, dataStart: Long)
+
+  final class In(val buf: ByteBuffer) {
+    def this(bytes: Array[Byte]) = this(ByteBuffer.wrap(bytes))
+    var pos = 0
+    def getUInt(): Long = {
+      val v = buf.getInt(pos) & 0xffffffffL; pos += 4; v
+    }
+    def getInt(): Int = { val v = buf.getInt(pos); pos += 4; v }
+    def getFloat(): Float = { val v = buf.getFloat(pos); pos += 4; v }
+    def getDouble(): Double = { val v = buf.getDouble(pos); pos += 8; v }
+    def getBool(): Boolean = {
+      val v = buf.get(pos); pos += 1; v != 0
+    }
+    def getString(): String = {
+      val n = getUInt().toInt
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = buf.get(pos + i); i += 1 }
+      pos += n
+      new String(b, "ASCII")
+    }
+    def getBytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = buf.get(pos + i); i += 1 }
+      pos += n
+      b
+    }
+    /** Read + verify one object header at the current position. */
+    def getstart(expect: String = null): ObjHead = {
+      val off = pos
+      val len = getUInt()
+      val magic = getUInt()
+      require(magic == Magic,
+        f"AipsIO magic 0x$magic%08x at $off != 0xbebebebe")
+      val tpe = getString()
+      val ver = getUInt()
+      if (expect != null) require(tpe == expect,
+        s"AipsIO object '$tpe' at $off, expected '$expect'")
+      ObjHead(off.toLong, len, tpe, ver, pos.toLong)
+    }
+    /** Skip to the end of an object read with getstart. */
+    def getend(h: ObjHead): Unit = { pos = (h.offset + h.length).toInt }
+  }
+
+  /** Walk every AipsIO object in a byte stream (depth-first entry
+    * order), verifying the magic at each header; returns the headers.
+    * Objects whose payload is opaque data are not descended into —
+    * `descend` lists the container types whose payload starts with
+    * nested objects at a known offset.
+    */
+  def walk(bytes: Array[Byte]): Seq[ObjHead] = {
+    val in = new In(bytes)
+    val found = scala.collection.mutable.ArrayBuffer[ObjHead]()
+    def obj(): Unit = {
+      val h = in.getstart()
+      found += h
+      h.tpe match {
+        case "Table" =>
+          in.getUInt(); in.getUInt(); in.getString()
+          obj() // TableDesc
+          obj() // ColumnSet
+          in.getend(h)
+        case "TableDesc" =>
+          in.getString(); in.getString(); in.getString()
+          obj() // keywords record
+          obj() // private record
+          val ncol = in.getUInt()
+          (0L until ncol).foreach(_ => obj())
+          in.getend(h)
+        case "TableRecord" =>
+          obj() // RecordDesc
+          in.getend(h)
+        case "StManAipsIO" =>
+          in.getUInt(); val nr = in.getUInt(); val nc = in.getUInt()
+          (0L until nc).foreach(_ => obj())
+          in.getend(h)
+        case t if t.startsWith("ScalarColumnDesc<") ||
+            t.startsWith("ArrayColumnDesc<") =>
+          in.getString(); in.getString(); in.getString(); in.getString()
+          in.getInt(); in.getInt()
+          val ndim = in.getInt()
+          if (ndim > 0) obj() // IPosition
+          in.getInt()
+          obj() // keywords
+          in.getend(h)
+        case _ =>
+          in.getend(h)
+      }
+    }
+    while (in.pos < bytes.length) obj()
+    found.toSeq
+  }
+
+  /** Decode `table.dat`: (nRows, columns). Verifies the object chain
+    * and data-manager binding.
+    */
+  def readTableDat(bytes: Array[Byte]): (Long, Seq[CasaCol]) = {
+    val in = new In(bytes)
+    val t = in.getstart("Table")
+    val nRows = in.getUInt()
+    require(in.getUInt() == 0L, "table.dat format != canonical")
+    require(in.getString() == "PlainTable", "not a PlainTable")
+    val td = in.getstart("TableDesc")
+    in.getString(); in.getString(); in.getString()
+    in.getend(in.getstart("TableRecord"))
+    in.getend(in.getstart("TableRecord"))
+    val ncol = in.getUInt()
+    val cols = (0L until ncol).map { _ =>
+      val cd = in.getstart()
+      val isArray = cd.tpe.startsWith("ArrayColumnDesc<")
+      require(isArray || cd.tpe.startsWith("ScalarColumnDesc<"),
+        s"unexpected column desc class ${cd.tpe}")
+      val name = in.getString()
+      in.getString()
+      require(in.getString() == "StManAipsIO", "unexpected stman type")
+      in.getString()
+      val tp = in.getInt()
+      in.getInt()
+      val ndim = in.getInt()
+      val shape = if (ndim > 0) {
+        val ip = in.getstart("IPosition")
+        val n = in.getUInt().toInt
+        val s = (0 until n).map(_ => in.getInt())
+        in.getend(ip)
+        s
+      } else Seq.empty[Int]
+      in.getInt()
+      in.getend(in.getstart("TableRecord"))
+      in.getend(cd)
+      CasaCol(name, tp, shape)
+    }
+    in.getend(td)
+    val cs = in.getstart("ColumnSet")
+    require(in.getUInt() == nRows, "ColumnSet row count mismatch")
+    require(in.getUInt() == 1L, "expected one data manager")
+    require(in.getUInt() == 0L, "expected seqnr 0")
+    require(in.getString() == "StManAipsIO", "expected StManAipsIO")
+    (nRows, cols)
+  }
+
+  /** Decode a StManAipsIO `table.f0`: per-column row-major values
+    * (numeric as doubles, complex interleaved, bools 0/1) and string
+    * columns. Extensions are concatenated in order.
+    */
+  def readF0(bytes: Array[Byte], nRows: Long, cols: Seq[CasaCol])
+      : (Map[String, IndexedSeq[Seq[Double]]],
+         Map[String, IndexedSeq[String]]) = {
+    val in = new In(bytes)
+    val sm = in.getstart("StManAipsIO")
+    in.getUInt()
+    require(in.getUInt() == nRows, "StManAipsIO row count mismatch")
+    require(in.getUInt() == cols.length.toLong,
+      "StManAipsIO column count mismatch")
+    val num = scala.collection.mutable.Map[String, IndexedSeq[Seq[Double]]]()
+    val strs = scala.collection.mutable.Map[String, IndexedSeq[String]]()
+    cols.foreach { c =>
+      val co = in.getstart("StManColumnAipsIO")
+      require(in.getUInt() == nRows, s"column ${c.name} row count")
+      if (c.tp == TpString) {
+        val vals = scala.collection.mutable.ArrayBuffer[String]()
+        while (vals.length < nRows) {
+          val n = in.getUInt().toInt
+          (0 until n).foreach(_ => vals += in.getString())
+        }
+        strs(c.name) = vals.toIndexedSeq
+      } else {
+        val perRow = c.cellElems * (if (c.tp == TpComplex) 2 else 1)
+        val flat = scala.collection.mutable.ArrayBuffer[Double]()
+        var rows = 0L
+        while (rows < nRows) {
+          val n = in.getUInt().toInt
+          val nvals = n * perRow
+          c.tp match {
+            case TpBool =>
+              val bits = in.getBytes((nvals + 7) / 8)
+              unpackBools(bits, nvals).foreach(b =>
+                flat += (if (b) 1.0 else 0.0))
+            case TpInt =>
+              (0 until nvals).foreach(_ => flat += in.getInt().toDouble)
+            case TpFloat | TpComplex =>
+              (0 until nvals).foreach(_ => flat += in.getFloat().toDouble)
+            case TpDouble =>
+              (0 until nvals).foreach(_ => flat += in.getDouble())
+          }
+          rows += n
+        }
+        num(c.name) = flat.grouped(perRow).map(_.toSeq).toIndexedSeq
+      }
+      in.getend(co)
+    }
+    (num.toMap, strs.toMap)
+  }
+}

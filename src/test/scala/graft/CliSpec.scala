@@ -182,8 +182,8 @@ class CliSpec extends AnyFunSuite {
     assert(logged.exists(_.contains(s"wrote $n uvfits groups")))
 
     // the MS container landed beside the uvfits and parses back
-    val (_, msRows, _) = graft.sinks.MsContainer.readTable(msOut,
-      spark.sparkContext.hadoopConfiguration)
+    val msRows = graft.sinks.MsContainer.readTable(msOut,
+      spark.sparkContext.hadoopConfiguration).nRows
     assert(msRows == n, "MS MAIN rows == uvfits groups (same frame)")
 
     // the written file carries non-zero UVW group params (real writer,

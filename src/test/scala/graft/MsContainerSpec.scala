@@ -4,15 +4,15 @@ import java.nio.file.Files
 
 import graft.model.Dims
 import graft.ops._
-import graft.sinks.{MsContainer, MsWriter}
+import graft.sinks.{CasaTables, MsContainer, MsWriter}
 import graft.synth.VisSynth
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** MS container round trip: the casacore-shaped directory export
-  * (table.dat/table.f0 per table) must parse back bit-for-bit and
-  * match the parquet mirror's MAIN skeleton in MS row order.
+/** MS container round trip: the casacore-structure directory export
+  * (AipsIO table.dat / StManAipsIO table.f0 per table) must parse
+  * back bit-for-bit through the independent [[CasaTables]] decoder
+  * and match the parquet mirror's MAIN skeleton in MS row order.
   */
 class MsContainerSpec extends AnyFunSuite {
 
@@ -24,11 +24,23 @@ class MsContainerSpec extends AnyFunSuite {
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
-  test("descriptor serialization round-trips") {
+  test("table.dat descriptor chain round-trips through AipsIO") {
     val cols = MsContainer.mainCols(16)
-    val (back, n) = MsContainer.parseDescriptor(
-      MsContainer.descriptor(cols, 288L))
+    val bytes = CasaTables.tableDat("MAIN", 288L, cols)
+    val (n, back) = CasaTables.readTableDat(bytes)
     assert(back == cols && n == 288L)
+    // every object header in the stream carries the casacore magic
+    // and the expected chain shape: Table, TableDesc, 2 keyword
+    // records (+RecordDesc each), 9 scalar + 4 array column descs
+    // (arrays add an IPosition), per-column keyword records, ColumnSet
+    val objs = CasaTables.walk(bytes)
+    assert(objs.length == 50)
+    assert(objs.count(_.tpe == "Table") == 1)
+    assert(objs.count(_.tpe == "TableDesc") == 1)
+    assert(objs.count(_.tpe == "ColumnSet") == 1)
+    assert(objs.count(_.tpe == "IPosition") == 4)
+    assert(objs.count(_.tpe.startsWith("ScalarColumnDesc<")) == 9)
+    assert(objs.count(_.tpe.startsWith("ArrayColumnDesc<")) == 4)
   }
 
   test("container MAIN matches the mirror skeleton in row order") {
@@ -46,21 +58,21 @@ class MsContainerSpec extends AnyFunSuite {
     val mirror = MsWriter.msMain(avg, uvw).orderBy("row_idx").collect()
     assert(n == mirror.length.toLong)
 
-    val (cols, nRows, data) = MsContainer.readTable(out, conf)
-    assert(nRows == n)
+    val dec = MsContainer.readTable(out, conf)
+    assert(dec.nRows == n)
     mirror.zipWithIndex.foreach { case (m, i) =>
       val r = i.toLong
       // scalars are f64/exact — bit-for-bit vs the mirror
-      assert(MsContainer.cell(cols, data, r, "TIME").head ==
+      assert(MsContainer.cell(dec, r, "TIME").head ==
         m.getAs[Double]("time_s"), s"TIME row $i")
-      assert(MsContainer.cell(cols, data, r, "ANTENNA1").head ==
+      assert(MsContainer.cell(dec, r, "ANTENNA1").head ==
         m.getAs[Long]("ant1").toDouble)
-      assert(MsContainer.cell(cols, data, r, "ANTENNA2").head ==
+      assert(MsContainer.cell(dec, r, "ANTENNA2").head ==
         m.getAs[Long]("ant2").toDouble)
-      val uvwCell = MsContainer.cell(cols, data, r, "UVW")
+      val uvwCell = MsContainer.cell(dec, r, "UVW")
       assert(uvwCell == Seq(m.getAs[Double]("u_m"),
         m.getAs[Double]("v_m"), m.getAs[Double]("w_m")), s"UVW row $i")
-      assert(MsContainer.cell(cols, data, r, "FLAG_ROW").head ==
+      assert(MsContainer.cell(dec, r, "FLAG_ROW").head ==
         (if (m.getAs[Boolean]("flag_row")) 1.0 else 0.0))
     }
   }
@@ -76,7 +88,7 @@ class MsContainerSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("msc2").toString + "/obs.ms"
     MsContainer.write(avg, uvw, Dims.antenna(spark), out)
 
-    val (cols, _, data) = MsContainer.readTable(out, conf)
+    val dec = MsContainer.readTable(out, conf)
     val skeleton = MsWriter.msMain(avg, uvw)
       .select("row_idx", "t_out", "bl").collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0)).toMap
@@ -86,14 +98,14 @@ class MsContainerSpec extends AnyFunSuite {
     cells.foreach { c =>
       val row = skeleton((c.getLong(0), c.getLong(1)))
       val ch = c.getLong(2).toInt
-      val d = MsContainer.cell(cols, data, row, "DATA")
+      val d = MsContainer.cell(dec, row, "DATA")
       // pol 0 (XX) re/im of this channel
       assert(d(ch * 8) == c.getDouble(3).toFloat.toDouble,
         s"DATA re (t_out=${c.getLong(0)}, bl=${c.getLong(1)}, ch=$ch)")
       // pol 3 (YY) re = a6... spot-check weight + flag planes instead
-      val w = MsContainer.cell(cols, data, row, "WEIGHT_SPECTRUM")
+      val w = MsContainer.cell(dec, row, "WEIGHT_SPECTRUM")
       assert(w(ch * 4) == c.getDouble(5).toFloat.toDouble)
-      val f = MsContainer.cell(cols, data, row, "FLAG")
+      val f = MsContainer.cell(dec, row, "FLAG")
       assert(f(ch * 4) == (if (c.getBoolean(6)) 1.0 else 0.0))
     }
     avg.unpersist()
@@ -110,43 +122,46 @@ class MsContainerSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("msc3").toString + "/obs.ms"
     MsContainer.write(avg, uvw, Dims.antenna(spark), out)
 
-    val (aCols, aRows, aData) = MsContainer.readTable(s"$out/ANTENNA",
-      conf)
-    assert(aRows == 8)
-    assert(MsContainer.strCell(aCols, aData, 0, "NAME") == "Tile000")
-    assert(MsContainer.strCell(aCols, aData, 7, "MOUNT") == "ALT-AZ")
-    val pos0 = MsContainer.cell(aCols, aData, 0, "POSITION")
+    val ant = MsContainer.readTable(s"$out/ANTENNA", conf)
+    assert(ant.nRows == 8)
+    assert(MsContainer.strCell(ant, 0, "NAME") == "Tile000")
+    assert(MsContainer.strCell(ant, 7, "MOUNT") == "ALT-AZ")
+    val pos0 = MsContainer.cell(ant, 0, "POSITION")
     assert(pos0 == Seq(-150.0, -50.0, 377.0)) // ant 0 ENH
 
-    val (sCols, sRows, sData) =
-      MsContainer.readTable(s"$out/SPECTRAL_WINDOW", conf)
-    assert(sRows == 1)
-    assert(MsContainer.cell(sCols, sData, 0, "NUM_CHAN").head == 16.0)
-    val freqs = MsContainer.cell(sCols, sData, 0, "CHAN_FREQ")
+    val spw = MsContainer.readTable(s"$out/SPECTRAL_WINDOW", conf)
+    assert(spw.nRows == 1)
+    assert(MsContainer.cell(spw, 0, "NUM_CHAN").head == 16.0)
+    val freqs = MsContainer.cell(spw, 0, "CHAN_FREQ")
     assert(freqs.length == 16 && freqs.head == 1.5e8 + 20000.0)
 
-    val (pCols, pRows, pData) =
-      MsContainer.readTable(s"$out/POLARIZATION", conf)
-    assert(pRows == 1)
-    assert(MsContainer.cell(pCols, pData, 0, "CORR_TYPE") ==
+    val pol = MsContainer.readTable(s"$out/POLARIZATION", conf)
+    assert(pol.nRows == 1)
+    assert(MsContainer.cell(pol, 0, "CORR_TYPE") ==
       Seq(9.0, 10.0, 11.0, 12.0))
 
-    val (fCols, fRows, fData) = MsContainer.readTable(s"$out/FIELD",
-      conf)
-    assert(fRows == 1)
-    assert(MsContainer.strCell(fCols, fData, 0, "NAME") == "GRAFT")
+    val fld = MsContainer.readTable(s"$out/FIELD", conf)
+    assert(fld.nRows == 1)
+    assert(MsContainer.strCell(fld, 0, "NAME") == "GRAFT")
     // default PHASE_DIR is a real RA/Dec (the fixed gate ephemeris),
     // not the geometry stage's hour-angle constant
-    assert(MsContainer.cell(fCols, fData, 0, "PHASE_DIR") ==
+    assert(MsContainer.cell(fld, 0, "PHASE_DIR") ==
       Seq(graft.ops.GeometryCorrection.AppRaJ2000,
         graft.ops.GeometryCorrection.AppDecJ2000))
 
-    val (oCols, oRows, oData) =
-      MsContainer.readTable(s"$out/OBSERVATION", conf)
-    assert(oRows == 1)
-    assert(MsContainer.strCell(oCols, oData, 0, "TELESCOPE_NAME") ==
-      "MWA")
-    val tr = MsContainer.cell(oCols, oData, 0, "TIME_RANGE")
+    val obs = MsContainer.readTable(s"$out/OBSERVATION", conf)
+    assert(obs.nRows == 1)
+    assert(MsContainer.strCell(obs, 0, "TELESCOPE_NAME") == "MWA")
+    val tr = MsContainer.cell(obs, 0, "TIME_RANGE")
     assert(tr.length == 2 && tr(1) - tr(0) == 32.0) // 16 steps x 2 s
+
+    // full-container structural audit (the q_k2c gate's core):
+    // every AipsIO header magic-verified in both files of every table
+    Seq(out, s"$out/ANTENNA", s"$out/SPECTRAL_WINDOW",
+      s"$out/POLARIZATION", s"$out/FIELD", s"$out/OBSERVATION")
+      .foreach { d =>
+        val (_, nCols, _, f0Objs) = MsContainer.audit(d, conf)
+        assert(f0Objs == nCols + 1, s"$d f0 object count")
+      }
   }
 }

@@ -87,19 +87,24 @@ object PropertySpecs extends Properties("kernels") {
         math.abs(dRa) * math.cos(decM) < 60 * arc
     }
 
-  private val colGen: Gen[graft.sinks.MsContainer.Col] = for {
+  private val colGen: Gen[graft.sinks.CasaTables.CasaCol] = for {
     n <- Gen.chooseNum(1, 24)
     name <- Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
-    typ <- Gen.oneOf(1, 2, 3, 4, 5, 6, 10).map(_.toByte)
-    elems <- Gen.chooseNum(1, 64)
-  } yield graft.sinks.MsContainer.Col(name, typ, elems)
+    typ <- Gen.oneOf(graft.sinks.CasaTables.TpBool,
+      graft.sinks.CasaTables.TpInt, graft.sinks.CasaTables.TpFloat,
+      graft.sinks.CasaTables.TpDouble, graft.sinks.CasaTables.TpComplex,
+      graft.sinks.CasaTables.TpString)
+    ndim <- Gen.chooseNum(0, 2)
+    shape <- Gen.listOfN(ndim, Gen.chooseNum(1, 8))
+  } yield graft.sinks.CasaTables.CasaCol(name, typ, shape)
 
-  property("MS container descriptor round-trips any column set") =
-    Prop.forAll(Gen.nonEmptyListOf(colGen), Gen.chooseNum(0L, 1L << 40)) {
-      (cols, n) =>
-        val (back, m) = graft.sinks.MsContainer.parseDescriptor(
-          graft.sinks.MsContainer.descriptor(cols, n))
-        back == cols && m == n
+  property("MS table.dat descriptor round-trips any column set") =
+    Prop.forAll(Gen.nonEmptyListOf(colGen),
+      Gen.chooseNum(0L, 0xffffffffL)) { (cols, n) =>
+      val bytes = graft.sinks.CasaTables.tableDat("T", n, cols)
+      val (m, back) = graft.sinks.CasaTables.readTableDat(bytes)
+      back == cols && m == n &&
+        graft.sinks.CasaTables.walk(bytes).forall(_.length > 0)
     }
 
   property("mwaf baseline ids are the ascending dense grid") =
