@@ -278,6 +278,13 @@ object SparkEntry {
     "q_r1_threshold_flags" -> ((s, dir) =>
       ThresholdFlag(VisSynth.vis(s, dir))),
 
+    // R1c: the sliding-median high-pass background estimate on its
+    // own (the stage AOFlagger strategies run before SumThreshold,
+    // mapped from Lua high_pass_filter calls) — integer micro-unit
+    // cells against a DuckDB median()-window twin
+    "q_r1c_background" -> ((s, dir) =>
+      RfiFlag.background(flagged(s, dir), wt = 2, wc = 1)),
+
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -693,6 +700,7 @@ object SparkEntry {
     "q_r1_sumthreshold" -> Oracles.r1SumThreshold,
     "q_r1b_strategy" -> Oracles.r1bStrategy,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
+    "q_r1c_background" -> Oracles.r1cBackground,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,

@@ -26,6 +26,17 @@ package graft.functions
   * inside the 1e-8 rad anchor the engine targets. Residual vs the full
   * IAU 2000A series is bounded at ~1 mas over 1995–2050 by the 2000B
   * model's own published accuracy.
+  *
+  * Why not 2000A: the full model is 678 luni-solar + 687 planetary
+  * terms of published coefficient data (IERS Conventions 2010 tables
+  * 5.3a/5.3b). That data is not carried in this environment (zero
+  * egress, no SOFA/ERFA source on disk) and cannot be re-derived —
+  * transcribing 1365 rows from memory would silently corrupt the
+  * series, which is strictly worse than the 2000B model's honest,
+  * published ±1 mas bound. If the tables are ever dropped into
+  * `src/main/resources/graft/` the [[nut00b]] harness generalises
+  * unchanged (same Delaunay/planetary argument machinery, same
+  * accumulation), which is the deliberate seam left here.
   */
 object Iau2006 {
 

@@ -80,7 +80,24 @@ object SumThresholdKernel {
     val bg =
       if (unflagged.isEmpty) 0.0
       else { val s = unflagged.sorted; s(s.length / 2) }
-    val res = amp.map(_.map(_ - bg))
+    flagMatrixRes(amp.map(_.map(_ - bg)), existing, chi1, maxLog2, rho,
+      timeWeight, chanWeight)
+  }
+
+  /** SumThreshold over an ALREADY background-subtracted residual
+    * matrix — the entry point the iterated high-pass strategy loop
+    * uses ([[BackgroundKernel]] supplies the per-cell background).
+    * [[flagMatrix]] is the constant-median special case.
+    */
+  def flagMatrixRes(res: Array[Array[Double]],
+                    existing: Array[Array[Boolean]],
+                    chi1: Double, maxLog2: Int = 5,
+                    rho: Double = Rho,
+                    timeWeight: Double = 1.0,
+                    chanWeight: Double = 1.0): Array[Array[Boolean]] = {
+    val nt = res.length
+    if (nt == 0) return existing
+    val nc = res(0).length
     var flags = existing.map(_.clone())
     var l = 0
     while (l <= maxLog2) {

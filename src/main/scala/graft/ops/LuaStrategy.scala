@@ -24,14 +24,31 @@ package graft.ops
   *  - `aoflagger.scale_invariant_rank_operator(data, ηh, ηv)` →
   *    `sir_eta_time = ηh`, `sir_eta_chan = ηv` (AOFlagger images are
   *    x = time, y = frequency)
+  *  - `aoflagger.high_pass_filter(data, kx, ky, …)` →
+  *    `bg_window_time = kx/2`, `bg_window_chan = ky/2` (the kernel
+  *    sizes become sliding-median half-windows; the engine's
+  *    separable median replaces AOFlagger's Gaussian kernel — a
+  *    robust-estimator substitution, reported as mapped because the
+  *    background/residual STRUCTURE is preserved)
+  *  - `local iteration_count = n` → `iterations`,
+  *    `local threshold_factor_step = x` → `ramp_factor` (the
+  *    detect-loop ramp published strategies drive their Lua `for`
+  *    loop with)
   *  - `aoflagger.Polarization.XX|XY|YX|YY` mentions → `pols`
   *
-  * Everything else a strategy can do (high/low-pass background
-  * filtering, per-iteration threshold ramps, resizing, visualisation)
-  * is NOT modeled; those calls are returned verbatim in
-  * [[LuaStrategy.Translation.unmapped]] so the migration is honest —
-  * the caller sees exactly which behaviors the translated strategy
-  * drops, instead of a silent approximation.
+  * Everything else a strategy can do (low-pass filtering, resizing,
+  * visualisation, custom Lua logic) is NOT modeled; those calls are
+  * returned verbatim in [[LuaStrategy.Translation.unmapped]] so the
+  * migration is honest — the caller sees exactly which behaviors the
+  * translated strategy drops, instead of a silent approximation.
+  *
+  * Honesty contract: EVERY occurrence of the token `aoflagger.` in the
+  * (comment-stripped) file is accounted for — parsed into a mapped
+  * call, recognised as scaffolding or a Polarization constant, or
+  * reported in `unmapped`. The call scanner brace-matches argument
+  * lists, so nested parentheses and multi-line calls cannot vanish
+  * silently (a `aoflagger.` mention the scanner cannot parse as a call
+  * is itself reported).
   */
 object LuaStrategy {
 
@@ -42,15 +59,80 @@ object LuaStrategy {
 
   private val LocalNum =
     """local\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(-?[0-9.eE+-]+)\s*""".r
-  private val Call =
-    """aoflagger\.([a-z_]+)\s*\(([^)]*)\)""".r
-  private val Pol = """aoflagger\.Polarization\.(XX|XY|YX|YY)""".r
+  private val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
 
   /** Calls that are part of every published strategy's scaffolding and
     * carry no detection knobs the engine lacks — not worth reporting.
     */
   private val Scaffolding = Set("set_progress", "set_flag_function",
     "copy_to_channel", "copy_from_channel", "norm", "print_polarization_statistics")
+
+  /** One scanned `aoflagger.` site: function name (None when the
+    * mention is not a parsable call), top-level-comma-split args, and
+    * the verbatim source snippet.
+    */
+  private case class Site(fn: Option[String], args: Seq[String],
+                          snippet: String)
+
+  /** Scan every `aoflagger.` mention with brace-matched argument
+    * lists — works across newlines and through nested parentheses.
+    */
+  private def scan(text: String): Seq[Site] = {
+    val sites = scala.collection.mutable.ArrayBuffer[Site]()
+    var from = text.indexOf("aoflagger.")
+    while (from >= 0) {
+      val after = from + "aoflagger.".length
+      val ident = Ident.findPrefixOf(text.substring(after)).getOrElse("")
+      val idEnd = after + ident.length
+      val parenAt = {
+        var k = idEnd
+        while (k < text.length && text(k).isWhitespace) k += 1
+        if (k < text.length && text(k) == '(') Some(k) else None
+      }
+      val site = (ident, parenAt) match {
+        case ("Polarization", _) =>
+          // constant mention (aoflagger.Polarization.XX), not a call
+          val stop = math.min(text.length, idEnd + 3)
+          Site(Some("Polarization"), Nil, text.substring(from, stop))
+        case (fn, Some(open)) if fn.nonEmpty =>
+          // brace-match the argument list, splitting at depth-1 commas
+          var depth = 0
+          var k = open
+          var argStart = open + 1
+          val args = scala.collection.mutable.ArrayBuffer[String]()
+          var close = -1
+          while (k < text.length && close < 0) {
+            text(k) match {
+              case '(' => depth += 1
+              case ')' =>
+                depth -= 1
+                if (depth == 0) {
+                  if (k > argStart || args.nonEmpty)
+                    args += text.substring(argStart, k)
+                  close = k
+                }
+              case ',' if depth == 1 =>
+                args += text.substring(argStart, k)
+                argStart = k + 1
+              case _ => ()
+            }
+            k += 1
+          }
+          if (close < 0) // unterminated call — report, don't drop
+            Site(None, Nil, text.substring(from,
+              math.min(text.length, from + 80)))
+          else Site(Some(fn), args.toSeq.map(_.trim),
+            text.substring(from, close + 1))
+        case _ =>
+          // bare `aoflagger.` or field access with no call — report
+          Site(None, Nil, text.substring(from,
+            math.min(text.length, idEnd.max(from + 20))))
+      }
+      sites += site
+      from = text.indexOf("aoflagger.", from + site.snippet.length.max(1))
+    }
+    sites.toSeq
+  }
 
   def translate(lua: String): Translation = {
     // strip Lua comments (line `--` and block `--[[ ]]--` the cheap way)
@@ -75,8 +157,11 @@ object LuaStrategy {
       catch { case _: Exception => env.get(a) }
     }
 
-    val pols = Pol.findAllMatchIn(text).map(_.group(1).toLowerCase)
-      .toSeq.distinct
+    val sites = scan(text)
+    val pols = sites.collect {
+      case Site(Some("Polarization"), _, snip) =>
+        snip.split('.').last.toLowerCase
+    }.filter(RfiStrategy.PolComps.contains).distinct
 
     var s = RfiStrategy(
       pols = if (pols.nonEmpty) pols else Seq("xx"),
@@ -84,20 +169,34 @@ object LuaStrategy {
       // defaults: a Lua file that never invokes SIR runs without it
       sirEtaTime = 0.0, sirEtaChan = 0.0)
     env.get("base_threshold").foreach(bt => s = s.copy(madK = 6.0 * bt))
+    env.get("iteration_count").foreach(n =>
+      s = s.copy(iterations = n.toInt.max(1)))
+    env.get("threshold_factor_step").foreach(x =>
+      s = s.copy(rampFactor = x))
 
     val unmapped = scala.collection.mutable.ArrayBuffer[String]()
-    Call.findAllMatchIn(text).foreach { m =>
-      val (fn, args) = (m.group(1), m.group(2).split(",").toSeq)
-      fn match {
+    sites.foreach {
+      case Site(Some("Polarization"), _, _) => ()
+      case Site(Some(fn), args, snippet) => fn match {
         case "sumthreshold" if args.length >= 3 =>
           for (lt <- resolve(args(1))) s = s.copy(timeWeight = 1.0 / lt)
           for (lf <- resolve(args(2))) s = s.copy(chanWeight = 1.0 / lf)
         case "scale_invariant_rank_operator" if args.length >= 3 =>
           for (h <- resolve(args(1))) s = s.copy(sirEtaTime = h)
           for (v <- resolve(args(2))) s = s.copy(sirEtaChan = v)
+        case "high_pass_filter" if args.length >= 3 =>
+          // kernel sizes (x = time, y = frequency) → median
+          // half-windows; resolvable numeric sizes only
+          (resolve(args(1)), resolve(args(2))) match {
+            case (Some(kx), Some(ky)) =>
+              s = s.copy(bgWindowTime = (kx.toInt / 2).max(1),
+                bgWindowChan = (ky.toInt / 2).max(1))
+            case _ => unmapped += snippet
+          }
         case f if Scaffolding.contains(f) => ()
-        case _ => unmapped += m.matched
+        case _ => unmapped += snippet
       }
+      case Site(None, _, snippet) => unmapped += snippet
     }
     Translation(s, unmapped.toSeq.distinct)
   }

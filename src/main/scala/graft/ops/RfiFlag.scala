@@ -46,13 +46,31 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
                        // η = 0.2 in both directions, so that is the
                        // default here too. 0 disables (exact identity).
                        sirEtaTime: Double = 0.2,
-                       sirEtaChan: Double = 0.2) {
+                       sirEtaChan: Double = 0.2,
+                       // iterative high-pass background fit (the
+                       // background/iterate loop AOFlagger strategies
+                       // run — Offringa 2010 §3.1): half-widths of the
+                       // sliding-median windows (0/0 = the constant-
+                       // median background, bit-identical to the
+                       // pre-iteration kernel), detect-iteration count
+                       // and the per-iteration threshold ramp (early
+                       // iterations use chi × ramp^(n−i), so the first
+                       // pass only takes the strongest RFI out of the
+                       // background estimate)
+                       bgWindowTime: Int = 0,
+                       bgWindowChan: Int = 0,
+                       iterations: Int = 1,
+                       rampFactor: Double = 2.0) {
   require(pols.nonEmpty && pols.forall(RfiStrategy.PolComps.contains),
     s"pols must be non-empty from ${RfiStrategy.PolComps.keys}, " +
       s"got $pols")
   require(sirEtaTime >= 0 && sirEtaTime < 1 &&
     sirEtaChan >= 0 && sirEtaChan < 1,
     s"SIR eta must be in [0, 1), got ($sirEtaTime, $sirEtaChan)")
+  require(bgWindowTime >= 0 && bgWindowChan >= 0,
+    s"background windows must be >= 0")
+  require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+  require(rampFactor > 0, s"ramp_factor must be > 0, got $rampFactor")
 }
 
 object RfiStrategy {
@@ -90,10 +108,16 @@ object RfiStrategy {
             case ("chan_weight", x) => s.copy(chanWeight = x.toDouble)
             case ("sir_eta_time", x) => s.copy(sirEtaTime = x.toDouble)
             case ("sir_eta_chan", x) => s.copy(sirEtaChan = x.toDouble)
+            case ("bg_window_time", x) => s.copy(bgWindowTime = x.toInt)
+            case ("bg_window_chan", x) => s.copy(bgWindowChan = x.toInt)
+            case ("iterations", x) => s.copy(iterations = x.toInt)
+            case ("ramp_factor", x) => s.copy(rampFactor = x.toDouble)
             case (other, _) =>
               sys.error(s"unknown strategy key '$other' " +
                 "(expected mad_k, max_log2, rho, pols, time_weight, " +
-                "chan_weight, sir_eta_time, sir_eta_chan)")
+                "chan_weight, sir_eta_time, sir_eta_chan, " +
+                "bg_window_time, bg_window_chan, iterations, " +
+                "ramp_factor)")
           }
           case _ => sys.error(s"malformed strategy line '$line'")
         }
@@ -164,23 +188,57 @@ object RfiFlag {
         flg(i)(j) = flg(i)(j) || r.flag
       }
       // detect per polarisation image from the SAME prior flags, then
-      // OR the detections — how AOFlagger combines per-pol masks
+      // OR the detections — how AOFlagger combines per-pol masks.
+      // Each pol runs the strategy's detect loop: `iterations` rounds
+      // of background-estimate → residual-threshold, the threshold
+      // ramped down ramp^(n−i) so early rounds only remove the
+      // strongest RFI from the next round's background estimate
+      // (AOFlagger's iteration structure; constant-median background
+      // when the windows are 0 — bit-identical to the single-pass
+      // kernel at iterations = 1).
       val out = Array.fill(ts.length, cs.length)(false)
+      val slidingBg = strategy.bgWindowTime > 0 || strategy.bgWindowChan > 0
       var p = 0
       while (p < nPols) {
-        val unflaggedAmps = (for {
-          i <- ts.indices; j <- cs.indices if seen(i)(j) && !flg(i)(j)
-        } yield amp(p)(i)(j)).toArray
-        val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps,
-          strategy.madK)
-        val det = SumThresholdKernel.flagMatrix(amp(p), flg, chi1,
-          strategy.maxLog2, strategy.rho, strategy.timeWeight,
-          strategy.chanWeight)
+        var polFlags = flg.map(_.clone())
+        var iter = 1
+        while (iter <= strategy.iterations) {
+          val ramp = math.pow(strategy.rampFactor,
+            (strategy.iterations - iter).toDouble)
+          val use = Array.tabulate(ts.length, cs.length)((i, j) =>
+            seen(i)(j) && !polFlags(i)(j))
+          val det =
+            if (slidingBg) {
+              val bg = graft.functions.BackgroundKernel.estimate(
+                amp(p), use, strategy.bgWindowTime, strategy.bgWindowChan)
+              val res = Array.tabulate(ts.length, cs.length)((i, j) =>
+                amp(p)(i)(j) - bg(i)(j))
+              val unflaggedRes = (for {
+                i <- ts.indices; j <- cs.indices if use(i)(j)
+              } yield res(i)(j)).toArray
+              val chi1 = SumThresholdKernel.baseThreshold(unflaggedRes,
+                strategy.madK) * ramp
+              SumThresholdKernel.flagMatrixRes(res, polFlags, chi1,
+                strategy.maxLog2, strategy.rho, strategy.timeWeight,
+                strategy.chanWeight)
+            } else {
+              val unflaggedAmps = (for {
+                i <- ts.indices; j <- cs.indices if use(i)(j)
+              } yield amp(p)(i)(j)).toArray
+              val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps,
+                strategy.madK) * ramp
+              SumThresholdKernel.flagMatrix(amp(p), polFlags, chi1,
+                strategy.maxLog2, strategy.rho, strategy.timeWeight,
+                strategy.chanWeight)
+            }
+          polFlags = det
+          iter += 1
+        }
         var i = 0
         while (i < ts.length) {
           var j = 0
           while (j < cs.length) {
-            out(i)(j) ||= det(i)(j); j += 1
+            out(i)(j) ||= polFlags(i)(j); j += 1
           }
           i += 1
         }
@@ -214,5 +272,47 @@ object RfiFlag {
         i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)
       } yield RfiFlagOut(bl, ts(i), cs(j), out(i)(j))
     }.toDF()
+  }
+
+  /** The sliding-median background estimate on its own — the q_r1c
+    * gate surface. Builds the same dense per-baseline grid as [[run]]
+    * (XX amplitude, max over duplicate samples, unseen cells 0/false)
+    * and returns one row per grid cell with the background in integer
+    * micro-units (floor(bg·1e6 + 0.5) — amplitudes are non-negative),
+    * the driver-gate representation that compares exactly against the
+    * DuckDB `median()`-window twin.
+    */
+  def background(visFlagged: DataFrame, wt: Int, wc: Int): DataFrame = {
+    val spark = visFlagged.sparkSession
+    import spark.implicits._
+    val cells: Dataset[RfiCell] = visFlagged.select(
+      col("bl"), col("t"), col("chan"),
+      array(sqrt(col("v0") * col("v0") + col("v1") * col("v1")))
+        .as("amps"),
+      col("flag")).as[RfiCell]
+    cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
+      val rows = it.toArray
+      val ts = rows.map(_.t).distinct.sorted
+      val cs = rows.map(_.chan).distinct.sorted
+      val tIdx = ts.zipWithIndex.toMap
+      val cIdx = cs.zipWithIndex.toMap
+      val amp = Array.fill(ts.length, cs.length)(0.0)
+      val flg = Array.fill(ts.length, cs.length)(false)
+      val seen = Array.fill(ts.length, cs.length)(false)
+      rows.foreach { r =>
+        val (i, j) = (tIdx(r.t), cIdx(r.chan))
+        val a = r.amps(0)
+        if (!seen(i)(j) || a > amp(i)(j)) amp(i)(j) = a
+        seen(i)(j) = true
+        flg(i)(j) = flg(i)(j) || r.flag
+      }
+      val use = Array.tabulate(ts.length, cs.length)((i, j) =>
+        seen(i)(j) && !flg(i)(j))
+      val bg = graft.functions.BackgroundKernel.estimate(amp, use, wt, wc)
+      for {
+        i <- ts.indices.iterator; j <- cs.indices.iterator
+      } yield (bl, ts(i), cs(j),
+        math.floor(bg(i)(j) * 1e6 + 0.5).toLong)
+    }.toDF("bl", "t", "chan", "bg_u")
   }
 }

@@ -870,6 +870,51 @@ object Oracles {
     r1SumThresholdWith("sqrt(v6 * v6 + v7 * v7)", 5.0, 2.0, 0.5,
       sirEtaTime = 0.3, sirEtaChan = 0.1)
 
+  /** R1c sliding-median background twin: the same dense per-baseline
+    * grid as the SumThreshold twin (XX amplitude, max over duplicate
+    * samples, unseen cells 0/false), then the separable masked median
+    * — time window ±2 per channel, then channel window ±1 per
+    * timestep — through DuckDB's `median()` window aggregate (which
+    * interpolates at even count and skips NULLs, exactly the kernel's
+    * convention), empty windows falling back to the baseline's global
+    * unflagged median. Integer micro-units.
+    */
+  val r1cBackground: String = OracleSql.query(
+    """SELECT bl, t, chan,
+      |       CAST(floor(coalesce(m2, gm, 0.0e0) * 1.0e6 + 0.5e0)
+      |            AS BIGINT) AS bg_u
+      |FROM (
+      |  SELECT bl, t, chan,
+      |         median(m1) OVER (PARTITION BY bl, t ORDER BY chan
+      |                          ROWS BETWEEN 1 PRECEDING
+      |                          AND 1 FOLLOWING) AS m2,
+      |         median(CASE WHEN seen AND NOT flg THEN amp END)
+      |           OVER (PARTITION BY bl) AS gm
+      |  FROM (
+      |    SELECT bl, t, chan, seen, flg, amp,
+      |           median(CASE WHEN seen AND NOT flg THEN amp END)
+      |             OVER (PARTITION BY bl, chan ORDER BY t
+      |                   ROWS BETWEEN 2 PRECEDING
+      |                   AND 2 FOLLOWING) AS m1
+      |    FROM cells))""".stripMargin,
+    OracleSql.visFlaggedCte,
+    """cells0 AS (
+      |  SELECT bl, t, chan,
+      |         max(sqrt(v0 * v0 + v1 * v1)) AS amp,
+      |         bool_or(flag) AS flg
+      |  FROM vis_flagged GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT b.bl, b.t, c.chan
+      |  FROM (SELECT DISTINCT bl, t FROM cells0) b
+      |  JOIN (SELECT DISTINCT bl, chan FROM cells0) c ON b.bl = c.bl),
+      |cells AS (
+      |  SELECT g.bl, g.t, g.chan,
+      |         coalesce(c.amp, 0.0e0) AS amp,
+      |         coalesce(c.flg, FALSE) AS flg,
+      |         c.bl IS NOT NULL AS seen
+      |  FROM grid g LEFT JOIN cells0 c
+      |    ON g.bl = c.bl AND g.t = c.t AND g.chan = c.chan)""".stripMargin)
+
   val r1ThresholdFlags: String = OracleSql.query(
     """SELECT t, bl, chan, amp > lim AS rfi
       |FROM (

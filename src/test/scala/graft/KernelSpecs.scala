@@ -246,4 +246,70 @@ class KernelSpecs extends AnyFunSuite {
     // neighbours must NOT be flagged by the masked spike
     assert(!out(3)(2) && !out(3)(4) && !out(2)(3) && !out(4)(3))
   }
+
+  test("background: separable sliding median matches brute force; " +
+    "flagged cells excluded; empty windows fall back to global") {
+    import graft.functions.BackgroundKernel
+    val rnd = new scala.util.Random(42)
+    val (nt, nc, wt, wc) = (11, 7, 2, 1)
+    val amp = Array.fill(nt, nc)(rnd.nextDouble() * 10)
+    val use = Array.fill(nt, nc)(rnd.nextDouble() > 0.3)
+    // one fully-flagged channel strip to hit the fallback path
+    (0 until nt).foreach(i => use(i)(5) = false)
+    val got = BackgroundKernel.estimate(amp, use, wt, wc)
+    // brute force, straight from the definition
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val global = med(for {
+      i <- 0 until nt; j <- 0 until nc if use(i)(j)
+    } yield amp(i)(j))
+    for (i <- 0 until nt; j <- 0 until nc) {
+      val b1 = for (k <- math.max(0, j - wc) to math.min(nc - 1, j + wc))
+        yield med(for {
+          l <- math.max(0, i - wt) to math.min(nt - 1, i + wt)
+          if use(l)(k)
+        } yield amp(l)(k))
+      val expect = med(b1.filterNot(_.isNaN)) match {
+        case m if m.isNaN => if (global.isNaN) 0.0 else global
+        case m => m
+      }
+      assert(got(i)(j) == expect, s"cell ($i,$j)")
+    }
+  }
+
+  test("background: iterated detection unmasks faint RFI under a " +
+    "sloped bandpass that the constant background misses") {
+    import graft.ops.{RfiStrategy, RfiFlag}
+    // a strong spectral slope + faint broadband RFI at one timestep:
+    // with a constant median background the slope dominates the MAD
+    // and hides the RFI; the sliding median removes the slope
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val nt = 24; val nc = 24
+    val rows = for (t <- 0 until nt; c <- 0 until nc) yield {
+      val slope = 10.0 * c // bandpass ramp across channels
+      val noise = math.sin(t * 12.9898 + c * 78.233) * 0.05
+      val rfi = if (t == 10) 1.5 else 0.0
+      (0L, t.toLong, c.toLong, slope + noise + rfi, 0.0, false)
+    }
+    val df = rows.toDF("bl", "t", "chan", "v0", "v1", "flag")
+    def occ(s: RfiStrategy): Long =
+      RfiFlag(df, s).where("rfi").count()
+    val constBg = occ(RfiStrategy(madK = 5.0, sirEtaTime = 0,
+      sirEtaChan = 0))
+    val slidingBg = occ(RfiStrategy(madK = 5.0, sirEtaTime = 0,
+      sirEtaChan = 0, bgWindowTime = 3, bgWindowChan = 5,
+      iterations = 2))
+    // the slope-removed detection finds the t=10 broadband line
+    assert(slidingBg >= nc.toLong,
+      s"sliding background should flag the RFI line ($slidingBg)")
+    assert(slidingBg > constBg,
+      s"sliding ($slidingBg) must beat constant ($constBg)")
+  }
 }

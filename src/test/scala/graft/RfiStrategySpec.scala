@@ -96,18 +96,18 @@ class RfiStrategySpec extends AnyFunSuite {
       |end""".stripMargin
 
   test("Lua translation: tuned MWA-shaped file maps exactly onto the " +
-    "q_r1b strategy; untranslatable calls surface verbatim") {
+    "q_r1b strategy + background windows; nothing left unmapped") {
     import graft.ops.LuaStrategy
     val tr = LuaStrategy.translate(tunedLua)
     // 6.0 * 0.8333333333333334 == 5.0 exactly in IEEE doubles, and the
     // 0.5 / 2.0 levels reciprocate exactly — the translation equals the
-    // q_r1b gate's strategy bit-for-bit
+    // q_r1b gate's strategy bit-for-bit, plus the high_pass_filter
+    // kernel sizes (21, 31) as median half-windows (10, 15)
     assert(tr.strategy == RfiStrategy.parse(
       "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
-        "sir_eta_time = 0.3\nsir_eta_chan = 0.1"))
-    assert(tr.unmapped ==
-      Seq("aoflagger.high_pass_filter(data, 21, 31, 2.5, 5.0)"),
-      s"unmapped was ${tr.unmapped}")
+        "sir_eta_time = 0.3\nsir_eta_chan = 0.1\n" +
+        "bg_window_time = 10\nbg_window_chan = 15"))
+    assert(tr.unmapped.isEmpty, s"unmapped was ${tr.unmapped}")
   }
 
   test("Lua translation: q_r1b output reproduced end-to-end from the " +
@@ -123,9 +123,44 @@ class RfiStrategySpec extends AnyFunSuite {
     val fromLua = RfiFlag(flagged, tr.strategy)
     val gate = RfiFlag(flagged, RfiStrategy.parse(
       "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
-        "sir_eta_time = 0.3\nsir_eta_chan = 0.1"))
+        "sir_eta_time = 0.3\nsir_eta_chan = 0.1\n" +
+        "bg_window_time = 10\nbg_window_chan = 15"))
     assert(fromLua.except(gate).isEmpty && gate.except(fromLua).isEmpty,
-      "translated Lua strategy must reproduce the q_r1b gate rows")
+      "translated Lua strategy must reproduce the gate rows")
+  }
+
+  test("Lua translation honesty: nested-paren and multi-line calls " +
+    "are exhaustively accounted for (mapped or unmapped)") {
+    import graft.ops.LuaStrategy
+    val gnarly =
+      """function execute(input)
+        |  local iteration_count = 3
+        |  local threshold_factor_step = 2.0
+        |  aoflagger.sumthreshold(data, math.max(0.5, f(x, y)),
+        |    2.0, true, true)
+        |  aoflagger.low_pass_filter(data,
+        |    kernel(21, 31),
+        |    2.5, 5.0)
+        |  aoflagger.apply_bandpass(data, "bandpass.txt")
+        |  aoflagger.
+        |end""".stripMargin
+    val tr = LuaStrategy.translate(gnarly)
+    // iteration knobs picked up from the local block
+    assert(tr.strategy.iterations == 3 && tr.strategy.rampFactor == 2.0)
+    // nested-paren sumthreshold still maps its resolvable freq level
+    assert(tr.strategy.chanWeight == 0.5)
+    // the multi-line nested-paren low_pass_filter and the bandpass
+    // call surface verbatim; the dangling `aoflagger.` is reported too
+    assert(tr.unmapped.exists(_.contains("low_pass_filter")),
+      s"unmapped was ${tr.unmapped}")
+    assert(tr.unmapped.exists(_.contains("apply_bandpass")))
+    // exhaustiveness: every aoflagger. mention in the source is either
+    // a mapped/scaffolding call or appears in unmapped — proven by
+    // counting mentions: 4 mentions, 1 mapped (sumthreshold),
+    // 3 reported
+    val mentions = "aoflagger\\.".r.findAllIn(gnarly).length
+    assert(mentions == 4 && tr.unmapped.length == 3,
+      s"${tr.unmapped}")
   }
 
   test("Lua translation: a file that never calls SIR runs without " +
