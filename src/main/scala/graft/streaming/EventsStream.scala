@@ -24,10 +24,35 @@ object EventsStream {
     * schema from the existing files' footers (driver-side, no data
     * scan) so the pinned stream schema always matches the bytes on
     * disk; new micro-batch files of the same table keep that schema.
+    *
+    * A dir with NO events files yet (the stream starting before its
+    * first micro-batch lands — the "files appearing later" scenario
+    * [[windowedCounts]] documents) has no footers to discover from;
+    * fall back to the historical nano-long schema so the stream can
+    * still start. Assumption (also Events.readEvents'): one
+    * homogeneous ts encoding per directory — a dir mixing both
+    * encodings would misread the minority files under the pinned
+    * schema, so the discovery reads ALL matching footers (mergeSchema
+    * fails loudly on a true mix rather than sampling one file).
     */
+  val FallbackSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   def discoverSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.*").schema
+    try spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/events.*").schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("Path does not exist") ||
+              e.getMessage.contains("unable to infer schema") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        FallbackSchema
+    }
   }
 
   /** Schema-adaptive streaming read of an events dir, normalised to an

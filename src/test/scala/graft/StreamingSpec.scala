@@ -64,6 +64,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b, s"streaming rows ${s.size} vs batch ${b.size}")
   }
 
+  test("events stream starts on an empty dir (files appearing later) " +
+    "via the fallback schema") {
+    val empty = java.nio.file.Files.createTempDirectory("ev_empty")
+      .toString
+    // schema discovery has no footers to read -> nano-long fallback
+    assert(EventsStream.discoverSchema(spark, empty) ==
+      EventsStream.FallbackSchema)
+    // and the stream itself starts and completes with zero rows
+    val out = EventsStream.runOnce(spark, empty, "events_empty")
+    assert(out.count() == 0L)
+  }
+
   test("streaming corpus chunking equals the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.CorpusStream.chunkOnce(spark, dir)
