@@ -107,6 +107,24 @@ object PropertySpecs extends Properties("kernels") {
         graft.sinks.CasaTables.walk(bytes).forall(_.length > 0)
     }
 
+  property("mwaf FITS X-column bit packing round-trips any mask") =
+    Prop.forAll(Gen.chooseNum(1, 64),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (fpc, raw) =>
+      val mask = if (fpc == 64) raw else raw & ((1L << fpc) - 1)
+      val buf = new Array[Byte]((fpc + 7) / 8)
+      graft.sinks.MwafWriter.packBits(mask, fpc, buf)
+      graft.sources.MwafReader.unpackBits(
+        java.nio.ByteBuffer.wrap(buf), fpc) == mask
+    }
+
+  property("casacore Bool bit packing round-trips (LSB-first)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf(true, false))) { bs =>
+      val arr = bs.toArray
+      graft.sinks.CasaTables.unpackBools(
+        graft.sinks.CasaTables.packBools(arr), arr.length)
+        .sameElements(arr)
+    }
+
   property("mwaf baseline ids are the ascending dense grid") =
     Prop.forAll(Gen.chooseNum(1, 256)) { n =>
       val ids = graft.sources.MwafReader.baselineIds(n)
