@@ -78,4 +78,44 @@ class MwafSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("64 fine chans"))
   }
+
+  test("mwaf extensions are standard-conforming FITS BINTABLEs " +
+    "(mandatory cards, reference column names/types)") {
+    val dir = Files.createTempDirectory("mwaf_cards").toString
+    val flagged = FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
+    MwafWriter.write(flagged, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rd = new graft.sources.SlabIO.SlabReader(s"$dir/flags_0.mwaf",
+      conf)
+    try {
+      import graft.sources.MwafReader.{findExt, strVal}
+      // every extension: the BINTABLE mandatory-card set in the
+      // standard's order semantics (astropy-parseable), EXTNAME, and
+      // the reference's TTYPE/TFORM pairs (mwaf.rs:547-624)
+      val expect = Map(
+        "FLAGS" -> Seq(("FLAGS", "8X")), // 8 fine chans per coarse
+        "CH_OCC" -> Seq(("Index", "1J"), ("Count", "1K"),
+          ("Occupancy", "1D")),
+        "BL_OCC" -> Seq(("Index", "1J"), ("Antenna1", "1J"),
+          ("Antenna2", "1J"), ("Count", "1K"), ("Occupancy", "1D")),
+        "TILES" -> Seq(("Antenna", "1J"), ("TileName", "8A")))
+      expect.foreach { case (extname, fields) =>
+        val (cards, _) = findExt(rd, extname)
+        assert(strVal(cards("XTENSION")) == "BINTABLE", extname)
+        assert(cards("BITPIX").toInt == 8, extname)
+        assert(cards("NAXIS").toInt == 2, extname)
+        assert(cards("PCOUNT").toInt == 0, extname)
+        assert(cards("GCOUNT").toInt == 1, extname)
+        assert(cards("TFIELDS").toInt == fields.length, extname)
+        fields.zipWithIndex.foreach { case ((ttype, tform), i) =>
+          assert(strVal(cards(s"TTYPE${i + 1}")) == ttype,
+            s"$extname TTYPE${i + 1}")
+          assert(strVal(cards(s"TFORM${i + 1}")) == tform,
+            s"$extname TFORM${i + 1}")
+        }
+      }
+    } finally rd.close()
+  }
 }
