@@ -396,6 +396,29 @@ object SparkEntry {
       rows.toDF("tab", "n_rows", "n_cols", "dat_objs", "f0_objs")
     }),
 
+    // K2d: ANTENNA subtable VALUES decoded back out of the casacore
+    // bytes (variable-length Strings, Double[3] positions) — the
+    // value-level twin of q_k2c's structural audit
+    "q_k2d_ms_antenna" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
+        msFixtureDir)
+      val dec = graft.sinks.MsContainer.readTable(
+        s"$msFixtureDir/ANTENNA", s.sparkContext.hadoopConfiguration)
+      import graft.sinks.MsContainer.{cell, strCell}
+      val rows = (0L until dec.nRows).map { r =>
+        val pos = cell(dec, r, "POSITION")
+        (r, strCell(dec, r, "NAME"), strCell(dec, r, "STATION"),
+          strCell(dec, r, "MOUNT"), pos(0), pos(1), pos(2),
+          cell(dec, r, "DISH_DIAMETER").head)
+      }
+      import s.implicits._
+      rows.toDF("ant", "name", "station", "mount", "east_m",
+        "north_m", "height_m", "dish_m")
+    }),
+
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
       Sinks.mwafOccupancy(flagged(s, dir))),
 
@@ -707,6 +730,7 @@ object SparkEntry {
     "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k2b_ms_container" -> Oracles.k2bMsContainer,
     "q_k2c_ms_casacore" -> Oracles.k2cMsCasacore,
+    "q_k2d_ms_antenna" -> Oracles.k2dMsAntenna,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_s4_mwaf_roundtrip" -> Oracles.s4MwafRoundtrip,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,

@@ -1058,6 +1058,17 @@ object Oracles {
        |) AS t(tab, n_rows, n_cols, dat_objs, f0_objs)""".stripMargin,
     s"avg AS (\n$avgBody)")
 
+  /** K2d ANTENNA subtable value twin: the Spark side decodes names,
+    * positions and dish diameters back out of the casacore bytes; this
+    * recomputes them from the antenna dimension (TileNNN naming, MWA
+    * station/mount constants, exact ENH double round-trip).
+    */
+  val k2dMsAntenna: String = OracleSql.query(
+    """SELECT ant, 'Tile' || lpad(CAST(ant AS VARCHAR), 3, '0') AS name,
+      |       'MWA' AS station, 'ALT-AZ' AS mount,
+      |       east_m, north_m, height_m, 4.0e0 AS dish_m
+      |FROM antenna""".stripMargin)
+
   /** S4 mwaf container round trip: the Spark side WRITES the per-cc
     * mwaf FITS files and reads them back; this twin recomputes the
     * dense grid the files must hold — every (cc ∈ data, t, bl) cell,
