@@ -160,21 +160,44 @@ object CasaTables {
     o.putend()
   }
 
-  /** Empty TableRecord (casa/Containers TableRecord + RecordDesc). */
-  private def putEmptyRecord(o: Out): Unit = {
+  /** One keyword-record field: name, DataType code, scalar value. */
+  sealed trait RecVal { def tp: Int }
+  final case class RecFloat(v: Float) extends RecVal { def tp: Int = TpFloat }
+  final case class RecDouble(v: Double) extends RecVal { def tp: Int = TpDouble }
+  final case class RecInt(v: Int) extends RecVal { def tp: Int = TpInt }
+  final case class RecString(v: String) extends RecVal { def tp: Int = TpString }
+
+  /** TableRecord with scalar fields (casa/Containers TableRecord:
+    * a RecordDesc — field names + DataType codes — then the values in
+    * field order). Empty when `fields` is.
+    */
+  private def putRecord(o: Out,
+                        fields: Seq[(String, RecVal)] = Nil): Unit = {
     o.putstart("TableRecord", 1)
     o.putstart("RecordDesc", 2)
-    o.putUInt(0L)
+    o.putUInt(fields.length.toLong)
+    fields.foreach { case (name, v) =>
+      o.putString(name)
+      o.putInt(v.tp)
+    }
     o.putend()
+    fields.foreach {
+      case (_, RecFloat(v)) => o.putFloat(v)
+      case (_, RecDouble(v)) => o.putDouble(v)
+      case (_, RecInt(v)) => o.putInt(v)
+      case (_, RecString(v)) => o.putString(v)
+    }
     o.putend()
   }
 
   /** `table.dat` bytes for one table: the Table → TableDesc →
     * ColumnDesc* → ColumnSet chain, all columns bound to one
     * StManAipsIO storage manager (seqnr 0 → data file `table.f0`).
+    * `keywords` lands in the TableDesc keyword record (MAIN carries
+    * MS_VERSION 2.0 there, as a real MeasurementSet does).
     */
-  def tableDat(descName: String, nRows: Long,
-               cols: Seq[CasaCol]): Array[Byte] = {
+  def tableDat(descName: String, nRows: Long, cols: Seq[CasaCol],
+               keywords: Seq[(String, RecVal)] = Nil): Array[Byte] = {
     val o = new Out
     o.putstart("Table", 2)
     o.putUInt(nRows)
@@ -185,8 +208,8 @@ object CasaTables {
     o.putString(descName)
     o.putString("") // version string
     o.putString("") // comment
-    putEmptyRecord(o) // table keywords
-    putEmptyRecord(o) // private keywords
+    putRecord(o, keywords) // table keywords
+    putRecord(o) // private keywords
     o.putUInt(cols.length.toLong)
     cols.foreach { c =>
       // BaseColumnDesc::putFile under the concrete class name
@@ -201,7 +224,7 @@ object CasaTables {
       o.putInt(c.shape.length) // ndim
       if (c.isArray) putIPosition(o, c.shape)
       o.putInt(0) // maxLength
-      putEmptyRecord(o) // column keywords
+      putRecord(o) // column keywords
       o.putend()
     }
     o.putend()

@@ -258,7 +258,9 @@ object MsContainer {
     val fs = mainDir.getFileSystem(conf)
     fs.mkdirs(mainDir)
     val dat = fs.create(new Path(mainDir, "table.dat"), true)
-    dat.write(tableDat("MAIN", nRows, cols)); dat.close()
+    dat.write(tableDat("MAIN", nRows, cols,
+      Seq("MS_VERSION" -> CasaTables.RecFloat(2.0f))))
+    dat.close()
     val inf = fs.create(new Path(mainDir, "table.info"), true)
     inf.write(infoText("Measurement Set").getBytes("ASCII"))
     inf.close()

@@ -107,6 +107,37 @@ object PropertySpecs extends Properties("kernels") {
         graft.sinks.CasaTables.walk(bytes).forall(_.length > 0)
     }
 
+  property("StManAipsIO data file round-trips any column set") =
+    Prop.forAll(Gen.chooseNum(1, 12),
+      Gen.nonEmptyListOf(colGen).map(_.take(6))) { (nRows, cols0) =>
+      import graft.sinks.CasaTables
+      // unique names; values representable exactly at every width
+      val cols = cols0.zipWithIndex.map { case (c, i) =>
+        // string columns are scalar in the storage manager (one
+        // variable-length String per row)
+        c.copy(name = s"C$i",
+          shape = if (c.tp == graft.sinks.CasaTables.TpString) Nil
+            else c.shape)
+      }
+      val rnd = new scala.util.Random(nRows * 31 + cols.length)
+      val num = cols.filter(_.tp != CasaTables.TpString).map { c =>
+        val perRow = c.cellElems *
+          (if (c.tp == CasaTables.TpComplex) 2 else 1)
+        c.name -> Seq.fill(nRows)(Seq.fill(perRow)(
+          if (c.tp == CasaTables.TpBool) rnd.nextInt(2).toDouble
+          else rnd.nextInt(256).toDouble))
+      }.toMap
+      val strs = cols.filter(_.tp == CasaTables.TpString).map { c =>
+        c.name -> Seq.fill(nRows)(rnd.alphanumeric.take(
+          rnd.nextInt(12)).mkString)
+      }.toMap
+      val bytes = CasaTables.stManF0(nRows.toLong, cols, num, strs)
+      val (numBack, strsBack) = CasaTables.readF0(bytes, nRows.toLong,
+        cols)
+      num.forall { case (k, v) => numBack(k).map(_.toSeq) == v } &&
+        strs.forall { case (k, v) => strsBack(k).toSeq == v }
+    }
+
   property("mwaf FITS X-column bit packing round-trips any mask") =
     Prop.forAll(Gen.chooseNum(1, 64),
       Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (fpc, raw) =>
