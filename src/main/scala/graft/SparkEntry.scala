@@ -487,6 +487,8 @@ object SparkEntry {
       graft.llm.Corpus.stratifiedSample(docs(s, dir))),
     "q_t13_bpe_pairs" -> ((s, dir) =>
       graft.llm.Corpus.bpePairStats(docs(s, dir))),
+    "q_t14_bigram_nll" -> ((s, dir) =>
+      graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
       graft.llm.Corpus.repeatedSpans(docs(s, dir))),
     "q_d9_source_overlap" -> ((s, dir) =>
@@ -768,6 +770,7 @@ object SparkEntry {
     "q_t12_stratified_sample" ->
       graft.llm.Corpus.stratifiedSampleSql(),
     "q_t13_bpe_pairs" -> graft.llm.Corpus.bpePairStatsSql(),
+    "q_t14_bigram_nll" -> graft.llm.Corpus.bigramNllSql,
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),

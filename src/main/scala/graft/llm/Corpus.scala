@@ -517,6 +517,81 @@ object Corpus {
   }
 
   /** DuckDB twin of [[stratifiedSample]]. */
+  /** Bigram-LM quality scoring — the perplexity-proxy filter of the
+    * CCNet/RefinedWeb family: train an add-one-smoothed word-bigram
+    * model ON the corpus itself and score every document by its total
+    * negative log-likelihood. High-NLL documents are the gibberish /
+    * boilerplate / wrong-language tail a quality-filtering stage
+    * drops; the per-term value is −ln((c(w1,w2)+1) / (c(w1)+V)).
+    *
+    * Gate representation: each term converts to integer micro-units
+    * (floor(x·1e6 + 0.5), x ≥ 0 because the smoothed probability is
+    * ≤ 1) BEFORE summation, so the per-document sum is an order-free
+    * integer — no floating accumulation order to pin.
+    *
+    * 100 TB shape: the bigram stream is exploded once (row-local);
+    * c(w1), c(w1,w2) and V are map-side-combined hash aggregates over
+    * it; the scoring join's probe side is pre-aggregated to
+    * (doc_id, w1, w2, n_occ) — repeated bigrams inside a document
+    * collapse map-side, so "of the"-class hot bigrams enter the join
+    * once per document, never once per occurrence, and AQE skew-split
+    * handles the residual spread. V is a 1-row broadcast. Nothing is
+    * quadratic; no windows.
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    implicit val d: Dialect = SparkD
+    val tok = docs.select(col("doc_id"),
+      expr(tokens("text")).as("toks"))
+    val bg = explodeNoInfer(tok,
+      expr(idxSeq1(s"${listSize("toks")} - 1")), "i",
+      col("doc_id"), col("toks"))
+      .select(col("doc_id"),
+        expr(elem("toks", "i")).as("w1"),
+        expr(elem("toks", "i + 1")).as("w2"))
+    val docBg = bg.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+    val hist = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    docBg.join(pair, Seq("w1", "w2")).join(hist, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n_occ"),
+        expr("CAST(floor(-ln((CAST(c12 AS DOUBLE) + 1.0e0) / " +
+          "(CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1.0e6 + 0.5e0)" +
+          " AS BIGINT)").as("nll_u"))
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_bigrams"),
+        sum(col("n_occ") * col("nll_u")).as("nll_u_sum"))
+  }
+
+  /** DuckDB twin of [[bigramNll]] — same dialect-shared token /
+    * index / element builders, same integer micro-unit terms.
+    */
+  def bigramNllSql: String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, ${elem("toks", "i")} AS w1,
+       |         ${elem("toks", "i + 1")} AS w2
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(${idxSeq1(s"${listSize("toks")} - 1")}) AS i
+       |        FROM tok)),
+       |db AS (SELECT doc_id, w1, w2, count(*) AS n_occ
+       |       FROM bg GROUP BY 1, 2, 3),
+       |c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |vt AS (SELECT count(DISTINCT w2) AS v FROM bg)
+       |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(n_occ *
+       |         CAST(floor(-ln((CAST(c12 AS DOUBLE) + 1.0e0) /
+       |           (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))
+       |           * 1.0e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS nll_u_sum
+       |FROM db JOIN c12t USING (w1, w2) JOIN c1t USING (w1)
+       |CROSS JOIN vt
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def stratifiedSampleSql(targets: Seq[(String, Long)] = SampleTargets)
       : String = {
     implicit val d: Dialect = DuckD
