@@ -559,9 +559,20 @@ object Cli {
     if (cfg.noAutos) vf = vf.withoutAutos()
     vf = vf.withDefaultFlags().withWeights(meta.weightFactor)
 
+    // a .lua file is an AOFlagger strategy (the file a Birli user
+    // already owns) — translate its parameter surface and REPORT the
+    // dropped behaviors; anything else is the native key=value format
     val strategy = cfg.rfiStrategyFile
-      .map(f => graft.ops.RfiStrategy.fromFile(f,
-        spark.sparkContext.hadoopConfiguration))
+      .map { f =>
+        if (f.toLowerCase.endsWith(".lua")) {
+          val tr = graft.ops.LuaStrategy.fromFile(f,
+            spark.sparkContext.hadoopConfiguration)
+          tr.unmapped.foreach(u =>
+            log(s"[graft] rfi: lua strategy call NOT translated: $u"))
+          tr.strategy
+        } else graft.ops.RfiStrategy.fromFile(f,
+          spark.sparkContext.hadoopConfiguration)
+      }
       .getOrElse(graft.ops.RfiStrategy())
     val pbSel = passbandSelect(cfg, meta)._2
     val pre = Preprocess(

@@ -490,6 +490,29 @@ class CliSpec extends AnyFunSuite {
       .select("ch_flag").collect().forall(_.getBoolean(0)))
   }
 
+  test("a .lua strategy file routes through the AOFlagger translator " +
+    "and reports untranslated calls") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_lua")
+    val lua = dir.resolve("mwa.lua")
+    java.nio.file.Files.writeString(lua,
+      """function execute(input)
+        |  local base_threshold = 1.0
+        |  aoflagger.sumthreshold(data, 1.0, 1.0, true, true)
+        |  aoflagger.visualize(data, "stage", 0)
+        |end""".stripMargin)
+    val out = dir.resolve("out.uvfits").toString
+    val cfg = Cli.parse(Seq("-d", "/root/testdata/sf0.001", "-u", out,
+      "--flag-strategy", lua.toString,
+      "--sel-time", "0", "7", "--avg-time", "2", "--avg-freq", "2"))
+      .toOption.get
+    val logged = scala.collection.mutable.ArrayBuffer[String]()
+    val n = Cli.run(spark, cfg, logged += _)
+    assert(n > 0)
+    assert(logged.exists(_.contains("lua strategy call NOT translated")
+      ), s"expected unmapped report in ${logged.filter(_.contains("rfi"))}")
+    assert(logged.exists(_.contains("visualize")))
+  }
+
   test("dry-run prints the summary and runs nothing") {
     var logs = Vector.empty[String]
     val cfg = Cli.parse(Seq("-d", "/does/not/exist", "--dry-run",
