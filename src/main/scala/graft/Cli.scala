@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *   [-u|--uvfits-out <out.uvfits>]
   *   [-M|--ms-out <out.ms>] [--flag-out <mwafDir>]
   *   [-f|--flag-template <path_%%.mwaf>]
-  *   [--flag-strategy|--aoflagger-strategy <file>]
+  *   [--flag-strategy|--aoflagger-strategy <file>]   (.lua files are
+  *     translated via [[graft.ops.LuaStrategy]], unmapped calls
+  *     logged; anything else parses as the native key=value format)
   *   [--dry-run] [--no-draw-progress] [--provided-chan-ranges]
   *   [--flag-init SEC] [--flag-end SEC] [--flag-dc]
   *   [--aocal <solutions.bin>] [--sel-time FROM TO] [--sel-ants A,B,...]

@@ -200,15 +200,17 @@ object RfiFlag {
       val slidingBg = strategy.bgWindowTime > 0 || strategy.bgWindowChan > 0
       var p = 0
       while (p < nPols) {
-        var polFlags = flg.map(_.clone())
+        // the kernels never mutate their input flags (they clone), so
+        // each iteration re-binds rather than copies
+        var polFlags = flg
         var iter = 1
         while (iter <= strategy.iterations) {
           val ramp = math.pow(strategy.rampFactor,
             (strategy.iterations - iter).toDouble)
-          val use = Array.tabulate(ts.length, cs.length)((i, j) =>
-            seen(i)(j) && !polFlags(i)(j))
           val det =
             if (slidingBg) {
+              val use = Array.tabulate(ts.length, cs.length)((i, j) =>
+                seen(i)(j) && !polFlags(i)(j))
               val bg = graft.functions.BackgroundKernel.estimate(
                 amp(p), use, strategy.bgWindowTime, strategy.bgWindowChan)
               val res = Array.tabulate(ts.length, cs.length)((i, j) =>
@@ -223,7 +225,8 @@ object RfiFlag {
                 strategy.chanWeight)
             } else {
               val unflaggedAmps = (for {
-                i <- ts.indices; j <- cs.indices if use(i)(j)
+                i <- ts.indices; j <- cs.indices
+                if seen(i)(j) && !polFlags(i)(j)
               } yield amp(p)(i)(j)).toArray
               val chi1 = SumThresholdKernel.baseThreshold(unflaggedAmps,
                 strategy.madK) * ramp
