@@ -165,9 +165,21 @@ object RfiFlag {
       array(ampCols: _*).as("amps"),
       col("flag")).as[RfiCell]
 
-    val nPols = strategy.pols.length
     cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
-      val rows = it.toArray
+      detectGroup(bl, it.toArray, strategy)
+    }.toDF()
+  }
+
+  /** The per-baseline detection kernel on its own: grid assembly,
+    * per-pol iterated background/SumThreshold, SIR post-extension.
+    * Shared by the batch `flatMapGroups` above and the streaming twin
+    * (graft.streaming.RfiStream), so both paths are the same code.
+    */
+  private[graft] def detectGroup(bl: Long, rows: Array[RfiCell],
+                                 strategy: RfiStrategy)
+      : Iterator[RfiFlagOut] = {
+    {
+      val nPols = strategy.pols.length
       val ts = rows.map(_.t).distinct.sorted
       val cs = rows.map(_.chan).distinct.sorted
       val tIdx = ts.zipWithIndex.toMap
@@ -274,7 +286,7 @@ object RfiFlag {
       for {
         i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)
       } yield RfiFlagOut(bl, ts(i), cs(j), out(i)(j))
-    }.toDF()
+    }
   }
 
   /** The sliding-median background estimate on its own — the q_r1c
