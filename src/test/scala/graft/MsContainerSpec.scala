@@ -43,6 +43,31 @@ class MsContainerSpec extends AnyFunSuite {
     assert(objs.count(_.tpe.startsWith("ArrayColumnDesc<")) == 4)
   }
 
+  test("decoder fails loudly on corrupt magic, wrong chain, " +
+    "truncation") {
+    val cols = MsContainer.mainCols(4)
+    val bytes = CasaTables.tableDat("MAIN", 8L, cols)
+    // flip one byte of the first object's magic
+    val corrupt = bytes.clone()
+    corrupt(4) = 0x00
+    val e1 = intercept[IllegalArgumentException] {
+      CasaTables.readTableDat(corrupt)
+    }
+    assert(e1.getMessage.contains("bebebebe"))
+    // a data file is not a descriptor: the chain check rejects it
+    val f0 = CasaTables.stManF0(1L, Seq(CasaTables.CasaCol("X",
+      CasaTables.TpInt, Nil)), Map("X" -> Seq(Seq(1.0))))
+    val e2 = intercept[IllegalArgumentException] {
+      CasaTables.readTableDat(f0)
+    }
+    assert(e2.getMessage.contains("Table"))
+    // truncated stream: walk must not read past the end silently
+    intercept[Exception] {
+      CasaTables.walk(bytes.take(bytes.length / 2))
+    }
+    ()
+  }
+
   test("container MAIN matches the mirror skeleton in row order") {
     val dir = "/root/testdata/sf0.001"
     val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
