@@ -381,12 +381,18 @@ object SparkEntry {
       graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
         msFixtureDir)
       val conf = s.sparkContext.hadoopConfiguration
-      val tables = Seq("MAIN" -> msFixtureDir,
-        "ANTENNA" -> s"$msFixtureDir/ANTENNA",
-        "FIELD" -> s"$msFixtureDir/FIELD",
-        "OBSERVATION" -> s"$msFixtureDir/OBSERVATION",
-        "POLARIZATION" -> s"$msFixtureDir/POLARIZATION",
-        "SPECTRAL_WINDOW" -> s"$msFixtureDir/SPECTRAL_WINDOW")
+      // every MS2 required subtable is audited; MAIN's keywordSet must
+      // link each one (how casacore resolves subtables from MAIN)
+      val kw = graft.sinks.MsContainer.readKeywords(msFixtureDir, conf)
+      val links = kw.collect {
+        case (n, graft.sinks.CasaTables.RecTable(v)) => (n, v)
+      }.toMap
+      require(graft.sinks.MsContainer.subtableNames
+        .forall(n => links.get(n).contains(n)),
+        s"MAIN keywordSet subtable links incomplete: $links")
+      val tables = ("MAIN" -> msFixtureDir) +:
+        graft.sinks.MsContainer.subtableNames.map(n =>
+          n -> s"$msFixtureDir/$n")
       val rows = tables.map { case (name, d) =>
         val (nRows, nCols, datObjs, f0Objs) =
           graft.sinks.MsContainer.audit(d, conf)

@@ -1044,17 +1044,31 @@ object Oracles {
     s"""SELECT tab, n_rows, n_cols, dat_objs, f0_objs FROM (VALUES
        |  ('MAIN',
        |   (SELECT count(*) FROM (SELECT DISTINCT t_out, bl FROM avg)),
-       |   CAST(13 AS BIGINT), CAST(50 AS BIGINT), CAST(14 AS BIGINT)),
+       |   CAST(22 AS BIGINT), CAST(79 AS BIGINT), CAST(23 AS BIGINT)),
        |  ('ANTENNA', (SELECT count(*) FROM antenna),
        |   CAST(5 AS BIGINT), CAST(23 AS BIGINT), CAST(6 AS BIGINT)),
+       |  ('DATA_DESCRIPTION', CAST(1 AS BIGINT),
+       |   CAST(3 AS BIGINT), CAST(16 AS BIGINT), CAST(4 AS BIGINT)),
+       |  ('FEED', (SELECT count(*) FROM antenna),
+       |   CAST(9 AS BIGINT), CAST(36 AS BIGINT), CAST(10 AS BIGINT)),
        |  ('FIELD', CAST(1 AS BIGINT),
        |   CAST(2 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT)),
+       |  ('FLAG_CMD', CAST(0 AS BIGINT),
+       |   CAST(8 AS BIGINT), CAST(31 AS BIGINT), CAST(9 AS BIGINT)),
+       |  ('HISTORY', CAST(0 AS BIGINT),
+       |   CAST(6 AS BIGINT), CAST(25 AS BIGINT), CAST(7 AS BIGINT)),
        |  ('OBSERVATION', CAST(1 AS BIGINT),
        |   CAST(3 AS BIGINT), CAST(17 AS BIGINT), CAST(4 AS BIGINT)),
+       |  ('POINTING', CAST(0 AS BIGINT),
+       |   CAST(9 AS BIGINT), CAST(36 AS BIGINT), CAST(10 AS BIGINT)),
        |  ('POLARIZATION', CAST(1 AS BIGINT),
        |   CAST(2 AS BIGINT), CAST(14 AS BIGINT), CAST(3 AS BIGINT)),
+       |  ('PROCESSOR', CAST(0 AS BIGINT),
+       |   CAST(5 AS BIGINT), CAST(22 AS BIGINT), CAST(6 AS BIGINT)),
        |  ('SPECTRAL_WINDOW', CAST(1 AS BIGINT),
-       |   CAST(5 AS BIGINT), CAST(24 AS BIGINT), CAST(6 AS BIGINT))
+       |   CAST(5 AS BIGINT), CAST(24 AS BIGINT), CAST(6 AS BIGINT)),
+       |  ('STATE', CAST(0 AS BIGINT),
+       |   CAST(7 AS BIGINT), CAST(28 AS BIGINT), CAST(8 AS BIGINT))
        |) AS t(tab, n_rows, n_cols, dat_objs, f0_objs)""".stripMargin,
     s"avg AS (\n$avgBody)")
 

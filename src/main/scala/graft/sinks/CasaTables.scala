@@ -42,7 +42,7 @@ object CasaTables {
 
   // casacore DataType enum (casa/Utilities/DataType.h)
   val TpBool = 0; val TpInt = 5; val TpFloat = 7; val TpDouble = 8
-  val TpComplex = 9; val TpString = 11
+  val TpComplex = 9; val TpString = 11; val TpTable = 12
 
   /** casacore ValType type-name suffixes for templated class names. */
   def typeName(tp: Int): String = tp match {
@@ -160,16 +160,25 @@ object CasaTables {
     o.putend()
   }
 
-  /** One keyword-record field: name, DataType code, scalar value. */
+  /** One keyword-record field: name, DataType code, scalar value.
+    * [[RecTable]] is a subtable link (TpTable): the value is the
+    * subtable's name relative to the parent table directory — how a
+    * MeasurementSet's MAIN keywordSet points casacore at ANTENNA,
+    * SPECTRAL_WINDOW, … (the "Table: <name>" strings visible in any
+    * real MS `table.dat`; TableRecordRep/TableKeyword serialization).
+    */
   sealed trait RecVal { def tp: Int }
   final case class RecFloat(v: Float) extends RecVal { def tp: Int = TpFloat }
   final case class RecDouble(v: Double) extends RecVal { def tp: Int = TpDouble }
   final case class RecInt(v: Int) extends RecVal { def tp: Int = TpInt }
   final case class RecString(v: String) extends RecVal { def tp: Int = TpString }
+  final case class RecTable(name: String) extends RecVal { def tp: Int = TpTable }
 
-  /** TableRecord with scalar fields (casa/Containers TableRecord:
-    * a RecordDesc — field names + DataType codes — then the values in
-    * field order). Empty when `fields` is.
+  /** TableRecord with scalar + table-link fields (casa/Containers
+    * TableRecord: a RecordDesc — field names + DataType codes, plus
+    * the table-description name for TpTable fields — then the values
+    * in field order, table links as "Table: <name>"). Empty when
+    * `fields` is.
     */
   private def putRecord(o: Out,
                         fields: Seq[(String, RecVal)] = Nil): Unit = {
@@ -179,6 +188,10 @@ object CasaTables {
     fields.foreach { case (name, v) =>
       o.putString(name)
       o.putInt(v.tp)
+      v match {
+        case RecTable(n) => o.putString(n) // tableDescName
+        case _ => ()
+      }
     }
     o.putend()
     fields.foreach {
@@ -186,8 +199,43 @@ object CasaTables {
       case (_, RecDouble(v)) => o.putDouble(v)
       case (_, RecInt(v)) => o.putInt(v)
       case (_, RecString(v)) => o.putString(v)
+      case (_, RecTable(n)) => o.putString("Table: " + n)
     }
     o.putend()
+  }
+
+  /** Decode one TableRecord written by [[putRecord]] at the reader's
+    * current position: the scalar field types plus TpTable links
+    * (returned with the "Table: " value prefix stripped).
+    */
+  def readRecord(in: In): Seq[(String, RecVal)] = {
+    val h = in.getstart("TableRecord")
+    val rd = in.getstart("RecordDesc")
+    val n = in.getUInt()
+    val fields = (0L until n).map { _ =>
+      val name = in.getString()
+      val tp = in.getInt()
+      if (tp == TpTable) in.getString() // tableDescName
+      (name, tp)
+    }
+    in.getend(rd)
+    val vals = fields.map { case (name, tp) =>
+      val v: RecVal = tp match {
+        case TpFloat => RecFloat(in.getFloat())
+        case TpDouble => RecDouble(in.getDouble())
+        case TpInt => RecInt(in.getInt())
+        case TpString => RecString(in.getString())
+        case TpTable =>
+          val s = in.getString()
+          require(s.startsWith("Table: "),
+            s"table keyword '$name' value '$s' lacks the Table: prefix")
+          RecTable(s.substring(7))
+        case other => sys.error(s"readRecord: unsupported type $other")
+      }
+      (name, v)
+    }
+    in.getend(h)
+    vals
   }
 
   /** `table.dat` bytes for one table: the Table → TableDesc →
@@ -246,7 +294,9 @@ object CasaTables {
   /** Column values for a driver-written (dimension-sized) table. Each
     * column's data: numeric columns `Seq[Seq[Double]]` (per row, cell
     * elems flat, complex as re,im interleaved), Bool columns the same
-    * with 0/1, String scalar columns `Seq[String]` passed separately.
+    * with 0/1, String columns `Seq[String]` passed separately — for
+    * array-of-string cells pass nRows·cellElems strings flat, cell
+    * order. Zero-row tables may omit their columns from both maps.
     */
   def stManF0(nRows: Long, cols: Seq[CasaCol],
               num: Map[String, Seq[Seq[Double]]],
@@ -263,18 +313,25 @@ object CasaTables {
       o.putUInt(nRows)
       c.tp match {
         case TpString =>
-          strs(c.name).foreach(o.putString)
+          val vs = strs.getOrElse(c.name, Nil)
+          require(vs.length == nRows * c.cellElems,
+            s"column ${c.name}: ${vs.length} strings for " +
+              s"$nRows rows × ${c.cellElems} elems")
+          vs.foreach(o.putString)
         case TpBool =>
-          val flat = num(c.name).flatten.map(_ != 0.0).toArray
+          val flat = num.getOrElse(c.name, Nil).flatten
+            .map(_ != 0.0).toArray
           o.putBools(flat)
         case TpInt =>
-          num(c.name).flatten.foreach(v => o.putInt(v.toInt))
+          num.getOrElse(c.name, Nil).flatten.foreach(v => o.putInt(v.toInt))
         case TpFloat =>
-          num(c.name).flatten.foreach(v => o.putFloat(v.toFloat))
+          num.getOrElse(c.name, Nil).flatten.foreach(v =>
+            o.putFloat(v.toFloat))
         case TpDouble =>
-          num(c.name).flatten.foreach(o.putDouble)
+          num.getOrElse(c.name, Nil).flatten.foreach(o.putDouble)
         case TpComplex => // re,im interleaved doubles -> float pairs
-          num(c.name).flatten.foreach(v => o.putFloat(v.toFloat))
+          num.getOrElse(c.name, Nil).flatten.foreach(v =>
+            o.putFloat(v.toFloat))
         case other => sys.error(s"stManF0: unsupported type $other")
       }
       o.putend()
@@ -386,6 +443,15 @@ object CasaTables {
     * and data-manager binding.
     */
   def readTableDat(bytes: Array[Byte]): (Long, Seq[CasaCol]) = {
+    val (nRows, cols, _) = readTableDatKw(bytes)
+    (nRows, cols)
+  }
+
+  /** [[readTableDat]] plus the table keyword record (MS_VERSION,
+    * subtable links, …).
+    */
+  def readTableDatKw(bytes: Array[Byte])
+      : (Long, Seq[CasaCol], Seq[(String, RecVal)]) = {
     val in = new In(bytes)
     val t = in.getstart("Table")
     val nRows = in.getUInt()
@@ -393,7 +459,7 @@ object CasaTables {
     require(in.getString() == "PlainTable", "not a PlainTable")
     val td = in.getstart("TableDesc")
     in.getString(); in.getString(); in.getString()
-    in.getend(in.getstart("TableRecord"))
+    val keywords = readRecord(in)
     in.getend(in.getstart("TableRecord"))
     val ncol = in.getUInt()
     val cols = (0L until ncol).map { _ =>
@@ -426,7 +492,7 @@ object CasaTables {
     require(in.getUInt() == 1L, "expected one data manager")
     require(in.getUInt() == 0L, "expected seqnr 0")
     require(in.getString() == "StManAipsIO", "expected StManAipsIO")
-    (nRows, cols)
+    (nRows, cols, keywords)
   }
 
   /** Decode a StManAipsIO `table.f0`: per-column row-major values
@@ -448,10 +514,13 @@ object CasaTables {
       val co = in.getstart("StManColumnAipsIO")
       require(in.getUInt() == nRows, s"column ${c.name} row count")
       if (c.tp == TpString) {
+        // array-of-string cells decode comma-joined per row
+        val per = c.cellElems
         val vals = scala.collection.mutable.ArrayBuffer[String]()
         while (vals.length < nRows) {
           val n = in.getUInt().toInt
-          (0 until n).foreach(_ => vals += in.getString())
+          (0 until n).foreach(_ => vals +=
+            (0 until per).map(_ => in.getString()).mkString(","))
         }
         strs(c.name) = vals.toIndexedSeq
       } else {

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * casacore table structure — one directory per table holding
   * `table.info`, a `table.dat` descriptor (AipsIO object stream:
   * Table → TableDesc → ColumnDesc* → ColumnSet), and a `table.f0`
-  * StManAipsIO storage-manager data file, with MAIN plus
-  * ANTENNA / SPECTRAL_WINDOW / POLARIZATION / FIELD / OBSERVATION
-  * subtables — fed from the same frames as the parquet mirror
+  * StManAipsIO storage-manager data file, with MAIN (full MS v2
+  * required column set) plus EVERY MS v2 required subtable
+  * ([[subtableNames]]) linked from MAIN's keywordSet as TpTable
+  * fields — the path casacore's MeasurementSet resolves subtables
+  * through — fed from the same frames as the parquet mirror
   * ([[MsWriter]]; reference `write_ms`,
   * /root/reference/src/io/mod.rs:542-595, table init :575-586, a
   * rubbl-vendored casacore).
@@ -52,8 +54,16 @@ object MsContainer {
 
   // ---- column sets (standard MeasurementSet v2 names) --------------------
 
-  /** MS2 MAIN columns. Array cells are casacore column-major: first
-    * axis (polarization) varies fastest — shape (4, nChan).
+  /** MS2 MAIN columns — the full required set of the MeasurementSet
+    * v2 definition. Array cells are casacore column-major: first axis
+    * (polarization) varies fastest — shape (4, nChan). Row-level
+    * WEIGHT(p) is the sum over channels of WEIGHT_SPECTRUM(p,·);
+    * SIGMA(p) = 1/√WEIGHT(p) (−1 where the weight is non-positive) —
+    * the documented convention of this writer. STATE_ID is −1
+    * (no STATE rows), the casacore convention for an empty STATE
+    * table; FEED1/FEED2/ARRAY_ID/OBSERVATION_ID/PROCESSOR_ID are the
+    * single-configuration zeros; TIME_CENTROID equals TIME (no
+    * within-interval blanking model).
     */
   def mainCols(nChan: Int): Seq[CasaCol] = Seq(
     CasaCol("TIME", TpDouble, Nil),
@@ -67,7 +77,15 @@ object MsContainer {
     CasaCol("SCAN_NUMBER", TpInt, Nil),
     CasaCol("DATA", TpComplex, Seq(4, nChan)),
     CasaCol("WEIGHT_SPECTRUM", TpFloat, Seq(4, nChan)),
-    CasaCol("FLAG", TpBool, Seq(4, nChan)))
+    CasaCol("FLAG", TpBool, Seq(4, nChan)),
+    CasaCol("FEED1", TpInt, Nil), CasaCol("FEED2", TpInt, Nil),
+    CasaCol("ARRAY_ID", TpInt, Nil),
+    CasaCol("OBSERVATION_ID", TpInt, Nil),
+    CasaCol("PROCESSOR_ID", TpInt, Nil),
+    CasaCol("STATE_ID", TpInt, Nil),
+    CasaCol("TIME_CENTROID", TpDouble, Nil),
+    CasaCol("WEIGHT", TpFloat, Seq(4)),
+    CasaCol("SIGMA", TpFloat, Seq(4)))
 
   val antennaCols: Seq[CasaCol] = Seq(
     CasaCol("NAME", TpString, Nil), CasaCol("STATION", TpString, Nil),
@@ -94,6 +112,76 @@ object MsContainer {
     CasaCol("TELESCOPE_NAME", TpString, Nil),
     CasaCol("OBSERVER", TpString, Nil),
     CasaCol("TIME_RANGE", TpDouble, Seq(2)))
+
+  /** DATA_DESCRIPTION: the (SPW, POLARIZATION) pairing MAIN's
+    * DATA_DESC_ID indexes — one row here (single configuration).
+    */
+  val dataDescCols: Seq[CasaCol] = Seq(
+    CasaCol("SPECTRAL_WINDOW_ID", TpInt, Nil),
+    CasaCol("POLARIZATION_ID", TpInt, Nil),
+    CasaCol("FLAG_ROW", TpBool, Nil))
+
+  /** FEED: one row per antenna — dual linear receptors (X, Y),
+    * receptor angle 0, valid for the whole observation
+    * (SPECTRAL_WINDOW_ID −1 = all windows).
+    */
+  val feedCols: Seq[CasaCol] = Seq(
+    CasaCol("ANTENNA_ID", TpInt, Nil),
+    CasaCol("FEED_ID", TpInt, Nil),
+    CasaCol("SPECTRAL_WINDOW_ID", TpInt, Nil),
+    CasaCol("TIME", TpDouble, Nil),
+    CasaCol("INTERVAL", TpDouble, Nil),
+    CasaCol("NUM_RECEPTORS", TpInt, Nil),
+    CasaCol("BEAM_ID", TpInt, Nil),
+    CasaCol("POLARIZATION_TYPE", TpString, Seq(2)),
+    CasaCol("RECEPTOR_ANGLE", TpDouble, Seq(2)))
+
+  // the remaining MS2 required subtables, written with zero rows —
+  // present so the required-set contract holds (a reader iterating
+  // the standard subtables finds every one), empty because the engine
+  // tracks no flag commands / history / pointing models / processors /
+  // states for this export
+  val flagCmdCols: Seq[CasaCol] = Seq(
+    CasaCol("TIME", TpDouble, Nil), CasaCol("INTERVAL", TpDouble, Nil),
+    CasaCol("TYPE", TpString, Nil), CasaCol("REASON", TpString, Nil),
+    CasaCol("LEVEL", TpInt, Nil), CasaCol("SEVERITY", TpInt, Nil),
+    CasaCol("APPLIED", TpBool, Nil), CasaCol("COMMAND", TpString, Nil))
+
+  val historyCols: Seq[CasaCol] = Seq(
+    CasaCol("TIME", TpDouble, Nil),
+    CasaCol("OBSERVATION_ID", TpInt, Nil),
+    CasaCol("MESSAGE", TpString, Nil),
+    CasaCol("PRIORITY", TpString, Nil),
+    CasaCol("ORIGIN", TpString, Nil),
+    CasaCol("APPLICATION", TpString, Nil))
+
+  val pointingCols: Seq[CasaCol] = Seq(
+    CasaCol("ANTENNA_ID", TpInt, Nil), CasaCol("TIME", TpDouble, Nil),
+    CasaCol("INTERVAL", TpDouble, Nil), CasaCol("NAME", TpString, Nil),
+    CasaCol("NUM_POLY", TpInt, Nil),
+    CasaCol("TIME_ORIGIN", TpDouble, Nil),
+    CasaCol("DIRECTION", TpDouble, Seq(2)),
+    CasaCol("TARGET", TpDouble, Seq(2)),
+    CasaCol("TRACKING", TpBool, Nil))
+
+  val processorCols: Seq[CasaCol] = Seq(
+    CasaCol("TYPE", TpString, Nil), CasaCol("SUB_TYPE", TpString, Nil),
+    CasaCol("TYPE_ID", TpInt, Nil), CasaCol("MODE_ID", TpInt, Nil),
+    CasaCol("FLAG_ROW", TpBool, Nil))
+
+  val stateCols: Seq[CasaCol] = Seq(
+    CasaCol("SIG", TpBool, Nil), CasaCol("REF", TpBool, Nil),
+    CasaCol("CAL", TpDouble, Nil), CasaCol("LOAD", TpDouble, Nil),
+    CasaCol("SUB_SCAN", TpInt, Nil), CasaCol("OBS_MODE", TpString, Nil),
+    CasaCol("FLAG_ROW", TpBool, Nil))
+
+  /** The MS2 required subtable names, in the order this writer emits
+    * them — the set MAIN's keywordSet links and CASA-class readers
+    * iterate.
+    */
+  val subtableNames: Seq[String] = Seq("ANTENNA", "DATA_DESCRIPTION",
+    "FEED", "FIELD", "FLAG_CMD", "HISTORY", "OBSERVATION", "POINTING",
+    "POLARIZATION", "PROCESSOR", "SPECTRAL_WINDOW", "STATE")
 
   // ---- driver-side small-table write -------------------------------------
 
@@ -224,6 +312,26 @@ object MsContainer {
           data.foreach(outs(10).writeFloat) // DATA
           wspec.foreach(outs(11).writeFloat) // WEIGHT_SPECTRUM
           flags ++= flg // FLAG
+          outs(13).writeInt(0) // FEED1
+          outs(14).writeInt(0) // FEED2
+          outs(15).writeInt(0) // ARRAY_ID
+          outs(16).writeInt(0) // OBSERVATION_ID
+          outs(17).writeInt(0) // PROCESSOR_ID
+          outs(18).writeInt(-1) // STATE_ID (empty STATE table)
+          outs(19).writeDouble(r.getDouble(1)) // TIME_CENTROID = TIME
+          // row-level WEIGHT(p) = Σ_c WEIGHT_SPECTRUM(p,c);
+          // SIGMA(p) = 1/√WEIGHT(p), −1 where non-positive
+          var p = 0
+          while (p < 4) {
+            var w = 0.0f
+            var c = 0
+            while (c < nChan) { w += wspec(c * 4 + p); c += 1 }
+            outs(20).writeFloat(w) // WEIGHT
+            outs(21).writeFloat( // SIGMA
+              if (w > 0.0f) (1.0 / math.sqrt(w.toDouble)).toFloat
+              else -1.0f)
+            p += 1
+          }
           written += 1
         }
         require(written <= Int.MaxValue, "partition rows exceed uInt")
@@ -257,9 +365,13 @@ object MsContainer {
     val mainDir = new Path(dir)
     val fs = mainDir.getFileSystem(conf)
     fs.mkdirs(mainDir)
+    // MAIN keywordSet: MS_VERSION plus one Table link per required
+    // subtable — the links are how casacore's MeasurementSet resolves
+    // ANTENNA/SPECTRAL_WINDOW/… from the opened MAIN table
     val dat = fs.create(new Path(mainDir, "table.dat"), true)
     dat.write(tableDat("MAIN", nRows, cols,
-      Seq("MS_VERSION" -> CasaTables.RecFloat(2.0f))))
+      ("MS_VERSION" -> (CasaTables.RecFloat(2.0f): CasaTables.RecVal)) +:
+        subtableNames.map(n => n -> (CasaTables.RecTable(n): CasaTables.RecVal))))
     dat.close()
     val inf = fs.create(new Path(mainDir, "table.info"), true)
     inf.write(infoText("Measurement Set").getBytes("ASCII"))
@@ -367,12 +479,50 @@ object MsContainer {
       Map("NAME" -> Seq("GRAFT")), conf)
 
     val t0 = MsWriter.MjdEpochOffsetS + meta.gpsStartS
+    val durS = meta.nScans * meta.intTimeS
     writeTable(new Path(mainDir, "OBSERVATION"), "OBSERVATION",
       observationCols, 1L, infoText("OBSERVATION"),
-      Map("TIME_RANGE" -> Seq(Seq(t0, t0 + meta.nScans * meta.intTimeS))),
+      Map("TIME_RANGE" -> Seq(Seq(t0, t0 + durS))),
       Map(
         "TELESCOPE_NAME" -> Seq("MWA"),
         "OBSERVER" -> Seq("graft")), conf)
+
+    // DATA_DESCRIPTION: the one (SPW 0, POL 0) configuration every
+    // MAIN row's DATA_DESC_ID = 0 indexes
+    writeTable(new Path(mainDir, "DATA_DESCRIPTION"),
+      "DATA_DESCRIPTION", dataDescCols, 1L,
+      infoText("DATA_DESCRIPTION"),
+      Map(
+        "SPECTRAL_WINDOW_ID" -> Seq(Seq(0.0)),
+        "POLARIZATION_ID" -> Seq(Seq(0.0)),
+        "FLAG_ROW" -> Seq(Seq(0.0))),
+      Map.empty, conf)
+
+    // FEED: dual-linear (X, Y) receptors per antenna, valid for the
+    // whole observation
+    val nA = ants.length
+    writeTable(new Path(mainDir, "FEED"), "FEED", feedCols, nA.toLong,
+      infoText("FEED"),
+      Map(
+        "ANTENNA_ID" -> ants.map(a => Seq(a.getLong(0).toDouble)).toSeq,
+        "FEED_ID" -> Seq.fill(nA)(Seq(0.0)),
+        "SPECTRAL_WINDOW_ID" -> Seq.fill(nA)(Seq(-1.0)),
+        "TIME" -> Seq.fill(nA)(Seq(t0 + durS / 2.0)),
+        "INTERVAL" -> Seq.fill(nA)(Seq(durS)),
+        "NUM_RECEPTORS" -> Seq.fill(nA)(Seq(2.0)),
+        "BEAM_ID" -> Seq.fill(nA)(Seq(-1.0)),
+        "RECEPTOR_ANGLE" -> Seq.fill(nA)(Seq(0.0, 0.0))),
+      Map("POLARIZATION_TYPE" ->
+        Seq.fill(nA)(Seq("X", "Y")).flatten), conf)
+
+    // the remaining required subtables, zero rows (see column-set doc)
+    Seq(
+      ("FLAG_CMD", flagCmdCols), ("HISTORY", historyCols),
+      ("POINTING", pointingCols), ("PROCESSOR", processorCols),
+      ("STATE", stateCols)).foreach { case (name, tcols) =>
+      writeTable(new Path(mainDir, name), name, tcols, 0L,
+        infoText(name), Map.empty, Map.empty, conf)
+    }
 
     cached.unpersist()
     nRows
@@ -407,6 +557,17 @@ object MsContainer {
     val (num, strs) = readF0(slurp(fs, new Path(d, "table.f0")), nRows,
       cols)
     Decoded(cols, nRows, num, strs)
+  }
+
+  /** The keyword record of one table directory's `table.dat` —
+    * MS_VERSION and the subtable links on MAIN.
+    */
+  def readKeywords(dir: String,
+                   conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, CasaTables.RecVal)] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    CasaTables.readTableDatKw(slurp(fs, new Path(d, "table.dat")))._3
   }
 
   /** Structural audit of one table directory: AipsIO object walk of

@@ -31,16 +31,28 @@ class MsContainerSpec extends AnyFunSuite {
     assert(back == cols && n == 288L)
     // every object header in the stream carries the casacore magic
     // and the expected chain shape: Table, TableDesc, 2 keyword
-    // records (+RecordDesc each), 9 scalar + 4 array column descs
+    // records (+RecordDesc each), 16 scalar + 6 array column descs
     // (arrays add an IPosition), per-column keyword records, ColumnSet
     val objs = CasaTables.walk(bytes)
-    assert(objs.length == 50)
+    assert(objs.length == 79)
     assert(objs.count(_.tpe == "Table") == 1)
     assert(objs.count(_.tpe == "TableDesc") == 1)
     assert(objs.count(_.tpe == "ColumnSet") == 1)
-    assert(objs.count(_.tpe == "IPosition") == 4)
-    assert(objs.count(_.tpe.startsWith("ScalarColumnDesc<")) == 9)
-    assert(objs.count(_.tpe.startsWith("ArrayColumnDesc<")) == 4)
+    assert(objs.count(_.tpe == "IPosition") == 6)
+    assert(objs.count(_.tpe.startsWith("ScalarColumnDesc<")) == 16)
+    assert(objs.count(_.tpe.startsWith("ArrayColumnDesc<")) == 6)
+  }
+
+  test("table keyword record round-trips subtable links and scalars") {
+    val cols = Seq(CasaTables.CasaCol("X", CasaTables.TpInt, Nil))
+    val kw = Seq(
+      "MS_VERSION" -> (CasaTables.RecFloat(2.0f): CasaTables.RecVal),
+      "ANTENNA" -> (CasaTables.RecTable("ANTENNA"): CasaTables.RecVal),
+      "NOTE" -> (CasaTables.RecString("hello"): CasaTables.RecVal))
+    val bytes = CasaTables.tableDat("T", 1L, cols, kw)
+    val (n, back, kwBack) = CasaTables.readTableDatKw(bytes)
+    assert(n == 1L && back == cols)
+    assert(kwBack == kw)
   }
 
   test("decoder fails loudly on corrupt magic, wrong chain, " +
@@ -180,10 +192,57 @@ class MsContainerSpec extends AnyFunSuite {
     val tr = MsContainer.cell(obs, 0, "TIME_RANGE")
     assert(tr.length == 2 && tr(1) - tr(0) == 32.0) // 16 steps x 2 s
 
+    // the MS2 required set beyond the populated dims: the one
+    // DATA_DESCRIPTION configuration, the per-antenna dual-linear
+    // FEED rows, and the zero-row command/history/pointing/processor/
+    // state tables — all structurally parseable
+    val dd = MsContainer.readTable(s"$out/DATA_DESCRIPTION", conf)
+    assert(dd.nRows == 1)
+    assert(MsContainer.cell(dd, 0, "SPECTRAL_WINDOW_ID").head == 0.0)
+    assert(MsContainer.cell(dd, 0, "POLARIZATION_ID").head == 0.0)
+
+    val feed = MsContainer.readTable(s"$out/FEED", conf)
+    assert(feed.nRows == 8)
+    assert(MsContainer.cell(feed, 3, "ANTENNA_ID").head == 3.0)
+    assert(MsContainer.cell(feed, 0, "NUM_RECEPTORS").head == 2.0)
+    assert(MsContainer.strCell(feed, 0, "POLARIZATION_TYPE") == "X,Y")
+    assert(MsContainer.cell(feed, 0, "RECEPTOR_ANGLE") == Seq(0.0, 0.0))
+
+    Seq("FLAG_CMD", "HISTORY", "POINTING", "PROCESSOR", "STATE")
+      .foreach { t =>
+        val dec = MsContainer.readTable(s"$out/$t", conf)
+        assert(dec.nRows == 0, s"$t row count")
+      }
+
+    // MAIN's keywordSet links every required subtable by name — the
+    // path casacore's MeasurementSet resolves subtables through
+    val links = MsContainer.readKeywords(out, conf).collect {
+      case (n, CasaTables.RecTable(v)) => (n, v)
+    }.toMap
+    assert(MsContainer.subtableNames.forall(n =>
+      links.get(n).contains(n)), s"incomplete links: $links")
+
+    // MAIN's new required columns decode with the documented
+    // conventions (zeros / -1 STATE_ID / TIME_CENTROID = TIME /
+    // WEIGHT = per-pol spectrum sum, SIGMA its inverse root)
+    val main = MsContainer.readTable(out, conf)
+    assert(MsContainer.cell(main, 0, "STATE_ID").head == -1.0)
+    assert(MsContainer.cell(main, 0, "FEED1").head == 0.0)
+    assert(MsContainer.cell(main, 0, "TIME_CENTROID").head ==
+      MsContainer.cell(main, 0, "TIME").head)
+    val w0 = MsContainer.cell(main, 0, "WEIGHT")
+    val ws0 = MsContainer.cell(main, 0, "WEIGHT_SPECTRUM")
+    (0 until 4).foreach { p =>
+      val sum = (0 until ws0.length / 4).map(c => ws0(c * 4 + p)).sum
+      assert(math.abs(w0(p) - sum) < 1e-3, s"WEIGHT pol $p")
+      val sig = MsContainer.cell(main, 0, "SIGMA")(p)
+      if (w0(p) > 0) assert(math.abs(sig - 1.0 / math.sqrt(w0(p))) < 1e-6)
+      else assert(sig == -1.0)
+    }
+
     // full-container structural audit (the q_k2c gate's core):
     // every AipsIO header magic-verified in both files of every table
-    Seq(out, s"$out/ANTENNA", s"$out/SPECTRAL_WINDOW",
-      s"$out/POLARIZATION", s"$out/FIELD", s"$out/OBSERVATION")
+    (out +: MsContainer.subtableNames.map(n => s"$out/$n"))
       .foreach { d =>
         val (_, nCols, _, f0Objs) = MsContainer.audit(d, conf)
         assert(f0Objs == nCols + 1, s"$d f0 object count")
