@@ -285,6 +285,14 @@ object SparkEntry {
     "q_r1c_background" -> ((s, dir) =>
       RfiFlag.background(flagged(s, dir), wt = 2, wc = 1)),
 
+    // R1d: the GAUSSIAN high-pass background — AOFlagger's actual
+    // high_pass_filter kernel (masked normalized convolution),
+    // exact-integer taps so the lag/lead-decomposed DuckDB twin
+    // hash-matches bit-for-bit
+    "q_r1d_gaussian_bg" -> ((s, dir) =>
+      RfiFlag.backgroundGaussian(flagged(s, dir), wt = 2, wc = 1,
+        sigmaT = 1.5, sigmaC = 1.0)),
+
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -732,6 +740,7 @@ object SparkEntry {
     "q_r1b_strategy" -> Oracles.r1bStrategy,
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_r1c_background" -> Oracles.r1cBackground,
+    "q_r1d_gaussian_bg" -> Oracles.r1dGaussianBg,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,

@@ -24,12 +24,12 @@ package graft.ops
   *  - `aoflagger.scale_invariant_rank_operator(data, ηh, ηv)` →
   *    `sir_eta_time = ηh`, `sir_eta_chan = ηv` (AOFlagger images are
   *    x = time, y = frequency)
-  *  - `aoflagger.high_pass_filter(data, kx, ky, …)` →
-  *    `bg_window_time = kx/2`, `bg_window_chan = ky/2` (the kernel
-  *    sizes become sliding-median half-windows; the engine's
-  *    separable median replaces AOFlagger's Gaussian kernel — a
-  *    robust-estimator substitution, reported as mapped because the
-  *    background/residual STRUCTURE is preserved)
+  *  - `aoflagger.high_pass_filter(data, kx, ky, σx, σy)` →
+  *    `bg_kind = gaussian`, `bg_window_time = kx/2`,
+  *    `bg_window_chan = ky/2`, `bg_sigma_time = σx`,
+  *    `bg_sigma_chan = σy` — the engine's masked normalized Gaussian
+  *    convolution IS AOFlagger's high-pass kernel (q_r1d-gated);
+  *    sigmas absent from the call fall to the documented w/2 default
   *  - `local iteration_count = n` → `iterations`,
   *    `local threshold_factor_step = x` → `ramp_factor` (the
   *    detect-loop ramp published strategies drive their Lua `for`
@@ -185,12 +185,19 @@ object LuaStrategy {
           for (h <- resolve(args(1))) s = s.copy(sirEtaTime = h)
           for (v <- resolve(args(2))) s = s.copy(sirEtaChan = v)
         case "high_pass_filter" if args.length >= 3 =>
-          // kernel sizes (x = time, y = frequency) → median
-          // half-windows; resolvable numeric sizes only
+          // AOFlagger signature: (data, kernelWidth, kernelHeight,
+          // horizontalSigma, verticalSigma) with x = time,
+          // y = frequency — maps DIRECTLY onto the engine's Gaussian
+          // masked-convolution background (bg_kind = gaussian), kernel
+          // sizes as half-windows, sigmas passed through when present
+          // (absent → the documented w/2 default)
           (resolve(args(1)), resolve(args(2))) match {
             case (Some(kx), Some(ky)) =>
-              s = s.copy(bgWindowTime = (kx.toInt / 2).max(1),
-                bgWindowChan = (ky.toInt / 2).max(1))
+              s = s.copy(bgKind = "gaussian",
+                bgWindowTime = (kx.toInt / 2).max(1),
+                bgWindowChan = (ky.toInt / 2).max(1),
+                bgSigmaTime = args.lift(3).flatMap(resolve).getOrElse(0.0),
+                bgSigmaChan = args.lift(4).flatMap(resolve).getOrElse(0.0))
             case _ => unmapped += snippet
           }
         case f if Scaffolding.contains(f) => ()

@@ -60,7 +60,17 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
                        bgWindowTime: Int = 0,
                        bgWindowChan: Int = 0,
                        iterations: Int = 1,
-                       rampFactor: Double = 2.0) {
+                       rampFactor: Double = 2.0,
+                       // background estimator: "median" (robust
+                       // separable sliding median) or "gaussian"
+                       // (AOFlagger's actual high_pass_filter kernel —
+                       // masked normalized Gaussian convolution).
+                       // Sigmas of 0 default to half the window
+                       // half-width (σ = max(w,1)/2), the shape a
+                       // kernel-size-only strategy call implies.
+                       bgKind: String = "median",
+                       bgSigmaTime: Double = 0.0,
+                       bgSigmaChan: Double = 0.0) {
   require(pols.nonEmpty && pols.forall(RfiStrategy.PolComps.contains),
     s"pols must be non-empty from ${RfiStrategy.PolComps.keys}, " +
       s"got $pols")
@@ -71,6 +81,16 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
     s"background windows must be >= 0")
   require(iterations >= 1, s"iterations must be >= 1, got $iterations")
   require(rampFactor > 0, s"ramp_factor must be > 0, got $rampFactor")
+  require(bgKind == "median" || bgKind == "gaussian",
+    s"bg_kind must be median or gaussian, got '$bgKind'")
+  require(bgSigmaTime >= 0 && bgSigmaChan >= 0,
+    s"background sigmas must be >= 0")
+
+  /** Effective Gaussian sigmas (0 → the documented w/2 default). */
+  def sigmaT: Double =
+    if (bgSigmaTime > 0) bgSigmaTime else math.max(bgWindowTime, 1) / 2.0
+  def sigmaC: Double =
+    if (bgSigmaChan > 0) bgSigmaChan else math.max(bgWindowChan, 1) / 2.0
 }
 
 object RfiStrategy {
@@ -110,13 +130,17 @@ object RfiStrategy {
             case ("sir_eta_chan", x) => s.copy(sirEtaChan = x.toDouble)
             case ("bg_window_time", x) => s.copy(bgWindowTime = x.toInt)
             case ("bg_window_chan", x) => s.copy(bgWindowChan = x.toInt)
+            case ("bg_kind", x) => s.copy(bgKind = x.toLowerCase)
+            case ("bg_sigma_time", x) => s.copy(bgSigmaTime = x.toDouble)
+            case ("bg_sigma_chan", x) => s.copy(bgSigmaChan = x.toDouble)
             case ("iterations", x) => s.copy(iterations = x.toInt)
             case ("ramp_factor", x) => s.copy(rampFactor = x.toDouble)
             case (other, _) =>
               sys.error(s"unknown strategy key '$other' " +
                 "(expected mad_k, max_log2, rho, pols, time_weight, " +
                 "chan_weight, sir_eta_time, sir_eta_chan, " +
-                "bg_window_time, bg_window_chan, iterations, " +
+                "bg_window_time, bg_window_chan, bg_kind, " +
+                "bg_sigma_time, bg_sigma_chan, iterations, " +
                 "ramp_factor)")
           }
           case _ => sys.error(s"malformed strategy line '$line'")
@@ -223,8 +247,22 @@ object RfiFlag {
             if (slidingBg) {
               val use = Array.tabulate(ts.length, cs.length)((i, j) =>
                 seen(i)(j) && !polFlags(i)(j))
-              val bg = graft.functions.BackgroundKernel.estimate(
-                amp(p), use, strategy.bgWindowTime, strategy.bgWindowChan)
+              val bg =
+                if (strategy.bgKind == "gaussian") {
+                  // exact-integer masked Gaussian convolution on the
+                  // micro-unit grid (the q_r1d-gated kernel), scaled
+                  // back to amplitude units for the residual
+                  val ampMicro = Array.tabulate(ts.length, cs.length)(
+                    (i, j) => math.floor(amp(p)(i)(j) * 1e6 + 0.5).toLong)
+                  val micro = graft.functions.BackgroundKernel
+                    .estimateGaussianMicro(ampMicro, use,
+                      graft.functions.BackgroundKernel.gaussWeights(
+                        strategy.bgWindowTime, strategy.sigmaT),
+                      graft.functions.BackgroundKernel.gaussWeights(
+                        strategy.bgWindowChan, strategy.sigmaC))
+                  micro.map(_.map(_ / 1e6))
+                } else graft.functions.BackgroundKernel.estimate(
+                  amp(p), use, strategy.bgWindowTime, strategy.bgWindowChan)
               val res = Array.tabulate(ts.length, cs.length)((i, j) =>
                 amp(p)(i)(j) - bg(i)(j))
               val unflaggedRes = (for {
@@ -328,6 +366,53 @@ object RfiFlag {
         i <- ts.indices.iterator; j <- cs.indices.iterator
       } yield (bl, ts(i), cs(j),
         math.floor(bg(i)(j) * 1e6 + 0.5).toLong)
+    }.toDF("bl", "t", "chan", "bg_u")
+  }
+
+  /** The Gaussian high-pass background on its own — the q_r1d gate
+    * surface. Same dense grid as [[background]]; amplitudes quantise
+    * to integer micro-units first, the masked normalized convolution
+    * is exact int64, and the emitted `bg_u` is the half-up-rounded
+    * micro-unit background — every step deterministic, so the
+    * lag/lead-decomposed DuckDB twin (same integer taps as literals)
+    * hash-matches bit-for-bit.
+    */
+  def backgroundGaussian(visFlagged: DataFrame, wt: Int, wc: Int,
+                         sigmaT: Double, sigmaC: Double): DataFrame = {
+    val spark = visFlagged.sparkSession
+    import spark.implicits._
+    val wT = graft.functions.BackgroundKernel.gaussWeights(wt, sigmaT)
+    val wC = graft.functions.BackgroundKernel.gaussWeights(wc, sigmaC)
+    val cells: Dataset[RfiCell] = visFlagged.select(
+      col("bl"), col("t"), col("chan"),
+      array(sqrt(col("v0") * col("v0") + col("v1") * col("v1")))
+        .as("amps"),
+      col("flag")).as[RfiCell]
+    cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
+      val rows = it.toArray
+      val ts = rows.map(_.t).distinct.sorted
+      val cs = rows.map(_.chan).distinct.sorted
+      val tIdx = ts.zipWithIndex.toMap
+      val cIdx = cs.zipWithIndex.toMap
+      val amp = Array.fill(ts.length, cs.length)(0.0)
+      val flg = Array.fill(ts.length, cs.length)(false)
+      val seen = Array.fill(ts.length, cs.length)(false)
+      rows.foreach { r =>
+        val (i, j) = (tIdx(r.t), cIdx(r.chan))
+        val a = r.amps(0)
+        if (!seen(i)(j) || a > amp(i)(j)) amp(i)(j) = a
+        seen(i)(j) = true
+        flg(i)(j) = flg(i)(j) || r.flag
+      }
+      val use = Array.tabulate(ts.length, cs.length)((i, j) =>
+        seen(i)(j) && !flg(i)(j))
+      val ampMicro = Array.tabulate(ts.length, cs.length)((i, j) =>
+        math.floor(amp(i)(j) * 1e6 + 0.5).toLong)
+      val bg = graft.functions.BackgroundKernel
+        .estimateGaussianMicro(ampMicro, use, wT, wC)
+      for {
+        i <- ts.indices.iterator; j <- cs.indices.iterator
+      } yield (bl, ts(i), cs(j), math.floor(bg(i)(j) + 0.5).toLong)
     }.toDF("bl", "t", "chan", "bg_u")
   }
 }

@@ -915,6 +915,80 @@ object Oracles {
       |  FROM grid g LEFT JOIN cells0 c
       |    ON g.bl = c.bl AND g.t = c.t AND g.chan = c.chan)""".stripMargin)
 
+  /** R1d Gaussian high-pass background twin — AOFlagger's actual
+    * high_pass_filter kernel (masked normalized Gaussian convolution).
+    * The kernel quantises amplitudes to integer micro-units and runs
+    * the separable convolution in exact int64 with INTEGER taps
+    * ([[graft.functions.BackgroundKernel.gaussWeights]]); this twin
+    * carries the SAME taps as literals and decomposes each pass into
+    * lag/lead terms — order-free BIGINT sums, one double division at
+    * the end — so the compare is bit-exact. Windows with zero mask
+    * weight fall back to the baseline's global unflagged mean.
+    */
+  val r1dGaussianBg: String = {
+    val wT = graft.functions.BackgroundKernel.gaussWeights(2, 1.5)
+    val wC = graft.functions.BackgroundKernel.gaussWeights(1, 1.0)
+    // Σ_k w(k)·x(i+k) as explicit lag/lead terms (defaults cover the
+    // truncated borders)
+    def taps(w: Array[Long], expr: String, part: String,
+             ord: String): String =
+      w.zipWithIndex.map { case (wk, idx) =>
+        val k = idx - w.length / 2
+        if (k == 0) s"$wk * $expr"
+        else {
+          val sh =
+            if (k < 0) s"lag($expr, ${-k}, CAST(0 AS BIGINT))"
+            else s"lead($expr, $k, CAST(0 AS BIGINT))"
+          s"$wk * ($sh OVER (PARTITION BY $part ORDER BY $ord))"
+        }
+      }.mkString("\n           + ")
+    OracleSql.query(
+      s"""SELECT bl, t, chan,
+         |       CASE
+         |         WHEN den2 > 0 THEN
+         |           CAST(floor(CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)
+         |                      + 0.5e0) AS BIGINT)
+         |         WHEN gden > 0 THEN
+         |           CAST(floor(CAST(gnum AS DOUBLE) / CAST(gden AS DOUBLE)
+         |                      + 0.5e0) AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT)
+         |       END AS bg_u
+         |FROM (
+         |  SELECT bl, t, chan, gnum, gden,
+         |         ${taps(wC, "num1", "bl, t", "chan")} AS num2,
+         |         ${taps(wC, "den1", "bl, t", "chan")} AS den2
+         |  FROM (
+         |    SELECT bl, t, chan,
+         |           ${taps(wT, "am", "bl, chan", "t")} AS num1,
+         |           ${taps(wT, "m", "bl, chan", "t")} AS den1,
+         |           CAST(sum(am) OVER (PARTITION BY bl) AS BIGINT)
+         |             AS gnum,
+         |           CAST(sum(m) OVER (PARTITION BY bl) AS BIGINT)
+         |             AS gden
+         |    FROM cells))""".stripMargin,
+      OracleSql.visFlaggedCte,
+      """cells0 AS (
+        |  SELECT bl, t, chan,
+        |         max(CAST(floor(sqrt(v0 * v0 + v1 * v1) * 1.0e6
+        |                        + 0.5e0) AS BIGINT)) AS amp_u,
+        |         bool_or(flag) AS flg
+        |  FROM vis_flagged GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT b.bl, b.t, c.chan
+        |  FROM (SELECT DISTINCT bl, t FROM cells0) b
+        |  JOIN (SELECT DISTINCT bl, chan FROM cells0) c ON b.bl = c.bl),
+        |cells AS (
+        |  SELECT g.bl, g.t, g.chan,
+        |         CASE WHEN c.bl IS NOT NULL AND NOT c.flg
+        |              THEN coalesce(c.amp_u, CAST(0 AS BIGINT))
+        |              ELSE CAST(0 AS BIGINT) END AS am,
+        |         CASE WHEN c.bl IS NOT NULL AND NOT c.flg
+        |              THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM grid g LEFT JOIN cells0 c
+        |    ON g.bl = c.bl AND g.t = c.t AND g.chan = c.chan)""".stripMargin)
+  }
+
   val r1ThresholdFlags: String = OracleSql.query(
     """SELECT t, bl, chan, amp > lim AS rfi
       |FROM (

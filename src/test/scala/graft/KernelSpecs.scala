@@ -281,6 +281,52 @@ class KernelSpecs extends AnyFunSuite {
     }
   }
 
+  test("background: gaussian masked convolution matches brute force, " +
+    "is exact-constant on flat input, falls back when fully masked") {
+    import graft.functions.BackgroundKernel
+    val wT = BackgroundKernel.gaussWeights(2, 1.5)
+    val wC = BackgroundKernel.gaussWeights(1, 1.0)
+    // taps are symmetric, centre-normalised to 1024, monotone outward
+    assert(wT.length == 5 && wT(2) == 1024L && wT(0) == wT(4) &&
+      wT(1) == wT(3) && wT(0) < wT(1) && wT(1) < wT(2))
+    val rnd = new scala.util.Random(7)
+    val (nt, nc) = (10, 8)
+    val amp = Array.fill(nt, nc)(rnd.nextDouble() * 5)
+    val ampMicro = amp.map(_.map(a => math.floor(a * 1e6 + 0.5).toLong))
+    val use = Array.fill(nt, nc)(rnd.nextDouble() > 0.3)
+    (0 until nt).foreach(i => use(i)(6) = false) // masked strip
+    val got = BackgroundKernel.estimateGaussianMicro(ampMicro, use, wT, wC)
+    // brute force straight from the two-pass definition
+    val gN = (for { i <- 0 until nt; j <- 0 until nc if use(i)(j) }
+      yield ampMicro(i)(j)).sum
+    val gD = (for { i <- 0 until nt; j <- 0 until nc if use(i)(j) }
+      yield 1L).sum
+    for (i <- 0 until nt; j <- 0 until nc) {
+      var n2 = 0L; var d2 = 0L
+      for (l <- -1 to 1; jj = j + l if jj >= 0 && jj < nc) {
+        for (k <- -2 to 2; ii = i + k if ii >= 0 && ii < nt
+             if use(ii)(jj)) {
+          n2 += wC(l + 1) * wT(k + 2) * ampMicro(ii)(jj)
+          d2 += wC(l + 1) * wT(k + 2)
+        }
+      }
+      val expect =
+        if (d2 > 0) n2.toDouble / d2.toDouble
+        else if (gD > 0) gN.toDouble / gD.toDouble else 0.0
+      assert(got(i)(j) == expect, s"cell ($i,$j)")
+    }
+    // flat unmasked input: normalized convolution returns the input
+    // value EXACTLY everywhere (numerator = value × denominator)
+    val flat = Array.fill(nt, nc)(2500000L)
+    val all = Array.fill(nt, nc)(true)
+    val bgFlat = BackgroundKernel.estimateGaussianMicro(flat, all, wT, wC)
+    assert(bgFlat.forall(_.forall(_ == 2500000.0)))
+    // fully masked: global fallback is 0
+    val none = Array.fill(nt, nc)(false)
+    val bgNone = BackgroundKernel.estimateGaussianMicro(flat, none, wT, wC)
+    assert(bgNone.forall(_.forall(_ == 0.0)))
+  }
+
   test("background: iterated detection unmasks faint RFI under a " +
     "sloped bandpass that the constant background misses") {
     import graft.ops.{RfiStrategy, RfiFlag}

@@ -102,11 +102,14 @@ class RfiStrategySpec extends AnyFunSuite {
     // 6.0 * 0.8333333333333334 == 5.0 exactly in IEEE doubles, and the
     // 0.5 / 2.0 levels reciprocate exactly — the translation equals the
     // q_r1b gate's strategy bit-for-bit, plus the high_pass_filter
-    // kernel sizes (21, 31) as median half-windows (10, 15)
+    // call mapped onto the GENUINE Gaussian background: kernel sizes
+    // (21, 31) as half-windows (10, 15), the call's sigmas (2.5, 5.0)
+    // passed through
     assert(tr.strategy == RfiStrategy.parse(
       "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
         "sir_eta_time = 0.3\nsir_eta_chan = 0.1\n" +
-        "bg_window_time = 10\nbg_window_chan = 15"))
+        "bg_kind = gaussian\nbg_window_time = 10\nbg_window_chan = 15\n" +
+        "bg_sigma_time = 2.5\nbg_sigma_chan = 5.0"))
     assert(tr.unmapped.isEmpty, s"unmapped was ${tr.unmapped}")
   }
 
@@ -123,7 +126,8 @@ class RfiStrategySpec extends AnyFunSuite {
     val fromLua = RfiFlag(flagged, tr.strategy)
     val gate = RfiFlag(flagged, RfiStrategy.parse(
       "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
-        "sir_eta_time = 0.3\nsir_eta_chan = 0.1\n" +
+        "sir_eta_time = 0.3\nsir_eta_chan = 0.1\nbg_kind = gaussian\n" +
+        "bg_sigma_time = 2.5\nbg_sigma_chan = 5.0\n" +
         "bg_window_time = 10\nbg_window_chan = 15"))
     assert(fromLua.except(gate).isEmpty && gate.except(fromLua).isEmpty,
       "translated Lua strategy must reproduce the gate rows")
