@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.Dims
+import graft.ops._
+import graft.sinks.{MsContainer, MsWriter, UvfitsWriter}
+import graft.sources.UvfitsReader
+import graft.synth.VisSynth
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-sink consistency: the SAME averaged frame exported through
+  * the uvfits random-groups writer and the MS casacore container must
+  * carry the same physics — bit-identical f32 visibilities and
+  * weights, and UVW coordinates that agree across the two formats'
+  * different conventions (uvfits: seconds, f32 group params; MS:
+  * meters, f64 column). Two export paths, one truth; a divergence
+  * anywhere in either encode/decode pipeline fails here even if each
+  * sink's own round-trip gate stays green.
+  */
+class CrossSinkSpec extends AnyFunSuite {
+
+  private val C = 299792458.0 // m/s, the uvfits seconds<->meters bridge
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("uvfits and MS container agree on DATA, WEIGHT and UVW") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, dir), Dims.timestep(spark), Dims.chan(spark),
+      Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2).cache()
+    val uvw = GeometryCorrection.partUvw(
+      Dims.timestep(spark), Dims.antenna(spark))
+    val tmp = Files.createTempDirectory("xsink")
+    val fits = tmp.toString + "/obs.uvfits"
+    val ms = tmp.toString + "/obs.ms"
+    UvfitsWriter.write(avg, fits, uvw = Some(uvw),
+      antenna = Some(Dims.antenna(spark)))
+    MsContainer.write(avg, uvw, Dims.antenna(spark), ms)
+
+    // uvfits read-back: (t_out, bl, c_out) -> f32 XX/YY, weight, UU
+    val fitsRows = UvfitsReader.read(spark, fits, nAnts = 8)
+      .select("t_out", "bl", "c_out", "a0", "a1", "a6", "a7",
+        "weight_out", "u_s", "v_s", "w_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getDouble(8), r.getDouble(9),
+          r.getDouble(10))).toMap
+    assert(fitsRows.nonEmpty)
+
+    // MS read-back through the independent casacore decoder, with the
+    // mirror skeleton supplying the (t_out, bl) identity of each row
+    val dec = MsContainer.readTable(ms,
+      spark.sparkContext.hadoopConfiguration)
+    val skeleton = MsWriter.msMain(avg, uvw)
+      .select("row_idx", "t_out", "bl").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(skeleton.size.toLong == dec.nRows)
+
+    val nChan = dec.cols.find(_.name == "DATA").get.shape(1)
+    var cellsCompared = 0
+    (0L until dec.nRows).foreach { r =>
+      val (tOut, bl) = skeleton(r)
+      val data = MsContainer.cell(dec, r, "DATA")
+      val wspec = MsContainer.cell(dec, r, "WEIGHT_SPECTRUM")
+      val msUvw = MsContainer.cell(dec, r, "UVW")
+      (0 until nChan).foreach { c =>
+        fitsRows.get((tOut, bl, c.toLong)).foreach {
+          case (a0, a1, a6, a7, w, uS, vS, wS) =>
+            // visibilities: both sinks cast the same doubles to f32 —
+            // the read-back values must be BIT-identical
+            assert(data((c * 4) * 2) == a0 &&
+              data((c * 4) * 2 + 1) == a1,
+              s"XX mismatch at (t_out=$tOut, bl=$bl, c=$c)")
+            assert(data((c * 4 + 3) * 2) == a6 &&
+              data((c * 4 + 3) * 2 + 1) == a7,
+              s"YY mismatch at (t_out=$tOut, bl=$bl, c=$c)")
+            assert(wspec(c * 4) == w,
+              s"weight mismatch at (t_out=$tOut, bl=$bl, c=$c)")
+            // UVW: uvfits seconds (f32) x c vs MS meters (f64) —
+            // equal within one f32 ulp of the magnitude
+            Seq(uS -> msUvw(0), vS -> msUvw(1), wS -> msUvw(2))
+              .foreach { case (sec, m) =>
+                assert(math.abs(sec * C - m) <=
+                  math.abs(m) * 1.2e-7 + 1e-4,
+                  s"UVW mismatch at (t_out=$tOut, bl=$bl): " +
+                    s"${sec * C} vs $m")
+              }
+            cellsCompared += 1
+        }
+      }
+    }
+    // every uvfits cell found its MS twin (same grid, both dense)
+    assert(cellsCompared == fitsRows.size,
+      s"$cellsCompared of ${fitsRows.size} cells compared")
+    avg.unpersist()
+    ()
+  }
+}
