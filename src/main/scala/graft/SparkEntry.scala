@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.model.Dims
 import graft.ops._
 import graft.oracle.{LlmOracles, Oracles}
@@ -472,6 +472,8 @@ object SparkEntry {
       Similarity.ivfTopK(emb(s, dir))),
     "q_sim4_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(emb(s, dir))),
+    "q_sim5_kmeans" -> ((s, dir) =>
+      Clustering.kmeansAssign(emb(s, dir))),
 
     // -- LLM-data pipeline: text analysis -----------------------------
     "q_t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -762,6 +764,7 @@ object SparkEntry {
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,
     "q_sim4_ann_pq" -> LlmOracles.sim4PqTopK,
+    "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_t1_langid" -> LlmOracles.t1LangId,
     "q_t2_quality" -> LlmOracles.t2Quality,
     "q_t3_tokens" -> LlmOracles.t3Tokens,

@@ -1,0 +1,183 @@
+package graft.llm
+
+import graft.llm.TextExprs._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over the embedding column — the clustering stage
+  * of semantic data-curation pipelines (cluster-balanced sampling,
+  * SemDeDup-style near-dup pruning, topic bucketing for mixture
+  * control).
+  *
+  * The Lloyd loop is the textbook distributed shape (one corpus scan +
+  * one map-side-combined aggregate per iteration; centroids are k×dim
+  * driver-side model state, exactly like the IVF trainer in
+  * [[Similarity.trainIvfCentroids]]) — but unlike the IVF trainer the
+  * arithmetic here is engineered to be ORDER-FREE EXACT so the whole
+  * iterated fixpoint can be twinned by a DuckDB oracle:
+  *
+  *  - embeddings quantise to integer micro-units held in doubles
+  *    (`round(x * 1e6)`): every partial sum stays far below 2^53, so
+  *    double addition never rounds and the per-cell centroid sums are
+  *    bit-identical under ANY partitioning, task order, speculative
+  *    re-execution, or AQE re-plan;
+  *  - centroid components are the exact rational S_d / n evaluated once
+  *    as an IEEE double division — both engines produce the identical
+  *    correctly-rounded double;
+  *  - assignment ranks cells by `round((q·c − |c|²/2) / 1e12, 6)` (the
+  *    same nearest-centroid argmax-of-dot-minus-half-norm as the IVF
+  *    cell ranking, rescaled to cosine units), sequential-fold dots on
+  *    both sides ([[graft.functions.DoubleVecDot]] codegen'd on Spark,
+  *    `list_reduce` in DuckDB), ties broken by centroid id.
+  *
+  * At 100 TB: each iteration is one scan of the (cached) quantised
+  * corpus with a zero-shuffle literal-centroid argmin and one hash
+  * aggregate carrying k×(dim+1) partial sums per map task — no joins,
+  * no pair blowup; the k×dim centroid state is megabytes for any sane
+  * k. Iteration count is a fixed small constant, so total cost is
+  * `iters` linear passes.
+  */
+object Clustering {
+
+  /** Micro-unit quantisation of an array<float> embedding: integer
+    * values held in doubles, so downstream SUMs are exact (see class
+    * doc). Identical text/semantics in both dialects.
+    */
+  def quantSql(v: String)(implicit d: Dialect): String =
+    listTransform(v, x => s"round(CAST($x AS DOUBLE) * 1000000.0)")
+
+  /** Cosine-scale rescale of micro-unit² dot products. */
+  private val Scale = 1.0e12
+
+  /** Sequential half squared norm of a driver-held centroid — the same
+    * element-order fold as `double_dot(cv, cv) / 2` and the oracle's
+    * `list_reduce` twin.
+    */
+  private def halfNorm2(cv: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    s / 2.0
+  }
+
+  /** Ranked (ns, cid) struct array over a literal centroid set;
+    * element 1 after array_sort is the winning cell. `ns` is the
+    * negated rounded score so the sort is (score desc, cid asc) —
+    * round never yields −0.0, so negation cannot split a tie.
+    */
+  private def cellSort(cents: Array[(Int, Array[Double])]): Column =
+    array_sort(array(cents.map { case (cid, cv) =>
+      struct(
+        (-round((call_function("double_dot", col("qv"), lit(cv))
+          - lit(halfNorm2(cv))) / lit(Scale), 6)).as("ns"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** One Lloyd step over the quantised corpus: zero-shuffle literal
+    * argmin assignment, then ONE map-side-combined aggregate of
+    * per-cell counts + per-dimension sums. Cells that captured no
+    * vectors keep their previous centroid.
+    */
+  def lloydStep(embq: DataFrame, cents: Array[(Int, Array[Double])],
+                dim: Int): Array[(Int, Array[Double])] = {
+    val aggs = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val means = embq
+      .withColumn("cell", element_at(cellSort(cents), 1).getField("cid"))
+      .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+      }
+      .toMap
+    cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+  }
+
+  /** Final cluster assignment after `iters` Lloyd iterations from the
+    * deterministic `vec_id < k` seed set. Output: one row per vector
+    * with its cell and the rounded cosine-scale score that won.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                   dim: Int = 64): DataFrame = {
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    implicit val d: Dialect = SparkD
+    val embq = emb
+      .select(col("vec_id"), expr(quantSql("embedding")).as("qv"))
+      .cache()
+    try {
+      var cents: Array[(Int, Array[Double])] = embq
+        .where(col("vec_id") < k)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      require(cents.nonEmpty, "kmeansAssign: empty seed centroid set")
+      cents.find(_._2.length != dim).foreach { case (cid, v) =>
+        throw new IllegalArgumentException(
+          s"kmeansAssign: dim=$dim but seed vector $cid has " +
+            s"${v.length} elements")
+      }
+      for (_ <- 0 until iters) cents = lloydStep(embq, cents, dim)
+      val top = element_at(cellSort(cents), 1)
+      // final assignment re-reads the source so the returned frame does
+      // not depend on the (unpersisted-below) cached quantised corpus
+      emb
+        .select(col("vec_id"), expr(quantSql("embedding")).as("qv"))
+        .withColumn("top", top)
+        .select(col("vec_id"),
+          col("top").getField("cid").cast("bigint").as("cell"),
+          (-col("top").getField("ns")).as("score_r"))
+    } finally embq.unpersist(false)
+  }
+
+  /** DuckDB oracle twin: the SAME quantisation, seeds, per-iteration
+    * assignment ranking and exact integer-sum centroid updates,
+    * unrolled as one CTE chain (`iters` is a fixed small constant, so
+    * unrolling is bounded). Kept in the operator's own file so the
+    * Spark code and its oracle evolve together.
+    */
+  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+    implicit val d: Dialect = DuckD
+    def score(cv: String) =
+      s"round((${listFoldSumDouble(listTransformIdx("e.qv",
+        (x, i) => s"$x * ${elem(cv, i)}"))}" +
+        s" - ${listFoldSumDouble(listTransform(cv, x => s"$x * $x"))}" +
+        s" / 2.0e0) / 1.0e12, 6)"
+    val ctes = new StringBuilder
+    ctes ++= s"""WITH e AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM e
+       |  WHERE vec_id < $k)""".stripMargin
+    // assignments a1..a{iters+1}; centroid updates after the first
+    // `iters` of them — so the output is the extra assignment against
+    // the fully-trained centroid set, mirroring kmeansAssign's
+    // `iters`×lloydStep + final labelling pass.
+    for (i <- 1 to iters + 1) {
+      ctes ++= s""",
+       |s$i AS (
+       |  SELECT e.vec_id, e.qv, c.cid, ${score("c.cv")} AS score
+       |  FROM e CROSS JOIN c${i - 1} c),
+       |a$i AS (
+       |  SELECT vec_id, qv, cid AS cell, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cid) AS rn FROM s$i)
+       |  WHERE rn = 1)""".stripMargin
+      if (i <= iters) {
+        val sums = (0 until dim).map(j =>
+          s"SUM(qv[${j + 1}]) AS s$j").mkString(", ")
+        val upd = (0 until dim).map(j => s"m.s$j / m.n").mkString(", ")
+        ctes ++= s""",
+         |m$i AS (
+         |  SELECT cell, COUNT(*) AS n, $sums FROM a$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT c.cid,
+         |         CASE WHEN m.n IS NULL THEN c.cv ELSE [$upd] END AS cv
+         |  FROM c${i - 1} c LEFT JOIN m$i m ON m.cell = c.cid)""".stripMargin
+      }
+    }
+    ctes ++= s"""
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, score AS score_r
+       |FROM a${iters + 1}""".stripMargin
+    ctes.toString
+  }
+}
