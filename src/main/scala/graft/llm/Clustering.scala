@@ -129,14 +129,49 @@ object Clustering {
     } finally embq.unpersist(false)
   }
 
-  /** DuckDB oracle twin: the SAME quantisation, seeds, per-iteration
-    * assignment ranking and exact integer-sum centroid updates,
-    * unrolled as one CTE chain (`iters` is a fixed small constant, so
-    * unrolling is bounded). Kept in the operator's own file so the
-    * Spark code and its oracle evolve together.
+  /** SemDeDup (Abbas et al. 2023): cluster, then remove any vector
+    * whose cluster holds a LOWER-id vector with cosine above `tau`.
+    *
+    * This is the fully-parallel existential variant of the keep-rule
+    * (a vector's fate depends only on pairs against lower ids, not on
+    * which of those survived) — one self-join keyed on the cell id,
+    * no sequential sweep, so the pair stage shuffles once and never
+    * goes corpus-quadratic: cluster count scales with corpus size,
+    * bounding the per-cell pair block; residual hot cells are AQE
+    * skew-splittable. Cosines reuse the float-dot machinery of the
+    * ANN family (hoisted norms, sequential folds — oracle-exact).
+    *
+    * Output: one row per vector with its cell and kept flag (0/1).
     */
-  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
-    implicit val d: Dialect = DuckD
+  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3,
+               tau: Double = 0.3, dim: Int = 64): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    implicit val d: Dialect = SparkD
+    val asg = kmeansAssign(emb, k, iters, dim)
+      .select(col("vec_id"), col("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("nrm", expr(Similarity.normSql("embedding")))
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_e"), col("nrm").as("a_n"))
+    val b = asg.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_e"), col("nrm").as("b_n"))
+    val dup = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id") &&
+        round(expr(Similarity.dotSql("a_e", "b_e"))
+          / (col("a_n") * col("b_n")), 6) > tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    asg.join(dup.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** Shared CTE chain for the oracle twins: quantisation, seed
+    * centroids, `iters` assignment+update rounds and one final
+    * labelling assignment (`a{iters+1}`), mirroring
+    * [[kmeansAssign]]'s `iters`×lloydStep + final pass.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int)
+                        (implicit d: Dialect): (String, String) = {
     def score(cv: String) =
       s"round((${listFoldSumDouble(listTransformIdx("e.qv",
         (x, i) => s"$x * ${elem(cv, i)}"))}" +
@@ -175,9 +210,47 @@ object Clustering {
          |  FROM c${i - 1} c LEFT JOIN m$i m ON m.cell = c.cid)""".stripMargin
       }
     }
-    ctes ++= s"""
+    (ctes.toString, s"a${iters + 1}")
+  }
+
+  /** DuckDB oracle twin of [[kmeansAssign]]: the SAME quantisation,
+    * seeds, per-iteration assignment ranking and exact integer-sum
+    * centroid updates, unrolled as one CTE chain (`iters` is a fixed
+    * small constant, so unrolling is bounded). Kept in the operator's
+    * own file so the Spark code and its oracle evolve together.
+    */
+  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+    implicit val d: Dialect = DuckD
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    s"""$ctes
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, score AS score_r
-       |FROM a${iters + 1}""".stripMargin
-    ctes.toString
+       |FROM $fin""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[semDedup]]: the k-means chain, then the
+    * same existential lower-id pair rule over raw-float cosines.
+    */
+  def semdedupSql(k: Int = 8, iters: Int = 3, tau: Double = 0.3,
+                  dim: Int = 64): String = {
+    implicit val d: Dialect = DuckD
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    val cos = s"${Similarity.dotSql("a.a_e", "b.b_e")} / (a.a_n * b.b_n)"
+    s"""$ctes,
+       |asg AS (
+       |  SELECT f.vec_id, f.cell, e2.embedding,
+       |         ${Similarity.normSql("e2.embedding")} AS nrm
+       |  FROM $fin f JOIN embeddings e2 ON e2.vec_id = f.vec_id),
+       |dup AS (
+       |  SELECT DISTINCT b.b_id AS vec_id
+       |  FROM (SELECT cell, vec_id AS a_id, embedding AS a_e, nrm AS a_n
+       |        FROM asg) a
+       |  JOIN (SELECT cell, vec_id AS b_id, embedding AS b_e, nrm AS b_n
+       |        FROM asg) b
+       |    ON a.cell = b.cell AND a.a_id < b.b_id
+       |  WHERE round($cos, 6) > ${tau}e0)
+       |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+       |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END
+       |            AS BIGINT) AS kept
+       |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id""".stripMargin
   }
 }

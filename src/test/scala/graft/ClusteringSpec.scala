@@ -69,6 +69,20 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!next(0)._2.sameElements(cents(0)._2), "captured cell must move")
   }
 
+  test("semDedup keeps each cluster's lowest id and is monotone in tau") {
+    val loose = Clustering.semDedup(emb, k = 4, iters = 2, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.length == emb.count())
+    // the lowest id in a cluster has no lower-id partner: always kept
+    loose.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3 == 1L)
+    }
+    val keptStrict = Clustering.semDedup(emb, k = 4, iters = 2, tau = 0.99)
+      .where(col("kept") === 1).count()
+    assert(keptStrict >= loose.count(_._3 == 1L),
+      "raising tau must never remove more")
+  }
+
   test("oracle SQL carries the unrolled iteration chain") {
     val sql = Clustering.kmeansSql(k = 8, iters = 3)
     // 3 update stages + 4 assignment stages (final one labels only)
