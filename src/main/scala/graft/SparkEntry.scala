@@ -505,6 +505,8 @@ object SparkEntry {
       graft.llm.Corpus.stratifiedSample(docs(s, dir))),
     "q_t13_bpe_pairs" -> ((s, dir) =>
       graft.llm.Corpus.bpePairStats(docs(s, dir))),
+    "q_t15_seq_pack" -> ((s, dir) =>
+      graft.llm.Corpus.seqPack(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -792,6 +794,7 @@ object SparkEntry {
       graft.llm.Corpus.stratifiedSampleSql(),
     "q_t13_bpe_pairs" -> graft.llm.Corpus.bpePairStatsSql(),
     "q_t14_bigram_nll" -> graft.llm.Corpus.bigramNllSql,
+    "q_t15_seq_pack" -> graft.llm.Corpus.seqPackSql(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),

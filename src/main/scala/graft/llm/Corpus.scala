@@ -87,6 +87,89 @@ object Corpus {
        |FROM pos""".stripMargin
   }
 
+  /** Concat-and-chunk sequence packing — the standard LM pre-training
+    * batching shape: within each source shard, documents concatenate
+    * in doc_id order into one token stream that is cut into fixed
+    * `budget`-token training sequences; documents straddle sequence
+    * boundaries. Emits one row per (source, seq_id) with how many
+    * documents overlap it, how many START in it, and how many tokens
+    * land in it (the stream's final sequence runs short).
+    *
+    * 100 TB shape: the running-total window partitions by `source` —
+    * real pipelines pack per shard precisely so this prefix scan never
+    * needs a global ordering — and every quantity is exact integer
+    * arithmetic (token counts, cumulative offsets, floor-div sequence
+    * ids), so the gate is order-free exact. The explode fan-out is
+    * bounded by ceil(n_tok/budget)+1 rows per document, and the final
+    * aggregate is a map-side-combined hash agg on (source, seq_id).
+    */
+  def seqPack(docs: DataFrame, budget: Int = 512): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .selectExpr("doc_id", "source",
+        s"CAST(${listSize(tokens("text"))} AS BIGINT) AS n_tok")
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("start", col("cum") - col("n_tok"))
+      // double division is exact here: all values < 2^53 and the true
+      // quotient is never within an ulp of a wrong integer (offset
+      // from one by at least 1/budget)
+      .withColumn("seq_lo",
+        expr(s"CAST(floor(start / ${budget}.0) AS BIGINT)"))
+      .withColumn("seq_hi",
+        expr(s"CAST(floor((cum - 1) / ${budget}.0) AS BIGINT)"))
+      .select(col("source"), col("start"), col("cum"),
+        col("seq_lo"), explode(expr("sequence(seq_lo, seq_hi)"))
+          .as("seq_id"))
+      .select(col("source"), col("seq_id"),
+        when(col("seq_id") === col("seq_lo"), 1L).otherwise(0L)
+          .as("starts"),
+        (least(col("cum"), (col("seq_id") + 1) * budget)
+          - greatest(col("start"), col("seq_id") * budget))
+          .as("tok_in_seq"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("starts").as("n_starts"),
+        sum("tok_in_seq").as("n_tokens"))
+  }
+
+  /** The DuckDB twin of [[seqPack]] (same window frame, offsets and
+    * floor-div arithmetic in the other dialect).
+    */
+  def seqPackSql(budget: Int = 512): String = {
+    implicit val d: Dialect = DuckD
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         CAST(${listSize(tokens("text"))} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cums AS (
+       |  SELECT source, n_tok,
+       |         CAST(SUM(n_tok) OVER (PARTITION BY source
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM base),
+       |spans AS (
+       |  SELECT source, cum, cum - n_tok AS start,
+       |         CAST(floor((cum - n_tok) / ${budget}.0e0) AS BIGINT)
+       |           AS seq_lo,
+       |         CAST(floor((cum - 1) / ${budget}.0e0) AS BIGINT)
+       |           AS seq_hi
+       |  FROM cums),
+       |ex AS (
+       |  SELECT source, start, cum, seq_lo,
+       |         unnest(range(seq_lo, seq_hi + 1)) AS seq_id
+       |  FROM spans)
+       |SELECT source, seq_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN seq_id = seq_lo THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_starts,
+       |       CAST(SUM(least(cum, (seq_id + 1) * $budget)
+       |            - greatest(start, seq_id * $budget)) AS BIGINT)
+       |         AS n_tokens
+       |FROM ex GROUP BY source, seq_id""".stripMargin
+  }
+
   /** Benchmark-contamination screen: the probe set (here every doc_id
     * divisible by 97 — standing in for a held-out eval suite) is
     * reduced to its distinct word-3-shingle hashes; every non-probe

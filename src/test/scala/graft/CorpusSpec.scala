@@ -244,4 +244,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length == 1 &&
       out(0).getLong(2) == 1L)
   }
+
+  test("seqPack: conservation, full interior sequences, contiguity") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 128
+    val out = Corpus.seqPack(docs, budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // token conservation: packed tokens == corpus tokens
+    val totTok = docs
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .agg(sum("n")).head().getLong(0)
+    assert(out.map(_._5).sum == totTok)
+    // every document starts in exactly one sequence
+    assert(out.map(_._4).sum == docs.count())
+    val bySrc = out.groupBy(_._1)
+    bySrc.foreach { case (src, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      // seq ids contiguous from 0
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)),
+        s"$src seq ids not contiguous")
+      // all but the final sequence hold exactly `budget` tokens; the
+      // tail is never empty and never overfull
+      sorted.init.foreach { s =>
+        assert(s._5 == budget, s"$src seq ${s._2} has ${s._5} tokens")
+      }
+      assert(sorted.last._5 >= 1 && sorted.last._5 <= budget)
+    }
+  }
 }
