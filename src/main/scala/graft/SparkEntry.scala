@@ -433,6 +433,33 @@ object SparkEntry {
         "north_m", "height_m", "dish_m")
     }),
 
+    // K2e: SPECTRAL_WINDOW subtable VALUES decoded from the casacore
+    // bytes (fixed-shape Double arrays + scalars) — with q_k2c's MAIN
+    // structural audit and q_k2d's ANTENNA decode this completes the
+    // value-level coverage of the three tables a reader touches first
+    "q_k2e_ms_spw" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
+        msFixtureDir)
+      val dec = graft.sinks.MsContainer.readTable(
+        s"$msFixtureDir/SPECTRAL_WINDOW",
+        s.sparkContext.hadoopConfiguration)
+      import graft.sinks.MsContainer.cell
+      require(dec.nRows == 1L, s"SPECTRAL_WINDOW rows = ${dec.nRows}")
+      val freqs = cell(dec, 0L, "CHAN_FREQ")
+      val widths = cell(dec, 0L, "CHAN_WIDTH")
+      val numChan = cell(dec, 0L, "NUM_CHAN").head.toLong
+      val refF = cell(dec, 0L, "REF_FREQUENCY").head
+      val bw = cell(dec, 0L, "TOTAL_BANDWIDTH").head
+      val rows = freqs.indices.map(c =>
+        (c.toLong, freqs(c), widths(c), numChan, refF, bw))
+      import s.implicits._
+      rows.toDF("chan", "freq_hz", "width_hz", "num_chan",
+        "ref_freq_hz", "total_bw_hz")
+    }),
+
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
       Sinks.mwafOccupancy(flagged(s, dir))),
 
@@ -754,6 +781,7 @@ object SparkEntry {
     "q_k2b_ms_container" -> Oracles.k2bMsContainer,
     "q_k2c_ms_casacore" -> Oracles.k2cMsCasacore,
     "q_k2d_ms_antenna" -> Oracles.k2dMsAntenna,
+    "q_k2e_ms_spw" -> Oracles.k2eMsSpw,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_s4_mwaf_roundtrip" -> Oracles.s4MwafRoundtrip,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,

@@ -1157,6 +1157,22 @@ object Oracles {
       |       east_m, north_m, height_m, 4.0e0 AS dish_m
       |FROM antenna""".stripMargin)
 
+  /** K2e SPECTRAL_WINDOW decode twin: the frequency axis the writer
+    * derives from the metadata seam (base 150 MHz, 40 kHz fine
+    * channels, ×2 frequency averaging → 16 channels of 80 kHz,
+    * centre-of-pair CHAN_FREQ), recomputed with the same double
+    * arithmetic.
+    */
+  val k2eMsSpw: String = OracleSql.query(
+    """SELECT CAST(i AS BIGINT) AS chan,
+      |       150000000.0e0 + (CAST(i AS DOUBLE) * 2.0e0 + 0.5e0)
+      |         * 40000.0e0 AS freq_hz,
+      |       80000.0e0 AS width_hz,
+      |       CAST(16 AS BIGINT) AS num_chan,
+      |       150020000.0e0 AS ref_freq_hz,
+      |       1280000.0e0 AS total_bw_hz
+      |FROM range(0, 16) r(i)""".stripMargin)
+
   /** S4 mwaf container round trip: the Spark side WRITES the per-cc
     * mwaf FITS files and reads them back; this twin recomputes the
     * dense grid the files must hold — every (cc ∈ data, t, bl) cell,
