@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.FloatVecDot
+import graft.functions.{DoubleVecDot, FloatVecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("double_dot"),
+      new ExpressionInfo(classOf[DoubleVecDot].getName, "double_dot"),
+      (exprs: Seq[Expression]) => DoubleVecDot(exprs(0), exprs(1))))
   }
 }

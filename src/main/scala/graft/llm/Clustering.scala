@@ -93,12 +93,11 @@ object Clustering {
     cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
   }
 
-  /** Final cluster assignment after `iters` Lloyd iterations from the
-    * deterministic `vec_id < k` seed set. Output: one row per vector
-    * with its cell and the rounded cosine-scale score that won.
+  /** Run the Lloyd loop from the deterministic `vec_id < k` seed set
+    * and return the trained centroids (k×dim driver-side model state).
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3,
-                   dim: Int = 64): DataFrame = {
+  def train(emb: DataFrame, k: Int, iters: Int,
+            dim: Int): Array[(Int, Array[Double])] = {
     graft.functions.DoubleVecDot.register(emb.sparkSession)
     implicit val d: Dialect = SparkD
     val embq = emb
@@ -110,23 +109,32 @@ object Clustering {
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      require(cents.nonEmpty, "kmeansAssign: empty seed centroid set")
+      require(cents.nonEmpty, "kmeans train: empty seed centroid set")
       cents.find(_._2.length != dim).foreach { case (cid, v) =>
         throw new IllegalArgumentException(
-          s"kmeansAssign: dim=$dim but seed vector $cid has " +
+          s"kmeans train: dim=$dim but seed vector $cid has " +
             s"${v.length} elements")
       }
       for (_ <- 0 until iters) cents = lloydStep(embq, cents, dim)
-      val top = element_at(cellSort(cents), 1)
-      // final assignment re-reads the source so the returned frame does
-      // not depend on the (unpersisted-below) cached quantised corpus
-      emb
-        .select(col("vec_id"), expr(quantSql("embedding")).as("qv"))
-        .withColumn("top", top)
-        .select(col("vec_id"),
-          col("top").getField("cid").cast("bigint").as("cell"),
-          (-col("top").getField("ns")).as("score_r"))
+      cents
     } finally embq.unpersist(false)
+  }
+
+  /** Final cluster assignment after `iters` Lloyd iterations from the
+    * deterministic `vec_id < k` seed set. Output: one row per vector
+    * with its cell and the rounded cosine-scale score that won.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                   dim: Int = 64): DataFrame = {
+    implicit val d: Dialect = SparkD
+    val cents = train(emb, k, iters, dim)
+    val top = element_at(cellSort(cents), 1)
+    emb
+      .select(col("vec_id"), expr(quantSql("embedding")).as("qv"))
+      .withColumn("top", top)
+      .select(col("vec_id"),
+        col("top").getField("cid").cast("bigint").as("cell"),
+        (-col("top").getField("ns")).as("score_r"))
   }
 
   /** SemDeDup (Abbas et al. 2023): cluster, then remove any vector
@@ -147,10 +155,17 @@ object Clustering {
                tau: Double = 0.3, dim: Int = 64): DataFrame = {
     graft.functions.FloatVecDot.register(emb.sparkSession)
     implicit val d: Dialect = SparkD
-    val asg = kmeansAssign(emb, k, iters, dim)
-      .select(col("vec_id"), col("cell"))
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    // assignment inlined after training: one scan carries the cell,
+    // the embedding AND its hoisted norm — no corpus-wide re-join
+    // against a separate assignment frame
+    val cents = train(emb, k, iters, dim)
+    val asg = emb
+      .select(col("vec_id"), col("embedding"),
+        expr(quantSql("embedding")).as("qv"))
+      .withColumn("cell", element_at(cellSort(cents), 1)
+        .getField("cid").cast("bigint"))
       .withColumn("nrm", expr(Similarity.normSql("embedding")))
+      .select("vec_id", "cell", "embedding", "nrm")
     val a = asg.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_e"), col("nrm").as("a_n"))
     val b = asg.select(col("cell"), col("vec_id").as("b_id"),

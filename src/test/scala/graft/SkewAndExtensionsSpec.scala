@@ -33,6 +33,20 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     assert(vals == Seq(0.0, 8.0))
   }
 
+  test("double_dot registers and evaluates via SQL (codegen path)") {
+    new GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.DoubleVecDot.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.selectExpr("double_dot(a, b) AS d")
+      .head().getDouble(0) == 11.0)
+    val edge = Seq((Array.empty[Double], Array(1.0)),
+      (Array(2.0, 3.0), Array(4.0))).toDF("a", "b")
+    assert(edge.selectExpr("double_dot(a, b) AS d")
+      .collect().map(_.getDouble(0)).toSeq == Seq(0.0, 8.0))
+  }
+
   test("saltedCount equals plain count") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
