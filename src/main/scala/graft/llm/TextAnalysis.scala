@@ -56,6 +56,66 @@ object TextAnalysis {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Stop words for the composite filter's "natural language" signal
+    * (Gopher rule family: Rae et al. 2021 §A1.1; also MassiveText /
+    * RefinedWeb / Dolma cleaning stacks).
+    */
+  val StopWords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "that")
+
+  private[graft] def stopCntSql(implicit d: Dialect): String =
+    listFoldSumLong(listTransform("toks", t =>
+      s"CAST(CASE WHEN $t IN (${StopWords.map("'" + _ + "'")
+        .mkString(", ")}) THEN 1 ELSE 0 END AS BIGINT)"))
+
+  private[graft] def alphaCntSql(implicit d: Dialect): String =
+    listFoldSumLong(listTransform("toks", t =>
+      s"CAST(CASE WHEN substring($t, 1, 1) >= 'a' AND " +
+        s"substring($t, 1, 1) <= 'z' THEN 1 ELSE 0 END AS BIGINT)"))
+
+  /** The rule set over the base counts — every rule is EXACT integer
+    * arithmetic (ratio bounds cross-multiplied), so the composite
+    * filter has no floating-point comparison anywhere: identical
+    * verdicts under any engine, partitioning or evaluation order.
+    */
+  private[graft] val GopherRules: Seq[(String, String)] = Seq(
+    // 20..10000 words
+    "r_nwords" -> "n_tokens >= 20 AND n_tokens <= 10000",
+    // mean word length in [3, 10] (chars excluding the n-1 separators)
+    "r_wordlen" -> ("(n_chars - n_tokens + 1) >= 3 * n_tokens AND " +
+      "(n_chars - n_tokens + 1) <= 10 * n_tokens"),
+    // at least two stop-word occurrences
+    "r_stop" -> "stop_cnt >= 2",
+    // duplicate-token fraction <= 0.6
+    "r_dup" -> "(n_tokens - n_distinct) * 10 <= n_tokens * 6",
+    // >= 80 % of words start with an ascii letter
+    "r_alpha" -> "alpha_cnt * 10 >= n_tokens * 8")
+
+  /** Gopher-class composite quality filter: per-document rule flags
+    * plus the conjunctive pass verdict. Fully row-local (the dup-token
+    * signal reuses the distinct-count, not a per-token aggregate) —
+    * zero shuffle at any scale; the rule thresholds live in ONE table
+    * ([[GopherRules]]) rendered into both engines.
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    implicit val d: Dialect = SparkD
+    val base = docs
+      .withColumn("toks", expr(tokens("text")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(listSize("toks")).cast("long").as("n_tokens"),
+        expr(listDistinctSize("toks")).cast("long").as("n_distinct"),
+        expr(stopCntSql).as("stop_cnt"),
+        expr(alphaCntSql).as("alpha_cnt"))
+    val flags = GopherRules.map { case (n, c) =>
+      expr(s"CAST(CASE WHEN $c THEN 1 ELSE 0 END AS BIGINT)").as(n)
+    }
+    val pass = expr("CAST(CASE WHEN " +
+      GopherRules.map(_._2).mkString("(", ") AND (", ")") +
+      " THEN 1 ELSE 0 END AS BIGINT)").as("pass")
+    base.select(col("doc_id") +: col("n_tokens") +: flags :+ pass: _*)
+  }
+
   /** Quality scoring: length, token count, mean token length, lexical
     * diversity, and a blended score. Pure arithmetic on counts —
     * deterministic across engines.

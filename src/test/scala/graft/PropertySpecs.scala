@@ -272,6 +272,54 @@ object PropertySpecs extends Properties("kernels") {
         flags.indices.forall(i => !out(i) || outMore(i))
     }
 
+  private class PackFake(
+      var v: Option[graft.streaming.PackStream.PackState])
+      extends org.apache.spark.sql.streaming.GroupState[
+        graft.streaming.PackStream.PackState] {
+    override def exists: Boolean = v.isDefined
+    override def get: graft.streaming.PackStream.PackState = v.get
+    override def getOption: Option[graft.streaming.PackStream.PackState] = v
+    override def update(
+        s: graft.streaming.PackStream.PackState): Unit = { v = Some(s) }
+    override def remove(): Unit = { v = None }
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(d: Long): Unit = {}
+    override def setTimeoutDuration(d: String): Unit = {}
+    override def setTimeoutTimestamp(t: Long): Unit = {}
+    override def setTimeoutTimestamp(t: Long, add: String): Unit = {}
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = {}
+    override def setTimeoutTimestamp(t: java.sql.Date,
+                                     add: String): Unit = {}
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  property("sequence packing is micro-batch-split invariant") =
+    Prop.forAll(
+      Gen.listOf(Gen.chooseNum(1L, 40L)).suchThat(_.nonEmpty),
+      Gen.chooseNum(1L, 17L), Gen.chooseNum(0, 1000)) {
+      (toks, budget, cutSeed) =>
+        import graft.streaming.PackStream
+        import graft.streaming.PackStream.Doc
+        val docs = toks.zipWithIndex.map { case (n, i) =>
+          Doc("s", i.toLong, n)
+        }
+        val cut = cutSeed % (docs.length + 1)
+        val one = new PackFake(None)
+        val whole = PackStream.updateSource(budget)("s",
+          docs.iterator, one).toList
+        val two = new PackFake(None)
+        val a = PackStream.updateSource(budget)("s",
+          docs.take(cut).iterator, two).toList
+        val b = PackStream.updateSource(budget)("s",
+          docs.drop(cut).iterator, two).toList
+        // split invariance, full sequences only, contiguous seq ids
+        (a ++ b) == whole && two.v == one.v &&
+          whole.forall(_.n_tokens == budget) &&
+          whole.map(_.seq_id) == whole.indices.map(_.toLong).toList &&
+          one.v.get.cum == toks.sum
+    }
+
   property("sumthreshold flags are monotone in existing flags") =
     Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0.5, 2.0))) { vals =>
       val amp = vals.toArray.grouped(8).toArray

@@ -95,4 +95,31 @@ class TextOpsSpec extends AnyFunSuite {
     // shingles touching the unique token never cross the threshold
     assert(!byShingle.keySet.exists(_.contains("unique")))
   }
+
+  test("gopherFilter: each rule trips on its designed violation") {
+    val good = ("the cat sat on the mat and the dog ran to the " +
+      "park in the rain that day was long and the walk was slow " +
+      "and the end came late").trim // 31 words, stops, varied
+    val docs = docsOf(
+      (1L, good, "en", "s"),
+      // too short (< 20 words) but otherwise clean
+      (2L, "the cat and the dog sat in that house", "en", "s"),
+      // no stop words
+      (3L, Seq.tabulate(25)(i => s"word$i").mkString(" "), "en", "s"),
+      // heavy duplication: 25 tokens, 2 distinct
+      (4L, ("the " * 24 + "and").trim, "en", "s"),
+      // >20 % non-alphabetic tokens
+      (5L, (Seq.fill(15)("123") ++ Seq.fill(5)("the") ++
+        Seq.fill(5)("and")).mkString(" "), "en", "s"))
+    val out = graft.llm.TextAnalysis.gopherFilter(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)), s"good doc: ${out(1L)}")
+    assert(out(2L)._1 == 0L && out(2L)._6 == 0L) // r_nwords fails
+    assert(out(3L)._3 == 0L && out(3L)._6 == 0L) // r_stop fails
+    assert(out(4L)._4 == 0L && out(4L)._6 == 0L) // r_dup fails
+    assert(out(5L)._5 == 0L && out(5L)._6 == 0L) // r_alpha fails
+  }
 }
