@@ -536,6 +536,8 @@ object SparkEntry {
       graft.llm.Corpus.seqPack(docs(s, dir))),
     "q_t16_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(docs(s, dir))),
+    "q_t17_bpe_train" -> ((s, dir) =>
+      graft.llm.Corpus.bpeTrain(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -826,6 +828,7 @@ object SparkEntry {
     "q_t14_bigram_nll" -> graft.llm.Corpus.bigramNllSql,
     "q_t15_seq_pack" -> graft.llm.Corpus.seqPackSql(),
     "q_t16_gopher_filter" -> LlmOracles.t16Gopher,
+    "q_t17_bpe_train" -> graft.llm.Corpus.bpeTrainSql(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),

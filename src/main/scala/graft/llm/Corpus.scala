@@ -367,6 +367,125 @@ object Corpus {
       .stripMargin
   }
 
+  /** Character-split word representation: symbols joined by single
+    * spaces (words never contain spaces, so ' ' is a safe symbol
+    * separator throughout the BPE machinery).
+    */
+  private def charsJoinedSql(w: String)(implicit d: Dialect): String =
+    joinList(listTransformIdx(idxSeq1(s"length($w)"),
+      (x, _) => s"substring($w, $x, 1)"))
+
+  /** One greedy left-to-right BPE merge of the pair (A, B) applied to
+    * a space-joined symbol string, as a sequential string fold: append
+    * `x` WITHOUT a separator when it is B and the accumulator ends
+    * with the complete symbol A — which is exactly the non-overlapping
+    * leftmost-first merge the BPE algorithm specifies. `a`/`b` are SQL
+    * string expressions (driver literals on the Spark side, columns of
+    * the top-pair CTE in the oracle).
+    */
+  private def mergeFoldSql(syms: String, a: String, b: String)
+                          (implicit d: Dialect): String = {
+    val body = (acc: String, x: String) =>
+      s"CASE WHEN $acc = '' THEN $x " +
+        s"WHEN $x = $b AND ($acc = $a OR " +
+        s"right($acc, length($a) + 1) = (' ' || $a)) THEN $acc || $x " +
+        s"ELSE $acc || ' ' || $x END"
+    d match {
+      case SparkD =>
+        s"aggregate($syms, CAST('' AS STRING)," +
+          s" (acc, x) -> ${body("acc", "x")})"
+      case DuckD =>
+        s"list_reduce(list_prepend(CAST('' AS VARCHAR), $syms)," +
+          s" (acc, x) -> ${body("acc", "x")})"
+    }
+  }
+
+  /** Distributed BPE TRAINING (the full tokenizer-learning loop, not
+    * just one round of pair stats): the corpus collapses once into a
+    * word→count vocabulary (the classic map-side-combined aggregate —
+    * zipf-bounded, orders of magnitude smaller than the corpus, which
+    * is precisely why real BPE trainers count words first); every
+    * merge step then runs on the vocabulary alone: weighted
+    * adjacent-pair counts, the (max count, lexicographic) argmax pair
+    * as driver-side model state, and a greedy left-to-right merge fold
+    * rewriting each word's symbol string. Returns the learned merge
+    * table — each row's choice depends on every previous merge, so the
+    * oracle hash pins the entire training trajectory.
+    *
+    * 100 TB shape: ONE corpus-sized aggregate total; each of the
+    * `merges` iterations costs a scan of the cached vocabulary plus a
+    * pair-count hash agg (alphabet²-bounded) — the same budget class
+    * as the IVF/k-means trainers.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 6): DataFrame = {
+    implicit val d: Dialect = SparkD
+    val spark = docs.sparkSession
+    val vocab = explodeNoInfer(
+      docs.select(expr(tokens("text")).as("toks")), col("toks"), "w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("repr", expr(charsJoinedSql("w")))
+      .select("cnt", "repr")
+      .cache()
+    try {
+      var df = vocab
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1 to merges) {
+        val top = df
+          .select(col("cnt"), expr(tokens("repr")).as("syms"))
+          .select(col("cnt"), explode(expr(grams2("syms"))).as("g"))
+          .groupBy("g").agg(sum("cnt").as("n"))
+          .orderBy(col("n").desc, col("g").asc)
+          .limit(1).collect()
+        require(top.nonEmpty, s"bpeTrain: no pairs left at step $step")
+        val (g, n) = (top(0).getString(0), top(0).getLong(1))
+        out += ((step.toLong, g, g.replace(" ", ""), n))
+        val Array(a, b) = g.split(" ", 2)
+        def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+        df = df.withColumn("repr",
+          expr(mergeFoldSql(tokens("repr"), lit1(a), lit1(b))))
+      }
+      import spark.implicits._
+      out.result().toDF("step", "pair", "merged", "cnt")
+    } finally vocab.unpersist(false)
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the identical vocabulary collapse,
+    * per-step weighted pair counts, (count desc, pair asc) argmax and
+    * merge fold, unrolled as a CTE chain with the learned merge table
+    * assembled by UNION ALL.
+    */
+  def bpeTrainSql(merges: Int = 6): String = {
+    implicit val d: Dialect = DuckD
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       |         ${charsJoinedSql("w")} AS repr
+       |  FROM (SELECT unnest(${tokens("text")}) AS w FROM documents)
+       |  GROUP BY w)""".stripMargin
+    for (i <- 1 to merges) {
+      sb ++= s""",
+       |g$i AS (
+       |  SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+       |    SELECT cnt, unnest(${grams2("syms")}) AS g FROM (
+       |      SELECT cnt, ${tokens("repr")} AS syms FROM w${i - 1}))
+       |  GROUP BY g),
+       |m$i AS (
+       |  SELECT g, n FROM g$i ORDER BY n DESC, g ASC LIMIT 1),
+       |w$i AS (
+       |  SELECT w.cnt,
+       |         ${mergeFoldSql(tokens("w.repr"),
+                   "split_part(m.g, ' ', 1)",
+                   "split_part(m.g, ' ', 2)")} AS repr
+       |  FROM w${i - 1} w CROSS JOIN m$i m)""".stripMargin
+    }
+    sb ++= (1 to merges).map(i =>
+      s"""
+       |SELECT CAST($i AS BIGINT) AS step, g AS pair,
+       |       replace(g, ' ', '') AS merged, n AS cnt FROM m$i"""
+        .stripMargin).mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
+
   /** Repeated token-`k`-gram span detection — the shape of
     * substring-level training-data dedup (find spans that occur more
     * than once anywhere in the corpus, within OR across documents;

@@ -245,6 +245,21 @@ class CorpusSpec extends AnyFunSuite {
       out(0).getLong(2) == 1L)
   }
 
+  test("bpeTrain: greedy merges cascade with exact weighted counts") {
+    val docs = docsOf((1L, "en", "aaa aaa bb"), (2L, "en", "aaa bb bb"))
+    // vocab: aaa ×3, bb ×3. Step 1: (a,a) weighs 2·3=6 vs (b,b) 3 →
+    // merge "a a"; greedy left-to-right gives "aa a" (NOT "a aa").
+    // Step 2: (aa,a) and (b,b) tie at 3 → lexicographic "aa a" wins.
+    // Step 3: only (b,b) remains.
+    val out = Corpus.bpeTrain(docs, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, "a a", "aa", 6L),
+      (2L, "aa a", "aaa", 3L),
+      (3L, "b b", "bb", 3L)))
+  }
+
   test("seqPack: conservation, full interior sequences, contiguity") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
