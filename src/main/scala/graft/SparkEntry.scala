@@ -538,6 +538,8 @@ object SparkEntry {
       TextAnalysis.gopherFilter(docs(s, dir))),
     "q_t17_bpe_train" -> ((s, dir) =>
       graft.llm.Corpus.bpeTrain(docs(s, dir))),
+    "q_t18_bpe_apply" -> ((s, dir) =>
+      graft.llm.Corpus.bpeApply(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -829,6 +831,7 @@ object SparkEntry {
     "q_t15_seq_pack" -> graft.llm.Corpus.seqPackSql(),
     "q_t16_gopher_filter" -> LlmOracles.t16Gopher,
     "q_t17_bpe_train" -> graft.llm.Corpus.bpeTrainSql(),
+    "q_t18_bpe_apply" -> graft.llm.Corpus.bpeApplySql(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),

@@ -417,36 +417,66 @@ object Corpus {
     * pair-count hash agg (alphabet²-bounded) — the same budget class
     * as the IVF/k-means trainers.
     */
-  def bpeTrain(docs: DataFrame, merges: Int = 6): DataFrame = {
+  /** Shared trainer core: the cached word-count vocabulary, the merge
+    * loop, and the final (w, repr) frame with every merge applied.
+    * The caller unpersists the returned cache handle when done.
+    */
+  private def bpeCore(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, DataFrame) = {
     implicit val d: Dialect = SparkD
-    val spark = docs.sparkSession
     val vocab = explodeNoInfer(
       docs.select(expr(tokens("text")).as("toks")), col("toks"), "w")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("repr", expr(charsJoinedSql("w")))
-      .select("cnt", "repr")
       .cache()
-    try {
-      var df = vocab
-      val out = Seq.newBuilder[(Long, String, String, Long)]
-      for (step <- 1 to merges) {
-        val top = df
-          .select(col("cnt"), expr(tokens("repr")).as("syms"))
-          .select(col("cnt"), explode(expr(grams2("syms"))).as("g"))
-          .groupBy("g").agg(sum("cnt").as("n"))
-          .orderBy(col("n").desc, col("g").asc)
-          .limit(1).collect()
-        require(top.nonEmpty, s"bpeTrain: no pairs left at step $step")
-        val (g, n) = (top(0).getString(0), top(0).getLong(1))
-        out += ((step.toLong, g, g.replace(" ", ""), n))
-        val Array(a, b) = g.split(" ", 2)
-        def lit1(s: String) = "'" + s.replace("'", "''") + "'"
-        df = df.withColumn("repr",
-          expr(mergeFoldSql(tokens("repr"), lit1(a), lit1(b))))
-      }
-      import spark.implicits._
-      out.result().toDF("step", "pair", "merged", "cnt")
-    } finally vocab.unpersist(false)
+    var df = vocab
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to merges) {
+      val top = df
+        .select(col("cnt"), expr(tokens("repr")).as("syms"))
+        .select(col("cnt"), explode(expr(grams2("syms"))).as("g"))
+        .groupBy("g").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeTrain: no pairs left at step $step")
+      val (g, n) = (top(0).getString(0), top(0).getLong(1))
+      out += ((step.toLong, g, g.replace(" ", ""), n))
+      val Array(a, b) = g.split(" ", 2)
+      def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+      df = df.withColumn("repr",
+        expr(mergeFoldSql(tokens("repr"), lit1(a), lit1(b))))
+    }
+    (out.result(), df.select("w", "repr"), vocab)
+  }
+
+  def bpeTrain(docs: DataFrame, merges: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val (ms, _, cached) = bpeCore(docs, merges)
+    cached.unpersist(false)
+    import spark.implicits._
+    ms.toDF("step", "pair", "merged", "cnt")
+  }
+
+  /** BPE tokenizer APPLICATION with the merges learned by [[bpeTrain]]
+    * on the same corpus: the trained vocabulary becomes a broadcast
+    * w → subword-count lookup (exactly how production tokenizers ship
+    * — a vocab table, not per-word re-merging), and every document
+    * reduces to its word and subword totals with one broadcast join +
+    * one map-side-combined doc aggregate.
+    */
+  def bpeApply(docs: DataFrame, merges: Int = 6): DataFrame = {
+    implicit val d: Dialect = SparkD
+    val (_, fin, cached) = bpeCore(docs, merges)
+    val sub = fin.select(col("w"),
+      expr(s"CAST(${listSize(tokens("repr"))} AS BIGINT)").as("n_sub"))
+    val toks = explodeNoInfer(
+      docs.select(col("doc_id"), expr(tokens("text")).as("toks")),
+      col("toks"), "w", col("doc_id"))
+    val out = toks.join(broadcast(sub), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+    cached.unpersist(false)
+    out
   }
 
   /** DuckDB twin of [[bpeTrain]]: the identical vocabulary collapse,
@@ -454,11 +484,13 @@ object Corpus {
     * merge fold, unrolled as a CTE chain with the learned merge table
     * assembled by UNION ALL.
     */
-  def bpeTrainSql(merges: Int = 6): String = {
-    implicit val d: Dialect = DuckD
+  /** The shared CTE chain (w0..wN vocab states, g/m pair-count and
+    * argmax stages) for both oracle twins.
+    */
+  private def bpeCtes(merges: Int)(implicit d: Dialect): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w0 AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |         ${charsJoinedSql("w")} AS repr
        |  FROM (SELECT unnest(${tokens("text")}) AS w FROM documents)
        |  GROUP BY w)""".stripMargin
@@ -472,18 +504,38 @@ object Corpus {
        |m$i AS (
        |  SELECT g, n FROM g$i ORDER BY n DESC, g ASC LIMIT 1),
        |w$i AS (
-       |  SELECT w.cnt,
+       |  SELECT w.w, w.cnt,
        |         ${mergeFoldSql(tokens("w.repr"),
                    "split_part(m.g, ' ', 1)",
                    "split_part(m.g, ' ', 2)")} AS repr
        |  FROM w${i - 1} w CROSS JOIN m$i m)""".stripMargin
     }
-    sb ++= (1 to merges).map(i =>
+    sb.toString
+  }
+
+  def bpeTrainSql(merges: Int = 6): String = {
+    implicit val d: Dialect = DuckD
+    bpeCtes(merges) + (1 to merges).map(i =>
       s"""
        |SELECT CAST($i AS BIGINT) AS step, g AS pair,
        |       replace(g, ' ', '') AS merged, n AS cnt FROM m$i"""
         .stripMargin).mkString("", "\nUNION ALL", "")
-    sb.toString
+  }
+
+  /** DuckDB twin of [[bpeApply]]: the same trained vocabulary as a
+    * w → subword-count lookup joined back onto the corpus tokens.
+    */
+  def bpeApplySql(merges: Int = 6): String = {
+    implicit val d: Dialect = DuckD
+    bpeCtes(merges) + s""",
+       |sub AS (
+       |  SELECT w, CAST(${listSize(tokens("repr"))} AS BIGINT) AS n_sub
+       |  FROM w$merges),
+       |tok AS (
+       |  SELECT doc_id, unnest(${tokens("text")}) AS w FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+       |FROM tok JOIN sub USING (w) GROUP BY doc_id""".stripMargin
   }
 
   /** Repeated token-`k`-gram span detection — the shape of

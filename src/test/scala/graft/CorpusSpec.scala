@@ -260,6 +260,16 @@ class CorpusSpec extends AnyFunSuite {
       (3L, "b b", "bb", 3L)))
   }
 
+  test("bpeApply: learned vocab compresses docs to known subword counts") {
+    val docs = docsOf((1L, "en", "aaa aaa bb"), (2L, "en", "aaa bb bb"))
+    def counts(merges: Int) = Corpus.bpeApply(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 3 merges collapse both words to single tokens (see bpeTrain spec)
+    assert(counts(3) == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))))
+    // after only the first merge: "aa a" and untouched "b b" char split
+    assert(counts(1) == Map(1L -> ((3L, 6L)), 2L -> ((3L, 6L))))
+  }
+
   test("seqPack: conservation, full interior sequences, contiguity") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
