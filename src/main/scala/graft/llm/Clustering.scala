@@ -180,6 +180,52 @@ object Clustering {
         when(col("is_dup").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Cluster-balanced sampling: `nPer` vectors drawn from every
+    * k-means cell by deterministic md5-hash rank (content-free
+    * pseudo-randomness both engines share bit-for-bit) — the
+    * rebalancing draw semantic-curation pipelines run after
+    * clustering, so over- and under-represented topics contribute
+    * equally to the curated set.
+    *
+    * Scale: the rank window partitions by cell; cluster count scales
+    * with corpus size (the same contract as [[semDedup]]'s pair
+    * stage), so per-cell partitions stay bounded.
+    */
+  def clusterSample(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                    nPer: Int = 20, dim: Int = 64): DataFrame = {
+    implicit val d: Dialect = SparkD
+    import org.apache.spark.sql.expressions.Window
+    val cents = train(emb, k, iters, dim)
+    val asg = emb
+      .select(col("vec_id"), expr(quantSql("embedding")).as("qv"))
+      .withColumn("cell", element_at(cellSort(cents), 1)
+        .getField("cid").cast("bigint"))
+      .withColumn("h", expr(hex8ToLong(toStr("vec_id"))))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("h").asc, col("vec_id").asc)
+    asg.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= nPer)
+      .select("vec_id", "cell", "rk")
+  }
+
+  /** DuckDB twin of [[clusterSample]]. */
+  def clusterSampleSql(k: Int = 8, iters: Int = 3, nPer: Int = 20,
+                       dim: Int = 64): String = {
+    implicit val d: Dialect = DuckD
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    s"""$ctes,
+       |hashed AS (
+       |  SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       |         ${hex8ToLong(toStr("vec_id"))} AS h
+       |  FROM $fin)
+       |SELECT vec_id, cell, rk FROM (
+       |  SELECT vec_id, cell,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |           ORDER BY h ASC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM hashed)
+       |WHERE rk <= $nPer""".stripMargin
+  }
+
   /** Shared CTE chain for the oracle twins: quantisation, seed
     * centroids, `iters` assignment+update rounds and one final
     * labelling assignment (`a{iters+1}`), mirroring

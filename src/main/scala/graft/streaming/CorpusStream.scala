@@ -24,6 +24,18 @@ object CorpusStream {
                   win: Int = 64, stride: Int = 48): DataFrame =
     graft.llm.Corpus.chunkWindows(docStream(spark, dir), win, stride)
 
+  /** Streaming Gopher-class quality filter: the rule set is pure
+    * integer row-local arithmetic ([[graft.llm.TextAnalysis
+    * .gopherFilter]]), so the streaming plan is again the batch plan
+    * per micro-batch — documents can be filtered at ingest with no
+    * state at all.
+    */
+  def gopherStream(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.gopherFilter(docStream(spark, dir))
+
+  def gopherOnce(spark: SparkSession, dir: String): DataFrame =
+    runOnce(gopherStream(spark, dir), spark, "corpus_gopher_stream")
+
   /** Streaming contamination screen: probe hashes from the static
     * corpus, row-local screen over the stream.
     */

@@ -83,6 +83,29 @@ class ClusteringSpec extends AnyFunSuite {
       "raising tau must never remove more")
   }
 
+  test("clusterSample: exactly min(nPer, cell size) per cell, " +
+    "consistent with the assignment") {
+    val asg = Clustering.kmeansAssign(emb, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = asg.values.groupBy(identity).map { case (c, v) =>
+      c -> v.size.toLong
+    }
+    val picked = Clustering.clusterSample(emb, k = 4, iters = 2,
+      nPer = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCell = picked.groupBy(_._2)
+    sizes.foreach { case (c, n) =>
+      assert(byCell.get(c).map(_.length.toLong)
+        .getOrElse(0L) == math.min(10L, n))
+    }
+    // every sampled row carries its true cell and ranks 1..n
+    picked.foreach { case (vid, c, _) => assert(asg(vid) == c) }
+    byCell.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.sameElements(
+        (1L to rows.length.toLong)))
+    }
+  }
+
   test("oracle SQL carries the unrolled iteration chain") {
     val sql = Clustering.kmeansSql(k = 8, iters = 3)
     // 3 update stages + 4 assignment stages (final one labels only)

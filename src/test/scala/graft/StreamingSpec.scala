@@ -96,6 +96,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b, s"streaming ${s.size} rows vs batch ${b.size}")
   }
 
+  test("streaming Gopher filter equals the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.CorpusStream.gopherOnce(spark, dir)
+    val batch = graft.llm.TextAnalysis.gopherFilter(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"streaming ${s.size} rows vs batch ${b.size}")
+  }
+
   test("streaming BPE pair counts equal the batch aggregate") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.CorpusStream.pairCountOnce(spark, dir)
