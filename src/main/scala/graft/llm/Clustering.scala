@@ -65,7 +65,7 @@ object Clustering {
     * round never yields −0.0, so negation cannot split a tie.
     */
   private def cellSort(cents: Array[(Int, Array[Double])]): Column =
-    array_sort(array(cents.map { case (cid, cv) =>
+    array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
       struct(
         (-round((call_function("double_dot", col("qv"), lit(cv))
           - lit(halfNorm2(cv))) / lit(Scale), 6)).as("ns"),

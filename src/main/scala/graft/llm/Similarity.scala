@@ -136,7 +136,7 @@ object Similarity {
     * −0.0, so negation can't split a tie. Zero exchanges.
     */
   private def cellRankExpr(cents: Array[(Int, Array[Float])]): Column =
-    array_sort(array(cents.map { case (cid, ce) =>
+    array_sort(array(cents.toIndexedSeq.map { case (cid, ce) =>
       struct(
         (-round(call_function("float_dot", col("embedding"), lit(ce))
           - lit(halfNorm2(ce)), 6)).as("ns"),
@@ -275,7 +275,8 @@ object Similarity {
     // per-subspace code: argmax(round(dot − ‖c‖²/2, 6)) with cid
     // tie-break — identical ranking rule to the IVF assignment
     def codeExpr(vecCol: Column, s: Int): Column =
-      element_at(array_sort(array(codebooks(s).map { case (cid, cw) =>
+      element_at(array_sort(array(codebooks(s).toIndexedSeq
+        .map { case (cid, cw) =>
         struct(
           (-round(call_function("float_dot", sub(vecCol, s), lit(cw))
             - lit(halfNorm2(cw)), 6)).as("ns"),
