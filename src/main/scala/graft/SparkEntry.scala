@@ -505,6 +505,8 @@ object SparkEntry {
       Clustering.semDedup(emb(s, dir))),
     "q_sim7_cluster_sample" -> ((s, dir) =>
       Clustering.clusterSample(emb(s, dir))),
+    "q_emb_pipeline" -> ((s, dir) =>
+      Clustering.embPipeline(emb(s, dir))),
 
     // -- LLM-data pipeline: text analysis -----------------------------
     "q_t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -807,6 +809,7 @@ object SparkEntry {
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),
+    "q_emb_pipeline" -> graft.llm.Clustering.embPipelineSql(),
     "q_t1_langid" -> LlmOracles.t1LangId,
     "q_t2_quality" -> LlmOracles.t2Quality,
     "q_t3_tokens" -> LlmOracles.t3Tokens,

@@ -151,33 +151,108 @@ object Clustering {
     *
     * Output: one row per vector with its cell and kept flag (0/1).
     */
-  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3,
-               tau: Double = 0.3, dim: Int = 64): DataFrame = {
-    graft.functions.FloatVecDot.register(emb.sparkSession)
+  /** One scan carrying the cell label, the embedding AND its hoisted
+    * norm — the shared front of the SemDeDup family (no corpus-wide
+    * re-join against a separate assignment frame).
+    */
+  private def assignedWithNorm(emb: DataFrame,
+                               cents: Array[(Int, Array[Double])])
+      : DataFrame = {
     implicit val d: Dialect = SparkD
-    // assignment inlined after training: one scan carries the cell,
-    // the embedding AND its hoisted norm — no corpus-wide re-join
-    // against a separate assignment frame
-    val cents = train(emb, k, iters, dim)
-    val asg = emb
+    emb
       .select(col("vec_id"), col("embedding"),
         expr(quantSql("embedding")).as("qv"))
       .withColumn("cell", element_at(cellSort(cents), 1)
         .getField("cid").cast("bigint"))
       .withColumn("nrm", expr(Similarity.normSql("embedding")))
       .select("vec_id", "cell", "embedding", "nrm")
+  }
+
+  /** The existential duplicate set: every vector with a lower-id
+    * cluster-mate above `tau` cosine.
+    */
+  private def dupSet(asg: DataFrame, tau: Double): DataFrame = {
+    implicit val d: Dialect = SparkD
     val a = asg.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_e"), col("nrm").as("a_n"))
     val b = asg.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("b_e"), col("nrm").as("b_n"))
-    val dup = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .where(col("a_id") < col("b_id") &&
         round(expr(Similarity.dotSql("a_e", "b_e"))
           / (col("a_n") * col("b_n")), 6) > tau)
       .select(col("b_id").as("vec_id")).distinct()
-    asg.join(dup.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+  }
+
+  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3,
+               tau: Double = 0.3, dim: Int = 64): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val asg = assignedWithNorm(emb, train(emb, k, iters, dim))
+    asg.join(dupSet(asg, tau).withColumn("is_dup", lit(1L)),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("is_dup").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** The composed embedding-curation pipeline (the SemDeDup paper's
+    * flow end to end): cluster, drop near-duplicates within each
+    * cluster, then draw a cluster-balanced sample from the SURVIVORS.
+    * Output: the curated sample, each row carrying its cell, its
+    * hash-rank among the cell's kept vectors, and the cell's kept
+    * count — the numbers a curation report needs.
+    */
+  def embPipeline(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                  tau: Double = 0.3, nPer: Int = 10,
+                  dim: Int = 64): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    implicit val d: Dialect = SparkD
+    import org.apache.spark.sql.expressions.Window
+    val asg = assignedWithNorm(emb, train(emb, k, iters, dim))
+    val kept = asg.join(dupSet(asg, tau), Seq("vec_id"), "left_anti")
+      .withColumn("h", expr(hex8ToLong(toStr("vec_id"))))
+    val counts = kept.groupBy("cell").agg(count(lit(1)).as("n_kept"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("h").asc, col("vec_id").asc)
+    kept.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= nPer)
+      .join(broadcast(counts), Seq("cell"))
+      .select("vec_id", "cell", "rk", "n_kept")
+  }
+
+  /** DuckDB twin of [[embPipeline]]. */
+  def embPipelineSql(k: Int = 8, iters: Int = 3, tau: Double = 0.3,
+                     nPer: Int = 10, dim: Int = 64): String = {
+    implicit val d: Dialect = DuckD
+    val (ctes, fin) = kmeansCtes(k, iters, dim)
+    val cos = s"${Similarity.dotSql("a.a_e", "b.b_e")} / (a.a_n * b.b_n)"
+    s"""$ctes,
+       |asg AS (
+       |  SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell, e2.embedding,
+       |         ${Similarity.normSql("e2.embedding")} AS nrm
+       |  FROM $fin f JOIN embeddings e2 ON e2.vec_id = f.vec_id),
+       |dup AS (
+       |  SELECT DISTINCT b.b_id AS vec_id
+       |  FROM (SELECT cell, vec_id AS a_id, embedding AS a_e, nrm AS a_n
+       |        FROM asg) a
+       |  JOIN (SELECT cell, vec_id AS b_id, embedding AS b_e, nrm AS b_n
+       |        FROM asg) b
+       |    ON a.cell = b.cell AND a.a_id < b.b_id
+       |  WHERE round($cos, 6) > ${tau}e0),
+       |kept AS (
+       |  SELECT asg.vec_id, asg.cell,
+       |         ${hex8ToLong(toStr("asg.vec_id"))} AS h
+       |  FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
+       |  WHERE dup.vec_id IS NULL),
+       |counts AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY cell)
+       |SELECT r.vec_id, r.cell, r.rk, c.n_kept FROM (
+       |  SELECT vec_id, cell,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |           ORDER BY h ASC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM kept) r
+       |JOIN counts c ON c.cell = r.cell
+       |WHERE r.rk <= $nPer""".stripMargin
   }
 
   /** Cluster-balanced sampling: `nPer` vectors drawn from every

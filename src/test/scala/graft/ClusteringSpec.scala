@@ -106,6 +106,28 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("embPipeline composes consistently with its stages") {
+    val kept = Clustering.semDedup(emb, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keptSet = kept.filter(_._3 == 1L).map(_._1).toSet
+    val keptPerCell = kept.filter(_._3 == 1L).groupBy(_._2)
+      .map { case (c, v) => c -> v.length.toLong }
+    val out = Clustering.embPipeline(emb, k = 4, iters = 2, nPer = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every sampled vector survived dedup; n_kept matches semDedup
+    out.foreach { case (vid, c, _, nk) =>
+      assert(keptSet.contains(vid))
+      assert(keptPerCell(c) == nk)
+    }
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.length.toLong == math.min(5L, keptPerCell(c)))
+      assert(rows.map(_._3).sorted.sameElements(
+        (1L to rows.length.toLong)))
+    }
+  }
+
   test("oracle SQL carries the unrolled iteration chain") {
     val sql = Clustering.kmeansSql(k = 8, iters = 3)
     // 3 update stages + 4 assignment stages (final one labels only)
