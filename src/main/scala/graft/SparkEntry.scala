@@ -544,6 +544,8 @@ object SparkEntry {
       graft.llm.Corpus.bpeTrain(docs(s, dir))),
     "q_t18_bpe_apply" -> ((s, dir) =>
       graft.llm.Corpus.bpeApply(docs(s, dir))),
+    "q_t19_length_profile" -> ((s, dir) =>
+      TextAnalysis.lengthProfile(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -838,6 +840,7 @@ object SparkEntry {
     "q_t16_gopher_filter" -> LlmOracles.t16Gopher,
     "q_t17_bpe_train" -> graft.llm.Corpus.bpeTrainSql(),
     "q_t18_bpe_apply" -> graft.llm.Corpus.bpeApplySql(),
+    "q_t19_length_profile" -> TextAnalysis.lengthProfileSql,
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),

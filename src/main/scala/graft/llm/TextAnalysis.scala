@@ -116,6 +116,65 @@ object TextAnalysis {
     base.select(col("doc_id") +: col("n_tokens") +: flags :+ pass: _*)
   }
 
+  /** Per-source token-length profile with EXACT order statistics
+    * (type-1 quantiles: the value at rank ceil(q·n), all-integer rank
+    * arithmetic) — the distribution report a curation run ships per
+    * source shard. Approximate-percentile sketches are
+    * implementation-defined and cannot be twinned across engines;
+    * the exact rank pick can, and costs one source-partitioned sort
+    * window plus one map-side-combined aggregate (the same shuffle
+    * budget as sequence packing). Rank ties among equal values cannot
+    * change the value picked at a rank, so row_number's tie order is
+    * immaterial.
+    */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    val wAll = Window.partitionBy("source")
+    val ranked = docs
+      .selectExpr("doc_id", "source",
+        s"CAST(${listSize(tokens("text"))} AS BIGINT) AS n_tok")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def atQ(num: Int, den: Int, name: String) =
+      max(when(col("rk") ===
+        expr(s"CAST(floor((n * $num + ${den - 1}) / $den.0) AS BIGINT)"),
+        col("n_tok"))).as(name)
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("tot_tokens"),
+      min("n_tok").as("min_tok"),
+      atQ(1, 4, "p25_tok"), atQ(2, 4, "p50_tok"), atQ(3, 4, "p75_tok"),
+      max("n_tok").as("max_tok"))
+  }
+
+  /** DuckDB twin of [[lengthProfile]]. */
+  def lengthProfileSql: String = {
+    implicit val d: Dialect = DuckD
+    def atQ(num: Int, den: Int, name: String) =
+      s"MAX(CASE WHEN rk = CAST(floor((n * $num + ${den - 1}) / $den.0)" +
+        s" AS BIGINT) THEN n_tok END) AS $name"
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         CAST(${listSize(tokens("text"))} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, n_tok,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY n_tok, doc_id) AS BIGINT) AS rk,
+       |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM base)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS tot_tokens,
+       |       MIN(n_tok) AS min_tok,
+       |       ${atQ(1, 4, "p25_tok")},
+       |       ${atQ(2, 4, "p50_tok")},
+       |       ${atQ(3, 4, "p75_tok")},
+       |       MAX(n_tok) AS max_tok
+       |FROM ranked GROUP BY source""".stripMargin
+  }
+
   /** Quality scoring: length, token count, mean token length, lexical
     * diversity, and a blended score. Pure arithmetic on counts —
     * deterministic across engines.

@@ -96,6 +96,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!byShingle.keySet.exists(_.contains("unique")))
   }
 
+  test("lengthProfile: exact type-1 quantiles at known ranks") {
+    // src a: token counts 1..8 -> ranks ceil(n/4)=2, 4, 6
+    // src b: token counts {10,20,30,40,50} -> ranks 2, 3, 4
+    val docs = docsOf(
+      (1L to 8L).map(i =>
+        (i, Seq.fill(i.toInt)("w").mkString(" "), "en", "a")) ++
+      Seq(10, 20, 30, 40, 50).zipWithIndex.map { case (n, i) =>
+        (100L + i, Seq.fill(n)("w").mkString(" "), "en", "b")
+      }: _*)
+    val out = graft.llm.TextAnalysis.lengthProfile(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("a") == ((8L, 36L, 1L, 2L, 4L, 6L, 8L)))
+    assert(out("b") == ((5L, 150L, 10L, 20L, 30L, 40L, 50L)))
+  }
+
   test("gopherFilter: each rule trips on its designed violation") {
     val good = ("the cat sat on the mat and the dog ran to the " +
       "park in the rain that day was long and the walk was slow " +
