@@ -433,6 +433,34 @@ object SparkEntry {
         "north_m", "height_m", "dish_m")
     }),
 
+    // K2f: the MAIN visibility PAYLOAD (DATA complex cells,
+    // WEIGHT_SPECTRUM, FLAG) decoded back out of the casacore bytes —
+    // q_k2b pins the scalars, this pins the pol-fastest array encode
+    // of the science data itself against the averaging oracle
+    "q_k2f_ms_data" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
+        msFixtureDir)
+      val dec = graft.sinks.MsContainer.readTable(
+        msFixtureDir, s.sparkContext.hadoopConfiguration)
+      import graft.sinks.MsContainer.cell
+      val nChan = cell(dec, 0L, "DATA").length / 8
+      val rows = for {
+        r <- 0L until dec.nRows
+        data = cell(dec, r, "DATA")
+        ws = cell(dec, r, "WEIGHT_SPECTRUM")
+        fl = cell(dec, r, "FLAG")
+        c <- 0 until nChan
+        p <- 0 until 4
+      } yield (r, c.toLong, p.toLong,
+        data((c * 4 + p) * 2), data((c * 4 + p) * 2 + 1),
+        ws(c * 4 + p), fl(c * 4 + p) == 1.0)
+      import s.implicits._
+      rows.toDF("row_idx", "chan", "pol", "re", "im", "wspec", "flag")
+    }),
+
     // K2e: SPECTRAL_WINDOW subtable VALUES decoded from the casacore
     // bytes (fixed-shape Double arrays + scalars) — with q_k2c's MAIN
     // structural audit and q_k2d's ANTENNA decode this completes the
@@ -794,6 +822,7 @@ object SparkEntry {
     "q_k2c_ms_casacore" -> Oracles.k2cMsCasacore,
     "q_k2d_ms_antenna" -> Oracles.k2dMsAntenna,
     "q_k2e_ms_spw" -> Oracles.k2eMsSpw,
+    "q_k2f_ms_data" -> Oracles.k2fMsData,
     "q_k3_mwaf_occupancy" -> Oracles.k3MwafOccupancy,
     "q_s4_mwaf_roundtrip" -> Oracles.s4MwafRoundtrip,
     "q_k3_mwaf_bitmask" -> Oracles.k3MwafBitmask,

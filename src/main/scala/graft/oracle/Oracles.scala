@@ -1106,6 +1106,39 @@ object Oracles {
        |$k2Inner)""".stripMargin,
     s"avg AS (\n$avgBody)", uvwCte)
 
+  /** K2f MAIN payload twin: the averaged science data reshaped to the
+    * container's pol-fastest cell layout, with the writer's
+    * double→float32 quantisation replicated as CAST(... AS FLOAT)
+    * before widening back — bit-identical to the JVM's .toFloat.
+    * WEIGHT_SPECTRUM carries the channel's weight_out for all four
+    * pols; FLAG is the averaged flag_out.
+    */
+  val k2fMsData: String = OracleSql.queryWeighted(
+    s"""SELECT g.row_idx, g.chan, g.pol,
+       |  CAST(CAST(coalesce(CASE g.pol WHEN 0 THEN a0 WHEN 1 THEN a2
+       |            WHEN 2 THEN a4 ELSE a6 END, 0.0e0) AS FLOAT)
+       |       AS DOUBLE) AS re,
+       |  CAST(CAST(coalesce(CASE g.pol WHEN 0 THEN a1 WHEN 1 THEN a3
+       |            WHEN 2 THEN a5 ELSE a7 END, 0.0e0) AS FLOAT)
+       |       AS DOUBLE) AS im,
+       |  CAST(CAST(coalesce(weight_out, 0.0e0) AS FLOAT) AS DOUBLE)
+       |    AS wspec,
+       |  coalesce(flag_out, false) AS flag
+       |FROM (
+       |  -- dense pol-fastest cell grid: the container zero-fills
+       |  -- channels absent from the (sparse) averaged frame
+       |  SELECT r.t_out, r.bl, r.row_idx,
+       |         c.c AS chan, CAST(p.p AS BIGINT) AS pol
+       |  FROM (SELECT t_out, bl, row_number()
+       |          OVER (ORDER BY t_out, bl) - 1 AS row_idx
+       |        FROM (SELECT DISTINCT t_out, bl FROM avg)) r
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS c) c
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS p) p) g
+       |LEFT JOIN avg v
+       |  ON v.t_out = g.t_out AND v.bl = g.bl AND v.c_out = g.chan"""
+      .stripMargin,
+    s"avg AS (\n$avgBody)")
+
   /** K2c casacore structural audit twin: the Spark side walks every
     * AipsIO object header of the written container; this recomputes
     * the expected structure counts from first principles — object
