@@ -313,6 +313,21 @@ object SparkEntry {
         .distinct()
     }),
 
+    // K1d: the uvfits visibility PAYLOAD (chan × pol (re, im, weight)
+    // float32 groups) read back out of the written bytes — the
+    // random-groups twin of q_k2f's casacore payload gate; pins the
+    // file pol order (XX YY XY YX) ↔ component order round trip
+    "q_k1d_uvfits_data" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.UvfitsWriter.write(avg, k1dFixture, Some(uvw))
+      graft.sources.UvfitsReader.read(s, k1dFixture,
+          graft.model.Obs.NumAnts)
+        .select("t_out", "bl", "c_out", "a0", "a1", "a2", "a3", "a4",
+          "a5", "a6", "a7", "weight_out")
+    }),
+
     // K1c: the AIPS AN antenna extension table — write the file with
     // the antenna dim, read the AN HDU back out, and gate names,
     // 1-based station numbers, and ENH→XYZ positions (micro-metre
@@ -708,6 +723,13 @@ object SparkEntry {
     dir.resolve("k1b.uvfits").toString
   }
 
+  /** Scratch path for the q_k1d payload write→read-back gate. */
+  private lazy val k1dFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_k1d")
+    dir.toFile.deleteOnExit()
+    dir.resolve("k1d.uvfits").toString
+  }
+
   /** Scratch path for the q_k1c antenna-table write→read-back gate. */
   private lazy val k1cFixture: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_k1c")
@@ -816,6 +838,7 @@ object SparkEntry {
     "q_r1d_gaussian_bg" -> Oracles.r1dGaussianBg,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
+    "q_k1d_uvfits_data" -> Oracles.k1dUvfitsData,
     "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,
     "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k2b_ms_container" -> Oracles.k2bMsContainer,

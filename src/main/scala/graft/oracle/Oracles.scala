@@ -1106,6 +1106,31 @@ object Oracles {
        |$k2Inner)""".stripMargin,
     s"avg AS (\n$avgBody)", uvwCte)
 
+  /** K1d uvfits payload twin: the averaged frame's components and
+    * weight through the file's float32 quantisation, densified over
+    * the channel axis (the writer zero-fills absent channels inside
+    * every group it emits).
+    */
+  val k1dUvfitsData: String = {
+    val comps = (0 until 8).map(k =>
+      s"  CAST(CAST(coalesce(a$k, 0.0e0) AS FLOAT) AS DOUBLE) AS a$k")
+      .mkString(",\n")
+    OracleSql.queryWeighted(
+      s"""SELECT g.t_out, g.bl, g.chan AS c_out,
+         |$comps,
+         |  CAST(CAST(coalesce(weight_out, 0.0e0) AS FLOAT) AS DOUBLE)
+         |    AS weight_out
+         |FROM (
+         |  SELECT r.t_out, r.bl, c.c AS chan
+         |  FROM (SELECT DISTINCT t_out, bl FROM avg) r
+         |  CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS BIGINT)
+         |                AS c) c) g
+         |LEFT JOIN avg v
+         |  ON v.t_out = g.t_out AND v.bl = g.bl AND v.c_out = g.chan"""
+        .stripMargin,
+      s"avg AS (\n$avgBody)")
+  }
+
   /** K2f MAIN payload twin: the averaged science data reshaped to the
     * container's pol-fastest cell layout, with the writer's
     * double→float32 quantisation replicated as CAST(... AS FLOAT)
