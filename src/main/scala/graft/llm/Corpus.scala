@@ -466,17 +466,25 @@ object Corpus {
     */
   def bpeApply(docs: DataFrame, merges: Int = 6): DataFrame = {
     implicit val d: Dialect = SparkD
+    val spark = docs.sparkSession
     val (_, fin, cached) = bpeCore(docs, merges)
-    val sub = fin.select(col("w"),
-      expr(s"CAST(${listSize(tokens("repr"))} AS BIGINT)").as("n_sub"))
+    // the trained vocab IS the shippable tokenizer model — collect it
+    // like the IVF centroids/PQ codebooks so the lookup the corpus
+    // joins against is driver state, not a lineage back through the
+    // (about-to-be-unpersisted) training cache
+    val vocab: Seq[(String, Long)] = fin
+      .select(col("w"),
+        expr(s"CAST(${listSize(tokens("repr"))} AS BIGINT)").as("n_sub"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    cached.unpersist(false)
+    import spark.implicits._
+    val sub = vocab.toDF("w", "n_sub")
     val toks = explodeNoInfer(
       docs.select(col("doc_id"), expr(tokens("text")).as("toks")),
       col("toks"), "w", col("doc_id"))
-    val out = toks.join(broadcast(sub), Seq("w"))
+    toks.join(broadcast(sub), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
-    cached.unpersist(false)
-    out
   }
 
   /** DuckDB twin of [[bpeTrain]]: the identical vocabulary collapse,

@@ -70,8 +70,9 @@ object TextAnalysis {
 
   private[graft] def alphaCntSql(implicit d: Dialect): String =
     listFoldSumLong(listTransform("toks", t =>
-      s"CAST(CASE WHEN substring($t, 1, 1) >= 'a' AND " +
-        s"substring($t, 1, 1) <= 'z' THEN 1 ELSE 0 END AS BIGINT)"))
+      s"CAST(CASE WHEN (substring($t, 1, 1) >= 'a' AND " +
+        s"substring($t, 1, 1) <= 'z') OR (substring($t, 1, 1) >= 'A' " +
+        s"AND substring($t, 1, 1) <= 'Z') THEN 1 ELSE 0 END AS BIGINT)"))
 
   /** The rule set over the base counts — every rule is EXACT integer
     * arithmetic (ratio bounds cross-multiplied), so the composite

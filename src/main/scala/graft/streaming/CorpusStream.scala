@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object CorpusStream {
 
-  private def docStream(spark: SparkSession, dir: String): DataFrame = {
+  private[streaming] def docStream(spark: SparkSession,
+                                   dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream.schema(schema).parquet(s"$dir/documents.*")
   }
@@ -71,13 +72,8 @@ object CorpusStream {
 
   private def runOnce(df: DataFrame, spark: SparkSession,
                       queryName: String,
-                      mode: String = "append"): DataFrame = {
-    val q: StreamingQuery = df.writeStream.outputMode(mode)
-      .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
-  }
+                      mode: String = "append"): DataFrame =
+    StreamDrain.runOnce(df, queryName, mode)
 
   def chunkOnce(spark: SparkSession, dir: String): DataFrame =
     runOnce(chunkStream(spark, dir), spark, "corpus_chunk_stream")

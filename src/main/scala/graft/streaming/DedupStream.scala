@@ -32,13 +32,6 @@ object DedupStream {
   }
 
   def runOnce(spark: SparkSession, dir: String,
-              queryName: String = "dedup_stream"): DataFrame = {
-    val q: StreamingQuery = dedupByContent(spark, dir)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
-  }
+              queryName: String = "dedup_stream"): DataFrame =
+    StreamDrain.runOnce(dedupByContent(spark, dir), queryName)
 }

@@ -40,6 +40,7 @@ object PackStream {
   def updateSource(budget: Long)(source: String, docs: Iterator[Doc],
                                  state: GroupState[PackState])
       : Iterator[Packed] = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
     var st = state.getOption.getOrElse(PackState(0L, 0L, 0L))
     val out = List.newBuilder[Packed]
     docs.toSeq.sortBy(_.doc_id).foreach { doc =>
@@ -68,6 +69,7 @@ object PackStream {
 
   /** Wire the stateful operator over a streaming Dataset[Doc]. */
   def packed(docs: Dataset[Doc], budget: Long = 512L): Dataset[Packed] = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.source)
@@ -82,8 +84,7 @@ object PackStream {
     import graft.llm.TextExprs._
     import spark.implicits._
     implicit val dd: Dialect = SparkD
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/documents.*")
+    CorpusStream.docStream(spark, dir)
       .selectExpr("source", "doc_id",
         s"CAST(${listSize(tokens("text"))} AS BIGINT) AS n_tok")
       .as[Doc]
@@ -91,12 +92,7 @@ object PackStream {
 
   /** Drain the fixture once through the stream (memory sink). */
   def packOnce(spark: SparkSession, dir: String,
-               budget: Long = 512L): DataFrame = {
-    val q = packed(docStream(spark, dir), budget)
-      .writeStream.outputMode("append")
-      .format("memory").queryName("pack_stream").start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table("pack_stream")
-  }
+               budget: Long = 512L): DataFrame =
+    StreamDrain.runOnce(packed(docStream(spark, dir), budget),
+      "pack_stream")
 }

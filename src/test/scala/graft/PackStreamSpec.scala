@@ -12,25 +12,6 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PackStreamSpec extends AnyFunSuite {
 
-  private class FakeState(var v: Option[PackState])
-      extends org.apache.spark.sql.streaming.GroupState[PackState] {
-    override def exists: Boolean = v.isDefined
-    override def get: PackState = v.get
-    override def getOption: Option[PackState] = v
-    override def update(s: PackState): Unit = { v = Some(s) }
-    override def remove(): Unit = { v = None }
-    override def hasTimedOut: Boolean = false
-    override def setTimeoutDuration(d: Long): Unit = {}
-    override def setTimeoutDuration(d: String): Unit = {}
-    override def setTimeoutTimestamp(t: Long): Unit = {}
-    override def setTimeoutTimestamp(t: Long, add: String): Unit = {}
-    override def setTimeoutTimestamp(t: java.sql.Date): Unit = {}
-    override def setTimeoutTimestamp(t: java.sql.Date,
-                                     add: String): Unit = {}
-    override def getCurrentWatermarkMs(): Long = 0L
-    override def getCurrentProcessingTimeMs(): Long = 0L
-  }
-
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
@@ -39,7 +20,7 @@ class PackStreamSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("a crossing document closes the sequence with exact counters") {
-    val st = new FakeState(None)
+    val st = new FakeGroupState[PackState](None)
     val out = PackStream.updateSource(4L)("s",
       Iterator(Doc("s", 1, 3), Doc("s", 2, 3)), st).toList
     assert(out == List(Packed("s", 0, 2, 2, 4)))
@@ -47,7 +28,7 @@ class PackStreamSpec extends AnyFunSuite {
   }
 
   test("a long document emits every sequence it fills") {
-    val st = new FakeState(Some(PackState(2, 1, 1)))
+    val st = new FakeGroupState[PackState](Some(PackState(2, 1, 1)))
     val out = PackStream.updateSource(4L)("s",
       Iterator(Doc("s", 9, 10)), st).toList
     assert(out == List(
@@ -60,9 +41,9 @@ class PackStreamSpec extends AnyFunSuite {
   test("two micro-batches equal one batch with the same documents") {
     val docs = Seq(Doc("s", 1, 5), Doc("s", 2, 2), Doc("s", 3, 9),
       Doc("s", 4, 1), Doc("s", 5, 4))
-    val one = new FakeState(None)
+    val one = new FakeGroupState[PackState](None)
     val all = PackStream.updateSource(4L)("s", docs.iterator, one).toList
-    val two = new FakeState(None)
+    val two = new FakeGroupState[PackState](None)
     val a = PackStream.updateSource(4L)("s", docs.take(2).iterator,
       two).toList
     val b = PackStream.updateSource(4L)("s", docs.drop(2).iterator,

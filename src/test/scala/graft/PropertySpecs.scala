@@ -272,28 +272,6 @@ object PropertySpecs extends Properties("kernels") {
         flags.indices.forall(i => !out(i) || outMore(i))
     }
 
-  private class PackFake(
-      var v: Option[graft.streaming.PackStream.PackState])
-      extends org.apache.spark.sql.streaming.GroupState[
-        graft.streaming.PackStream.PackState] {
-    override def exists: Boolean = v.isDefined
-    override def get: graft.streaming.PackStream.PackState = v.get
-    override def getOption: Option[graft.streaming.PackStream.PackState] = v
-    override def update(
-        s: graft.streaming.PackStream.PackState): Unit = { v = Some(s) }
-    override def remove(): Unit = { v = None }
-    override def hasTimedOut: Boolean = false
-    override def setTimeoutDuration(d: Long): Unit = {}
-    override def setTimeoutDuration(d: String): Unit = {}
-    override def setTimeoutTimestamp(t: Long): Unit = {}
-    override def setTimeoutTimestamp(t: Long, add: String): Unit = {}
-    override def setTimeoutTimestamp(t: java.sql.Date): Unit = {}
-    override def setTimeoutTimestamp(t: java.sql.Date,
-                                     add: String): Unit = {}
-    override def getCurrentWatermarkMs(): Long = 0L
-    override def getCurrentProcessingTimeMs(): Long = 0L
-  }
-
   property("sequence packing is micro-batch-split invariant") =
     Prop.forAll(
       Gen.listOf(Gen.chooseNum(1L, 40L)).suchThat(_.nonEmpty),
@@ -305,10 +283,10 @@ object PropertySpecs extends Properties("kernels") {
           Doc("s", i.toLong, n)
         }
         val cut = cutSeed % (docs.length + 1)
-        val one = new PackFake(None)
+        val one = new FakeGroupState[graft.streaming.PackStream.PackState](None)
         val whole = PackStream.updateSource(budget)("s",
           docs.iterator, one).toList
-        val two = new PackFake(None)
+        val two = new FakeGroupState[graft.streaming.PackStream.PackState](None)
         val a = PackStream.updateSource(budget)("s",
           docs.take(cut).iterator, two).toList
         val b = PackStream.updateSource(budget)("s",
