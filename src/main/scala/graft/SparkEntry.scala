@@ -669,6 +669,8 @@ object SparkEntry {
     "q_e3_asof_join" -> ((s, dir) =>
       Events.asofLatestOrder(Events.readEvents(s, dir),
         s.read.parquet(s"$dir/orders.parquet"))),
+    "q_e6_funnel" -> ((s, dir) =>
+      Events.funnel(Events.readEvents(s, dir))),
     "q_e5_resample" -> ((s, dir) =>
       Events.resampleFfill(Events.readEvents(s, dir))),
   )
@@ -905,5 +907,6 @@ object SparkEntry {
     "q_e3_asof_join" -> LlmOracles.e3AsofJoin,
     "q_e4_props_stats" -> LlmOracles.e4PropsStats,
     "q_e5_resample" -> LlmOracles.e5Resample,
+    "q_e6_funnel" -> LlmOracles.e6Funnel,
   )
 }

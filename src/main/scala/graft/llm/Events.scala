@@ -46,6 +46,38 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Ordered conversion funnel (view → click → purchase): per user,
+    * the first view, the first click strictly after it, and the first
+    * purchase strictly after that — the strict-sequence funnel product
+    * analytics runs. All three stage times come from windows over the
+    * SAME user partitioning, so Spark plans ONE shuffle; missing
+    * stages surface as the integer sentinel −1 (exact, no null/float
+    * drift between engines).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val t1 = min(when(col("event_type") === "view", col("ts_us")))
+      .over(byUser)
+    events
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("t1", t1)
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t1"), col("ts_us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2"), col("ts_us"))).over(byUser))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("stage"),
+        coalesce(col("t1"), lit(-1L)).as("t1_us"),
+        coalesce(col("t2"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3"), lit(-1L)).as("t3_us"))
+      .distinct()
+  }
+
   /** Sessionisation: per-user sessions split on gaps > `gapSec`.
     * lag + cumulative-sum-of-new-session-flags, the classic two-window
     * formulation — both windows share the (user_id) partitioning so
