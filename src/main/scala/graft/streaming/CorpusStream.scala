@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured Streaming twins of the corpus-preparation front door
   * (graft.llm.Corpus): as documents arrive they are context-chunked
@@ -35,7 +34,7 @@ object CorpusStream {
     graft.llm.TextAnalysis.gopherFilter(docStream(spark, dir))
 
   def gopherOnce(spark: SparkSession, dir: String): DataFrame =
-    runOnce(gopherStream(spark, dir), spark, "corpus_gopher_stream")
+    StreamDrain.runOnce(gopherStream(spark, dir), "corpus_gopher_stream")
 
   /** Streaming contamination screen: probe hashes from the static
     * corpus, row-local screen over the stream.
@@ -70,18 +69,13 @@ object CorpusStream {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
   }
 
-  private def runOnce(df: DataFrame, spark: SparkSession,
-                      queryName: String,
-                      mode: String = "append"): DataFrame =
-    StreamDrain.runOnce(df, queryName, mode)
-
   def chunkOnce(spark: SparkSession, dir: String): DataFrame =
-    runOnce(chunkStream(spark, dir), spark, "corpus_chunk_stream")
+    StreamDrain.runOnce(chunkStream(spark, dir), "corpus_chunk_stream")
 
   def screenOnce(spark: SparkSession, dir: String): DataFrame =
-    runOnce(screenStream(spark, dir), spark, "corpus_screen_stream")
+    StreamDrain.runOnce(screenStream(spark, dir), "corpus_screen_stream")
 
   def pairCountOnce(spark: SparkSession, dir: String): DataFrame =
-    runOnce(pairCountStream(spark, dir), spark,
+    StreamDrain.runOnce(pairCountStream(spark, dir),
       "corpus_pairs_stream", mode = "complete")
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured Streaming twin of exact deduplication
   * (graft.llm.Dedup.exact): continuous ingestion keeps only the first

@@ -29,8 +29,8 @@ class FunnelSpec extends AnyFunSuite {
     val out = run(
       (1L, "view", 10L), (1L, "view", 5L), (1L, "click", 7L),
       (1L, "click", 20L), (1L, "purchase", 15L), (1L, "purchase", 30L))
-    // first view at 5; click at 7 (the only click after 5 is 7? both
-    // 7 and 20 qualify -> min 7); purchase after 7 -> 15
+    // first view at 5; both clicks (7, 20) follow it -> min 7;
+    // purchases (15, 30) follow 7 -> min 15
     assert(out(1L) == ((3L, 5L, 7L, 15L)))
   }
 

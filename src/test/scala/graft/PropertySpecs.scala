@@ -283,19 +283,29 @@ object PropertySpecs extends Properties("kernels") {
           Doc("s", i.toLong, n)
         }
         val cut = cutSeed % (docs.length + 1)
-        val one = new FakeGroupState[graft.streaming.PackStream.PackState](None)
+        val one = org.apache.spark.sql.streaming.TestGroupState.create[
+          graft.streaming.PackStream.PackState](
+          org.apache.spark.api.java.Optional.empty(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          0L, org.apache.spark.api.java.Optional.empty[Long],
+          hasTimedOut = false)
         val whole = PackStream.updateSource(budget)("s",
           docs.iterator, one).toList
-        val two = new FakeGroupState[graft.streaming.PackStream.PackState](None)
+        val two = org.apache.spark.sql.streaming.TestGroupState.create[
+          graft.streaming.PackStream.PackState](
+          org.apache.spark.api.java.Optional.empty(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          0L, org.apache.spark.api.java.Optional.empty[Long],
+          hasTimedOut = false)
         val a = PackStream.updateSource(budget)("s",
           docs.take(cut).iterator, two).toList
         val b = PackStream.updateSource(budget)("s",
           docs.drop(cut).iterator, two).toList
         // split invariance, full sequences only, contiguous seq ids
-        (a ++ b) == whole && two.v == one.v &&
+        (a ++ b) == whole && two.getOption == one.getOption &&
           whole.forall(_.n_tokens == budget) &&
           whole.map(_.seq_id) == whole.indices.map(_.toLong).toList &&
-          one.v.get.cum == toks.sum
+          one.getOption.get.cum == toks.sum
     }
 
   property("sumthreshold flags are monotone in existing flags") =
