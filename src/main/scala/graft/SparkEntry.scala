@@ -671,6 +671,8 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "q_e6_funnel" -> ((s, dir) =>
       Events.funnel(Events.readEvents(s, dir))),
+    "q_e7_retention" -> ((s, dir) =>
+      Events.retention(Events.readEvents(s, dir))),
     "q_e5_resample" -> ((s, dir) =>
       Events.resampleFfill(Events.readEvents(s, dir))),
   )
@@ -908,5 +910,6 @@ object SparkEntry {
     "q_e4_props_stats" -> LlmOracles.e4PropsStats,
     "q_e5_resample" -> LlmOracles.e5Resample,
     "q_e6_funnel" -> LlmOracles.e6Funnel,
+    "q_e7_retention" -> LlmOracles.e7Retention,
   )
 }

@@ -78,6 +78,28 @@ object Events {
       .distinct()
   }
 
+  /** Weekly cohort retention: users cohort by the epoch-week of their
+    * first event; each (cohort_week, week_offset) cell counts how many
+    * of that cohort were active that many weeks later — the classic
+    * retention triangle, in exact integer week arithmetic.
+    *
+    * Shape: one distinct over (user, week) — map-side combined — then
+    * a per-user min and one final cell aggregate; after the distinct,
+    * (user, week) rows are unique so the cell count needs no
+    * count-distinct shuffle of its own.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val act = events
+      .selectExpr("user_id", s"CAST(ts_us div $weekUs AS BIGINT) AS wk")
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("wk").as("wk0"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("wk0").as("cohort_week"),
+        (col("wk") - col("wk0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Sessionisation: per-user sessions split on gaps > `gapSec`.
     * lag + cumulative-sum-of-new-session-flags, the classic two-window
     * formulation — both windows share the (user_id) partitioning so

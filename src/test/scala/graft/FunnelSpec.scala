@@ -44,6 +44,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, -1L, -1L, -1L))) // never viewed
   }
 
+  test("retention: cohorts by first-event week, offsets count actives") {
+    val wk = 7L * 86400L * 1000000L
+    // user 1: weeks 0,1,3; user 2: weeks 0,1; user 3: week 1 only
+    val out = Events.retention(evOf(
+      (1L, "view", 1L), (1L, "view", wk + 5L), (1L, "view", 3 * wk),
+      (2L, "view", 10L), (2L, "click", wk + 1L),
+      (3L, "view", wk + 2L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // cohort 0: users 1,2 active week 0
+      (0L, 1L) -> 2L, // both back in week 1
+      (0L, 3L) -> 1L, // only user 1 in week 3
+      (1L, 0L) -> 1L)) // cohort 1: user 3
+  }
+
   test("a tie does not advance the funnel (strictly after)") {
     val out = run((5L, "view", 9L), (5L, "click", 9L),
       (5L, "click", 11L))
