@@ -31,13 +31,19 @@ object FunnelStream {
   case class Conversion(user_id: Long, t1_us: Long, t2_us: Long,
                         t3_us: Long)
 
-  /** The per-user transition — pure, testable without a stream. */
+  /** The per-user transition — pure, testable without a stream.
+    * Timestamps must be non-negative (the −1 sentinel convention the
+    * batch operator's output shares; a pre-epoch ts would alias the
+    * unset marker) — enforced loudly rather than silently misfiled.
+    */
   def updateUser(userId: Long, events: Iterator[Ev],
                  state: GroupState[FunnelState])
       : Iterator[Conversion] = {
     var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
     val out = List.newBuilder[Conversion]
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      require(e.ts_us >= 0,
+        s"funnel requires non-negative ts_us, got ${e.ts_us}")
       if (st.t3 < 0) e.event_type match {
         case "view" if st.t1 < 0 =>
           st = st.copy(t1 = e.ts_us)
@@ -67,11 +73,7 @@ object FunnelStream {
     */
   def evStream(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
-    val schema = graft.streaming.EventsStream
-      .discoverSchema(spark, dir)
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-    raw.withColumn("ts_us",
-        graft.llm.Events.tsMicros(raw.schema("ts").dataType))
+    EventsStream.readEventsStream(spark, dir)
       .selectExpr("user_id", "event_id", "event_type", "ts_us")
       .as[Ev]
   }
