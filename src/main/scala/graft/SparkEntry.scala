@@ -461,6 +461,12 @@ object SparkEntry {
       val dec = graft.sinks.MsContainer.readTable(
         msFixtureDir, s.sparkContext.hadoopConfiguration)
       import graft.sinks.MsContainer.cell
+      // fixture-scale gate: the decode below is a driver-side loop by
+      // design (it IS the independent byte-level verifier), so fail
+      // loudly rather than OOM if this is ever pointed at a larger sf
+      require(dec.nRows <= 100000L,
+        s"q_k2f decodes driver-side; ${dec.nRows} rows exceeds the " +
+          "fixture-scale bound (100k)")
       val nChan = cell(dec, 0L, "DATA").length / 8
       val rows = for {
         r <- 0L until dec.nRows

@@ -218,16 +218,41 @@ object Corpus {
   /** The row-local screen against a precomputed probe set — one scan,
     * zero shuffles; works identically on a batch or streaming frame
     * (see [[graft.streaming.CorpusStream]]).
+    *
+    * The probe set ships as a BROADCAST VARIABLE, not a plan literal:
+    * a `typedLit(probe)` would bloat the analyzed plan and
+    * re-serialise the whole array inside every task binary (and every
+    * streaming micro-batch's plan), where a broadcast ships once per
+    * executor. Membership is a binary search over the sorted primitive
+    * array — no boxing, O(log n) per shingle. A UDF is the right tool
+    * here (not an anti-pattern): no built-in expression can consume
+    * broadcast state, and the alternative — the literal — is the
+    * scale problem. The streaming twin keeps this row-local shape
+    * because a groupBy(doc_id) join formulation would force an
+    * output-mode change; the batch gate uses the broadcast-join
+    * [[contamination]] below.
     */
   def contaminationWith(docs: DataFrame,
-                        probe: Array[Long]): DataFrame =
+                        probe: Array[Long]): DataFrame = {
+    val sorted = {
+      val a = probe.clone(); java.util.Arrays.sort(a); a
+    }
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    val hits = udf { (hs: Seq[Long]) =>
+      val p = bc.value
+      var n = 0L
+      hs.foreach { h =>
+        if (java.util.Arrays.binarySearch(p, h) >= 0) n += 1
+      }
+      n
+    }
     distinctShingleHashes(docs).where(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_shingles"),
-        size(array_intersect(col("hs"),
-          typedLit(probe))).cast("long").as("n_probe_hits"))
+        hits(col("hs")).as("n_probe_hits"))
       .withColumn("contaminated",
         col("n_probe_hits") * 5 >= col("n_shingles"))
+  }
 
   /** Batch contamination screen — same rows as [[contaminationWith]],
     * different physical shape: exploded per-doc shingle hashes LEFT
@@ -369,11 +394,17 @@ object Corpus {
 
   /** Character-split word representation: symbols joined by single
     * spaces (words never contain spaces, so ' ' is a safe symbol
-    * separator throughout the BPE machinery).
+    * separator throughout the BPE machinery). The empty word (a
+    * phantom token from consecutive/leading/trailing spaces) is
+    * guarded explicitly: Spark's `sequence(1, 0)` is the DESCENDING
+    * [1, 0] while DuckDB's `range(1, 1)` is empty, so without the CASE
+    * the two engines would disagree on the empty word's repr (' ' vs
+    * '') and every downstream pair count would silently diverge.
     */
   private def charsJoinedSql(w: String)(implicit d: Dialect): String =
-    joinList(listTransformIdx(idxSeq1(s"length($w)"),
-      (x, _) => s"substring($w, $x, 1)"))
+    s"CASE WHEN length($w) < 1 THEN '' ELSE " +
+      joinList(listTransformIdx(idxSeq1(s"length($w)"),
+        (x, _) => s"substring($w, $x, 1)")) + " END"
 
   /** One greedy left-to-right BPE merge of the pair (A, B) applied to
     * a space-joined symbol string, as a sequential string fold: append
@@ -421,6 +452,26 @@ object Corpus {
     * loop, and the final (w, repr) frame with every merge applied.
     * The caller unpersists the returned cache handle when done.
     */
+  /** A learned merge symbol as a Spark SQL string literal. Escapes
+    * BOTH quotes and backslashes: Spark's parser interprets backslash
+    * escape sequences inside string literals by default, so a symbol
+    * containing '\' would otherwise mis-parse (or parse to a different
+    * string) and diverge from the DuckDB oracle, which receives the
+    * symbol through split_part without re-parsing.
+    */
+  private def lit1(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  /** Truncate the merge loop's lineage every this many steps: each
+    * merge adds one mergeFoldSql layer to the vocabulary frame's plan,
+    * and without truncation plan depth — and Catalyst analysis time —
+    * grows superlinearly with the merge count (invisible at the gated
+    * merges=6, fatal at a real tokenizer's 30k–50k). localCheckpoint
+    * materialises the current (w, cnt, repr) state as executor blocks,
+    * so plan depth is O(16) regardless of merges.
+    */
+  private val BpeCheckpointEvery = 16
+
   private def bpeCore(docs: DataFrame, merges: Int)
       : (Seq[(Long, String, String, Long)], DataFrame, DataFrame) = {
     implicit val d: Dialect = SparkD
@@ -442,9 +493,10 @@ object Corpus {
       val (g, n) = (top(0).getString(0), top(0).getLong(1))
       out += ((step.toLong, g, g.replace(" ", ""), n))
       val Array(a, b) = g.split(" ", 2)
-      def lit1(s: String) = "'" + s.replace("'", "''") + "'"
       df = df.withColumn("repr",
         expr(mergeFoldSql(tokens("repr"), lit1(a), lit1(b))))
+      if (step % BpeCheckpointEvery == 0 && step < merges)
+        df = df.localCheckpoint()
     }
     (out.result(), df.select("w", "repr"), vocab)
   }
@@ -458,34 +510,58 @@ object Corpus {
   }
 
   /** BPE tokenizer APPLICATION with the merges learned by [[bpeTrain]]
-    * on the same corpus: the trained vocabulary becomes a broadcast
-    * w → subword-count lookup (exactly how production tokenizers ship
-    * — a vocab table, not per-word re-merging), and every document
-    * reduces to its word and subword totals with one broadcast join +
+    * on `train`: the trained vocabulary becomes a DISTRIBUTED
+    * w → subword-count lookup the corpus joins against, and every
+    * document reduces to its word and subword totals with one join +
     * one map-side-combined doc aggregate.
+    *
+    * 100 TB shape: the word vocabulary grows with the CORPUS (a web
+    * corpus has 10⁸–10⁹ distinct whitespace tokens — URLs, typos,
+    * numerals), so unlike the k-bounded IVF centroids/PQ codebooks it
+    * must never land on the driver. `localCheckpoint` materialises the
+    * (w, n_sub) lookup as executor blocks — severing the lineage back
+    * through the (about-to-be-unpersisted) training cache without a
+    * driver round-trip — and the join is left unhinted so AQE picks
+    * broadcast vs shuffle from the lookup's actual size.
+    *
+    * Out-of-vocabulary words (present in `corpus` but not in `train`)
+    * fall back to the row-local merge fold: the learned merge table —
+    * genuinely bounded model state, `merges` rows — is unrolled over
+    * the word's char split, computing exactly the repr the trainer
+    * would have produced. The fallback sits behind `coalesce`, so
+    * codegen short-circuits it for every in-vocabulary token.
     */
-  def bpeApply(docs: DataFrame, merges: Int = 6): DataFrame = {
+  def bpeApplyTo(train: DataFrame, corpus: DataFrame,
+                 merges: Int = 6): DataFrame = {
     implicit val d: Dialect = SparkD
-    val spark = docs.sparkSession
-    val (_, fin, cached) = bpeCore(docs, merges)
-    // the trained vocab IS the shippable tokenizer model — collect it
-    // like the IVF centroids/PQ codebooks so the lookup the corpus
-    // joins against is driver state, not a lineage back through the
-    // (about-to-be-unpersisted) training cache
-    val vocab: Seq[(String, Long)] = fin
+    val (ms, fin, cached) = bpeCore(train, merges)
+    val sub = fin
       .select(col("w"),
         expr(s"CAST(${listSize(tokens("repr"))} AS BIGINT)").as("n_sub"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .localCheckpoint()
     cached.unpersist(false)
-    import spark.implicits._
-    val sub = vocab.toDF("w", "n_sub")
+    var oov = charsJoinedSql("w")
+    for ((_, pair, _, _) <- ms) {
+      val Array(a, b) = pair.split(" ", 2)
+      oov = mergeFoldSql(tokens(s"($oov)"), lit1(a), lit1(b))
+    }
     val toks = explodeNoInfer(
-      docs.select(col("doc_id"), expr(tokens("text")).as("toks")),
+      corpus.select(col("doc_id"), expr(tokens("text")).as("toks")),
       col("toks"), "w", col("doc_id"))
-    toks.join(broadcast(sub), Seq("w"))
+    toks.join(sub, Seq("w"), "left")
+      .withColumn("n_sub",
+        coalesce(col("n_sub"),
+          expr(s"CAST(${listSize(tokens(s"($oov)"))} AS BIGINT)")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
   }
+
+  /** The gated train-and-apply-on-the-same-corpus form (no OOV words
+    * by construction, so the fallback never fires and the result is
+    * byte-identical to an inner-join formulation).
+    */
+  def bpeApply(docs: DataFrame, merges: Int = 6): DataFrame =
+    bpeApplyTo(docs, docs, merges)
 
   /** DuckDB twin of [[bpeTrain]]: the identical vocabulary collapse,
     * per-step weighted pair counts, (count desc, pair asc) argmax and

@@ -28,6 +28,14 @@ object Events {
     case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
   }
 
+  /** CONTRACT: downstream bucket arithmetic (windowAgg, resample) uses
+    * Spark's truncating `div` where the DuckDB oracle floors with `//`
+    * — identical for ts_us >= 0, divergent for pre-epoch timestamps.
+    * The fixture is epoch-positive by construction and
+    * [[graft.streaming.FunnelStream]] enforces it loudly per row;
+    * [[retention]] is the one operator that computes exact floor
+    * division and so is negative-safe regardless.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -90,8 +98,15 @@ object Events {
     */
   def retention(events: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
+    // exact FLOOR division (Spark's `div` truncates toward zero, the
+    // DuckDB oracle's `//` floors — they differ on pre-epoch ts_us, so
+    // the correction keeps the week bucket engine-independent for
+    // negative timestamps instead of silently relying on a ts_us >= 0
+    // fixture contract)
     val act = events
-      .selectExpr("user_id", s"CAST(ts_us div $weekUs AS BIGINT) AS wk")
+      .selectExpr("user_id",
+        s"CAST(ts_us div $weekUs - (CASE WHEN ts_us < 0 AND " +
+          s"ts_us % $weekUs != 0 THEN 1 ELSE 0 END) AS BIGINT) AS wk")
       .distinct()
     val cohort = act.groupBy("user_id").agg(min("wk").as("wk0"))
     act.join(cohort, Seq("user_id"))

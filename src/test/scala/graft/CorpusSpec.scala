@@ -270,6 +270,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(counts(1) == Map(1L -> ((3L, 6L)), 2L -> ((3L, 6L))))
   }
 
+  test("bpeApplyTo: out-of-vocabulary words tokenize via the " +
+    "row-local merge fold") {
+    val train = docsOf((1L, "en", "aaa aaa bb"), (2L, "en", "aaa bb bb"))
+    // "aab" and "bbb" never appear at train time; the learned merges
+    // (a a), (aa a), (b b) must still apply to them row-locally:
+    // aab -> [aa, b] (2 subwords), bbb -> [bb, b] (greedy
+    // non-overlapping, 2), aaa is in-vocab -> 1.
+    val corpus = docsOf((10L, "en", "aab bbb aaa"))
+    val out = Corpus.bpeApplyTo(train, corpus, merges = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(10L -> ((3L, 5L))))
+  }
+
+  test("bpe: phantom empty tokens from consecutive spaces neither " +
+    "poison pair counts nor crash apply") {
+    // "aa  aa b" double-space -> tokens [aa, '', aa, b]; the empty
+    // word's char repr must be '' (not the pre-fix ' '), so the only
+    // pair in the vocabulary is (a a) and the argmax is untainted
+    val docs = docsOf((1L, "en", "aa  aa b"))
+    val tr = Corpus.bpeTrain(docs, merges = 1).collect()
+    assert(tr.length == 1 && tr(0).getString(1) == "a a" &&
+      tr(0).getLong(3) == 2L)
+    // apply: 4 words (empty token counts), each 1 subword after the
+    // merge ('' splits to the single empty symbol)
+    val ap = Corpus.bpeApply(docs, merges = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ap.toSeq == Seq((4L, 4L)))
+  }
+
+  test("bpeTrain: merges across localCheckpoint boundaries extend " +
+    "the shorter trajectory exactly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // 40 merges cross the every-16 lineage checkpoint twice; the
+    // greedy trajectory is deterministic, so the first 6 rows must be
+    // byte-identical to a merges=6 run (checkpointing is a pure
+    // physical-plan change)
+    val long = Corpus.bpeTrain(docs, merges = 40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    val short = Corpus.bpeTrain(docs, merges = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(long.length == 40)
+    assert(long.take(6).toSeq == short.toSeq)
+  }
+
   test("seqPack: conservation, full interior sequences, contiguity") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
