@@ -425,6 +425,34 @@ object SparkEntry {
       rows.toDF("tab", "n_rows", "n_cols", "dat_objs", "f0_objs")
     }),
 
+    // K2g: READER-REPLAY ratchet over the whole container — every
+    // table re-opened along casacore's own open path (PlainTable →
+    // TableDesc → descriptors → ColumnSet → per-column StManAipsIO
+    // extension chains), every object consumed EXACTLY to its framed
+    // length (no skips — a field out of sequence shifts the cursor
+    // and fails the boundary require), then the decoded descriptor
+    // sequence gated against the MS v2 required column sets
+    "q_k2g_ms_replay" -> ((s, dir) => {
+      val avg = Averaging.avgTimeFreq(weighted(s, dir), 2, 2)
+      val uvw = GeometryCorrection.partUvw(Dims.timestep(s),
+        Dims.antenna(s))
+      graft.sinks.MsContainer.write(avg, uvw, Dims.antenna(s),
+        msFixtureDir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val tables = ("MAIN" -> msFixtureDir) +:
+        graft.sinks.MsContainer.subtableNames.map(n =>
+          n -> s"$msFixtureDir/$n")
+      val rows = tables.flatMap { case (name, d) =>
+        val (_, cols, _, _) = graft.sinks.MsContainer.replay(d, conf)
+        cols.zipWithIndex.map { case (c, i) =>
+          (name, i.toLong, c.name, c.tp.toLong,
+            if (c.shape.isEmpty) "" else c.shape.mkString("x"))
+        }
+      }
+      import s.implicits._
+      rows.toDF("tab", "idx", "col", "tp", "shape_s")
+    }),
+
     // K2d: ANTENNA subtable VALUES decoded back out of the casacore
     // bytes (variable-length Strings, Double[3] positions) — the
     // value-level twin of q_k2c's structural audit
@@ -853,6 +881,7 @@ object SparkEntry {
     "q_k2_ms_order" -> Oracles.k2MsOrder,
     "q_k2b_ms_container" -> Oracles.k2bMsContainer,
     "q_k2c_ms_casacore" -> Oracles.k2cMsCasacore,
+    "q_k2g_ms_replay" -> Oracles.k2gMsReplay,
     "q_k2d_ms_antenna" -> Oracles.k2dMsAntenna,
     "q_k2e_ms_spw" -> Oracles.k2eMsSpw,
     "q_k2f_ms_data" -> Oracles.k2fMsData,

@@ -1215,6 +1215,88 @@ object Oracles {
       |       east_m, north_m, height_m, 4.0e0 AS dish_m
       |FROM antenna""".stripMargin)
 
+  /** K2g reader-replay twin: the Spark side re-opens every table of
+    * the written container along casacore's own open path
+    * (table.dat → Table → TableDesc → per-column descriptors →
+    * ColumnSet, then the per-column StManAipsIO extension chains in
+    * table.f0), consuming every object EXACTLY to its framed length,
+    * and emits each column descriptor it decoded in sequence. This
+    * side pins the expected descriptor sequences — the MeasurementSet
+    * v2 required column sets (MS v2 definition; casacore
+    * ms/MeasurementSets/MSTable columns), with the casacore DataType
+    * codes (Bool=0, Int=5, Float=7, Double=8, Complex=9, String=11)
+    * and the fixture's 4×16 DATA shape. A descriptor field out of
+    * order fails Spark-side (boundary require); a wrong column,
+    * type, position or shape fails the hash here.
+    */
+  private val k2gSpec: Seq[(String, Seq[(String, Int, String)])] = {
+    val B = 0; val I = 5; val F = 7; val D = 8; val C = 9; val S = 11
+    Seq(
+      "MAIN" -> Seq(
+        ("TIME", D, ""), ("ANTENNA1", I, ""), ("ANTENNA2", I, ""),
+        ("UVW", D, "3"), ("INTERVAL", D, ""), ("EXPOSURE", D, ""),
+        ("FLAG_ROW", B, ""), ("DATA_DESC_ID", I, ""),
+        ("FIELD_ID", I, ""), ("SCAN_NUMBER", I, ""),
+        ("DATA", C, "4x16"), ("WEIGHT_SPECTRUM", F, "4x16"),
+        ("FLAG", B, "4x16"), ("FEED1", I, ""), ("FEED2", I, ""),
+        ("ARRAY_ID", I, ""), ("OBSERVATION_ID", I, ""),
+        ("PROCESSOR_ID", I, ""), ("STATE_ID", I, ""),
+        ("TIME_CENTROID", D, ""), ("WEIGHT", F, "4"),
+        ("SIGMA", F, "4")),
+      "ANTENNA" -> Seq(
+        ("NAME", S, ""), ("STATION", S, ""), ("MOUNT", S, ""),
+        ("POSITION", D, "3"), ("DISH_DIAMETER", D, "")),
+      "DATA_DESCRIPTION" -> Seq(
+        ("SPECTRAL_WINDOW_ID", I, ""), ("POLARIZATION_ID", I, ""),
+        ("FLAG_ROW", B, "")),
+      "FEED" -> Seq(
+        ("ANTENNA_ID", I, ""), ("FEED_ID", I, ""),
+        ("SPECTRAL_WINDOW_ID", I, ""), ("TIME", D, ""),
+        ("INTERVAL", D, ""), ("NUM_RECEPTORS", I, ""),
+        ("BEAM_ID", I, ""), ("POLARIZATION_TYPE", S, "2"),
+        ("RECEPTOR_ANGLE", D, "2")),
+      "FIELD" -> Seq(("NAME", S, ""), ("PHASE_DIR", D, "2")),
+      "FLAG_CMD" -> Seq(
+        ("TIME", D, ""), ("INTERVAL", D, ""), ("TYPE", S, ""),
+        ("REASON", S, ""), ("LEVEL", I, ""), ("SEVERITY", I, ""),
+        ("APPLIED", B, ""), ("COMMAND", S, "")),
+      "HISTORY" -> Seq(
+        ("TIME", D, ""), ("OBSERVATION_ID", I, ""), ("MESSAGE", S, ""),
+        ("PRIORITY", S, ""), ("ORIGIN", S, ""), ("APPLICATION", S, "")),
+      "OBSERVATION" -> Seq(
+        ("TELESCOPE_NAME", S, ""), ("OBSERVER", S, ""),
+        ("TIME_RANGE", D, "2")),
+      "POINTING" -> Seq(
+        ("ANTENNA_ID", I, ""), ("TIME", D, ""), ("INTERVAL", D, ""),
+        ("NAME", S, ""), ("NUM_POLY", I, ""), ("TIME_ORIGIN", D, ""),
+        ("DIRECTION", D, "2"), ("TARGET", D, "2"), ("TRACKING", B, "")),
+      "POLARIZATION" -> Seq(
+        ("NUM_CORR", I, ""), ("CORR_TYPE", I, "4")),
+      "PROCESSOR" -> Seq(
+        ("TYPE", S, ""), ("SUB_TYPE", S, ""), ("TYPE_ID", I, ""),
+        ("MODE_ID", I, ""), ("FLAG_ROW", B, "")),
+      "SPECTRAL_WINDOW" -> Seq(
+        ("NUM_CHAN", I, ""), ("CHAN_FREQ", D, "16"),
+        ("CHAN_WIDTH", D, "16"), ("TOTAL_BANDWIDTH", D, ""),
+        ("REF_FREQUENCY", D, "")),
+      "STATE" -> Seq(
+        ("SIG", B, ""), ("REF", B, ""), ("CAL", D, ""),
+        ("LOAD", D, ""), ("SUB_SCAN", I, ""), ("OBS_MODE", S, ""),
+        ("FLAG_ROW", B, "")))
+  }
+
+  val k2gMsReplay: String = {
+    val rows = k2gSpec.flatMap { case (tab, cols) =>
+      cols.zipWithIndex.map { case ((name, tp, shape), i) =>
+        s"('$tab', CAST($i AS BIGINT), '$name', " +
+          s"CAST($tp AS BIGINT), '$shape')"
+      }
+    }.mkString(",\n  ")
+    s"""SELECT tab, idx, col, tp, shape_s FROM (VALUES
+       |  $rows
+       |) AS t(tab, idx, col, tp, shape_s)""".stripMargin
+  }
+
   /** K2e SPECTRAL_WINDOW decode twin: the frequency axis the writer
     * derives from the metadata seam (base 150 MHz, 40 kHz fine
     * channels, ×2 frequency averaging → 16 channels of 80 kHz,

@@ -550,4 +550,203 @@ object CasaTables {
     }
     (num.toMap, strs.toMap)
   }
+
+  // ---- strict reader-replay (the q_k2g ratchet) ---------------------------
+
+  /** One object visited by the strict replay, in casacore's
+    * depth-first open order.
+    */
+  final case class ReplayObj(seq: Int, depth: Int, tpe: String,
+                             offset: Long, length: Long)
+
+  /** Exact-consumption reader state: unlike [[In.getend]] (which SKIPS
+    * to an object's framed end, tolerating unread trailing bytes),
+    * [[close]] REQUIRES the cursor to have consumed the object's
+    * payload exactly — so a descriptor field written out of sequence
+    * shifts every later read and fires a boundary require, instead of
+    * hiding under a skip. This replays what `casacore::Table::open`
+    * effectively asserts by construction (it reads every field in
+    * order and the next object's magic would mis-frame otherwise).
+    */
+  final class Replay(bytes: Array[Byte]) {
+    val in = new In(bytes)
+    private val objs = scala.collection.mutable.ArrayBuffer[ReplayObj]()
+    private var depth = 0
+    def open(expect: String = null): ObjHead = {
+      val h = in.getstart(expect)
+      objs += ReplayObj(objs.length, depth, h.tpe, h.offset, h.length)
+      depth += 1
+      h
+    }
+    def close(h: ObjHead): Unit = {
+      require(in.pos.toLong == h.offset + h.length,
+        s"object '${h.tpe}' at ${h.offset}: consumed " +
+          s"${in.pos - h.offset} of ${h.length} bytes")
+      depth -= 1
+    }
+    def eof(): Unit = require(in.pos == bytes.length,
+      s"trailing bytes: consumed ${in.pos} of ${bytes.length}")
+    def result: Seq[ReplayObj] = objs.toSeq
+  }
+
+  /** Strict TableRecord replay ([[readRecord]] with exact-consumption
+    * boundaries on both the RecordDesc and the record itself).
+    */
+  def replayRecord(r: Replay): Seq[(String, RecVal)] = {
+    val in = r.in
+    val h = r.open("TableRecord")
+    val rd = r.open("RecordDesc")
+    val n = in.getUInt()
+    val fields = (0L until n).map { _ =>
+      val name = in.getString()
+      val tp = in.getInt()
+      if (tp == TpTable) in.getString() // tableDescName
+      (name, tp)
+    }
+    r.close(rd)
+    val vals = fields.map { case (name, tp) =>
+      val v: RecVal = tp match {
+        case TpFloat => RecFloat(in.getFloat())
+        case TpDouble => RecDouble(in.getDouble())
+        case TpInt => RecInt(in.getInt())
+        case TpString => RecString(in.getString())
+        case TpTable =>
+          val s = in.getString()
+          require(s.startsWith("Table: "),
+            s"table keyword '$name' value '$s' lacks the Table: prefix")
+          RecTable(s.substring(7))
+        case other => sys.error(s"replayRecord: unsupported type $other")
+      }
+      (name, v)
+    }
+    r.close(h)
+    vals
+  }
+
+  /** Strict replay of a `table.dat` in casacore's open order
+    * (tables/Tables/PlainTable.cc getFile → TableDesc::getFile →
+    * BaseColumnDesc::getFile → ColumnSet::getFile): EVERY field of
+    * every object is read — none skipped — and every object must be
+    * consumed exactly to its framed length with nothing trailing in
+    * the file. Field VALUES that the format fixes are asserted in
+    * place (canonical format flag, PlainTable type, the descriptor
+    * class ↔ valueType ↔ option ↔ ndim agreement, the data-manager
+    * binding). Returns (nRows, columns, table keywords, objects in
+    * replay order).
+    */
+  def replayTableDat(bytes: Array[Byte])
+      : (Long, Seq[CasaCol], Seq[(String, RecVal)], Seq[ReplayObj]) = {
+    val r = new Replay(bytes)
+    val in = r.in
+    val t = r.open("Table")
+    require(t.version == 2, s"Table object version ${t.version} != 2")
+    val nRows = in.getUInt()
+    require(in.getUInt() == 0L, "table.dat format != canonical")
+    require(in.getString() == "PlainTable", "not a PlainTable")
+    val td = r.open("TableDesc")
+    in.getString() // descriptor name
+    in.getString() // version string
+    in.getString() // comment
+    val keywords = replayRecord(r)
+    val priv = replayRecord(r)
+    require(priv.isEmpty, s"private keyword record non-empty: $priv")
+    val ncol = in.getUInt()
+    val cols = (0L until ncol).map { _ =>
+      val cd = r.open()
+      val isArray = cd.tpe.startsWith("ArrayColumnDesc<")
+      require(isArray || cd.tpe.startsWith("ScalarColumnDesc<"),
+        s"unexpected column desc class ${cd.tpe}")
+      val name = in.getString()
+      in.getString() // comment
+      require(in.getString() == "StManAipsIO",
+        s"column $name dataManagerType out of sequence")
+      require(in.getString() == "StManAipsIO",
+        s"column $name dataManagerGroup out of sequence")
+      val tp = in.getInt()
+      val opt = in.getInt()
+      require(opt == (if (isArray) 5 else 0),
+        s"column $name option $opt inconsistent with ${cd.tpe}")
+      val ndim = in.getInt()
+      require((ndim > 0) == isArray,
+        s"column $name ndim $ndim inconsistent with ${cd.tpe}")
+      val shape = if (ndim > 0) {
+        val ip = r.open("IPosition")
+        require(ip.version == 1, s"IPosition version ${ip.version}")
+        val n = in.getUInt().toInt
+        require(n == ndim, s"column $name IPosition rank $n != ndim $ndim")
+        val s = (0 until n).map(_ => in.getInt())
+        r.close(ip)
+        s
+      } else Seq.empty[Int]
+      require(in.getInt() == 0, s"column $name maxLength != 0")
+      val ck = replayRecord(r)
+      require(ck.isEmpty, s"column $name keyword record non-empty")
+      r.close(cd)
+      val col = CasaCol(name, tp, shape)
+      require(cd.tpe == col.className,
+        s"column $name class ${cd.tpe} != valueType-derived ${col.className}")
+      col
+    }
+    r.close(td)
+    val cs = r.open("ColumnSet")
+    require(cs.version == 2, s"ColumnSet version ${cs.version} != 2")
+    require(in.getUInt() == nRows, "ColumnSet row count mismatch")
+    require(in.getUInt() == 1L, "expected one data manager")
+    require(in.getUInt() == 0L, "expected seqnr 0")
+    require(in.getString() == "StManAipsIO", "expected StManAipsIO")
+    require(in.getString() == "", "data-manager group out of sequence")
+    r.close(cs)
+    r.close(t)
+    r.eof()
+    (nRows, cols, keywords, r.result)
+  }
+
+  /** Strict replay of a StManAipsIO `table.f0` against the descriptor
+    * decoded from `table.dat`: each column's extension chain is read
+    * value-typed to the column object's exact boundary (extensions
+    * until the boundary, total extension rows == nRows — which also
+    * replays the zero-row-table single-empty-extension case and MAIN's
+    * one-extension-per-partition chain), then the manager object and
+    * the file itself must close exactly.
+    */
+  def replayF0(bytes: Array[Byte], nRows: Long, cols: Seq[CasaCol])
+      : Seq[ReplayObj] = {
+    val r = new Replay(bytes)
+    val in = r.in
+    val sm = r.open("StManAipsIO")
+    require(sm.version == 2, s"StManAipsIO version ${sm.version} != 2")
+    in.getUInt() // uniqnr
+    require(in.getUInt() == nRows, "StManAipsIO row count mismatch")
+    require(in.getUInt() == cols.length.toLong,
+      "StManAipsIO column count mismatch")
+    cols.foreach { c =>
+      val co = r.open("StManColumnAipsIO")
+      require(co.version == 2,
+        s"StManColumnAipsIO version ${co.version} != 2")
+      require(in.getUInt() == nRows, s"column ${c.name} row count")
+      var rows = 0L
+      while (in.pos.toLong < co.offset + co.length) {
+        val n = in.getUInt().toInt
+        if (c.tp == TpString)
+          (0 until n * c.cellElems).foreach(_ => in.getString())
+        else {
+          val nv = n * c.cellElems * (if (c.tp == TpComplex) 2 else 1)
+          c.tp match {
+            case TpBool => in.getBytes((nv + 7) / 8)
+            case TpInt | TpFloat => in.getBytes(4 * nv)
+            case TpDouble => in.getBytes(8 * nv)
+            case TpComplex => in.getBytes(4 * nv) // float pairs
+            case other => sys.error(s"replayF0: unsupported type $other")
+          }
+        }
+        rows += n
+      }
+      require(rows == nRows,
+        s"column ${c.name}: extension chain carries $rows of $nRows rows")
+      r.close(co)
+    }
+    r.close(sm)
+    r.eof()
+    r.result
+  }
 }

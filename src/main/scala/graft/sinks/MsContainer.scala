@@ -588,6 +588,25 @@ object MsContainer {
     (nRows, cols.length, datObjs.length, f0Objs.length)
   }
 
+  /** Strict reader-replay of one table directory (the q_k2g ratchet):
+    * `table.dat` then `table.f0` read field-by-field in casacore's
+    * open order with exact per-object consumption — see
+    * [[CasaTables.replayTableDat]] / [[CasaTables.replayF0]]. Returns
+    * (nRows, columns in descriptor order, dat objects, f0 objects).
+    */
+  def replay(dir: String,
+             conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Seq[CasaCol], Seq[CasaTables.ReplayObj],
+         Seq[CasaTables.ReplayObj]) = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val (nRows, cols, _, datObjs) =
+      CasaTables.replayTableDat(slurp(fs, new Path(d, "table.dat")))
+    val f0Objs = CasaTables.replayF0(
+      slurp(fs, new Path(d, "table.f0")), nRows, cols)
+    (nRows, cols, datObjs, f0Objs)
+  }
+
   /** Numeric cell of row `r` (bools as 0/1; complex cells yield re,im
     * interleaved — 2·elems doubles).
     */

@@ -80,6 +80,53 @@ class MsContainerSpec extends AnyFunSuite {
     ()
   }
 
+  test("strict replay consumes every object exactly and fails on " +
+    "out-of-sequence fields the skip-based decoder tolerates") {
+    val cols = MsContainer.mainCols(4)
+    val bytes = CasaTables.tableDat("MAIN", 8L, cols)
+    // clean replay: exact consumption end to end, descriptors decoded
+    val (n, back, _, objs) = CasaTables.replayTableDat(bytes)
+    assert(n == 8L && back == cols)
+    assert(objs.length == CasaTables.walk(bytes).length)
+    // and the f0 side, including an empty (zero-row) table's
+    // single empty extension
+    val f0 = CasaTables.stManF0(8L, Seq(CasaTables.CasaCol("X",
+      CasaTables.TpInt, Nil)),
+      Map("X" -> (1 to 8).map(i => Seq(i.toDouble))))
+    CasaTables.replayF0(f0, 8L,
+      Seq(CasaTables.CasaCol("X", CasaTables.TpInt, Nil)))
+    val empty = CasaTables.stManF0(0L, MsContainer.stateCols,
+      Map.empty, Map.empty)
+    CasaTables.replayF0(empty, 0L, MsContainer.stateCols)
+    // the ratchet: an IN-SEQUENCE corruption the framing survives.
+    // Grow the Table object's framed length by 4 (simulating a field
+    // the writer appended that the reader does not know) — magics,
+    // types and nesting all still parse, walk() and readTableDat()
+    // accept it, but the exact-consumption replay must refuse.
+    val padded = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(bytes)
+      o.write(Array[Byte](0, 0, 0, 0)) // trailing junk inside Table
+      val b = o.toByteArray
+      val newLen = java.nio.ByteBuffer.wrap(b, 0, 4).getInt + 4
+      java.nio.ByteBuffer.wrap(b).putInt(0, newLen)
+      b
+    }
+    CasaTables.readTableDat(padded) // skip-based decoder: silent pass
+    val e = intercept[IllegalArgumentException] {
+      CasaTables.replayTableDat(padded)
+    }
+    assert(e.getMessage.contains("consumed"))
+    // and trailing bytes AFTER the last object are refused too
+    val trailing = bytes ++ Array[Byte](1)
+    CasaTables.readTableDat(trailing)
+    val e2 = intercept[IllegalArgumentException] {
+      CasaTables.replayTableDat(trailing)
+    }
+    assert(e2.getMessage.contains("trailing"))
+    ()
+  }
+
   test("container MAIN matches the mirror skeleton in row order") {
     val dir = "/root/testdata/sf0.001"
     val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
