@@ -30,17 +30,35 @@ package graft.ops
   *    `bg_sigma_chan = σy` — the engine's masked normalized Gaussian
   *    convolution IS AOFlagger's high-pass kernel (q_r1d-gated);
   *    sigmas absent from the call fall to the documented w/2 default
+  *  - `aoflagger.sumthreshold_masked(d, orig, lt, lf, …)` → like
+  *    `sumthreshold` with the levels at args 3/4 (the engine's
+  *    SumThreshold already sums unflagged samples only, which is what
+  *    the mask argument exists for)
+  *  - `aoflagger.low_pass_filter(data, kx, ky, σx, σy)` → the same
+  *    Gaussian background knobs as `high_pass_filter`: published
+  *    strategies follow the low-pass with `original − smoothed`,
+  *    which is exactly the residual the engine's background-subtract
+  *    detect loop computes
+  *  - `aoflagger.downsample(d, fx, fy, …)` →
+  *    `aoflagger.low_pass_filter(…)` → `aoflagger.upsample(…, fx,
+  *    fy)` BRACKETS → the bracketed low-pass with kernel and sigmas
+  *    scaled to full resolution (×fx, ×fy): the decimation is
+  *    AOFlagger's own speed trick for the same smoothing, and the
+  *    engine computes the full-resolution convolution directly. A
+  *    downsample/upsample outside this pattern is reported unmapped.
   *  - `local iteration_count = n` → `iterations`,
   *    `local threshold_factor_step = x` → `ramp_factor` (the
   *    detect-loop ramp published strategies drive their Lua `for`
   *    loop with)
   *  - `aoflagger.Polarization.XX|XY|YX|YY` mentions → `pols`
   *
-  * Everything else a strategy can do (low-pass filtering, resizing,
-  * visualisation, custom Lua logic) is NOT modeled; those calls are
-  * returned verbatim in [[LuaStrategy.Translation.unmapped]] so the
-  * migration is honest — the caller sees exactly which behaviors the
-  * translated strategy drops, instead of a silent approximation.
+  * Everything else a strategy can do (whole-line RMS flagging —
+  * `threshold_timestep_rms` / `threshold_channel_rms` — bandpass
+  * application, visualisation, custom Lua logic) is NOT modeled;
+  * those calls are returned verbatim in
+  * [[LuaStrategy.Translation.unmapped]] so the migration is honest —
+  * the caller sees exactly which behaviors the translated strategy
+  * drops, instead of a silent approximation.
   *
   * Honesty contract: EVERY occurrence of the token `aoflagger.` in the
   * (comment-stripped) file is accounted for — parsed into a mapped
@@ -65,7 +83,10 @@ object LuaStrategy {
     * carry no detection knobs the engine lacks — not worth reporting.
     */
   private val Scaffolding = Set("set_progress", "set_flag_function",
-    "copy_to_channel", "copy_from_channel", "norm", "print_polarization_statistics")
+    "copy_to_channel", "copy_from_channel", "norm",
+    "print_polarization_statistics",
+    // version pins carry no detection knob
+    "require_min_version", "require_max_version")
 
   /** One scanned `aoflagger.` site: function name (None when the
     * mention is not a parsable call), top-level-comma-split args, and
@@ -175,12 +196,38 @@ object LuaStrategy {
       s = s.copy(rampFactor = x))
 
     val unmapped = scala.collection.mutable.ArrayBuffer[String]()
+    // downsample → low_pass_filter → upsample bracketing: published
+    // strategies compute their high-pass background on a decimated
+    // image for speed (aoflagger's own high_pass_filter does the same
+    // resize internally), so the triple is semantically ONE Gaussian
+    // low-pass whose kernel/sigma in full-resolution units are the
+    // call's values × the decimation factors. The bracket is tracked
+    // positionally; a downsample never consumed by a following
+    // low_pass+upsample (or an upsample with mismatched factors) is
+    // reported, not silently dropped.
+    var pendingScale: Option[(Double, Double, String)] = None
+    var pendingUsed = false
+    def hpf(kx: Double, ky: Double, sx: Option[Double],
+            sy: Option[Double], fx: Double, fy: Double): Unit =
+      s = s.copy(bgKind = "gaussian",
+        bgWindowTime = ((kx * fx).toInt / 2).max(1),
+        bgWindowChan = ((ky * fy).toInt / 2).max(1),
+        bgSigmaTime = sx.map(_ * fx).getOrElse(0.0),
+        bgSigmaChan = sy.map(_ * fy).getOrElse(0.0))
     sites.foreach {
       case Site(Some("Polarization"), _, _) => ()
       case Site(Some(fn), args, snippet) => fn match {
         case "sumthreshold" if args.length >= 3 =>
           for (lt <- resolve(args(1))) s = s.copy(timeWeight = 1.0 / lt)
           for (lf <- resolve(args(2))) s = s.copy(chanWeight = 1.0 / lf)
+        case "sumthreshold_masked" if args.length >= 4 =>
+          // (data, missingMask, xLevel, yLevel, xDir, yDir) — the
+          // masked variant published strategies call so pre-existing
+          // flags don't bias the threshold sums; the engine's
+          // SumThreshold already operates on unflagged samples only,
+          // so the knobs map like sumthreshold with args shifted 1
+          for (lt <- resolve(args(2))) s = s.copy(timeWeight = 1.0 / lt)
+          for (lf <- resolve(args(3))) s = s.copy(chanWeight = 1.0 / lf)
         case "scale_invariant_rank_operator" if args.length >= 3 =>
           for (h <- resolve(args(1))) s = s.copy(sirEtaTime = h)
           for (v <- resolve(args(2))) s = s.copy(sirEtaChan = v)
@@ -193,11 +240,40 @@ object LuaStrategy {
           // (absent → the documented w/2 default)
           (resolve(args(1)), resolve(args(2))) match {
             case (Some(kx), Some(ky)) =>
-              s = s.copy(bgKind = "gaussian",
-                bgWindowTime = (kx.toInt / 2).max(1),
-                bgWindowChan = (ky.toInt / 2).max(1),
-                bgSigmaTime = args.lift(3).flatMap(resolve).getOrElse(0.0),
-                bgSigmaChan = args.lift(4).flatMap(resolve).getOrElse(0.0))
+              hpf(kx, ky, args.lift(3).flatMap(resolve),
+                args.lift(4).flatMap(resolve), 1.0, 1.0)
+            case _ => unmapped += snippet
+          }
+        case "low_pass_filter" if args.length >= 3 =>
+          // same kernel as high_pass_filter — published strategies
+          // follow the low-pass with `original - smoothed`, which is
+          // exactly the residual the engine's background-subtract
+          // detect loop computes; inside a downsample/upsample
+          // bracket the kernel and sigmas scale to full resolution
+          (resolve(args(1)), resolve(args(2))) match {
+            case (Some(kx), Some(ky)) =>
+              val (fx, fy) = pendingScale
+                .map(p => (p._1, p._2)).getOrElse((1.0, 1.0))
+              if (pendingScale.isDefined) pendingUsed = true
+              hpf(kx, ky, args.lift(3).flatMap(resolve),
+                args.lift(4).flatMap(resolve), fx, fy)
+            case _ => unmapped += snippet
+          }
+        case "downsample" if args.length >= 3 =>
+          (resolve(args(1)), resolve(args(2))) match {
+            case (Some(fx), Some(fy)) =>
+              pendingScale.foreach { p =>
+                unmapped += p._3 // earlier bracket never closed
+              }
+              pendingScale = Some((fx, fy, snippet))
+              pendingUsed = false
+            case _ => unmapped += snippet
+          }
+        case "upsample" if args.length >= 4 =>
+          (resolve(args(2)), resolve(args(3)), pendingScale) match {
+            case (Some(fx), Some(fy), Some((px, py, _)))
+                if pendingUsed && fx == px && fy == py =>
+              pendingScale = None // bracket closed: recognized
             case _ => unmapped += snippet
           }
         case f if Scaffolding.contains(f) => ()
@@ -205,6 +281,7 @@ object LuaStrategy {
       }
       case Site(None, _, snippet) => unmapped += snippet
     }
+    pendingScale.foreach(p => unmapped += p._3)
     Translation(s, unmapped.toSeq.distinct)
   }
 

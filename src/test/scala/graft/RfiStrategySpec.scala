@@ -177,4 +177,100 @@ class RfiStrategySpec extends AnyFunSuite {
     assert(tr.strategy.sirEtaTime == 0.0 && tr.strategy.sirEtaChan == 0.0)
     assert(tr.unmapped.isEmpty)
   }
+
+  test("Lua translation: realistic published-shaped MWA strategy — " +
+    "everything maps except whole-line RMS flagging (asserted set)") {
+    import graft.ops.LuaStrategy
+    // the structure of AOFlagger's published MWA default strategy
+    // (iteration ramp, masked SumThreshold, decimated low-pass
+    // background with resubtraction, per-line RMS cleanup, SIR): the
+    // engine models everything except the whole-line RMS flaggers
+    val lua =
+      """aoflagger.require_min_version("3.0")
+        |
+        |function execute(input)
+        |  local base_threshold = 1.2
+        |  local iteration_count = 3
+        |  local threshold_factor_step = 2.0
+        |  local inp_polarizations = input:get_polarizations()
+        |  input:clear_mask()
+        |  for ipol, polarization in ipairs(inp_polarizations) do
+        |    local data = input:convert_to_polarization(polarization)
+        |    local original_data = data:copy()
+        |    for i = 1, iteration_count do
+        |      local threshold_factor =
+        |        math.pow(threshold_factor_step, iteration_count - i)
+        |      local sumthr_level = threshold_factor * base_threshold
+        |      aoflagger.sumthreshold_masked(data, original_data,
+        |        sumthr_level, sumthr_level, true, true)
+        |      -- per-line RMS cleanup (NOT modeled by the engine)
+        |      local chdata = data:copy()
+        |      aoflagger.threshold_timestep_rms(data, 3.5)
+        |      aoflagger.threshold_channel_rms(chdata,
+        |        3.0 * threshold_factor, true)
+        |      data:join_mask(chdata)
+        |      -- decimated high-pass background, resubtracted
+        |      if i ~= iteration_count then
+        |        data:set_visibilities(original_data)
+        |        local resized_data = aoflagger.downsample(data, 3, 3, true)
+        |        aoflagger.low_pass_filter(resized_data, 21, 31, 2.6, 5.0)
+        |        aoflagger.upsample(resized_data, data, 3, 3)
+        |        local tmp = original_data - data
+        |        tmp:set_mask(data)
+        |        data = tmp
+        |      end
+        |      aoflagger.set_progress(i, iteration_count)
+        |    end
+        |    input:set_polarization_data(polarization, data)
+        |  end
+        |  aoflagger.scale_invariant_rank_operator(input, 0.2, 0.2)
+        |  aoflagger.threshold_timestep_rms(input, 4.0)
+        |end""".stripMargin
+    val tr = LuaStrategy.translate(lua)
+    // the iteration ramp and sensitivity
+    assert(tr.strategy.iterations == 3 && tr.strategy.rampFactor == 2.0)
+    assert(tr.strategy.madK == 6.0 * 1.2)
+    // the decimated low-pass bracket: kernel (21, 31) and sigmas
+    // (2.6, 5.0) scale by the downsample factors (3, 3) to full
+    // resolution -> half-windows (31, 46), sigmas (7.8..., 15.0)
+    assert(tr.strategy.bgKind == "gaussian")
+    assert(tr.strategy.bgWindowTime == 31 &&
+      tr.strategy.bgWindowChan == 46)
+    assert(tr.strategy.bgSigmaTime == 2.6 * 3 &&
+      tr.strategy.bgSigmaChan == 15.0)
+    // SIR post-extension
+    assert(tr.strategy.sirEtaTime == 0.2 && tr.strategy.sirEtaChan == 0.2)
+    // the honest remainder is EXACTLY the whole-line RMS flaggers —
+    // downsample/upsample/low_pass/sumthreshold_masked/SIR/version
+    // pin/scaffolding all map or are recognized
+    assert(tr.unmapped.nonEmpty && tr.unmapped.forall(u =>
+      u.contains("threshold_timestep_rms") ||
+        u.contains("threshold_channel_rms")),
+      s"unmapped was ${tr.unmapped}")
+    assert(tr.unmapped.length == 3, s"unmapped was ${tr.unmapped}")
+  }
+
+  test("Lua translation: stray downsample/upsample outside the " +
+    "low-pass bracket are reported, not silently dropped") {
+    import graft.ops.LuaStrategy
+    val tr = LuaStrategy.translate(
+      """function execute(input)
+        |  local r = aoflagger.downsample(data, 2, 2, true)
+        |  aoflagger.sumthreshold(data, 1.0, 1.0, true, true)
+        |end""".stripMargin)
+    assert(tr.unmapped.exists(_.contains("downsample")))
+    val tr2 = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.upsample(r, data, 2, 2)
+        |end""".stripMargin)
+    assert(tr2.unmapped.exists(_.contains("upsample")))
+    // mismatched factors do not close the bracket
+    val tr3 = LuaStrategy.translate(
+      """function execute(input)
+        |  local r = aoflagger.downsample(data, 3, 3, true)
+        |  aoflagger.low_pass_filter(r, 21, 31, 2.5, 5.0)
+        |  aoflagger.upsample(r, data, 2, 2)
+        |end""".stripMargin)
+    assert(tr3.unmapped.exists(_.contains("upsample")))
+  }
 }
