@@ -623,6 +623,14 @@ object SparkEntry {
       graft.llm.Corpus.bpeApply(docs(s, dir))),
     "q_t19_length_profile" -> ((s, dir) =>
       TextAnalysis.lengthProfile(docs(s, dir))),
+    // t20: batch-perceptron quality classifier — trained to imitate
+    // the exact Gopher verdict over integer doc statistics; the
+    // trajectory gate pins every weight update, the apply gate the
+    // row-local scoring
+    "q_t20_perceptron" -> ((s, dir) =>
+      graft.llm.Classifier.perceptronTrain(docs(s, dir))),
+    "q_t20b_perceptron_apply" -> ((s, dir) =>
+      graft.llm.Classifier.perceptronApply(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -932,6 +940,8 @@ object SparkEntry {
     "q_t17_bpe_train" -> graft.llm.Corpus.bpeTrainSql(),
     "q_t18_bpe_apply" -> graft.llm.Corpus.bpeApplySql(),
     "q_t19_length_profile" -> TextAnalysis.lengthProfileSql,
+    "q_t20_perceptron" -> LlmOracles.t20Perceptron(),
+    "q_t20b_perceptron_apply" -> LlmOracles.t20bPerceptronApply(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
