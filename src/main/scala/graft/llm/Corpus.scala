@@ -531,6 +531,35 @@ object Corpus {
     * would have produced. The fallback sits behind `coalesce`, so
     * codegen short-circuits it for every in-vocabulary token.
     */
+  /** Row-local subword-count expression for one token (SQL expression
+    * `tok`): the learned merge table — bounded model state, `merges`
+    * rows — unrolled as a greedy fold over the token's char split,
+    * computing exactly the repr the trainer would have produced had
+    * the token been in the training vocabulary. Shared by
+    * [[bpeApplyTo]]'s out-of-vocabulary fallback and the streaming
+    * tokenizer ([[graft.streaming.CorpusStream.tokenizeStream]]),
+    * where it IS the tokenizer: a pure function of the token, no
+    * state, no join.
+    */
+  private[graft] def subwordCountSql(mergePairs: Seq[String],
+                                     tok: String)
+                                    (implicit d: Dialect): String = {
+    // the fold's own lambdas bind x/acc/i0/i — a caller passing one of
+    // those as the token reference would have it silently SHADOWED by
+    // the inner lambdas (this bug shipped once: listTransform's
+    // default `x` as the token var made substring(x, x, 1) read the
+    // index); fail loudly instead
+    require(!Set("x", "acc", "i0", "i").contains(tok.trim),
+      s"subwordCountSql: token var '$tok' collides with an inner " +
+        "lambda binding — use listTransformNamed with a distinct name")
+    var repr = charsJoinedSql(tok)
+    mergePairs.foreach { pair =>
+      val Array(a, b) = pair.split(" ", 2)
+      repr = mergeFoldSql(tokens(s"($repr)"), lit1(a), lit1(b))
+    }
+    s"CAST(${listSize(tokens(s"($repr)"))} AS BIGINT)"
+  }
+
   def bpeApplyTo(train: DataFrame, corpus: DataFrame,
                  merges: Int = 6): DataFrame = {
     implicit val d: Dialect = SparkD
@@ -540,18 +569,12 @@ object Corpus {
         expr(s"CAST(${listSize(tokens("repr"))} AS BIGINT)").as("n_sub"))
       .localCheckpoint()
     cached.unpersist(false)
-    var oov = charsJoinedSql("w")
-    for ((_, pair, _, _) <- ms) {
-      val Array(a, b) = pair.split(" ", 2)
-      oov = mergeFoldSql(tokens(s"($oov)"), lit1(a), lit1(b))
-    }
+    val oov = subwordCountSql(ms.map(_._2), "w")
     val toks = explodeNoInfer(
       corpus.select(col("doc_id"), expr(tokens("text")).as("toks")),
       col("toks"), "w", col("doc_id"))
     toks.join(sub, Seq("w"), "left")
-      .withColumn("n_sub",
-        coalesce(col("n_sub"),
-          expr(s"CAST(${listSize(tokens(s"($oov)"))} AS BIGINT)")))
+      .withColumn("n_sub", coalesce(col("n_sub"), expr(oov)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
   }
@@ -562,6 +585,16 @@ object Corpus {
     */
   def bpeApply(docs: DataFrame, merges: Int = 6): DataFrame =
     bpeApplyTo(docs, docs, merges)
+
+  /** The learned merge pairs alone — the bounded model state a
+    * streaming tokenizer ships (see
+    * [[graft.streaming.CorpusStream.tokenizeStream]]).
+    */
+  def bpeMerges(docs: DataFrame, merges: Int = 6): Seq[String] = {
+    val (ms, _, cached) = bpeCore(docs, merges)
+    cached.unpersist(false)
+    ms.map(_._2)
+  }
 
   /** DuckDB twin of [[bpeTrain]]: the identical vocabulary collapse,
     * per-step weighted pair counts, (count desc, pair asc) argmax and

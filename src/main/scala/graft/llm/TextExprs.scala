@@ -53,6 +53,18 @@ object TextExprs {
     case DuckD  => s"list_transform($l, x -> ${body("x")})"
   }
 
+  /** [[listTransform]] with a caller-chosen lambda variable name — for
+    * bodies that THEMSELVES contain lambdas using the default `x`
+    * (e.g. the BPE merge fold): an inner lambda's `x` shadows the
+    * outer one, silently rebinding the body's element references, so
+    * nesting callers must pick a name no inner lambda uses.
+    */
+  def listTransformNamed(l: String, v: String, body: String => String)
+                        (implicit d: Dialect): String = d match {
+    case SparkD => s"transform($l, $v -> ${body(v)})"
+    case DuckD  => s"list_transform($l, $v -> ${body(v)})"
+  }
+
   def listMin(l: String)(implicit d: Dialect): String = d match {
     case SparkD => s"array_min($l)"
     case DuckD  => s"list_min($l)"

@@ -69,6 +69,37 @@ object CorpusStream {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming TOKENIZER: the merge table learned OFFLINE from the
+    * static corpus (bounded model state — `merges` rows, which is how
+    * production tokenizers ship) applied to arriving documents as a
+    * PURE row-local fold. Per token the fold computes exactly the
+    * subword count the trainer's vocabulary carries — identical by
+    * construction, because the fold IS the trainer's merge procedure
+    * — so no vocabulary join, no state store and no watermark are
+    * needed: the streaming plan is the batch plan per micro-batch,
+    * and the output rows equal batch [[graft.llm.Corpus.bpeApply]]
+    * exactly (spec-verified).
+    */
+  def tokenizeStream(spark: SparkSession, dir: String,
+                     merges: Int = 6): DataFrame = {
+    import graft.llm.TextExprs._
+    import org.apache.spark.sql.functions._
+    implicit val d: Dialect = SparkD
+    val ms = graft.llm.Corpus.bpeMerges(
+      spark.read.parquet(s"$dir/documents.parquet"), merges)
+    docStream(spark, dir)
+      .select(col("doc_id"), expr(tokens("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr(listFoldSumLong(listTransformNamed("toks", "tok0",
+          t => graft.llm.Corpus.subwordCountSql(ms, t))))
+          .as("n_subwords"))
+  }
+
+  def tokenizeOnce(spark: SparkSession, dir: String): DataFrame =
+    StreamDrain.runOnce(tokenizeStream(spark, dir),
+      "corpus_tokenize_stream")
+
   def chunkOnce(spark: SparkSession, dir: String): DataFrame =
     StreamDrain.runOnce(chunkStream(spark, dir), "corpus_chunk_stream")
 
