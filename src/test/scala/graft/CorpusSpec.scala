@@ -317,6 +317,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(long.take(6).toSeq == short.toSeq)
   }
 
+  test("subwordCountSql matches an independent in-memory greedy BPE " +
+    "on random words and random cumulative merge tables") {
+    import graft.llm.TextExprs.{Dialect, SparkD}
+    implicit val d: Dialect = SparkD
+    // reference greedy leftmost-first non-overlapping merge
+    def refMerge(syms: List[String], a: String,
+                 b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      val v = syms.toVector
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abc"
+    (1 to 5).foreach { _ =>
+      var merges = Vector.empty[(String, String)]
+      var symbols = alphabet.map(_.toString).toVector
+      (1 to (1 + rnd.nextInt(5))).foreach { _ =>
+        val a = symbols(rnd.nextInt(symbols.length))
+        val b = symbols(rnd.nextInt(symbols.length))
+        merges :+= ((a, b)); symbols :+= (a + b)
+      }
+      val ms = merges.map { case (a, b) => s"$a $b" }
+      def refCount(w: String): Long = {
+        var syms = w.map(_.toString).toList
+        merges.foreach { case (a, b) => syms = refMerge(syms, a, b) }
+        syms.length.toLong
+      }
+      val words = Seq.fill(40)(
+        (1 to (1 + rnd.nextInt(12)))
+          .map(_ => alphabet(rnd.nextInt(3))).mkString).distinct
+      import spark.implicits._
+      val got = words.toDF("w")
+        .withColumn("n", expr(Corpus.subwordCountSql(ms, "w")))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      got.foreach { case (w, n) =>
+        assert(n == refCount(w),
+          s"word '$w' fold=$n ref=${refCount(w)} merges=$ms")
+      }
+    }
+  }
+
   test("seqPack: conservation, full interior sequences, contiguity") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
