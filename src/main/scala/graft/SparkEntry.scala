@@ -631,6 +631,10 @@ object SparkEntry {
       graft.llm.Classifier.perceptronTrain(docs(s, dir))),
     "q_t20b_perceptron_apply" -> ((s, dir) =>
       graft.llm.Classifier.perceptronApply(docs(s, dir))),
+    // t21: DSIR importance scoring — hashed-n-gram importance ratio
+    // between the benchmark-quality target split and the raw pool
+    "q_t21_dsir" -> ((s, dir) =>
+      graft.llm.Corpus.dsirScore(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -942,6 +946,7 @@ object SparkEntry {
     "q_t19_length_profile" -> TextAnalysis.lengthProfileSql,
     "q_t20_perceptron" -> LlmOracles.t20Perceptron(),
     "q_t20b_perceptron_apply" -> LlmOracles.t20bPerceptronApply(),
+    "q_t21_dsir" -> graft.llm.Corpus.dsirScoreSql(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),

@@ -935,6 +935,109 @@ object Corpus {
         sum(col("n_occ") * col("nll_u")).as("nll_u_sum"))
   }
 
+  /** DSIR importance scoring (Data Selection with Importance
+    * Resampling, Xie et al. 2023) — score every raw-pool document by
+    * how much more likely its hashed n-gram features are under the
+    * TARGET distribution than under the raw-pool (background)
+    * distribution: log w(doc) = Σ_grams [ln p̂_t(bucket) −
+    * ln p̂_b(bucket)] with add-one-smoothed bucket unigram models, the
+    * paper's hashed-feature reduction. The target split reuses the
+    * benchmark convention of the contamination screen (doc_id % 97 ==
+    * 0); `selected` marks documents whose importance ratio favours the
+    * target (log ratio > 0) — the deterministic core of the paper's
+    * resampling step (its Gumbel noise is sampling machinery, not
+    * scoring semantics).
+    *
+    * Gate representation: the per-bucket log-ratio term converts to
+    * integer micro-units BEFORE the per-document summation (the same
+    * order-free-integer pattern as [[bigramNll]]), so distribution
+    * cannot reorder a floating sum.
+    *
+    * 100 TB shape: the gram explode is row-local and pre-aggregates
+    * to (doc_id, bucket) map-side (hot buckets enter the join once
+    * per document); the bucket histograms are ONE map-side-combined
+    * aggregate over the same stream; the model the documents join
+    * against is `buckets`-bounded — a broadcast by construction
+    * (DSIR's entire point: the importance model is a fixed-size hash
+    * sketch, not corpus-scale state). Totals ride a 1-row broadcast.
+    */
+  def dsirScore(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    implicit val d: Dialect = SparkD
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val tok = docs.select(col("doc_id"), expr(tokens("text")).as("toks"))
+    val grams = explodeNoInfer(tok,
+      expr(idxSeq1(s"${listSize("toks")} - 1")), "i",
+      col("doc_id"), col("toks"))
+      .select(col("doc_id"),
+        expr(s"(${hex8ToLong(s"${elem("toks", "i")} || ' ' || " +
+          s"${elem("toks", "i + 1")}")}) % $buckets").as("b"))
+    val docB = grams.groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("n_occ"))
+    val hist = grams
+      .withColumn("tgt",
+        expr("CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END" +
+          " AS BIGINT)"))
+      .groupBy("b")
+      .agg(sum("tgt").as("ct"), sum(expr("1 - tgt")).as("cb"))
+    val tot = hist.agg(sum("ct").as("nt"), sum("cb").as("nb"))
+    val lrU =
+      s"""CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0e0) /
+         |  (CAST(nt AS DOUBLE) + $buckets.0e0)) -
+         |  ln((CAST(cb AS DOUBLE) + 1.0e0) /
+         |  (CAST(nb AS DOUBLE) + $buckets.0e0))) * 1.0e6 + 0.5e0)
+         |  AS BIGINT)""".stripMargin
+    docB.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(hist), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_occ"), expr(lrU).as("lr_u"))
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_grams"),
+        sum(col("n_occ") * col("lr_u")).as("logratio_u"))
+      .withColumn("selected",
+        (col("logratio_u") > 0).cast("long"))
+  }
+
+  /** DuckDB twin of [[dsirScore]] — identical hash, bucket models,
+    * micro-unit terms.
+    */
+  def dsirScoreSql(buckets: Int = 256): String = {
+    implicit val d: Dialect = DuckD
+    val lrU =
+      s"""CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0e0) /
+         |  (CAST(nt AS DOUBLE) + $buckets.0e0)) -
+         |  ln((CAST(cb AS DOUBLE) + 1.0e0) /
+         |  (CAST(nb AS DOUBLE) + $buckets.0e0))) * 1.0e6 + 0.5e0)
+         |  AS BIGINT)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       |bgx AS (
+       |  SELECT doc_id,
+       |         (${hex8ToLong(s"${elem("toks", "i")} || ' ' || " +
+            s"${elem("toks", "i + 1")}")}) % $buckets AS b
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(${idxSeq1(s"${listSize("toks")} - 1")}) AS i
+       |        FROM tok)),
+       |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n_occ
+       |       FROM bgx GROUP BY 1, 2),
+       |hist AS (SELECT b,
+       |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS cb
+       |  FROM bgx GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+       |               CAST(sum(cb) AS BIGINT) AS nb FROM hist),
+       |scored AS (
+       |  SELECT doc_id, n_occ, $lrU AS lr_u
+       |  FROM db JOIN hist USING (b) CROSS JOIN tot
+       |  WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_grams,
+       |       CAST(sum(n_occ * lr_u) AS BIGINT) AS logratio_u,
+       |       CAST(CASE WHEN CAST(sum(n_occ * lr_u) AS BIGINT) > 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[bigramNll]] — same dialect-shared token /
     * index / element builders, same integer micro-unit terms.
     */

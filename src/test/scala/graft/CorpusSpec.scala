@@ -364,6 +364,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirScore: target-like raw documents outscore target-unlike " +
+    "ones; selected tracks the sign; gram totals conserved") {
+    // doc 0 (doc_id % 97 == 0) IS the target split; doc 1 repeats its
+    // text verbatim, doc 2 shares nothing with it
+    val docs = docsOf(
+      (0L, "en", "alpha beta gamma delta alpha beta"),
+      (1L, "en", "alpha beta gamma delta alpha beta"),
+      (2L, "en", "zz yy xx ww vv uu"))
+    val out = Corpus.dsirScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the target itself is not scored (it is the model, not the pool)
+    assert(!out.contains(0L) && out.size == 2)
+    // both raw docs have 5 bigrams
+    assert(out(1L)._1 == 5L && out(2L)._1 == 5L)
+    // the verbatim copy of the target must outscore the disjoint doc,
+    // and land on the target side of the ratio
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(1L)._3 == 1L)
+    // selected is exactly the sign of the micro-unit log ratio
+    out.values.foreach { case (_, lr, sel) =>
+      assert(sel == (if (lr > 0) 1L else 0L))
+    }
+  }
+
   test("seqPack: conservation, full interior sequences, contiguity") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
