@@ -100,6 +100,78 @@ object CorpusStream {
     StreamDrain.runOnce(tokenizeStream(spark, dir),
       "corpus_tokenize_stream")
 
+  /** Streaming DSIR scorer — the production shape of importance
+    * resampling: the hashed-n-gram importance model is trained
+    * OFFLINE on the static corpus and collapsed to one micro-unit
+    * log-ratio per bucket (a `buckets`-bounded array — genuine model
+    * state, DSIR's entire point), then arriving documents score with
+    * a pure row-local fold over their bigram buckets. The per-bucket
+    * ratios are Spark-evaluated during training (never recomputed
+    * driver-side), so streaming scores equal batch
+    * [[graft.llm.Corpus.dsirScore]] bit-for-bit (spec-verified).
+    */
+  def dsirStream(spark: SparkSession, dir: String,
+                 buckets: Int = 256): DataFrame = {
+    import graft.llm.TextExprs._
+    import org.apache.spark.sql.functions._
+    implicit val d: Dialect = SparkD
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    // model: per-bucket micro-unit log ratio over ALL bucket ids
+    // (unseen buckets get the 0/0 smoothed ratio), ln evaluated by
+    // Spark exactly as the batch operator evaluates it
+    val tok = static.select(col("doc_id"),
+      expr(tokens("text")).as("toks"))
+    val grams = graft.llm.Corpus.explodeNoInfer(tok,
+      expr(idxSeq1(s"${listSize("toks")} - 1")), "i",
+      col("doc_id"), col("toks"))
+      .select(col("doc_id"),
+        expr(s"(${hex8ToLong(s"${elem("toks", "i")} || ' ' || " +
+          s"${elem("toks", "i + 1")}")}) % $buckets").as("b"))
+    val hist = grams
+      .withColumn("tgt",
+        expr("CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END" +
+          " AS BIGINT)"))
+      .groupBy("b")
+      .agg(sum("tgt").as("ct"), sum(expr("1 - tgt")).as("cb"))
+    val tot = hist.agg(sum("ct").as("nt"), sum("cb").as("nb"))
+    val lrU =
+      s"""CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0e0) /
+         |  (CAST(nt AS DOUBLE) + $buckets.0e0)) -
+         |  ln((CAST(cb AS DOUBLE) + 1.0e0) /
+         |  (CAST(nb AS DOUBLE) + $buckets.0e0))) * 1.0e6 + 0.5e0)
+         |  AS BIGINT)""".stripMargin
+    val lrByBucket: Array[Long] = spark.range(buckets)
+      .withColumnRenamed("id", "b")
+      .join(hist, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(lrU).as("lr_u"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    docStream(spark, dir)
+      .where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), expr(tokens("text")).as("toks"))
+      .select(col("doc_id"),
+        expr(s"CAST(greatest(0, ${listSize("toks")} - 1) AS BIGINT)")
+          .as("n_grams"),
+        expr(listFoldSumLong(listTransformNamed(
+          idxSeq1(s"${listSize("toks")} - 1"), "i0",
+          i => s"element_at(${typedLitSql(lrByBucket)}, CAST((" +
+            s"${hex8ToLong(s"${elem("toks", i)} || ' ' || " +
+              s"${elem("toks", s"$i + 1")}")}) % $buckets AS INT) + 1)")))
+          .as("logratio_u"))
+      .where(col("n_grams") > 0)
+      .withColumn("selected", (col("logratio_u") > 0).cast("long"))
+  }
+
+  /** The bounded model array as a SQL array literal (model-sized, like
+    * the IVF centroid literals).
+    */
+  private def typedLitSql(a: Array[Long]): String =
+    a.mkString("array(", "L, ", "L)")
+
+  def dsirOnce(spark: SparkSession, dir: String): DataFrame =
+    StreamDrain.runOnce(dsirStream(spark, dir), "corpus_dsir_stream")
+
   def chunkOnce(spark: SparkSession, dir: String): DataFrame =
     StreamDrain.runOnce(chunkStream(spark, dir), "corpus_chunk_stream")
 
