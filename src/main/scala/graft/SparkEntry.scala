@@ -443,7 +443,8 @@ object SparkEntry {
         graft.sinks.MsContainer.subtableNames.map(n =>
           n -> s"$msFixtureDir/$n")
       val rows = tables.flatMap { case (name, d) =>
-        val (_, cols, _, _) = graft.sinks.MsContainer.replay(d, conf)
+        val (_, cols, _, _) =
+          graft.sinks.MsContainer.replay(d, conf, maxRows = 100000L)
         cols.zipWithIndex.map { case (c, i) =>
           (name, i.toLong, c.name, c.tp.toLong,
             if (c.shape.isEmpty) "" else c.shape.mkString("x"))

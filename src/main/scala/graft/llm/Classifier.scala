@@ -28,7 +28,8 @@ import TextExprs._
   * precisely how production quality filters are bootstrapped.
   *
   * 100 TB shape: ONE feature-extraction scan materialised
-  * ([[perceptronTrain]] caches the doc-sized feature frame); each of
+  * (`localCheckpoint` of the doc-sized feature frame, read by every
+  * training iteration and by the apply-side scoring); each of
   * the `iters` steps is a single map-side-combined aggregate (7 longs
   * per partition) with the weight vector as 6 longs of driver model
   * state — the same budget class as the k-means/IVF trainers.
@@ -68,14 +69,18 @@ object Classifier {
         expr(labelSql).as("y"): _*)
   }
 
-  /** Shared trainer core: the cached feature frame, the learned
-    * per-step trajectory (weights AFTER each update + misclassified
-    * count BEFORE it), and the final weight vector.
+  /** Shared trainer core: the feature frame materialised ONCE as
+    * executor blocks (`localCheckpoint` — the blocks are reclaimed by
+    * the context cleaner when the frame is unreachable, and every
+    * training iteration AND the apply-side scoring read them, so the
+    * corpus is feature-extracted exactly once), the learned per-step
+    * trajectory (weights AFTER each update + misclassified count
+    * BEFORE it), and the final weight vector.
     */
   private def core(docs: DataFrame, iters: Int)
       : (Seq[(Long, Array[Long], Long)], Array[Long], DataFrame) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val f = featFrame(docs).cache()
+    val f = featFrame(docs).localCheckpoint()
     val w = Array.fill(NumFeats)(0L)
     val out = Seq.newBuilder[(Long, Array[Long], Long)]
     for (step <- 1 to iters) {
@@ -103,8 +108,7 @@ object Classifier {
     */
   def perceptronTrain(docs: DataFrame, iters: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val (traj, _, cached) = core(docs, iters)
-    cached.unpersist(false)
+    val (traj, _, _) = core(docs, iters)
     import spark.implicits._
     traj.map { case (s, w, n) =>
       (s, w(0), w(1), w(2), w(3), w(4), w(5), n)
@@ -118,11 +122,10 @@ object Classifier {
     * (6 longs) folded into the projection as literals — zero shuffle.
     */
   def perceptronApply(docs: DataFrame, iters: Int = 4): DataFrame = {
-    val (_, w, cached) = core(docs, iters)
-    cached.unpersist(false)
+    val (_, w, feats) = core(docs, iters)
     val score = (0 until NumFeats)
       .map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
-    featFrame(docs)
+    feats
       .select(col("doc_id"), score.as("score"),
         when(score > 0, 1L).otherwise(-1L).as("pred"),
         col("y").as("label"))

@@ -911,8 +911,13 @@ object Corpus {
     */
   def bigramNll(docs: DataFrame): DataFrame = {
     implicit val d: Dialect = SparkD
+    // guard single-token docs BEFORE the index explode: Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0] (element_at(toks, 0)
+    // throws) where DuckDB's range(1, 1) is empty — the same engine
+    // split charsJoinedSql guards
     val tok = docs.select(col("doc_id"),
       expr(tokens("text")).as("toks"))
+      .where(expr(s"${listSize("toks")} >= 2"))
     val bg = explodeNoInfer(tok,
       expr(idxSeq1(s"${listSize("toks")} - 1")), "i",
       col("doc_id"), col("toks"))
@@ -964,7 +969,11 @@ object Corpus {
   def dsirScore(docs: DataFrame, buckets: Int = 256): DataFrame = {
     implicit val d: Dialect = SparkD
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    // single-token docs carry no bigram: filter BEFORE the index
+    // explode (Spark sequence(1, 0) = [1, 0] would crash element_at,
+    // DuckDB range(1, 1) is empty — same guard as bigramNll)
     val tok = docs.select(col("doc_id"), expr(tokens("text")).as("toks"))
+      .where(expr(s"${listSize("toks")} >= 2"))
     val grams = explodeNoInfer(tok,
       expr(idxSeq1(s"${listSize("toks")} - 1")), "i",
       col("doc_id"), col("toks"))

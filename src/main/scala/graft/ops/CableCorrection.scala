@@ -53,28 +53,38 @@ object CableCorrection {
       (4, 5, col("lx2") - col("ly1")),
       (6, 7, col("ly2") - col("ly1")))
 
-    // Autocorrelation skip via theta = 0 rather than a CASE per
-    // component: cos(0.0) = 1.0 and sin(0.0) = 0.0 exactly, so
-    // re·1 − im·0 = re bit-for-bit for every value the synth/VV
-    // pipeline produces (components are never −0.0 on auto rows —
-    // they come straight from the scan). The win is CODE SIZE, not
-    // arithmetic: eight CASE branches each duplicating a full trig
-    // rotation pushed the fused correction stage past the JIT-able
-    // method ceiling (hugeMethodLimit), deactivating whole-stage
-    // codegen for the entire stage — measured 2.27 s → 1.2 s on
-    // q_s2b at sf0.1 when the stage fits again. One guarded theta
-    // per pol (4 small CASEs, subexpression-eliminated trig) keeps
-    // the generated method under the limit.
+    // Two-stage projection, deliberately: stage 1 computes each
+    // polarisation's cos/sin ONCE as named columns; stage 2 does the
+    // rotations as small multiply-adds with a per-component CASE that
+    // passes autocorrelations through UNTOUCHED (the reference skips
+    // autos — corrections.rs:114-116 — and exact pass-through also
+    // keeps a NaN/Inf in one component from poisoning its partner
+    // via re − im·0). CollapseProject will NOT merge the stages (the
+    // trig aliases are non-cheap and referenced twice), which is the
+    // point: the single collapsed projection's eight CASE branches
+    // each duplicating a full trig rotation pushed the fused
+    // correction stage past the JIT-able method ceiling
+    // (hugeMethodLimit), deactivating whole-stage codegen for the
+    // entire stage — measured 2.27 s collapsed vs 1.0 s split on
+    // q_s2b at sf0.1. Split per-operator consume functions keep every
+    // generated method small and the stage inside whole-stage codegen.
     val auto = col("ant1") === col("ant2")
-    val rotated = pols.foldLeft(joined) { case (df, (ri, ii, dl)) =>
-      val th = when(auto, lit(0.0)).otherwise(theta(dl))
-      val (nre, nim) = rotate(col(s"v$ri"), col(s"v$ii"), th)
-      df.withColumn(s"n$ri", nre)
-        .withColumn(s"n$ii", nim)
+    val withTrig = pols.zipWithIndex.foldLeft(joined) {
+      case (df, ((_, _, dl), p)) =>
+        val th = theta(dl)
+        df.withColumn(s"tc$p", cos(th)).withColumn(s"ts$p", sin(th))
+    }
+    val rotated = pols.zipWithIndex.foldLeft(withTrig) {
+      case (df, ((ri, ii, _), p)) =>
+        df.withColumn(s"n$ri", when(auto, col(s"v$ri")).otherwise(
+            col(s"v$ri") * col(s"tc$p") - col(s"v$ii") * col(s"ts$p")))
+          .withColumn(s"n$ii", when(auto, col(s"v$ii")).otherwise(
+            col(s"v$ri") * col(s"ts$p") + col(s"v$ii") * col(s"tc$p")))
     }
     val replaced = (0 until 8).foldLeft(rotated) { (df, k) =>
       df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
     }
     replaced.drop("lx1", "ly1", "lx2", "ly2")
+      .drop((0 until 4).flatMap(p => Seq(s"tc$p", s"ts$p")): _*)
   }
 }

@@ -205,8 +205,15 @@ object LuaStrategy {
     // positionally; a downsample never consumed by a following
     // low_pass+upsample (or an upsample with mismatched factors) is
     // reported, not silently dropped.
+    // pendingScale: an open downsample bracket (fx, fy, its snippet);
+    // pendingLp: a low-pass seen INSIDE that bracket, held back until
+    // the bracket closes with a matching upsample — applying it
+    // eagerly and then reporting the bracket unmapped would both bake
+    // in the decimation factors AND claim they were dropped
     var pendingScale: Option[(Double, Double, String)] = None
-    var pendingUsed = false
+    var pendingLp
+        : Option[(Double, Double, Option[Double], Option[Double], String)] =
+      None
     def hpf(kx: Double, ky: Double, sx: Option[Double],
             sy: Option[Double], fx: Double, fy: Double): Unit =
       s = s.copy(bgKind = "gaussian",
@@ -214,6 +221,14 @@ object LuaStrategy {
         bgWindowChan = ((ky * fy).toInt / 2).max(1),
         bgSigmaTime = sx.map(_ * fx).getOrElse(0.0),
         bgSigmaChan = sy.map(_ * fy).getOrElse(0.0))
+    def spillBracket(): Unit = {
+      // an unclosed/mismatched bracket is reported WHOLE: the
+      // downsample AND the low-pass it swallowed
+      pendingScale.foreach(p => unmapped += p._3)
+      pendingLp.foreach(lp => unmapped += lp._5)
+      pendingScale = None
+      pendingLp = None
+    }
     sites.foreach {
       case Site(Some("Polarization"), _, _) => ()
       case Site(Some(fn), args, snippet) => fn match {
@@ -249,39 +264,45 @@ object LuaStrategy {
           // follow the low-pass with `original - smoothed`, which is
           // exactly the residual the engine's background-subtract
           // detect loop computes; inside a downsample/upsample
-          // bracket the kernel and sigmas scale to full resolution
+          // bracket the call is HELD until the bracket closes (the
+          // kernel and sigmas then scale to full resolution)
           (resolve(args(1)), resolve(args(2))) match {
             case (Some(kx), Some(ky)) =>
-              val (fx, fy) = pendingScale
-                .map(p => (p._1, p._2)).getOrElse((1.0, 1.0))
-              if (pendingScale.isDefined) pendingUsed = true
-              hpf(kx, ky, args.lift(3).flatMap(resolve),
-                args.lift(4).flatMap(resolve), fx, fy)
+              val sx = args.lift(3).flatMap(resolve)
+              val sy = args.lift(4).flatMap(resolve)
+              if (pendingScale.isDefined)
+                pendingLp = Some((kx, ky, sx, sy, snippet))
+              else hpf(kx, ky, sx, sy, 1.0, 1.0)
             case _ => unmapped += snippet
           }
         case "downsample" if args.length >= 3 =>
           (resolve(args(1)), resolve(args(2))) match {
             case (Some(fx), Some(fy)) =>
-              pendingScale.foreach { p =>
-                unmapped += p._3 // earlier bracket never closed
-              }
+              spillBracket() // an earlier bracket never closed
               pendingScale = Some((fx, fy, snippet))
-              pendingUsed = false
             case _ => unmapped += snippet
           }
         case "upsample" if args.length >= 4 =>
-          (resolve(args(2)), resolve(args(3)), pendingScale) match {
-            case (Some(fx), Some(fy), Some((px, py, _)))
-                if pendingUsed && fx == px && fy == py =>
-              pendingScale = None // bracket closed: recognized
-            case _ => unmapped += snippet
+          (resolve(args(2)), resolve(args(3)),
+            pendingScale, pendingLp) match {
+            case (Some(fx), Some(fy), Some((px, py, _)),
+                Some((kx, ky, sx, sy, _)))
+                if fx == px && fy == py =>
+              // bracket closed with matching factors: the held
+              // low-pass applies at full resolution
+              hpf(kx, ky, sx, sy, fx, fy)
+              pendingScale = None
+              pendingLp = None
+            case _ =>
+              spillBracket()
+              unmapped += snippet
           }
         case f if Scaffolding.contains(f) => ()
         case _ => unmapped += snippet
       }
       case Site(None, _, snippet) => unmapped += snippet
     }
-    pendingScale.foreach(p => unmapped += p._3)
+    spillBracket() // anything still open at EOF is reported whole
     Translation(s, unmapped.toSeq.distinct)
   }
 

@@ -595,13 +595,21 @@ object MsContainer {
     * (nRows, columns in descriptor order, dat objects, f0 objects).
     */
   def replay(dir: String,
-             conf: org.apache.hadoop.conf.Configuration)
+             conf: org.apache.hadoop.conf.Configuration,
+             maxRows: Long = Long.MaxValue)
       : (Long, Seq[CasaCol], Seq[CasaTables.ReplayObj],
          Seq[CasaTables.ReplayObj]) = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val (nRows, cols, _, datObjs) =
       CasaTables.replayTableDat(slurp(fs, new Path(d, "table.dat")))
+    // the descriptor replay above reads KBs; the data-file replay
+    // below slurps table.f0 whole — callers that are fixture-scale
+    // gates pass a bound so accidental large-sf use fails loudly
+    // instead of loading a production MAIN into driver memory
+    require(nRows <= maxRows,
+      s"replay($dir): $nRows rows exceeds the caller's bound $maxRows" +
+        " — the f0 replay is driver-side by design")
     val f0Objs = CasaTables.replayF0(
       slurp(fs, new Path(d, "table.f0")), nRows, cols)
     (nRows, cols, datObjs, f0Objs)

@@ -121,6 +121,7 @@ object CorpusStream {
     // Spark exactly as the batch operator evaluates it
     val tok = static.select(col("doc_id"),
       expr(tokens("text")).as("toks"))
+      .where(expr(s"${listSize("toks")} >= 2")) // sequence(1,0) guard
     val grams = graft.llm.Corpus.explodeNoInfer(tok,
       expr(idxSeq1(s"${listSize("toks")} - 1")), "i",
       col("doc_id"), col("toks"))
@@ -150,8 +151,12 @@ object CorpusStream {
     docStream(spark, dir)
       .where(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), expr(tokens("text")).as("toks"))
+      // the single-token guard sits BELOW the scoring projection (a
+      // filter is never reordered above a project it feeds), so the
+      // index fold can never see Spark's descending sequence(1, 0)
+      .where(expr(s"${listSize("toks")} >= 2"))
       .select(col("doc_id"),
-        expr(s"CAST(greatest(0, ${listSize("toks")} - 1) AS BIGINT)")
+        expr(s"CAST(${listSize("toks")} - 1 AS BIGINT)")
           .as("n_grams"),
         expr(listFoldSumLong(listTransformNamed(
           idxSeq1(s"${listSize("toks")} - 1"), "i0",
@@ -159,7 +164,6 @@ object CorpusStream {
             s"${hex8ToLong(s"${elem("toks", i)} || ' ' || " +
               s"${elem("toks", s"$i + 1")}")}) % $buckets AS INT) + 1)")))
           .as("logratio_u"))
-      .where(col("n_grams") > 0)
       .withColumn("selected", (col("logratio_u") > 0).cast("long"))
   }
 

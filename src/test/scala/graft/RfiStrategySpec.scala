@@ -264,7 +264,11 @@ class RfiStrategySpec extends AnyFunSuite {
         |  aoflagger.upsample(r, data, 2, 2)
         |end""".stripMargin)
     assert(tr2.unmapped.exists(_.contains("upsample")))
-    // mismatched factors do not close the bracket
+    // mismatched factors do not close the bracket: the WHOLE bracket
+    // (downsample, the low-pass it swallowed, the upsample) is
+    // reported, and the held low-pass is NOT applied — reporting the
+    // bracket dropped while silently baking in its scaled kernel
+    // would contradict the honesty contract
     val tr3 = LuaStrategy.translate(
       """function execute(input)
         |  local r = aoflagger.downsample(data, 3, 3, true)
@@ -272,5 +276,17 @@ class RfiStrategySpec extends AnyFunSuite {
         |  aoflagger.upsample(r, data, 2, 2)
         |end""".stripMargin)
     assert(tr3.unmapped.exists(_.contains("upsample")))
+    assert(tr3.unmapped.exists(_.contains("downsample")))
+    assert(tr3.unmapped.exists(_.contains("low_pass_filter")))
+    assert(tr3.strategy.bgKind == "median",
+      s"held low-pass must not apply; got ${tr3.strategy}")
+    // a downsample with no low-pass before its upsample reports both
+    val tr4 = LuaStrategy.translate(
+      """function execute(input)
+        |  local r = aoflagger.downsample(data, 3, 3, true)
+        |  aoflagger.upsample(r, data, 3, 3)
+        |end""".stripMargin)
+    assert(tr4.unmapped.exists(_.contains("downsample")) &&
+      tr4.unmapped.exists(_.contains("upsample")))
   }
 }
