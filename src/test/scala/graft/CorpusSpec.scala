@@ -389,6 +389,20 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramNll and dsirScore: single-token documents are excluded, " +
+    "not crashed on (Spark's sequence(1,0) is descending)") {
+    val docs = docsOf(
+      (0L, "en", "alpha beta alpha beta gamma"), // target split
+      (1L, "en", "solo"),
+      (2L, "en", "alpha beta gamma"))
+    val nll = Corpus.bigramNll(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(nll == Set(0L, 2L)) // doc 1 carries no bigram
+    val dsir = Corpus.dsirScore(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(dsir == Set(2L)) // doc 0 is the target, doc 1 gram-free
+  }
+
   test("seqPack: conservation, full interior sequences, contiguity") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
