@@ -958,13 +958,16 @@ object Corpus {
     * order-free-integer pattern as [[bigramNll]]), so distribution
     * cannot reorder a floating sum.
     *
-    * 100 TB shape: the gram explode is row-local and pre-aggregates
-    * to (doc_id, bucket) map-side (hot buckets enter the join once
-    * per document); the bucket histograms are ONE map-side-combined
-    * aggregate over the same stream; the model the documents join
-    * against is `buckets`-bounded — a broadcast by construction
-    * (DSIR's entire point: the importance model is a fixed-size hash
-    * sketch, not corpus-scale state). Totals ride a 1-row broadcast.
+    * 100 TB shape: the gram explode is row-local; the bucket
+    * histograms are ONE map-side-combined aggregate over it; the
+    * model the documents join against is `buckets`-bounded — a
+    * broadcast by construction (DSIR's entire point: the importance
+    * model is a fixed-size hash sketch, not corpus-scale state), so
+    * per-gram rows ride the broadcast join row-locally and the ONLY
+    * corpus-scale shuffle is the final map-side-combined per-document
+    * sum (a (doc, bucket) pre-aggregate would ADD a shuffle while
+    * saving nothing — there is no skew to protect a broadcast join
+    * from). Totals ride a 1-row broadcast.
     */
   def dsirScore(docs: DataFrame, buckets: Int = 256): DataFrame = {
     implicit val d: Dialect = SparkD
@@ -980,14 +983,16 @@ object Corpus {
       .select(col("doc_id"),
         expr(s"(${hex8ToLong(s"${elem("toks", "i")} || ' ' || " +
           s"${elem("toks", "i + 1")}")}) % $buckets").as("b"))
-    val docB = grams.groupBy("doc_id", "b")
-      .agg(count(lit(1)).as("n_occ"))
+    // the histogram feeds BOTH the broadcast model and the totals:
+    // localCheckpoint materialises its `buckets`-bounded rows once so
+    // the corpus-scale gram aggregate beneath it runs once, not twice
     val hist = grams
       .withColumn("tgt",
         expr("CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END" +
           " AS BIGINT)"))
       .groupBy("b")
       .agg(sum("tgt").as("ct"), sum(expr("1 - tgt")).as("cb"))
+      .localCheckpoint()
     val tot = hist.agg(sum("ct").as("nt"), sum("cb").as("nb"))
     val lrU =
       s"""CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0e0) /
@@ -995,13 +1000,13 @@ object Corpus {
          |  ln((CAST(cb AS DOUBLE) + 1.0e0) /
          |  (CAST(nb AS DOUBLE) + $buckets.0e0))) * 1.0e6 + 0.5e0)
          |  AS BIGINT)""".stripMargin
-    docB.where(col("doc_id") % 97 =!= 0)
+    grams.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(hist), Seq("b"))
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("n_occ"), expr(lrU).as("lr_u"))
+      .select(col("doc_id"), expr(lrU).as("lr_u"))
       .groupBy("doc_id")
-      .agg(sum("n_occ").as("n_grams"),
-        sum(col("n_occ") * col("lr_u")).as("logratio_u"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("lr_u")).as("logratio_u"))
       .withColumn("selected",
         (col("logratio_u") > 0).cast("long"))
   }
