@@ -900,14 +900,18 @@ object Corpus {
     * ≤ 1) BEFORE summation, so the per-document sum is an order-free
     * integer — no floating accumulation order to pin.
     *
-    * 100 TB shape: the bigram stream is exploded once (row-local);
-    * c(w1), c(w1,w2) and V are map-side-combined hash aggregates over
-    * it; the scoring join's probe side is pre-aggregated to
-    * (doc_id, w1, w2, n_occ) — repeated bigrams inside a document
-    * collapse map-side, so "of the"-class hot bigrams enter the join
-    * once per document, never once per occurrence, and AQE skew-split
-    * handles the residual spread. V is a 1-row broadcast. Nothing is
-    * quadratic; no windows.
+    * 100 TB shape: ONE corpus-scale pass — the gram explode feeds a
+    * single (doc_id, w1, w2) map-side-combined aggregate, and c(w1),
+    * c(w1,w2) and V all derive from it through bigram-vocabulary-
+    * bounded (zipf) re-aggregations, so the tokenizing scan runs once
+    * where four independent aggregates would re-run it four times
+    * (costs ~0.2 s of extra stage latency at fixture scale — the
+    * chained aggregates serialize — which scan dominance repays many
+    * times over at corpus scale). Repeated bigrams inside a document
+    * collapse map-side, so "of the"-class hot bigrams enter the
+    * scoring join once per document, never once per occurrence, and
+    * AQE skew-split handles the residual spread. V is a 1-row
+    * broadcast. Nothing is quadratic; no windows.
     */
   def bigramNll(docs: DataFrame): DataFrame = {
     implicit val d: Dialect = SparkD
@@ -924,11 +928,17 @@ object Corpus {
       .select(col("doc_id"),
         expr(elem("toks", "i")).as("w1"),
         expr(elem("toks", "i + 1")).as("w2"))
+    // ONE corpus-scale aggregate: c12, c1 and V all derive from the
+    // (doc, w1, w2) pre-aggregate (c12 = Σ_doc n_occ, c1 = Σ_w2 c12,
+    // V = distinct w2 of the pair table — identical values), so the
+    // gram explode feeds a single shuffle whose exchange Spark's
+    // ReuseExchange dedups between the scoring probe and the model
+    // chain, instead of four independent corpus-scale aggregates
     val docBg = bg.groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("n_occ"))
-    val hist = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    val pair = docBg.groupBy("w1", "w2").agg(sum("n_occ").as("c12"))
+    val hist = pair.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = pair.agg(countDistinct(col("w2")).as("v"))
     docBg.join(pair, Seq("w1", "w2")).join(hist, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("n_occ"),
