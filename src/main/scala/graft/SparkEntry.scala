@@ -650,6 +650,12 @@ object SparkEntry {
     "q_doc_pipeline" -> ((s, dir) =>
       graft.llm.DocPipeline(docs(s, dir))),
 
+    // composed curation-to-packing pipeline: four screens (gopher ∧
+    // dedup ∧ decontamination ∧ DSIR) then sequence packing of the
+    // survivors — full-hash gated against the same composition in SQL
+    "q_curation_pipeline" -> ((s, dir) =>
+      graft.llm.DocPipeline.curation(docs(s, dir))),
+
     // -- LLM-data pipeline: multimodal --------------------------------
     "q_m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(docs(s, dir))),
@@ -908,6 +914,7 @@ object SparkEntry {
     "q_d5_embedding_neardup" -> LlmOracles.d5EmbeddingNearDup,
     "q_d6_dup_clusters" -> LlmOracles.d6DupClusters,
     "q_doc_pipeline" -> LlmOracles.docPipeline,
+    "q_curation_pipeline" -> LlmOracles.curationPipeline,
     "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,

@@ -137,12 +137,21 @@ object Corpus {
   /** The DuckDB twin of [[seqPack]] (same window frame, offsets and
     * floor-div arithmetic in the other dialect).
     */
-  def seqPackSql(budget: Int = 512): String = {
+  def seqPackSql(budget: Int = 512): String =
+    "WITH " + seqPackCtes(budget) + "\n" + seqPackSelect(budget)
+
+  /** The packing CTE chain with a parameterisable source relation —
+    * so composed oracles ([[graft.oracle.LlmOracles.curationPipeline]])
+    * can pack a filtered survivor set with the SAME arithmetic the
+    * standalone q_t15 gate pins.
+    */
+  def seqPackCtes(budget: Int = 512,
+                  from: String = "documents"): String = {
     implicit val d: Dialect = DuckD
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, source,
        |         CAST(${listSize(tokens("text"))} AS BIGINT) AS n_tok
-       |  FROM documents),
+       |  FROM $from),
        |cums AS (
        |  SELECT source, n_tok,
        |         CAST(SUM(n_tok) OVER (PARTITION BY source
@@ -159,8 +168,12 @@ object Corpus {
        |ex AS (
        |  SELECT source, start, cum, seq_lo,
        |         unnest(range(seq_lo, seq_hi + 1)) AS seq_id
-       |  FROM spans)
-       |SELECT source, seq_id,
+       |  FROM spans)""".stripMargin
+  }
+
+  /** The final packing SELECT over the [[seqPackCtes]] chain. */
+  def seqPackSelect(budget: Int = 512): String =
+    s"""SELECT source, seq_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(SUM(CASE WHEN seq_id = seq_lo THEN 1 ELSE 0 END)
        |            AS BIGINT) AS n_starts,
@@ -168,7 +181,6 @@ object Corpus {
        |            - greatest(start, seq_id * $budget)) AS BIGINT)
        |         AS n_tokens
        |FROM ex GROUP BY source, seq_id""".stripMargin
-  }
 
   /** Benchmark-contamination screen: the probe set (here every doc_id
     * divisible by 97 — standing in for a held-out eval suite) is

@@ -51,4 +51,43 @@ object DocPipeline {
       .where(col("quality_score") >= minQuality &&
         col("pred_lang").isin(langs: _*))
   }
+
+  /** Curation-to-packing composition — the end-to-end "raw corpus in,
+    * training sequences out" flow of a modern data stack, chaining
+    * FOUR of the oracle-gated screens with the packer:
+    *
+    *   Gopher quality rules ∧ exact-dedup keep-first ∧
+    *   benchmark-decontamination ∧ DSIR importance selection
+    *   → concat-and-chunk sequence packing of the survivors
+    *
+    * Every screen runs against the RAW corpus (its models — the probe
+    * shingle set, the DSIR bucket histograms, the dedup canonical
+    * map — are corpus-level state, exactly how production pipelines
+    * compute them), and a document must pass all four. The benchmark
+    * split (doc_id % 97 == 0) is excluded by construction: it is eval
+    * data, never packed into training sequences.
+    *
+    * Shape: one cached corpus scan feeds all four screens; each
+    * survivor filter is a left-semi broadcast/shuffle join on doc_id;
+    * the packer adds its single source-partitioned window. Nothing
+    * quadratic, no driver state beyond the screens' own bounded
+    * models.
+    */
+  def curation(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val d = docs.cache()
+    val good = TextAnalysis.gopherFilter(d)
+      .where(col("pass") === 1).select("doc_id")
+    val keep = Dedup.exact(d)
+      .select(col("keep_doc_id").as("doc_id"))
+    val clean = Corpus.contamination(d)
+      .where(!col("contaminated")).select("doc_id")
+    val sel = Corpus.dsirScore(d)
+      .where(col("selected") === 1).select("doc_id")
+    val surv = d
+      .join(good, Seq("doc_id"), "left_semi")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(sel, Seq("doc_id"), "left_semi")
+    Corpus.seqPack(surv, budget)
+  }
 }

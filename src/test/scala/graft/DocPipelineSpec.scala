@@ -24,6 +24,39 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet.contains("n_subword_est"))
   }
 
+  test("curation: packed tokens equal the tokens of exactly the docs " +
+    "that pass ALL four screens") {
+    import graft.llm.{Corpus, Dedup}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = DocPipeline.curation(docs).cache()
+    assert(out.count() > 0)
+    // independently recompute the survivor set and its token total
+    val good = TextAnalysis.gopherFilter(docs)
+      .where(col("pass") === 1).select("doc_id")
+    val keep = Dedup.exact(docs)
+      .select(col("keep_doc_id").as("doc_id"))
+    val clean = Corpus.contamination(docs)
+      .where(!col("contaminated")).select("doc_id")
+    val sel = Corpus.dsirScore(docs)
+      .where(col("selected") === 1).select("doc_id")
+    val surv = docs
+      .join(good, Seq("doc_id"), "left_semi")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(sel, Seq("doc_id"), "left_semi")
+    val survTok = surv
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .agg(sum("n")).head().getLong(0)
+    // token conservation: the packer emits exactly the survivors'
+    // tokens, and every survivor starts in exactly one sequence
+    assert(out.agg(sum("n_tokens")).head().getLong(0) == survTok)
+    assert(out.agg(sum("n_starts")).head().getLong(0) == surv.count())
+    // the benchmark split is never packed (no survivor has
+    // doc_id % 97 == 0 — it is eval data)
+    assert(surv.where(col("doc_id") % 97 === 0).count() == 0)
+  }
+
   test("fast fingerprint: deterministic, discriminating, shingle-stable") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
