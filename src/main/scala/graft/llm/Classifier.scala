@@ -121,6 +121,31 @@ object Classifier {
     * the agreement bit. The weights are bounded driver model state
     * (6 longs) folded into the projection as literals — zero shuffle.
     */
+  /** The trained weight vector alone — bounded model state (6 longs)
+    * for shipping to an ingest-time scorer (see
+    * [[graft.streaming.CorpusStream.classifyStream]]).
+    */
+  def perceptronWeights(docs: DataFrame, iters: Int = 4): Array[Long] = {
+    val (_, w, _) = core(docs, iters)
+    w
+  }
+
+  /** Row-local scoring of ANY frame (batch or streaming) with given
+    * weights: the integer dot product over the feature projection —
+    * zero shuffle, no state.
+    */
+  def scoreWith(docs: DataFrame, w: Array[Long]): DataFrame = {
+    require(w.length == NumFeats, s"need $NumFeats weights, got ${w.length}")
+    val score = (0 until NumFeats)
+      .map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+    featFrame(docs)
+      .select(col("doc_id"), score.as("score"),
+        when(score > 0, 1L).otherwise(-1L).as("pred"),
+        col("y").as("label"))
+      .withColumn("agree",
+        (col("pred") === col("label")).cast("long"))
+  }
+
   def perceptronApply(docs: DataFrame, iters: Int = 4): DataFrame = {
     val (_, w, feats) = core(docs, iters)
     val score = (0 until NumFeats)

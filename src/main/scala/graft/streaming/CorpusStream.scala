@@ -177,6 +177,24 @@ object CorpusStream {
   def dsirOnce(spark: SparkSession, dir: String): DataFrame =
     StreamDrain.runOnce(dsirStream(spark, dir), "corpus_dsir_stream")
 
+  /** Streaming quality classifier: the perceptron weights trained
+    * OFFLINE on the static corpus (6 longs of model state) applied to
+    * arriving documents as a row-local integer dot product — the
+    * ingest-time model-based filter that follows the rule-based
+    * Gopher front door. No state store, no watermark; scores equal
+    * batch [[graft.llm.Classifier.perceptronApply]] exactly.
+    */
+  def classifyStream(spark: SparkSession, dir: String,
+                     iters: Int = 4): DataFrame = {
+    val w = graft.llm.Classifier.perceptronWeights(
+      spark.read.parquet(s"$dir/documents.parquet"), iters)
+    graft.llm.Classifier.scoreWith(docStream(spark, dir), w)
+  }
+
+  def classifyOnce(spark: SparkSession, dir: String): DataFrame =
+    StreamDrain.runOnce(classifyStream(spark, dir),
+      "corpus_classify_stream")
+
   def chunkOnce(spark: SparkSession, dir: String): DataFrame =
     StreamDrain.runOnce(chunkStream(spark, dir), "corpus_chunk_stream")
 

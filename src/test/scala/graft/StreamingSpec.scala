@@ -129,6 +129,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b, s"streaming ${s.size} docs vs batch ${b.size}")
   }
 
+  test("streaming quality classifier (offline weights) equals batch " +
+    "perceptronApply exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.CorpusStream.classifyOnce(spark, dir)
+    val batch = graft.llm.Classifier.perceptronApply(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"streaming ${s.size} docs vs batch ${b.size}")
+  }
+
   test("streaming tokenizer (row-local merge fold) equals batch " +
     "bpeApply exactly") {
     val dir = "/root/testdata/sf0.001"
