@@ -380,8 +380,11 @@ object Corpus {
         " i -> substring(tok, i, 2))"), "pair")
     pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
+      // rank over the already-limited topK rows: constant partition
+      // key = explicit bounded single-partition window (no WARN)
       .withColumn("rk", row_number()
-        .over(Window.orderBy(col("cnt").desc, col("pair").asc))
+        .over(Window.partitionBy(lit(0))
+          .orderBy(col("cnt").desc, col("pair").asc))
         .cast("long"))
   }
 

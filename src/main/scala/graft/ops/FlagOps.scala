@@ -77,7 +77,10 @@ object FlagOps {
     */
   def picketRanges(providedCoarse: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("cc")
+    // bounded input (the provided-coarse dim, ≤ 24 rows): the
+    // constant partition key makes the single-partition execution
+    // explicit instead of tripping the global-window WARN per batch
+    val w = Window.partitionBy(lit(0)).orderBy("cc")
     providedCoarse
       .withColumn("grp", col("cc") - row_number().over(w))
       .groupBy("grp")
@@ -96,7 +99,8 @@ object FlagOps {
       .agg(min(col("flag").cast("int")).as("all_flagged"))
       .where(col("all_flagged") === 0)
       .select("t")
-    val w = Window.orderBy("t")
+    // bounded input (distinct timesteps — dimension-sized)
+    val w = Window.partitionBy(lit(0)).orderBy("t")
     unflaggedTs
       .withColumn("grp", col("t") - row_number().over(w))
       .groupBy("grp")

@@ -79,7 +79,8 @@ object Relational {
     // through one partition; the rank window then runs over k rows only
     val top = agg.orderBy(col("revenue_c").desc, col("o_orderkey").asc)
       .limit(k)
-    val w = Window.orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+    val w = Window.partitionBy(lit(0)) // over the k limited rows only
+      .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("o_orderkey"), col("rk"),
         (col("revenue_c").cast("double") / 10000.0).as("revenue"))
