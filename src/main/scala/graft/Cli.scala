@@ -647,9 +647,11 @@ object Cli {
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
           .config("spark.sql.shuffle.partitions", cpus)
-      // fused correction pipelines can exceed HotSpot's 8000-byte JIT
-      // ceiling in one whole-stage method; falling such stages back to
-      // per-operator codegen keeps them JIT-compiled (3x on q_s2b)
+      // safety net: a fused stage whose single whole-stage method would
+      // exceed HotSpot's 8000-byte JIT ceiling falls back to per-operator
+      // codegen (still JIT-compiled) instead of running one giant
+      // un-JIT-able method (~7x). The correction chains themselves now
+      // stay under the ceiling (CableCorrection's two-stage projection).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
           .config("spark.ui.enabled", "false")
           .appName("graft")
