@@ -992,7 +992,12 @@ object Corpus {
     * corpus-scale shuffle is the final map-side-combined per-document
     * sum (a (doc, bucket) pre-aggregate would ADD a shuffle while
     * saving nothing — there is no skew to protect a broadcast join
-    * from). Totals ride a 1-row broadcast.
+    * from). Totals ride a 1-row broadcast. The row-local gram
+    * explode+hash runs twice — once building the model, once scoring
+    * — which is inherent to the model-then-score phase structure; a
+    * pipeline scoring MANY corpora against one model pays the model
+    * pass once (see the streaming twin, which ships the model as a
+    * per-bucket array and scores with zero additional passes).
     */
   def dsirScore(docs: DataFrame, buckets: Int = 256): DataFrame = {
     implicit val d: Dialect = SparkD
