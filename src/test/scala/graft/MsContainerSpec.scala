@@ -124,6 +124,33 @@ class MsContainerSpec extends AnyFunSuite {
       CasaTables.replayTableDat(trailing)
     }
     assert(e2.getMessage.contains("trailing"))
+    // a SAME-LENGTH value mutation (framing fully intact, only the
+    // replay's in-place value asserts can catch it): swap a column's
+    // option flag from scalar (0) to array (5) — the class/option/
+    // ndim agreement must refuse
+    def ascii(s: String) = s.getBytes("ASCII")
+    val tIdx = {
+      // locate the first ScalarColumnDesc, then its option int: after
+      // name/comment/manType/manGroup strings + valueType int
+      val needle = ascii("ScalarColumnDesc<Double>")
+      val at = bytes.indexOfSlice(needle)
+      assert(at > 0)
+      var p = at + needle.length + 4 // + version uInt
+      def skipStr(): Unit = {
+        p += 4 + java.nio.ByteBuffer.wrap(bytes, p, 4).getInt
+      }
+      skipStr(); skipStr(); skipStr(); skipStr() // name/comment/mt/mg
+      p += 4 // valueType
+      p // option offset
+    }
+    val swapped = bytes.clone()
+    java.nio.ByteBuffer.wrap(swapped).putInt(tIdx, 5)
+    CasaTables.readTableDat(swapped) // skip-based decoder: silent pass
+    val e3 = intercept[IllegalArgumentException] {
+      CasaTables.replayTableDat(swapped)
+    }
+    assert(e3.getMessage.contains("option") ||
+      e3.getMessage.contains("consumed"), e3.getMessage)
     ()
   }
 
