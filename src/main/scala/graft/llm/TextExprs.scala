@@ -95,20 +95,28 @@ object TextExprs {
         " (acc, x) -> acc + x)"
   }
 
-  /** First 8 hex digits of md5 as a BIGINT in [0, 2^32) — identical text
-    * in both dialects (instr/substr/md5 shared).
-    */
-  def hex8ToLong(e: String): String = hex8FromMd5(s"md5($e)")
+  /** First 8 hex digits of md5 as a BIGINT in [0, 2^32). */
+  def hex8ToLong(e: String)(implicit d: Dialect): String =
+    hex8FromMd5(s"md5($e)")
 
-  /** Same conversion given an ALREADY-COMPUTED md5 hex string expression
-    * — use via a two-stage transform so md5 runs once per element, not
-    * once per extracted hex digit.
+  /** Same conversion given an ALREADY-COMPUTED md5 hex string
+    * expression — use via a two-stage transform so md5 runs once per
+    * element, not once per extracted hex digit. VALUE-identical in
+    * both dialects, but the rendering differs: Spark has `conv`
+    * (one hex-string parse — measurably cheaper than eight
+    * instr/substr digit extractions in the hash-heavy dedup
+    * operators), DuckDB does not, so the oracle keeps the positional
+    * digit sum.
     */
-  def hex8FromMd5(m: String): String =
-    (0 until 8).map { i =>
-      s"(CAST(instr('0123456789abcdef', substr($m, ${i + 1}, 1)) - 1" +
-        s" AS BIGINT) * ${1L << (4 * (7 - i))})"
-    }.mkString("(", " + ", ")")
+  def hex8FromMd5(m: String)(implicit d: Dialect): String = d match {
+    case SparkD =>
+      s"CAST(conv(substr($m, 1, 8), 16, 10) AS BIGINT)"
+    case DuckD =>
+      (0 until 8).map { i =>
+        s"(CAST(instr('0123456789abcdef', substr($m, ${i + 1}, 1)) - 1" +
+          s" AS BIGINT) * ${1L << (4 * (7 - i))})"
+      }.mkString("(", " + ", ")")
+  }
 
   /** Hash every element of a string list: md5 once per element, then the
     * hex8 extraction.
@@ -131,7 +139,7 @@ object TextExprs {
   /** Universal-hash family over the md5-derived integer:
     * h_j(s) = (a_j * H(s) + b_j) mod 2147483647.
     */
-  def tokenHash(e: String, j: Int): String =
+  def tokenHash(e: String, j: Int)(implicit d: Dialect): String =
     permute(hex8ToLong(e), j)
 
   /** Adjacent word 2-grams joined by a space; documents with fewer than
