@@ -914,7 +914,7 @@ object SparkEntry {
     "q_d5_embedding_neardup" -> LlmOracles.d5EmbeddingNearDup,
     "q_d6_dup_clusters" -> LlmOracles.d6DupClusters,
     "q_doc_pipeline" -> LlmOracles.docPipeline,
-    "q_curation_pipeline" -> LlmOracles.curationPipeline,
+    "q_curation_pipeline" -> LlmOracles.curationPipeline(),
     "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,

@@ -115,12 +115,6 @@ object Classifier {
     }.toDF("step", "w0", "w1", "w2", "w3", "w4", "w5", "n_mis")
   }
 
-  /** Row-local APPLICATION of the trained classifier: integer score
-    * w·x, the sign prediction (0 counted as fail, matching the
-    * training margin convention), the Gopher label it imitates, and
-    * the agreement bit. The weights are bounded driver model state
-    * (6 longs) folded into the projection as literals — zero shuffle.
-    */
   /** The trained weight vector alone — bounded model state (6 longs)
     * for shipping to an ingest-time scorer (see
     * [[graft.streaming.CorpusStream.classifyStream]]).
@@ -130,24 +124,15 @@ object Classifier {
     w
   }
 
-  /** Row-local scoring of ANY frame (batch or streaming) with given
-    * weights: the integer dot product over the feature projection —
-    * zero shuffle, no state.
+  /** The ONE scoring projection both apply paths share: integer score
+    * w·x over a prepared feature frame, the sign prediction (0 counted
+    * as fail, matching the training margin convention), the Gopher
+    * label it imitates, and the agreement bit. The weights are bounded
+    * driver model state folded in as literals — zero shuffle.
     */
-  def scoreWith(docs: DataFrame, w: Array[Long]): DataFrame = {
-    require(w.length == NumFeats, s"need $NumFeats weights, got ${w.length}")
-    val score = (0 until NumFeats)
-      .map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
-    featFrame(docs)
-      .select(col("doc_id"), score.as("score"),
-        when(score > 0, 1L).otherwise(-1L).as("pred"),
-        col("y").as("label"))
-      .withColumn("agree",
-        (col("pred") === col("label")).cast("long"))
-  }
-
-  def perceptronApply(docs: DataFrame, iters: Int = 4): DataFrame = {
-    val (_, w, feats) = core(docs, iters)
+  private def scoreFrame(feats: DataFrame, w: Array[Long]): DataFrame = {
+    require(w.length == NumFeats,
+      s"need $NumFeats weights, got ${w.length}")
     val score = (0 until NumFeats)
       .map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
     feats
@@ -156,5 +141,20 @@ object Classifier {
         col("y").as("label"))
       .withColumn("agree",
         (col("pred") === col("label")).cast("long"))
+  }
+
+  /** Row-local scoring of ANY frame (batch or streaming) with given
+    * weights — feature extraction + [[scoreFrame]], no state.
+    */
+  def scoreWith(docs: DataFrame, w: Array[Long]): DataFrame =
+    scoreFrame(featFrame(docs), w)
+
+  /** Row-local APPLICATION of the trained classifier over the SAME
+    * (checkpoint-materialised) feature frame the trainer read — the
+    * corpus is feature-extracted exactly once across train + apply.
+    */
+  def perceptronApply(docs: DataFrame, iters: Int = 4): DataFrame = {
+    val (_, w, feats) = core(docs, iters)
+    scoreFrame(feats, w)
   }
 }

@@ -1022,7 +1022,7 @@ object Corpus {
           " AS BIGINT)"))
       .groupBy("b")
       .agg(sum("tgt").as("ct"), sum(expr("1 - tgt")).as("cb"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tot = hist.agg(sum("ct").as("nt"), sum("cb").as("nb"))
     val lrU =
       s"""CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0e0) /

@@ -67,14 +67,21 @@ object DocPipeline {
     * split (doc_id % 97 == 0) is excluded by construction: it is eval
     * data, never packed into training sequences.
     *
-    * Shape: one cached corpus scan feeds all four screens; each
-    * survivor filter is a left-semi broadcast/shuffle join on doc_id;
-    * the packer adds its single source-partitioned window. Nothing
-    * quadratic, no driver state beyond the screens' own bounded
-    * models.
+    * Shape: one corpus materialisation feeds all four screens — a
+    * LAZY localCheckpoint, deliberately NOT cache(): a cache would
+    * register in the session's CacheManager and silently substitute
+    * into EVERY later query over the same parquet relation (turning
+    * unrelated benchmark scans into memory reads), and an eager
+    * checkpoint would run a corpus-scale job at plan-construction
+    * time. The lazy checkpoint materialises on first execution, is
+    * private to this plan, and its blocks are reclaimed when the
+    * frame becomes unreachable. Each survivor filter is a left-semi
+    * join on doc_id; the packer adds its single source-partitioned
+    * window. Nothing quadratic, no driver state beyond the screens'
+    * own bounded models.
     */
   def curation(docs: DataFrame, budget: Int = 512): DataFrame = {
-    val d = docs.cache()
+    val d = docs.localCheckpoint(eager = false)
     val good = TextAnalysis.gopherFilter(d)
       .where(col("pass") === 1).select("doc_id")
     val keep = Dedup.exact(d)

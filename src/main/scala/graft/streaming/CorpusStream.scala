@@ -134,7 +134,7 @@ object CorpusStream {
           " AS BIGINT)"))
       .groupBy("b")
       .agg(sum("tgt").as("ct"), sum(expr("1 - tgt")).as("cb"))
-      .localCheckpoint() // corpus-scale aggregate runs once, not twice
+      .localCheckpoint(eager = false) // one corpus aggregate; lazy = no job at construction
     val tot = hist.agg(sum("ct").as("nt"), sum("cb").as("nb"))
     val lrU =
       s"""CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0e0) /

@@ -13,9 +13,10 @@ object IdleConverge {
     val runs = args.lift(1).map(_.toInt).getOrElse(10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,6 +24,8 @@ object IdleConverge {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    spark.range(100000).groupBy(org.apache.spark.sql.functions
+      .expr("id % 100")).count().collect()
     val fn = graft.SparkEntry.queries(name)
     val ts = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
