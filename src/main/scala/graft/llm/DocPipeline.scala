@@ -20,12 +20,15 @@ object DocPipeline {
             minQuality: Double = 0.4,
             langs: Seq[String] = Seq("en", "de", "es", "fr", "zh", "und"))
       : DataFrame = {
-    // six stages each scan the corpus — cache it once (MEMORY_AND_DISK
-    // spills per-partition at scale, so this holds on a real cluster).
-    // The CALLER owns the cache lifetime: the returned plan references
-    // it, so it cannot be unpersisted here; call docs.unpersist() when
-    // the pipeline's outputs are materialised
-    val d = docs.cache()
+    // six stages each scan the corpus — materialise it once as a LAZY
+    // localCheckpoint (MEMORY_AND_DISK blocks, reclaimed when the
+    // frame is unreachable). Deliberately NOT cache(): a CacheManager
+    // registration would silently substitute the materialized relation
+    // into every LATER query over the same parquet in the session —
+    // measured as exactly that in the bench suite, where the pipeline
+    // gate's cache turned the whole downstream t-family into
+    // memory-relation scans
+    val d = docs.localCheckpoint(eager = false)
     val lang = TextAnalysis.langId(d)
     val quality = TextAnalysis.quality(d)
       .select("doc_id", "quality_score")
