@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *   candidate clusters, keep cluster minimum) → token accounting
   *
   * Output: the surviving corpus with per-doc metadata a trainer needs
-  * (pred_lang, quality_score, token counts, cluster id). One scan +
+  * (pred_lang, quality_score_u micro-units, token counts, cluster id). One scan +
   * the operators' own shuffles; nothing quadratic.
   */
 object DocPipeline {
@@ -33,7 +33,7 @@ object DocPipeline {
     val d = docs
     val lang = TextAnalysis.langId(d)
     val quality = TextAnalysis.quality(d)
-      .select("doc_id", "quality_score")
+      .select("doc_id", "quality_score_u")
     val toks = TextAnalysis.tokenStats(d)
 
     // exact dedup: keep only canonical representatives
@@ -53,7 +53,7 @@ object DocPipeline {
       .join(lang, Seq("doc_id"))
       .join(quality, Seq("doc_id"))
       .join(toks, Seq("doc_id"))
-      .where(col("quality_score") >= minQuality &&
+      .where(col("quality_score_u") >= (minQuality * 1e6).round &&
         col("pred_lang").isin(langs: _*))
   }
 

@@ -192,11 +192,17 @@ object TextAnalysis {
           col("n_tokens").cast("double"))
       .withColumn("distinct_ratio",
         col("n_distinct").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("quality_score",
-        round(col("avg_token_len") / 8.0 * 0.5
-          + col("distinct_ratio") * 0.5, 6))
+      // micro-units, NOT round(x, 6): the composite score can land
+      // exactly on a half-way tie (it did at sf0.1 — 173/40 tokens
+      // avg gives x == 0.5203125 bit-exactly), and round's tie-break
+      // differs between engines (Spark HALF_UP vs DuckDB half-even).
+      // floor(x·1e6 + 0.5) is pure IEEE arithmetic — identical bits
+      // in, identical BIGINT out.
+      .withColumn("quality_score_u",
+        expr("CAST(floor((avg_token_len / 8.0 * 0.5" +
+          " + distinct_ratio * 0.5) * 1.0e6 + 0.5) AS BIGINT)"))
       .select("doc_id", "n_chars", "n_tokens", "n_distinct",
-        "avg_token_len", "distinct_ratio", "quality_score")
+        "avg_token_len", "distinct_ratio", "quality_score_u")
 
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
     * (ceil(len/4) per token — the "~4 chars per token" heuristic).

@@ -19,7 +19,7 @@ class DocPipelineSpec extends AnyFunSuite {
     val out = DocPipeline(docs, minQuality = 0.4).cache()
     val n = out.count()
     assert(n > 0 && n <= docs.count())
-    assert(out.where(col("quality_score") < 0.4).count() == 0)
+    assert(out.where(col("quality_score_u") < 400000L).count() == 0)
     assert(out.select("doc_id").distinct().count() == n) // deduped
     assert(out.columns.toSet.contains("n_subword_est"))
   }
