@@ -564,29 +564,45 @@ object Cli {
     // a .lua file is an AOFlagger strategy (the file a Birli user
     // already owns) — translate its parameter surface and REPORT the
     // dropped behaviors; anything else is the native key=value format
-    val strategy = cfg.rfiStrategyFile
+    val translation = cfg.rfiStrategyFile
+      .filter(_.toLowerCase.endsWith(".lua"))
       .map { f =>
-        if (f.toLowerCase.endsWith(".lua")) {
-          val tr = graft.ops.LuaStrategy.fromFile(f,
-            spark.sparkContext.hadoopConfiguration)
-          tr.unmapped.foreach(u =>
-            log(s"[graft] rfi: lua strategy call NOT translated: $u"))
-          tr.strategy
-        } else graft.ops.RfiStrategy.fromFile(f,
+        val tr = graft.ops.LuaStrategy.fromFile(f,
           spark.sparkContext.hadoopConfiguration)
+        tr.unmapped.foreach(u =>
+          log(s"[graft] rfi: lua strategy call NOT translated: $u"))
+        tr
       }
+    val strategy = translation.map(_.strategy)
+      .orElse(cfg.rfiStrategyFile.map(f =>
+        graft.ops.RfiStrategy.fromFile(f,
+          spark.sparkContext.hadoopConfiguration)))
       .getOrElse(graft.ops.RfiStrategy())
     val pbSel = passbandSelect(cfg, meta)._2
+    // a strategy's apply_bandpass file routes through the passband
+    // stage as an external gain table; PassbandGains.external REFUSES
+    // when a built-in PFB table is also selected (double-application)
+    val bandpassFiles = translation.map(_.bandpassFiles).getOrElse(Nil)
+    require(bandpassFiles.size <= 1,
+      s"strategy applies ${bandpassFiles.size} bandpass files — at " +
+        "most one is supported")
+    val externalPfb = bandpassFiles.headOption.map { f =>
+      log(s"[graft] rfi: strategy bandpass '$f' routed through the " +
+        "passband stage")
+      graft.ops.PassbandGains.external(spark, f,
+        meta.fineChansPerCoarse, pipelineAppliesPfb = pbSel.isDefined)
+    }
     val pre = Preprocess(
       vanVleck = cfg.vanVleck,
       sampleScale = meta.vvSampleScale(),
       cable = !cfg.noCable,
       digitalGains = !cfg.noDigital,
-      passband = pbSel.isDefined,
+      passband = pbSel.isDefined || externalPfb.isDefined,
       geometry = !cfg.noGeom,
       rfi = cfg.rfi,
       pfbVersion = pbSel.map(_._1),
       pfbOversampled = pbSel.exists(_._2),
+      pfbExternal = externalPfb,
       // DI calibration ONLY when a solutions file is given — the
       // reference applies it only under --apply-di-cal (cli.rs:1637);
       // a default run must never multiply by synthetic solutions

@@ -293,6 +293,18 @@ object SparkEntry {
       RfiFlag.backgroundGaussian(flagged(s, dir), wt = 2, wc = 1,
         sigmaT = 1.5, sigmaC = 1.0)),
 
+    // R1e: whole-line RMS flaggers (threshold_timestep_rms /
+    // threshold_channel_rms — the published MWA default strategy's
+    // cleanup passes, reference flags.rs:406-412) composed with the
+    // default detection chain; exact-integer line statistics (see
+    // RfiFlag.rmsThresholdLines), the channel pass with
+    // flag_low_outliers = true. Parsed from the key=value strategy
+    // surface so the file path is load-bearing, like q_r1b.
+    "q_r1e_rms_flaggers" -> ((s, dir) =>
+      RfiFlag(flagged(s, dir), RfiStrategy.parse(
+        "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
+          "ch_rms_flag_low = true\nts_rms_final = 1.03"))),
+
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -893,6 +905,7 @@ object SparkEntry {
     "q_r1_threshold_flags" -> Oracles.r1ThresholdFlags,
     "q_r1c_background" -> Oracles.r1cBackground,
     "q_r1d_gaussian_bg" -> Oracles.r1dGaussianBg,
+    "q_r1e_rms_flaggers" -> Oracles.r1eRmsFlaggers,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k1d_uvfits_data" -> Oracles.k1dUvfitsData,

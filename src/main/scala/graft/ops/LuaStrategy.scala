@@ -50,12 +50,36 @@ package graft.ops
   *    `local threshold_factor_step = x` → `ramp_factor` (the
   *    detect-loop ramp published strategies drive their Lua `for`
   *    loop with)
+  *  - `aoflagger.threshold_timestep_rms(data, k)` →
+  *    `ts_rms_threshold = k` and
+  *    `aoflagger.threshold_channel_rms(data, k, low)` →
+  *    `ch_rms_threshold = k`, `ch_rms_flag_low = low` — the engine's
+  *    whole-line RMS flaggers (q_r1e-gated), run where the published
+  *    strategy calls them (timestep pass per pol after the detect
+  *    loop, channel pass after SIR). A `threshold_timestep_rms`
+  *    whose target IS the `execute(input)` parameter — the published
+  *    MWA default's final `aoflagger.threshold_timestep_rms(input,
+  *    4.0)` on the whole set after the pol loop — maps to
+  *    `ts_rms_final = k`, the engine's combined-grid pass after the
+  *    channel cleanup. An RMS threshold given as `<x> * <ramp>`
+  *    (the published `3.0 * threshold_factor`) resolves with the
+  *    ramp variable at its FINAL-iteration value 1: the engine runs
+  *    its cleanup passes at the final-cleanup position, where the
+  *    published ramp `threshold_factor_step^(iteration_count − i)`
+  *    has decayed to 1. A second call re-targeting an already-set
+  *    slot with a DIFFERENT threshold displaces the earlier one —
+  *    the displaced call is reported in `unmapped`, never silently
+  *    dropped.
+  *  - `aoflagger.apply_bandpass(data, file)` → the FILE is surfaced in
+  *    [[LuaStrategy.Translation.bandpassFiles]] for the caller to
+  *    route through the passband stage
+  *    ([[graft.ops.PassbandGains.external]]) — which REFUSES when the
+  *    pipeline already applies PFB gains, so the strategy's bandpass
+  *    cannot silently double-apply
   *  - `aoflagger.Polarization.XX|XY|YX|YY` mentions → `pols`
   *
-  * Everything else a strategy can do (whole-line RMS flagging —
-  * `threshold_timestep_rms` / `threshold_channel_rms` — bandpass
-  * application, visualisation, custom Lua logic) is NOT modeled;
-  * those calls are returned verbatim in
+  * Everything else a strategy can do (visualisation, custom Lua
+  * logic) is NOT modeled; those calls are returned verbatim in
   * [[LuaStrategy.Translation.unmapped]] so the migration is honest —
   * the caller sees exactly which behaviors the translated strategy
   * drops, instead of a silent approximation.
@@ -70,14 +94,24 @@ package graft.ops
   */
 object LuaStrategy {
 
-  /** The translated strategy plus every `aoflagger.*` call the engine
-    * could not map — empty `unmapped` means full-fidelity migration.
+  /** The translated strategy, the external bandpass files the strategy
+    * applies (each `aoflagger.apply_bandpass(data, "file")` call, in
+    * order — route them through [[PassbandGains.external]], which
+    * guards against double-application), plus every `aoflagger.*` call
+    * the engine could not map — empty `unmapped` means full-fidelity
+    * migration.
     */
-  case class Translation(strategy: RfiStrategy, unmapped: Seq[String])
+  case class Translation(strategy: RfiStrategy, unmapped: Seq[String],
+                         bandpassFiles: Seq[String] = Nil)
 
   private val LocalNum =
     """local\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(-?[0-9.eE+-]+)\s*""".r
   private val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private val RampVar =
+    ("""local\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*""" +
+      """math\.pow\(\s*threshold_factor_step""").r
+  private val ExecuteParam =
+    """function\s+execute\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)""".r
 
   /** Calls that are part of every published strategy's scaffolding and
     * carry no detection knobs the engine lacks — not worth reporting.
@@ -166,17 +200,44 @@ object LuaStrategy {
       .toSeq
     val text = lines.mkString("\n")
 
-    val env: Map[String, Double] = LocalNum.findAllMatchIn(text)
+    val envConst: Map[String, Double] = LocalNum.findAllMatchIn(text)
       .flatMap { m =>
         try Some(m.group(1) -> m.group(2).toDouble)
         catch { case _: Exception => None }
       }.toMap
+    // the published detect-loop ramp variable (`local threshold_factor
+    // = math.pow(threshold_factor_step, iteration_count - i)`): the
+    // engine's RMS cleanup passes run at the final-cleanup position,
+    // where the ramp has decayed to step^0 = 1 — bind the variable to
+    // that value so ramped thresholds resolve at their final-iteration
+    // strength. Only bound when the file defines the step the engine
+    // models (otherwise the name stays unresolvable → reported).
+    val ramp: Map[String, Double] =
+      if (envConst.contains("threshold_factor_step"))
+        RampVar.findAllMatchIn(text).map(_.group(1) -> 1.0).toMap
+      else Map.empty
+    val env = envConst ++ ramp
 
     def resolve(arg: String): Option[Double] = {
       val a = arg.trim
-      try Some(a.toDouble)
-      catch { case _: Exception => env.get(a) }
+      (try Some(a.toDouble)
+      catch { case _: Exception => env.get(a) }).orElse {
+        // one top-level product (`3.0 * threshold_factor`) — both
+        // factors must themselves resolve
+        val k = a.indexOf('*')
+        if (k > 0 && a.indexOf('(') < 0 && a.indexOf('*', k + 1) < 0)
+          for {
+            l <- resolve(a.substring(0, k))
+            r <- resolve(a.substring(k + 1))
+          } yield l * r
+        else None
+      }
     }
+
+    // `function execute(input)`'s parameter name: a call targeting it
+    // operates on the WHOLE input set (the published final cleanup),
+    // not a per-pol image
+    val inputName = ExecuteParam.findFirstMatchIn(text).map(_.group(1))
 
     val sites = scan(text)
     val pols = sites.collect {
@@ -196,6 +257,12 @@ object LuaStrategy {
       s = s.copy(rampFactor = x))
 
     val unmapped = scala.collection.mutable.ArrayBuffer[String]()
+    val bandpass = scala.collection.mutable.ArrayBuffer[String]()
+    // last snippet mapped into each RMS slot — the call a later
+    // different-threshold re-targeting displaces (and must report)
+    var tsSnip: Option[String] = None
+    var tsFinalSnip: Option[String] = None
+    var chSnip: Option[String] = None
     // downsample → low_pass_filter → upsample bracketing: published
     // strategies compute their high-pass background on a decimated
     // image for speed (aoflagger's own high_pass_filter does the same
@@ -270,9 +337,14 @@ object LuaStrategy {
             case (Some(kx), Some(ky)) =>
               val sx = args.lift(3).flatMap(resolve)
               val sy = args.lift(4).flatMap(resolve)
-              if (pendingScale.isDefined)
+              if (pendingScale.isDefined) {
+                // a SECOND low-pass inside the same bracket displaces
+                // the held one — account for the displaced call
+                // instead of silently dropping it (every aoflagger.
+                // site is mapped or reported, no third state)
+                pendingLp.foreach(lp => unmapped += lp._5)
                 pendingLp = Some((kx, ky, sx, sy, snippet))
-              else hpf(kx, ky, sx, sy, 1.0, 1.0)
+              } else hpf(kx, ky, sx, sy, 1.0, 1.0)
             case _ => unmapped += snippet
           }
         case "downsample" if args.length >= 3 =>
@@ -297,13 +369,62 @@ object LuaStrategy {
               spillBracket()
               unmapped += snippet
           }
+        case "threshold_timestep_rms" if args.length >= 2 =>
+          // whole-timestep RMS cleanup. Target = the execute(input)
+          // parameter → the WHOLE-SET final pass (ts_rms_final, the
+          // published strategy's cleanup after the pol loop); any
+          // other target → the per-pol pass after its detect loop.
+          // Re-setting a slot to a DIFFERENT threshold displaces the
+          // earlier call — reported, never silently dropped.
+          resolve(args(1)) match {
+            case Some(k) if k > 0 =>
+              if (inputName.contains(args(0).trim)) {
+                if (s.tsRmsFinal > 0 && s.tsRmsFinal != k)
+                  tsFinalSnip.foreach(unmapped += _)
+                s = s.copy(tsRmsFinal = k)
+                tsFinalSnip = Some(snippet)
+              } else {
+                if (s.tsRmsThreshold > 0 && s.tsRmsThreshold != k)
+                  tsSnip.foreach(unmapped += _)
+                s = s.copy(tsRmsThreshold = k)
+                tsSnip = Some(snippet)
+              }
+            case _ => unmapped += snippet
+          }
+        case "threshold_channel_rms" if args.length >= 2 =>
+          // whole-channel RMS cleanup (after SIR); arg 3 is AOFlagger's
+          // flag_low_outliers — a literal true/false (absent → true,
+          // the published MWA default call's value); an expression the
+          // translator can't decide is reported, not guessed
+          val low = args.lift(2).map(_.trim)
+          (resolve(args(1)), low) match {
+            case (Some(k), l) if k > 0 &&
+                l.forall(a => a == "true" || a == "false") =>
+              if (s.chRmsThreshold > 0 && s.chRmsThreshold != k)
+                chSnip.foreach(unmapped += _)
+              s = s.copy(chRmsThreshold = k,
+                chRmsFlagLow = l.forall(_ == "true"))
+              chSnip = Some(snippet)
+            case _ => unmapped += snippet
+          }
+        case "apply_bandpass" if args.length >= 2 =>
+          // external bandpass FILE: surfaced as a typed field for the
+          // caller to route through PassbandGains.external (which
+          // refuses to double-apply); a non-literal filename the
+          // translator can't resolve is reported
+          val a = args(1).trim
+          if (a.length >= 2 &&
+              ((a.head == '"' && a.last == '"') ||
+                (a.head == '\'' && a.last == '\'')))
+            bandpass += a.substring(1, a.length - 1)
+          else unmapped += snippet
         case f if Scaffolding.contains(f) => ()
         case _ => unmapped += snippet
       }
       case Site(None, _, snippet) => unmapped += snippet
     }
     spillBracket() // anything still open at EOF is reported whole
-    Translation(s, unmapped.toSeq.distinct)
+    Translation(s, unmapped.toSeq.distinct, bandpass.toSeq)
   }
 
   /** Load + translate from any Hadoop filesystem (same IO seam as

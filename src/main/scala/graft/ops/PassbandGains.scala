@@ -59,6 +59,57 @@ object PassbandGains {
     }
   }
 
+  /** Load an EXTERNAL per-fine-channel bandpass file — the gains an
+    * AOFlagger Lua strategy applies via `aoflagger.apply_bandpass(data,
+    * file)` (surfaced by [[LuaStrategy]] as `Translation.bandpassFiles`)
+    * — as a (fc, pfb_gain) table routed through the same application
+    * join as the built-in tables.
+    *
+    * Format: one gain per line (fine channel order), `#`/`--` comments;
+    * the line count must equal `fineChansPerCoarse` — a wrong-sized
+    * table fails loudly rather than recycling through a silent modulo.
+    *
+    * Double-application guard: a pipeline that already applies PFB
+    * passband gains (the built-in tables) must NOT also apply the
+    * strategy's external bandpass — the same correction twice is
+    * silently wrong data. Callers pass whether the pipeline's passband
+    * stage is enabled; the load REFUSES in that case, naming both
+    * sources, so a migrating user must explicitly pick one.
+    */
+  def external(spark: org.apache.spark.sql.SparkSession, path: String,
+               fineChansPerCoarse: Int,
+               pipelineAppliesPfb: Boolean): DataFrame = {
+    require(!pipelineAppliesPfb,
+      s"strategy bandpass file '$path' refused: the pipeline's passband " +
+        "stage already applies PFB gains — applying both would " +
+        "double-correct. Disable the passband stage (CLI " +
+        "--no-passband / Preprocess(passband = false)) to use the " +
+        "strategy's file, or drop apply_bandpass from the strategy.")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).open(p)
+    val text =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        bytes.toString("UTF-8")
+      } finally in.close()
+    val gains = text.linesIterator
+      .map(_.split("#|--", 2).head.trim)
+      .filter(_.nonEmpty)
+      .map(_.toDouble)
+      .toArray
+    require(gains.length == fineChansPerCoarse,
+      s"bandpass file '$path' has ${gains.length} gains, expected " +
+        s"$fineChansPerCoarse (one per fine channel in a coarse)")
+    require(gains.forall(g => g > 0 && !g.isInfinite),
+      s"bandpass file '$path' must hold finite positive gains")
+    import spark.implicits._
+    gains.zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toSeq
+      .toDF("fc", "pfb_gain")
+  }
+
   /** Apply scrunched per-fine-chan gains: vis /= gain, weight *= gain.
     * `pfbGain` provides (fc, pfb_gain).
     */

@@ -35,6 +35,12 @@ case class Preprocess(vanVleck: Boolean = false,
                       pfbVersion: Option[graft.model.PfbTables.MwaVersion]
                         = None,
                       pfbOversampled: Boolean = false,
+                      // an EXTERNAL (fc, pfb_gain) table — a strategy's
+                      // apply_bandpass file loaded through
+                      // PassbandGains.external (whose guard already
+                      // refused it if a built-in table was also
+                      // selected); takes precedence over pfbVersion
+                      pfbExternal: Option[DataFrame] = None,
                       apparentGeometry: Boolean = false,
                       // metadata seam: SynthDims or a parsed metafits
                       // (graft.sources.MetafitsMeta)
@@ -67,10 +73,10 @@ case class Preprocess(vanVleck: Boolean = false,
     val doCable = cable && !meta.cableApplied
     val doGeometry = geometry && !meta.geometryApplied
     val antenna = meta.antenna(spark)
-    val pfb = pfbVersion
+    val pfb = pfbExternal.getOrElse(pfbVersion
       .map(v => Dims.pfbGainReal(spark, v, pfbOversampled,
         meta.fineChansPerCoarse))
-      .getOrElse(Dims.pfbGain(spark))
+      .getOrElse(Dims.pfbGain(spark)))
     def uvw = uvwTable(spark)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
       (vanVleck, df => VanVleck(df, meta.flaggedAnts(spark),

@@ -70,7 +70,37 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
                        // kernel-size-only strategy call implies.
                        bgKind: String = "median",
                        bgSigmaTime: Double = 0.0,
-                       bgSigmaChan: Double = 0.0) {
+                       bgSigmaChan: Double = 0.0,
+                       // whole-line RMS flaggers (AOFlagger's
+                       // threshold_timestep_rms / threshold_channel_rms,
+                       // the final cleanup passes of the published MWA
+                       // default strategy executed by the reference via
+                       // flags.rs:406-412): flag an entire
+                       // timestep/channel whose RMS over unflagged
+                       // samples is an outlier vs the other lines'
+                       // RMS distribution. 0 = off (the default — a
+                       // strategy that never calls them runs without
+                       // them). tsRms flags high outliers only;
+                       // chRmsFlagLow extends the channel pass to low
+                       // outliers (AOFlagger's flag_low_outliers arg).
+                       tsRmsThreshold: Double = 0.0,
+                       chRmsThreshold: Double = 0.0,
+                       chRmsFlagLow: Boolean = true,
+                       // FINAL whole-set timestep pass (the published
+                       // MWA default's `threshold_timestep_rms(input,
+                       // 4.0)` after the pol loop): runs on the
+                       // combined max-over-pols grid after the channel
+                       // cleanup, high outliers only. 0 = off.
+                       tsRmsFinal: Double = 0.0,
+                       // outlier-exclusion rounds for the line-RMS
+                       // mean/σ estimate (AOFlagger iterates to
+                       // convergence; the engine runs a FIXED bounded
+                       // count — a converged round flags nothing and
+                       // every later round is then the identity, so a
+                       // fixture that converges within the bound is
+                       // exact, and the bound keeps the oracle twin
+                       // finitely expressible)
+                       rmsIterations: Int = 3) {
   require(pols.nonEmpty && pols.forall(RfiStrategy.PolComps.contains),
     s"pols must be non-empty from ${RfiStrategy.PolComps.keys}, " +
       s"got $pols")
@@ -85,6 +115,10 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
     s"bg_kind must be median or gaussian, got '$bgKind'")
   require(bgSigmaTime >= 0 && bgSigmaChan >= 0,
     s"background sigmas must be >= 0")
+  require(tsRmsThreshold >= 0 && chRmsThreshold >= 0 && tsRmsFinal >= 0,
+    "line-RMS thresholds must be >= 0 (0 = off)")
+  require(rmsIterations >= 1,
+    s"rms_iterations must be >= 1, got $rmsIterations")
 
   /** Effective Gaussian sigmas (0 → the documented w/2 default). */
   def sigmaT: Double =
@@ -135,13 +169,24 @@ object RfiStrategy {
             case ("bg_sigma_chan", x) => s.copy(bgSigmaChan = x.toDouble)
             case ("iterations", x) => s.copy(iterations = x.toInt)
             case ("ramp_factor", x) => s.copy(rampFactor = x.toDouble)
+            case ("ts_rms_threshold", x) =>
+              s.copy(tsRmsThreshold = x.toDouble)
+            case ("ch_rms_threshold", x) =>
+              s.copy(chRmsThreshold = x.toDouble)
+            case ("ch_rms_flag_low", x) =>
+              s.copy(chRmsFlagLow = x.toBoolean)
+            case ("ts_rms_final", x) =>
+              s.copy(tsRmsFinal = x.toDouble)
+            case ("rms_iterations", x) =>
+              s.copy(rmsIterations = x.toInt)
             case (other, _) =>
               sys.error(s"unknown strategy key '$other' " +
                 "(expected mad_k, max_log2, rho, pols, time_weight, " +
                 "chan_weight, sir_eta_time, sir_eta_chan, " +
                 "bg_window_time, bg_window_chan, bg_kind, " +
                 "bg_sigma_time, bg_sigma_chan, iterations, " +
-                "ramp_factor)")
+                "ramp_factor, ts_rms_threshold, ch_rms_threshold, " +
+                "ch_rms_flag_low, ts_rms_final, rms_iterations)")
           }
           case _ => sys.error(s"malformed strategy line '$line'")
         }
@@ -287,6 +332,20 @@ object RfiFlag {
           polFlags = det
           iter += 1
         }
+        // whole-timestep RMS pass (AOFlagger threshold_timestep_rms):
+        // runs per polarisation image after its detect loop, exactly
+        // where the published MWA default strategy calls it — high
+        // outliers only (the channel pass owns the flag-low knob)
+        if (strategy.tsRmsThreshold > 0) {
+          val lf = rmsThresholdLines(ts.length, cs.length,
+            (i, j) => amp(p)(i)(j),
+            (i, j) => seen(i)(j) && !polFlags(i)(j),
+            strategy.tsRmsThreshold, flagLow = false,
+            strategy.rmsIterations)
+          val base = polFlags
+          polFlags = Array.tabulate(ts.length, cs.length)((i, j) =>
+            base(i)(j) || lf(i))
+        }
         var i = 0
         while (i < ts.length) {
           var j = 0
@@ -321,10 +380,142 @@ object RfiFlag {
           i += 1
         }
       }
+      // whole-channel RMS pass (AOFlagger threshold_channel_rms): the
+      // published strategy's final cleanup, after SIR, on the combined
+      // mask — the engine's combined amplitude is the max across the
+      // selected pol images (the same conservative combine the grid
+      // assembly uses for duplicate samples)
+      if (strategy.chRmsThreshold > 0) {
+        val lf = rmsThresholdLines(cs.length, ts.length,
+          (j, i) => {
+            var m = amp(0)(i)(j); var p2 = 1
+            while (p2 < nPols) {
+              if (amp(p2)(i)(j) > m) m = amp(p2)(i)(j); p2 += 1
+            }
+            m
+          },
+          (j, i) => seen(i)(j) && !out(i)(j),
+          strategy.chRmsThreshold, strategy.chRmsFlagLow,
+          strategy.rmsIterations)
+        var i = 0
+        while (i < ts.length) {
+          var j = 0
+          while (j < cs.length) { out(i)(j) ||= lf(j); j += 1 }
+          i += 1
+        }
+      }
+      // FINAL whole-set timestep pass (the published strategy's
+      // `threshold_timestep_rms(input, k)` after the pol loop): the
+      // combined grid, after the channel cleanup, high outliers only
+      if (strategy.tsRmsFinal > 0) {
+        val lf = rmsThresholdLines(ts.length, cs.length,
+          (i, j) => {
+            var m = amp(0)(i)(j); var p2 = 1
+            while (p2 < nPols) {
+              if (amp(p2)(i)(j) > m) m = amp(p2)(i)(j); p2 += 1
+            }
+            m
+          },
+          (i, j) => seen(i)(j) && !out(i)(j),
+          strategy.tsRmsFinal, flagLow = false,
+          strategy.rmsIterations)
+        var i = 0
+        while (i < ts.length) {
+          var j = 0
+          while (j < cs.length) { out(i)(j) ||= lf(i); j += 1 }
+          i += 1
+        }
+      }
       for {
         i <- ts.indices.iterator; j <- cs.indices.iterator if seen(i)(j)
       } yield RfiFlagOut(bl, ts(i), cs(j), out(i)(j))
     }
+  }
+
+  /** Whole-line RMS flagger kernel (AOFlagger's
+    * `threshold_timestep_rms` / `threshold_channel_rms` — the whole-line
+    * cleanup passes of the published MWA default strategy the reference
+    * executes, /root/reference/src/flags.rs:406-412). For each of
+    * `nLines` lines (a timestep or a channel of the per-baseline grid),
+    * the RMS over its unflagged cells is an EXACT integer statistic:
+    * cells quantise to milli-amplitude units (floor(amp·1e3 + 0.5) —
+    * IEEE multiply+floor, bit-identical in any engine), the sum of
+    * squares accumulates with overflow-checked int64 (a grid too large
+    * for the bound fails LOUDLY, never wraps), and the line RMS
+    * re-quantises as floor(sqrt(ssq/cnt) + 0.5) — one division and one
+    * correctly-rounded sqrt, deterministic everywhere.
+    *
+    * The outlier test then iterates `rounds` times: over lines still
+    * unflagged, take m = count, s = Σrms, ss = Σrms²; a line is an
+    * outlier iff |m·rms − s| > k·√(m·ss − s²) (i.e. |rms − μ| > k·σ),
+    * decided in exact integers as 10⁴·d² > K·(m·ss − s²) with
+    * K = floor(k²·10⁴ + 0.5) — K IS the engine's threshold semantics
+    * (k to 2 decimals exact), so the DuckDB twin that carries the same
+    * K literal agrees bit-for-bit. `flagLow` admits low outliers
+    * (AOFlagger's flag_low_outliers); without it only d > 0 flags.
+    * AOFlagger iterates to convergence; the engine's FIXED bound is
+    * exact whenever the fixture converges within it (a converged round
+    * flags nothing, making later rounds the identity). The comparison
+    * runs in BigInt — line counts and amplitudes never constrain it.
+    */
+  private[graft] def rmsThresholdLines(nLines: Int, nCross: Int,
+                                       amp: (Int, Int) => Double,
+                                       use: (Int, Int) => Boolean,
+                                       k: Double, flagLow: Boolean,
+                                       rounds: Int): Array[Boolean] = {
+    val bigK = BigInt(math.floor(k * k * 1.0e4 + 0.5).toLong)
+    val rmsQ = new Array[Long](nLines)
+    val has = new Array[Boolean](nLines)
+    var i = 0
+    while (i < nLines) {
+      var ssq = 0L
+      var cnt = 0L
+      var j = 0
+      while (j < nCross) {
+        if (use(i, j)) {
+          val au = math.floor(amp(i, j) * 1.0e3 + 0.5).toLong
+          ssq = Math.addExact(ssq, Math.multiplyExact(au, au))
+          cnt += 1
+        }
+        j += 1
+      }
+      if (cnt > 0) {
+        rmsQ(i) = math.floor(math.sqrt(ssq.toDouble / cnt) + 0.5).toLong
+        has(i) = true
+      }
+      i += 1
+    }
+    val lflg = new Array[Boolean](nLines)
+    var r = 0
+    while (r < rounds) {
+      var m = 0L
+      var s = BigInt(0)
+      var ss = BigInt(0)
+      var i2 = 0
+      while (i2 < nLines) {
+        if (has(i2) && !lflg(i2)) {
+          m += 1
+          s += rmsQ(i2)
+          ss += BigInt(rmsQ(i2)) * rmsQ(i2)
+        }
+        i2 += 1
+      }
+      if (m >= 2) {
+        val variance = BigInt(m) * ss - s * s // = m²·σ²
+        var i3 = 0
+        while (i3 < nLines) {
+          if (has(i3) && !lflg(i3)) {
+            val d = BigInt(m) * rmsQ(i3) - s
+            if ((d.signum > 0 || flagLow) &&
+                BigInt(10000) * d * d > bigK * variance)
+              lflg(i3) = true
+          }
+          i3 += 1
+        }
+      }
+      r += 1
+    }
+    lflg
   }
 
   /** The sliding-median background estimate on its own — the q_r1c

@@ -753,11 +753,76 @@ object Oracles {
        |                     AND CURRENT ROW) AS sirp
        |      FROM $prev)))""".stripMargin
 
+  /** Whole-line RMS flagger twin layers (q_r1e;
+    * graft.ops.RfiFlag.rmsThresholdLines). Exact integers throughout:
+    * cell amplitudes quantise to milli-units (floor(amp·1e3 + 0.5)),
+    * the per-line RMS re-quantises as floor(sqrt(ssq/cnt) + 0.5) (one
+    * division + correctly-rounded sqrt — deterministic IEEE in both
+    * engines), and each exclusion round decides
+    * 10⁴·d² > K·(m·ss − s²) with d = m·rms − s and K = ⌊k²·10⁴ + 0.5⌋
+    * in pure BIGINT — the kernel's comparison verbatim. `lineCol` is
+    * `t` (timestep pass) or `chan` (channel pass); `flagLow` admits low
+    * outliers. Layers propagate the p-layer column contract
+    * (bl, t, chan, seen, res, chi1, flg) so SumThreshold/SIR layers
+    * compose on either side.
+    */
+  private def rmsPass(prev: String, pfx: String, lineCol: String,
+                      k: Double, flagLow: Boolean,
+                      rounds: Int): (Seq[String], String) = {
+    val bigK = math.floor(k * k * 1.0e4 + 0.5).toLong
+    val base =
+      s"""${pfx}base AS MATERIALIZED (
+         |  SELECT l.bl, l.t, l.chan, l.seen, l.res, l.chi1, l.flg,
+         |         CAST(floor(c.amp * 1000.0e0 + 0.5e0) AS BIGINT) AS au
+         |  FROM $prev l JOIN cells c
+         |    ON l.bl = c.bl AND l.t = c.t AND l.chan = c.chan)"""
+        .stripMargin
+    val q0 =
+      s"""${pfx}q0 AS MATERIALIZED (
+         |  SELECT bl, $lineCol,
+         |         CAST(floor(sqrt(CAST(CAST(sum(au * au) AS BIGINT)
+         |              AS DOUBLE) / count(*)) + 0.5e0) AS BIGINT)
+         |           AS rms_q,
+         |         FALSE AS lflg
+         |  FROM ${pfx}base WHERE seen AND NOT flg GROUP BY 1, 2)"""
+        .stripMargin
+    val iters = (1 to rounds).flatMap { r =>
+      val dirOk =
+        if (flagLow) "TRUE" else "q.rms_q * r.m - r.s > 0"
+      Seq(
+        s"""${pfx}m$r AS MATERIALIZED (
+           |  SELECT bl, count(*) AS m, CAST(sum(rms_q) AS BIGINT) AS s,
+           |         CAST(sum(rms_q * rms_q) AS BIGINT) AS ss
+           |  FROM ${pfx}q${r - 1} WHERE NOT lflg GROUP BY bl)"""
+          .stripMargin,
+        s"""${pfx}q$r AS MATERIALIZED (
+           |  SELECT q.bl, q.$lineCol, q.rms_q,
+           |         (q.lflg OR (r.m >= 2 AND ($dirOk) AND
+           |          10000 * (q.rms_q * r.m - r.s)
+           |            * (q.rms_q * r.m - r.s)
+           |            > $bigK * (r.m * r.ss - r.s * r.s))) AS lflg
+           |  FROM ${pfx}q${r - 1} q JOIN ${pfx}m$r r ON q.bl = r.bl)"""
+          .stripMargin)
+    }
+    val out =
+      s"""${pfx}out AS MATERIALIZED (
+         |  SELECT b.bl, b.t, b.chan, b.seen, b.res, b.chi1,
+         |         (b.flg OR coalesce(l.lflg, FALSE)) AS flg
+         |  FROM ${pfx}base b LEFT JOIN ${pfx}q$rounds l
+         |    ON b.bl = l.bl AND b.$lineCol = l.$lineCol)""".stripMargin
+    (Seq(base, q0) ++ iters :+ out, s"${pfx}out")
+  }
+
   private def r1SumThresholdWith(ampExpr: String, madK: Double,
                                  timeWeight: Double,
                                  chanWeight: Double,
                                  sirEtaTime: Double = 0.2,
-                                 sirEtaChan: Double = 0.2): String = {
+                                 sirEtaChan: Double = 0.2,
+                                 tsRms: Double = 0.0,
+                                 chRms: Double = 0.0,
+                                 chRmsFlagLow: Boolean = true,
+                                 tsRmsFinal: Double = 0.0,
+                                 rmsRounds: Int = 3): String = {
     val chiDivT =
       (0 to 5).map(l => fmt(math.pow(1.5, l.toDouble) * timeWeight))
     val chiDivC =
@@ -838,23 +903,45 @@ object Oracles {
         pass(s"p${2 * l + 1}", s"p${2 * l + 2}", "bl, t", "chan", m,
           chiDivC(l)))
     }
-    // SIR post-extension, time then chan, matching RfiFlag's order;
-    // η = 0 emits no layer (identity on both sides)
+    // stage order after the SumThreshold passes, matching
+    // RfiFlag.detectGroup: timestep-RMS (per pol — one pol here) →
+    // SIR (time then chan) → channel-RMS; η = 0 / k = 0 emit no
+    // layers (identity on both sides)
     val sirT = graft.functions.SirKernel.etaNum(sirEtaTime)
     val sirC = graft.functions.SirKernel.etaNum(sirEtaChan)
     var last = "p12"
-    val sirLayers = scala.collection.mutable.ArrayBuffer[String]()
+    val postLayers = scala.collection.mutable.ArrayBuffer[String]()
+    if (tsRms > 0) {
+      val (ls, out) = rmsPass(last, "ts", "t", tsRms,
+        flagLow = false, rmsRounds)
+      postLayers ++= ls
+      last = out
+    }
     if (sirT > 0) {
-      sirLayers += sirPass(last, "p13", "bl, chan", "t", sirT)
+      postLayers += sirPass(last, "p13", "bl, chan", "t", sirT)
       last = "p13"
     }
     if (sirC > 0) {
-      sirLayers += sirPass(last, "p14", "bl, t", "chan", sirC)
+      postLayers += sirPass(last, "p14", "bl, t", "chan", sirC)
       last = "p14"
+    }
+    if (chRms > 0) {
+      val (ls, out) = rmsPass(last, "ch", "chan", chRms,
+        chRmsFlagLow, rmsRounds)
+      postLayers ++= ls
+      last = out
+    }
+    // final whole-set timestep pass (ts_rms_final) after the channel
+    // cleanup — high outliers only, like the per-pol pass
+    if (tsRmsFinal > 0) {
+      val (ls, out) = rmsPass(last, "tf", "t", tsRmsFinal,
+        flagLow = false, rmsRounds)
+      postLayers ++= ls
+      last = out
     }
     OracleSql.query(
       s"SELECT bl, t, chan, flg AS rfi FROM $last WHERE seen",
-      (OracleSql.visFlaggedCte +: prep +: (layers ++ sirLayers)): _*)
+      (OracleSql.visFlaggedCte +: prep +: (layers ++ postLayers)): _*)
   }
 
   val r1SumThreshold: String =
@@ -869,6 +956,19 @@ object Oracles {
   val r1bStrategy: String =
     r1SumThresholdWith("sqrt(v6 * v6 + v7 * v7)", 5.0, 2.0, 0.5,
       sirEtaTime = 0.3, sirEtaChan = 0.1)
+
+  /** R1e: the whole-line RMS flaggers (threshold_timestep_rms /
+    * threshold_channel_rms / the final whole-set timestep pass — the
+    * published MWA default strategy's cleanup passes) on top of the
+    * default detection chain, at thresholds tight enough that all
+    * three passes flag lines on the synthetic frame and the exclusion
+    * iteration does real work. The channel pass exercises
+    * flag_low_outliers = true.
+    */
+  val r1eRmsFlaggers: String =
+    r1SumThresholdWith("sqrt(v0 * v0 + v1 * v1)", 6.0, 1.0, 1.0,
+      tsRms = 1.02, chRms = 1.01, chRmsFlagLow = true,
+      tsRmsFinal = 1.03)
 
   /** R1c sliding-median background twin: the same dense per-baseline
     * grid as the SumThreshold twin (XX amplitude, max over duplicate

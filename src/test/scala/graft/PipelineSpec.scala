@@ -84,4 +84,43 @@ class PipelineSpec extends AnyFunSuite {
   test("entry returns averaged rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("external bandpass (strategy apply_bandpass): loads, routes " +
+    "through the passband stage, and refuses double-application") {
+    val nFine = graft.model.Obs.FineChansPerCoarse
+    val dir = java.nio.file.Files.createTempDirectory("bp")
+    val f = dir.resolve("bandpass.txt")
+    java.nio.file.Files.writeString(f,
+      (0 until nFine).map(i => s"${1.0 + 0.01 * i} # fc $i")
+        .mkString("\n"))
+    // the guard: a pipeline already applying built-in PFB gains must
+    // refuse the strategy's external table — double-correction
+    intercept[IllegalArgumentException](
+      PassbandGains.external(spark, f.toString, nFine,
+        pipelineAppliesPfb = true))
+    // wrong-sized and non-positive tables fail loudly
+    val bad = dir.resolve("short.txt")
+    java.nio.file.Files.writeString(bad, "1.0\n2.0")
+    intercept[IllegalArgumentException](
+      PassbandGains.external(spark, bad.toString, nFine,
+        pipelineAppliesPfb = false))
+    val neg = dir.resolve("neg.txt")
+    java.nio.file.Files.writeString(neg,
+      (0 until nFine).map(i => if (i == 3) "-1.0" else "1.0")
+        .mkString("\n"))
+    intercept[IllegalArgumentException](
+      PassbandGains.external(spark, neg.toString, nFine,
+        pipelineAppliesPfb = false))
+    // routed through Preprocess: the external gains must actually
+    // divide the visibilities relative to the no-passband run
+    val ext = PassbandGains.external(spark, f.toString, nFine,
+      pipelineAppliesPfb = false)
+    val withExt = Preprocess(pfbExternal = Some(ext))(spark, weighted)
+    val without = Preprocess(passband = false)(spark, weighted)
+    val diff = withExt.select("t", "bl", "chan", "v0").as("a")
+      .join(without.select("t", "bl", "chan", "v0").as("b"),
+        Seq("t", "bl", "chan"))
+      .where(col("a.v0") =!= col("b.v0"))
+    assert(diff.count() > 0)
+  }
 }

@@ -153,18 +153,30 @@ class RfiStrategySpec extends AnyFunSuite {
     assert(tr.strategy.iterations == 3 && tr.strategy.rampFactor == 2.0)
     // nested-paren sumthreshold still maps its resolvable freq level
     assert(tr.strategy.chanWeight == 0.5)
-    // the multi-line nested-paren low_pass_filter and the bandpass
-    // call surface verbatim; the dangling `aoflagger.` is reported too
+    // the multi-line nested-paren low_pass_filter surfaces verbatim;
+    // the dangling `aoflagger.` is reported too; the bandpass call's
+    // literal filename MAPS into the typed bandpassFiles seam
     assert(tr.unmapped.exists(_.contains("low_pass_filter")),
       s"unmapped was ${tr.unmapped}")
-    assert(tr.unmapped.exists(_.contains("apply_bandpass")))
+    assert(tr.bandpassFiles == Seq("bandpass.txt"))
     // exhaustiveness: every aoflagger. mention in the source is either
     // a mapped/scaffolding call or appears in unmapped — proven by
-    // counting mentions: 4 mentions, 1 mapped (sumthreshold),
-    // 3 reported
+    // counting mentions: 4 mentions, 2 mapped (sumthreshold,
+    // apply_bandpass), 2 reported
     val mentions = "aoflagger\\.".r.findAllIn(gnarly).length
-    assert(mentions == 4 && tr.unmapped.length == 3,
+    assert(mentions == 4 && tr.unmapped.length == 2,
       s"${tr.unmapped}")
+  }
+
+  test("Lua translation: a non-literal apply_bandpass filename is " +
+    "reported, not guessed") {
+    import graft.ops.LuaStrategy
+    val tr = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.apply_bandpass(data, bandpass_file)
+        |end""".stripMargin)
+    assert(tr.bandpassFiles.isEmpty &&
+      tr.unmapped.exists(_.contains("apply_bandpass")))
   }
 
   test("Lua translation: a file that never calls SIR runs without " +
@@ -179,7 +191,8 @@ class RfiStrategySpec extends AnyFunSuite {
   }
 
   test("Lua translation: realistic published-shaped MWA strategy — " +
-    "everything maps except whole-line RMS flagging (asserted set)") {
+    "EVERYTHING maps, including the whole-line RMS flaggers " +
+    "(empty unmapped set)") {
     import graft.ops.LuaStrategy
     // the structure of AOFlagger's published MWA default strategy
     // (iteration ramp, masked SumThreshold, decimated low-pass
@@ -240,14 +253,55 @@ class RfiStrategySpec extends AnyFunSuite {
       tr.strategy.bgSigmaChan == 15.0)
     // SIR post-extension
     assert(tr.strategy.sirEtaTime == 0.2 && tr.strategy.sirEtaChan == 0.2)
-    // the honest remainder is EXACTLY the whole-line RMS flaggers —
-    // downsample/upsample/low_pass/sumthreshold_masked/SIR/version
-    // pin/scaffolding all map or are recognized
-    assert(tr.unmapped.nonEmpty && tr.unmapped.forall(u =>
-      u.contains("threshold_timestep_rms") ||
-        u.contains("threshold_channel_rms")),
-      s"unmapped was ${tr.unmapped}")
-    assert(tr.unmapped.length == 3, s"unmapped was ${tr.unmapped}")
+    // the whole-line RMS flaggers now MAP: the in-loop per-pol
+    // timestep pass, the channel pass with its ramped threshold
+    // resolved at the final-iteration ramp value (3.0 · 1) and
+    // flag_low_outliers = true, and the final whole-set pass — whose
+    // target `input` is recognised as the execute parameter
+    assert(tr.strategy.tsRmsThreshold == 3.5)
+    assert(tr.strategy.chRmsThreshold == 3.0 && tr.strategy.chRmsFlagLow)
+    assert(tr.strategy.tsRmsFinal == 4.0)
+    // full-fidelity migration of the published default strategy shape
+    assert(tr.unmapped.isEmpty, s"unmapped was ${tr.unmapped}")
+  }
+
+  test("Lua translation: a second RMS call re-targeting a slot with a " +
+    "different threshold displaces the earlier call — reported, not " +
+    "silently dropped") {
+    import graft.ops.LuaStrategy
+    val tr = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.threshold_timestep_rms(data, 3.5)
+        |  aoflagger.threshold_timestep_rms(data2, 2.0)
+        |end""".stripMargin)
+    // last wins (the same rule as every other repeated knob), the
+    // displaced first call is accounted for
+    assert(tr.strategy.tsRmsThreshold == 2.0)
+    assert(tr.unmapped.exists(_.contains("3.5")), s"${tr.unmapped}")
+    // a same-threshold repeat (the published per-pol loop shape) is
+    // NOT a displacement
+    val tr2 = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.threshold_timestep_rms(data, 3.5)
+        |  aoflagger.threshold_timestep_rms(data2, 3.5)
+        |end""".stripMargin)
+    assert(tr2.strategy.tsRmsThreshold == 3.5 && tr2.unmapped.isEmpty)
+  }
+
+  test("whole-line RMS flaggers do real work: each pass tightens " +
+    "occupancy on the synthetic frame") {
+    val flagged = FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
+    def occupancy(extra: String): Long =
+      RfiFlag(flagged, RfiStrategy.parse(extra)).where(col("rfi")).count()
+    val base = occupancy("")
+    val ts = occupancy("ts_rms_threshold = 1.02")
+    val ch = occupancy("ch_rms_threshold = 1.01")
+    val fin = occupancy("ts_rms_final = 1.03")
+    assert(ts > base, s"timestep pass must flag lines ($ts vs $base)")
+    assert(ch > base, s"channel pass must flag lines ($ch vs $base)")
+    assert(fin > base, s"final pass must flag lines ($fin vs $base)")
   }
 
   test("Lua translation: stray downsample/upsample outside the " +
