@@ -221,11 +221,32 @@ object Corpus {
     df.select(keep :+ explode_outer(gen).as(name): _*)
       .where(col(name).isNotNull)
 
-  def probeHashes(docs: DataFrame): Array[Long] =
-    explodeNoInfer(
+  /** BOUNDED-BENCHMARK CONTRACT: the probe set is driver/broadcast
+    * model state (like ANN centroids or a BPE merge table), so it must
+    * be BENCHMARK-sized — a fixed eval suite's shingles, never a split
+    * of the corpus itself (a corpus-proportional probe grows without
+    * bound and re-introduces the driver-collect scale failure this
+    * family is designed around). `maxProbe` enforces the contract
+    * LOUDLY: the collect is pre-limited to `maxProbe + 1` rows and the
+    * call fails rather than silently truncating or ballooning. The
+    * default (4M hashes ≈ 32 MB broadcast) is far above any real
+    * benchmark suite; pass a tighter bound if your suite is smaller.
+    */
+  def probeHashes(docs: DataFrame, maxProbe: Int = 4000000)
+      : Array[Long] = {
+    require(maxProbe > 0, s"maxProbe must be > 0, got $maxProbe")
+    val arr = explodeNoInfer(
       distinctShingleHashes(docs).where(col("doc_id") % 97 === 0),
       col("hs"), "h").distinct()
+      .limit(maxProbe + 1)
       .collect().map(_.getLong(0)).sorted
+    require(arr.length <= maxProbe,
+      s"probeHashes: probe set exceeds the bounded-benchmark cap " +
+        s"($maxProbe) — the contamination probe must be a fixed " +
+        "benchmark suite's shingles, not a corpus split (see the " +
+        "bounded-benchmark contract in the scaladoc)")
+    arr
+  }
 
   /** The row-local screen against a precomputed probe set — one scan,
     * zero shuffles; works identically on a batch or streaming frame

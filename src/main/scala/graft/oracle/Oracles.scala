@@ -223,7 +223,7 @@ object Oracles {
     val sl = fmt(math.sin(LatRad)); val cl = fmt(math.cos(LatRad))
     val sd = fmt(math.sin(DecRad)); val cd = fmt(math.cos(DecRad))
     val ha = s"(0.5e0 + ts.t * ${fmt(DHa)})"
-    s"""uvw AS (
+    s"""uvw AS MATERIALIZED (
        |  SELECT t, ant,
        |         (sh * xc + ch * yc) AS u_m,
        |         ((- $sd) * ch * xc + $sd * sh * yc + $cd * zc) AS v_m,
@@ -550,7 +550,7 @@ object Oracles {
        |  WHERE g2 >= 0.0e0 AND g2 < 1.0e0)""".stripMargin
 
   private def c5VvresCte: String =
-    """vvres AS (
+    """vvres AS MATERIALIZED (
       |  SELECT khat, sx, sy,
       |         -- cnt <= 100: the kernel's reference cap policy
       |         -- (van_vleck.rs:723-730) abandons to khat after the
@@ -612,7 +612,14 @@ object Oracles {
     */
   val c5VanVleck: String = c5Dataflow("TRUE")
 
-  private def c5Dataflow(winWhere: String): String = {
+  /** The C5 dataflow as composable CTE layers: returns (ctes, outRel)
+    * where outRel holds one row per `vis` row in `winWhere` with every
+    * vis column plus the RAW Van-Vleck-corrected components c0..c7 —
+    * the form the composed-preprocess twin (`ppChain`) chains further
+    * stages onto. `c5Dataflow` quantises the same doubles to
+    * micro-units for the standalone C5 gates.
+    */
+  private def c5RawCtes(winWhere: String): (Seq[String], String) = {
     val scale = "2.0e0"
     val smapRows = (0 to 1036).map { m =>
       val p = m / 128.0
@@ -620,10 +627,10 @@ object Oracles {
         .vanVleckAuto(math.sqrt(p / 2.0))
       s"(${fmt(p)}, ${fmt(sig)})"
     }.mkString(",\n  ")
-    val smap = s"smap AS (SELECT * FROM (VALUES\n  $smapRows) m(p, sg))"
-    val win = s"win AS (SELECT * FROM vis WHERE $winWhere)"
+    val smap = s"smap AS MATERIALIZED (SELECT * FROM (VALUES\n  $smapRows) m(p, sg))"
+    val win = s"win AS MATERIALIZED (SELECT * FROM vis WHERE $winWhere)"
     val sig =
-      """sig AS (
+      """sig AS MATERIALIZED (
         |  SELECT a.t, a.ant, a.chan, mx.sg AS sigma_x, my.sg AS sigma_y
         |  FROM (SELECT t, ant1 AS ant, chan,
         |               max(abs(v0)) AS pxx, max(abs(v6)) AS pyy
@@ -632,7 +639,7 @@ object Oracles {
         |  JOIN smap mx ON a.pxx = mx.p
         |  JOIN smap my ON a.pyy = my.p)""".stripMargin
     val joined =
-      """joined AS (
+      """joined AS MATERIALIZED (
         |  SELECT w.*, s1.sigma_x AS sx1, s1.sigma_y AS sy1,
         |         s2.sigma_x AS sx2, s2.sigma_y AS sy2
         |  FROM win w
@@ -664,11 +671,11 @@ object Oracles {
          |CASE WHEN ant1 = ant2 THEN sy1 ELSE $sb END AS sb$j"""
         .stripMargin
     }.mkString(",\n")
-    val keys = s"keys AS (\n  SELECT *,\n$keyCols\n  FROM joined)"
+    val keys = s"keys AS MATERIALIZED (\n  SELECT *,\n$keyCols\n  FROM joined)"
     val triUnion = (0 until 8).map(j =>
       s"SELECT kh$j AS khat, sa$j AS sx, sb$j AS sy FROM keys " +
         s"WHERE kh$j IS NOT NULL").mkString("\n  UNION ALL\n  ")
-    val tri = s"tri AS (\n  SELECT DISTINCT khat, sx, sy FROM (\n  " +
+    val tri = s"tri AS MATERIALIZED (\n  SELECT DISTINCT khat, sx, sy FROM (\n  " +
       triUnion + "))"
     val kJoins = (0 until 8).map(j =>
       s"LEFT JOIN vvres k$j ON kh$j = k$j.khat AND sa$j = k$j.sx " +
@@ -682,17 +689,251 @@ object Oracles {
         case 5 => s"-($scale * coalesce(k5.kappa, kh5))"
         case _ => s"$scale * coalesce(k$j.kappa, kh$j)"
       }
-      s"""  CAST(floor((CASE WHEN sx1 IS NULL OR sx2 IS NULL THEN v$j
-         |                   WHEN ant1 = ant2 THEN $auto
-         |                   ELSE $cross END) * 1.0e6 + 0.5e0)
-         |       AS BIGINT) AS r$j""".stripMargin
+      s"""         (CASE WHEN sx1 IS NULL OR sx2 IS NULL THEN v$j
+         |               WHEN ant1 = ant2 THEN $auto
+         |               ELSE $cross END) AS c$j""".stripMargin
     }.mkString(",\n")
+    val vvraw =
+      s"""vvraw AS MATERIALIZED (
+         |  SELECT t, ant1, ant2, bl, cc, fc, chan, freq_hz, w,
+         |$outs
+         |  FROM keys
+         |$kJoins)""".stripMargin
+    (Seq(smap, win, sig, joined, keys, tri, c5NewtonCte, c5VvresCte,
+      vvraw), "vvraw")
+  }
+
+  private def c5Dataflow(winWhere: String): String = {
+    val (ctes, rel) = c5RawCtes(winWhere)
+    val outs = (0 until 8).map(j =>
+      s"  CAST(floor(c$j * 1.0e6 + 0.5e0) AS BIGINT) AS r$j")
+      .mkString(",\n")
     OracleSql.queryRecursive(
       s"""SELECT t, bl, chan,
          |$outs
-         |FROM keys
-         |$kJoins""".stripMargin,
-      smap, win, sig, joined, keys, tri, c5NewtonCte, c5VvresCte)
+         |FROM $rel""".stripMargin,
+      ctes: _*)
+  }
+
+  // ---- full composed preprocess (PP) ---------------------------------
+
+  /** The COMPLETE preprocess chain twin — every stage of the
+    * reference's fixed order (preprocessing.rs:178-361) composed in one
+    * query: static flags → weights → Van Vleck → cable → digital
+    * gains → passband → RFI (default strategy, flag-OR) → geometry →
+    * DI calibration (incl. NaN flag/weight bake). Raw doubles chain
+    * between stages exactly as Spark's fused projection computes them
+    * (each stage's expression tree is the per-stage twin's, already
+    * hash-proven individually); quantisation happens ONCE at the end
+    * (micro-units for the comps, 112-units for the weight — weight =
+    * ±w·8·pfb_gain with pfb_gain = k/112, so weight·112 is an exact
+    * integer).
+    *
+    * `skipCableGeom` renders the chain WITHOUT the cable and geometry
+    * layers — the metafits CABLEDEL/GEODEL ≠ 0 auto-skip variant
+    * (reference CLI decisions, cli.rs:1389-1399, 1444-1452).
+    */
+  private def ppCtes(skipCableGeom: Boolean): (Seq[String], String) = {
+    val (vvCtes, vvRel) = c5RawCtes("TRUE")
+    // static flags + weight bake (flags.rs:217-221, 579-584) on the
+    // Van-Vleck-corrected rows — VV reads only the payload comps, so
+    // correcting first ≡ the engine's weighted-then-VV composition
+    val ppw =
+      s"""ppw AS MATERIALIZED (
+         |  SELECT v.t, v.ant1, v.ant2, v.bl, v.cc, v.fc, v.chan,
+         |         v.freq_hz, v.w,
+         |         v.c0, v.c1, v.c2, v.c3, v.c4, v.c5, v.c6, v.c7,
+         |         (ts.ts_flag OR c.ch_flag OR b.bl_flag) AS flag,
+         |         CASE WHEN (ts.ts_flag OR c.ch_flag OR b.bl_flag)
+         |              THEN -(v.w * 8.0e0) ELSE v.w * 8.0e0 END AS weight
+         |  FROM $vvRel v
+         |  JOIN timestep ts ON v.t = ts.t
+         |  JOIN chan c ON v.chan = c.chan
+         |  JOIN baseline b ON v.bl = b.bl)""".stripMargin
+    val carry = "t, ant1, ant2, bl, cc, fc, chan, freq_hz, flag, weight"
+    // cable (C1): guarded per-pol rotation, autos pass through exactly
+    val cbPols = Seq(
+      (0, 1, "(lx2 - lx1)"), (2, 3, "(ly2 - lx1)"),
+      (4, 5, "(lx2 - ly1)"), (6, 7, "(ly2 - ly1)"))
+    val cbOuts = cbPols.flatMap { case (ri, ii, dl) =>
+      val th = s"-2.0e0 * pi() * $dl * freq_hz / 299792458.0e0"
+      Seq(
+        s"         CASE WHEN ant1 = ant2 THEN c$ri ELSE " +
+          s"c$ri * cos($th) - c$ii * sin($th) END AS c$ri",
+        s"         CASE WHEN ant1 = ant2 THEN c$ii ELSE " +
+          s"c$ri * sin($th) + c$ii * cos($th) END AS c$ii")
+    }.mkString(",\n")
+    val cb =
+      s"""cb AS MATERIALIZED (
+         |  SELECT $carry,
+         |$cbOuts
+         |  FROM (
+         |    SELECT v.*, a1.elec_len_x_m AS lx1, a1.elec_len_y_m AS ly1,
+         |           a2.elec_len_x_m AS lx2, a2.elec_len_y_m AS ly2
+         |    FROM ppw v JOIN antenna a1 ON v.ant1 = a1.ant
+         |               JOIN antenna a2 ON v.ant2 = a2.ant))"""
+        .stripMargin
+    // digital gains (C3)
+    val dgSrc = if (skipCableGeom) "ppw" else "cb"
+    val dgPols = Seq(
+      (Seq(0, 1), "(g1x * g2x)"), (Seq(2, 3), "(g1x * g2y)"),
+      (Seq(4, 5), "(g1y * g2x)"), (Seq(6, 7), "(g1y * g2y)"))
+    val dgOuts = dgPols.flatMap { case (ks, g) =>
+      ks.map(k => s"         c$k / $g AS c$k")
+    }.mkString(",\n")
+    val dg =
+      s"""dg AS MATERIALIZED (
+         |  SELECT $carry,
+         |$dgOuts
+         |  FROM (
+         |    SELECT v.*, g1.gain_x AS g1x, g1.gain_y AS g1y,
+         |           g2.gain_x AS g2x, g2.gain_y AS g2y
+         |    FROM $dgSrc v
+         |    JOIN digital_gain g1 ON v.ant1 = g1.ant AND v.cc = g1.cc
+         |    JOIN digital_gain g2 ON v.ant2 = g2.ant AND v.cc = g2.cc))"""
+        .stripMargin
+    // passband (C4): vis /= gain, weight *= gain
+    val pbOuts = (0 until 8)
+      .map(k => s"         c$k / pfb_gain AS c$k").mkString(",\n")
+    val pb =
+      s"""pb AS MATERIALIZED (
+         |  SELECT v.t, v.ant1, v.ant2, v.bl, v.cc, v.fc, v.chan,
+         |         v.freq_hz, v.flag,
+         |$pbOuts,
+         |         weight * pfb_gain AS weight
+         |  FROM dg v JOIN pfb_gain p ON v.fc = p.fc)""".stripMargin
+    // RFI (default strategy on the post-passband XX image), flag-OR
+    val (rfiCtes, rfiLast) = r1ChainCtes("pb",
+      "sqrt(c0 * c0 + c1 * c1)", 6.0, 1.0, 1.0)
+    val rfidet =
+      s"""rfidet AS MATERIALIZED (
+         |  SELECT bl, t, chan, flg FROM $rfiLast WHERE seen)"""
+        .stripMargin
+    val compCols = (0 until 8).map(k => s"c$k").mkString(", ")
+    val ppr =
+      s"""ppr AS MATERIALIZED (
+         |  SELECT p.t, p.ant1, p.ant2, p.bl, p.cc, p.fc, p.chan,
+         |         p.freq_hz, p.weight, $compCols,
+         |         (p.flag OR coalesce(r.flg, FALSE)) AS flag
+         |  FROM pb p LEFT JOIN rfidet r
+         |    ON p.bl = r.bl AND p.t = r.t AND p.chan = r.chan)"""
+        .stripMargin
+    // geometry (C2): phase-track rotation from the partial-UVW table
+    val geoOuts = (0 until 4).flatMap { p =>
+      val (ri, ii) = (2 * p, 2 * p + 1)
+      Seq(s"         (c$ri * cs - c$ii * sn) AS c$ri",
+        s"         (c$ri * sn + c$ii * cs) AS c$ii")
+    }.mkString(",\n")
+    val geo =
+      s"""geo AS MATERIALIZED (
+         |  SELECT $carry,
+         |$geoOuts
+         |  FROM (
+         |    SELECT v.*,
+         |           cos(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
+         |               / 299792458.0e0) AS cs,
+         |           sin(-2.0e0 * pi() * (u1.w_m - u2.w_m) * freq_hz
+         |               / 299792458.0e0) AS sn
+         |    FROM ppr v
+         |    JOIN uvw u1 ON v.t = u1.t AND v.ant1 = u1.ant
+         |    JOIN uvw u2 ON v.t = u2.t AND v.ant2 = u2.ant))"""
+        .stripMargin
+    // DI calibration (C6): J1 · V · J2^H + NaN flag/weight bake
+    // (calibration.rs:111-124)
+    val calSrc = if (skipCableGeom) "ppr" else "geo"
+    val j1 = (0 until 8).map(k => s"j${k}_1")
+    val vIn = (0 until 8).map(k => s"c$k")
+    val j2 = (0 until 8).map(k => s"j${k}_2")
+    val sand = Calibration.sandwich(j1, vIn, j2)(Num.sqlNum)
+    val calOuts = sand.zipWithIndex
+      .map { case (e, k) => s"         $e AS c$k" }.mkString(",\n")
+    val jsel1 = (0 until 8).map(k => s"c1.j$k AS j${k}_1").mkString(", ")
+    val jsel2 = (0 until 8).map(k => s"c2.j$k AS j${k}_2").mkString(", ")
+    val calRaw =
+      s"""calraw AS MATERIALIZED (
+         |  SELECT $carry,
+         |$calOuts
+         |  FROM (
+         |    SELECT v.*, $jsel1, $jsel2
+         |    FROM $calSrc v
+         |    JOIN calsol c1 ON v.ant1 = c1.ant AND v.cc = c1.cc
+         |    JOIN calsol c2 ON v.ant2 = c2.ant AND v.cc = c2.cc))"""
+        .stripMargin
+    val anyNan = (0 until 8).map(k => s"isnan(c$k)").mkString(" OR ")
+    val cal =
+      s"""cal AS MATERIALIZED (
+         |  SELECT t, ant1, ant2, bl, cc, fc, chan, freq_hz, $compCols,
+         |         (flag OR ($anyNan)) AS flag,
+         |         CASE WHEN $anyNan THEN -abs(weight) ELSE weight END
+         |           AS weight
+         |  FROM calraw)""".stripMargin
+    val ctes = vvCtes ++ Seq(ppw) ++
+      (if (skipCableGeom) Nil else Seq(cb)) ++ Seq(dg, pb) ++
+      rfiCtes ++ Seq(rfidet, ppr) ++
+      (if (skipCableGeom) Nil else Seq(uvwCte, geo)) ++
+      Seq(calRaw, cal)
+    (ctes, "cal")
+  }
+
+  private def ppQuery(skipCableGeom: Boolean): String = {
+    val (ctes, rel) = ppCtes(skipCableGeom)
+    val outs = (0 until 8).map(j =>
+      s"  CAST(floor(c$j * 1.0e6 + 0.5e0) AS BIGINT) AS r$j")
+      .mkString(",\n")
+    OracleSql.queryRecursive(
+      s"""SELECT t, bl, chan,
+         |$outs,
+         |  flag,
+         |  CAST(floor(weight * 112.0e0 + 0.5e0) AS BIGINT) AS w112
+         |FROM $rel""".stripMargin,
+      ctes: _*)
+  }
+
+  /** q_pp_full_preprocess: the composed chain with EVERY stage on. */
+  val ppFullPreprocess: String = ppQuery(skipCableGeom = false)
+
+  /** q_pp2_preprocess_skips: the CABLEDEL/GEODEL auto-skip variant —
+    * the metafits says cable and geometric delays were applied
+    * upstream, so those two stages must NOT run (running them anyway
+    * would double-correct and flip every hash).
+    */
+  val ppPreprocessSkips: String = ppQuery(skipCableGeom = true)
+
+  /** q_pp3_preprocess_avg: the composed chain feeding the REAL
+    * averaging operator. The corrected comps/weight quantise to exact
+    * integer-valued doubles FIRST (micro-units / 112-units — the
+    * chain's outputs are transcendental, and a weighted mean of raw
+    * doubles would be partial-aggregation-order dependent across
+    * engines); the weighted-mean arithmetic over those integers is
+    * then exact in both engines up to one final correctly-rounded
+    * division, so the gate hashes the averaging operator's RAW output.
+    */
+  val ppPreprocessAvg: String = {
+    val (ctes, rel) = ppCtes(skipCableGeom = false)
+    val qCols = (0 until 8)
+      .map(k => s"         floor(c$k * 1.0e6 + 0.5e0) AS q$k")
+      .mkString(",\n")
+    val ppq =
+      s"""ppq AS MATERIALIZED (
+         |  SELECT bl, ant1, ant2, t, chan, flag,
+         |         floor(weight * 112.0e0 + 0.5e0) AS qw,
+         |$qCols
+         |  FROM $rel)""".stripMargin
+    val aggs = (0 until 8).map { k =>
+      s"  coalesce(sum(CASE WHEN NOT flag THEN qw * q$k END)" +
+        s" / sum(CASE WHEN NOT flag THEN qw END), avg(q$k)) AS a$k"
+    }.mkString(",\n")
+    OracleSql.queryRecursive(
+      s"""SELECT bl, ant1, ant2, CAST(t // 2 AS BIGINT) AS t_out,
+         |       CAST(chan // 2 AS BIGINT) AS c_out,
+         |$aggs,
+         |  bool_and(flag) AS flag_out,
+         |  coalesce(sum(CASE WHEN NOT flag THEN qw END), 0.0e0)
+         |    AS weight_out,
+         |  count(*) AS n_samples
+         |FROM ppq
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+      (ctes :+ ppq): _*)
   }
 
   // ---- RFI -----------------------------------------------------------
@@ -731,7 +972,7 @@ object Oracles {
     */
   private def sirPass(prev: String, cur: String, part: String,
                       ord: String, etaNum: Long): String =
-    s"""$cur AS (
+    s"""$cur AS MATERIALIZED (
        |  SELECT bl, t, chan, seen, res, chi1,
        |         (sirmax >= least(CAST(0 AS BIGINT),
        |                          coalesce(sirminpre, CAST(0 AS BIGINT))))
@@ -813,16 +1054,23 @@ object Oracles {
     (Seq(base, q0) ++ iters :+ out, s"${pfx}out")
   }
 
-  private def r1SumThresholdWith(ampExpr: String, madK: Double,
-                                 timeWeight: Double,
-                                 chanWeight: Double,
-                                 sirEtaTime: Double = 0.2,
-                                 sirEtaChan: Double = 0.2,
-                                 tsRms: Double = 0.0,
-                                 chRms: Double = 0.0,
-                                 chRmsFlagLow: Boolean = true,
-                                 tsRmsFinal: Double = 0.0,
-                                 rmsRounds: Int = 3): String = {
+  /** The full RFI detection chain as composable CTE layers over any
+    * source relation carrying (bl, t, chan, flag) plus the columns
+    * `ampExpr` reads — returns (ctes, lastRel); lastRel has
+    * (bl, t, chan, seen, flg). `srcRel` is `vis_flagged` for the
+    * standalone gates and the post-passband stage relation for the
+    * composed-preprocess twin.
+    */
+  private def r1ChainCtes(srcRel: String, ampExpr: String, madK: Double,
+                          timeWeight: Double,
+                          chanWeight: Double,
+                          sirEtaTime: Double = 0.2,
+                          sirEtaChan: Double = 0.2,
+                          tsRms: Double = 0.0,
+                          chRms: Double = 0.0,
+                          chRmsFlagLow: Boolean = true,
+                          tsRmsFinal: Double = 0.0,
+                          rmsRounds: Int = 3): (Seq[String], String) = {
     val chiDivT =
       (0 to 5).map(l => fmt(math.pow(1.5, l.toDouble) * timeWeight))
     val chiDivC =
@@ -830,7 +1078,7 @@ object Oracles {
     def pass(prev: String, cur: String, part: String, ord: String,
              m: Int, chiDiv: String): String = {
       val chi = s"(chi1 / $chiDiv)"
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT bl, t, chan, seen, res, chi1,
          |         (flg OR coalesce(bool_or(hit)
          |            OVER (PARTITION BY $part ORDER BY $ord
@@ -850,44 +1098,44 @@ object Oracles {
          |      FROM $prev)))""".stripMargin
     }
     val prep =
-      s"""cells0 AS (
+      s"""cells0 AS MATERIALIZED (
         |  SELECT bl, t, chan,
         |         max($ampExpr) AS amp,
         |         bool_or(flag) AS flg
-        |  FROM vis_flagged GROUP BY 1, 2, 3),
-        |grid AS (
+        |  FROM $srcRel GROUP BY 1, 2, 3),
+        |grid AS MATERIALIZED (
         |  SELECT b.bl, b.t, c.chan
         |  FROM (SELECT DISTINCT bl, t FROM cells0) b
         |  JOIN (SELECT DISTINCT bl, chan FROM cells0) c ON b.bl = c.bl),
-        |cells AS (
+        |cells AS MATERIALIZED (
         |  SELECT g.bl, g.t, g.chan,
         |         coalesce(c.amp, 0.0e0) AS amp,
         |         coalesce(c.flg, FALSE) AS flg,
         |         c.bl IS NOT NULL AS seen
         |  FROM grid g LEFT JOIN cells0 c
         |    ON g.bl = c.bl AND g.t = c.t AND g.chan = c.chan),
-        |bgsel AS (
+        |bgsel AS MATERIALIZED (
         |  SELECT bl, amp, row_number() OVER (PARTITION BY bl ORDER BY amp)
         |           AS rn,
         |         count(*) OVER (PARTITION BY bl) AS n
         |  FROM cells WHERE NOT flg),
-        |bg AS (SELECT bl, amp AS bg FROM bgsel WHERE rn = n // 2 + 1),
-        |medsel AS (
+        |bg AS MATERIALIZED (SELECT bl, amp AS bg FROM bgsel WHERE rn = n // 2 + 1),
+        |medsel AS MATERIALIZED (
         |  SELECT bl, amp, row_number() OVER (PARTITION BY bl ORDER BY amp)
         |           AS rn,
         |         count(*) OVER (PARTITION BY bl) AS n
         |  FROM cells WHERE seen AND NOT flg),
-        |med AS (SELECT bl, amp AS med FROM medsel WHERE rn = n // 2 + 1),
-        |madsel AS (
+        |med AS MATERIALIZED (SELECT bl, amp AS med FROM medsel WHERE rn = n // 2 + 1),
+        |madsel AS MATERIALIZED (
         |  SELECT c.bl, abs(c.amp - m.med) AS dev,
         |         row_number() OVER (PARTITION BY c.bl
         |                            ORDER BY abs(c.amp - m.med)) AS rn,
         |         count(*) OVER (PARTITION BY c.bl) AS n
         |  FROM cells c JOIN med m ON c.bl = m.bl
         |  WHERE c.seen AND NOT c.flg),
-        |chi AS (SELECT bl, ${fmt(madK)} * 1.4826e0 * dev AS chi1
+        |chi AS MATERIALIZED (SELECT bl, ${fmt(madK)} * 1.4826e0 * dev AS chi1
         |        FROM madsel WHERE rn = n // 2 + 1),
-        |p0 AS (
+        |p0 AS MATERIALIZED (
         |  SELECT c.bl, c.t, c.chan, c.seen,
         |         c.amp - coalesce(b.bg, 0.0e0) AS res,
         |         coalesce(x.chi1, 1.7976931348623157e308) AS chi1,
@@ -939,9 +1187,25 @@ object Oracles {
       postLayers ++= ls
       last = out
     }
+    ((prep +: (layers ++ postLayers)).toSeq, last)
+  }
+
+  private def r1SumThresholdWith(ampExpr: String, madK: Double,
+                                 timeWeight: Double,
+                                 chanWeight: Double,
+                                 sirEtaTime: Double = 0.2,
+                                 sirEtaChan: Double = 0.2,
+                                 tsRms: Double = 0.0,
+                                 chRms: Double = 0.0,
+                                 chRmsFlagLow: Boolean = true,
+                                 tsRmsFinal: Double = 0.0,
+                                 rmsRounds: Int = 3): String = {
+    val (ctes, last) = r1ChainCtes("vis_flagged", ampExpr, madK,
+      timeWeight, chanWeight, sirEtaTime, sirEtaChan, tsRms, chRms,
+      chRmsFlagLow, tsRmsFinal, rmsRounds)
     OracleSql.query(
       s"SELECT bl, t, chan, flg AS rfi FROM $last WHERE seen",
-      (OracleSql.visFlaggedCte +: prep +: (layers ++ postLayers)): _*)
+      (OracleSql.visFlaggedCte +: ctes): _*)
   }
 
   val r1SumThreshold: String =
@@ -1003,11 +1267,11 @@ object Oracles {
       |         max(sqrt(v0 * v0 + v1 * v1)) AS amp,
       |         bool_or(flag) AS flg
       |  FROM vis_flagged GROUP BY 1, 2, 3),
-      |grid AS (
+      |grid AS MATERIALIZED (
       |  SELECT b.bl, b.t, c.chan
       |  FROM (SELECT DISTINCT bl, t FROM cells0) b
       |  JOIN (SELECT DISTINCT bl, chan FROM cells0) c ON b.bl = c.bl),
-      |cells AS (
+      |cells AS MATERIALIZED (
       |  SELECT g.bl, g.t, g.chan,
       |         coalesce(c.amp, 0.0e0) AS amp,
       |         coalesce(c.flg, FALSE) AS flg,
@@ -1073,11 +1337,11 @@ object Oracles {
         |                        + 0.5e0) AS BIGINT)) AS amp_u,
         |         bool_or(flag) AS flg
         |  FROM vis_flagged GROUP BY 1, 2, 3),
-        |grid AS (
+        |grid AS MATERIALIZED (
         |  SELECT b.bl, b.t, c.chan
         |  FROM (SELECT DISTINCT bl, t FROM cells0) b
         |  JOIN (SELECT DISTINCT bl, chan FROM cells0) c ON b.bl = c.bl),
-        |cells AS (
+        |cells AS MATERIALIZED (
         |  SELECT g.bl, g.t, g.chan,
         |         CASE WHEN c.bl IS NOT NULL AND NOT c.flg
         |              THEN coalesce(c.amp_u, CAST(0 AS BIGINT))

@@ -548,12 +548,20 @@ object MsContainer {
 
   /** Decode one table directory through the independent
     * [[CasaTables]] reader (descriptor chain + StManAipsIO data).
+    * `maxRows` is checked against `table.dat`'s row count BEFORE the
+    * data file is slurped — a fixture-scale gate pointed at a
+    * production MAIN fails loudly without ever loading it into driver
+    * memory (same bound discipline as [[replay]]).
     */
   def readTable(dir: String,
-                conf: org.apache.hadoop.conf.Configuration): Decoded = {
+                conf: org.apache.hadoop.conf.Configuration,
+                maxRows: Long = Long.MaxValue): Decoded = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val (nRows, cols) = readTableDat(slurp(fs, new Path(d, "table.dat")))
+    require(nRows <= maxRows,
+      s"readTable($dir): $nRows rows exceeds the caller's bound " +
+        s"$maxRows — the f0 decode is driver-side by design")
     val (num, strs) = readF0(slurp(fs, new Path(d, "table.f0")), nRows,
       cols)
     Decoded(cols, nRows, num, strs)

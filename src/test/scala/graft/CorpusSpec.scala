@@ -71,6 +71,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(5L -> true, 6L -> false))
   }
 
+  test("probeHashes: the bounded-benchmark cap fails LOUDLY when the " +
+    "probe set exceeds it, and under the cap is exact") {
+    val probeText = (1 to 40).map(i => s"p$i").mkString(" ")
+    val docs = docsOf((0L, "en", probeText), (5L, "en", "other words"))
+    // the fixture's probe doc yields > 2 distinct shingle hashes: a
+    // cap of 2 must throw, not truncate
+    val e = intercept[IllegalArgumentException](
+      Corpus.probeHashes(docs, maxProbe = 2))
+    assert(e.getMessage.contains("bounded-benchmark"))
+    // a sufficient cap returns the same set as the default
+    val capped = Corpus.probeHashes(docs, maxProbe = 10000)
+    assert(capped.sameElements(Corpus.probeHashes(docs)))
+    assert(capped.length > 2)
+  }
+
   test("stratifiedSample: deterministic, honours cutoffs, " +
     "oversized targets keep everything") {
     val rows = (0L until 200L).map(i =>

@@ -188,6 +188,65 @@ class MsContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("readTable maxRows bound trips from table.dat BEFORE the f0 " +
+    "slurp (same discipline as replay)") {
+    val dir = "/root/testdata/sf0.001"
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, dir), Dims.timestep(spark), Dims.chan(spark),
+      Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val uvw = graft.ops.GeometryCorrection.partUvw(
+      Dims.timestep(spark), Dims.antenna(spark))
+    val out = Files.createTempDirectory("mscb").toString + "/obs.ms"
+    val n = MsContainer.write(avg, uvw, Dims.antenna(spark), out)
+    assert(n > 1)
+    // a bound below the row count fails loudly, naming the bound —
+    // and the guard must hold even when table.f0 is unreadable, which
+    // proves the check runs before the data-file slurp
+    val e = intercept[IllegalArgumentException](
+      MsContainer.readTable(out, conf, maxRows = n - 1))
+    assert(e.getMessage.contains(s"bound ${n - 1}"))
+    val f0 = new java.io.File(out, "table.f0")
+    val moved = new java.io.File(out, "table.f0.away")
+    assert(f0.renameTo(moved))
+    try intercept[IllegalArgumentException](
+      MsContainer.readTable(out, conf, maxRows = n - 1))
+    finally assert(moved.renameTo(f0))
+    // at the bound, the decode proceeds
+    assert(MsContainer.readTable(out, conf, maxRows = n).nRows == n)
+  }
+
+  test("write determinism: two writes of the same frame produce " +
+    "byte-identical containers (the shared-write seam's contract)") {
+    val dir = "/root/testdata/sf0.001"
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, dir), Dims.timestep(spark), Dims.chan(spark),
+      Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val uvw = graft.ops.GeometryCorrection.partUvw(
+      Dims.timestep(spark), Dims.antenna(spark))
+    val outA = Files.createTempDirectory("msda").toString + "/obs.ms"
+    val outB = Files.createTempDirectory("msdb").toString + "/obs.ms"
+    MsContainer.write(avg, uvw, Dims.antenna(spark), outA)
+    MsContainer.write(avg, uvw, Dims.antenna(spark), outB)
+    def files(root: String): Seq[String] = {
+      val b = java.nio.file.Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(b).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => b.relativize(p).toString).toSeq.sorted
+    }
+    val fa = files(outA)
+    assert(fa == files(outB) && fa.nonEmpty)
+    fa.foreach { rel =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outA, rel))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outB, rel))
+      assert(java.util.Arrays.equals(a, b), s"$rel bytes differ")
+    }
+  }
+
   test("container DATA carries the averaged payload at f32") {
     val dir = "/root/testdata/sf0.001"
     val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
