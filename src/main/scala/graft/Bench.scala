@@ -34,6 +34,17 @@ import org.apache.spark.sql.SparkSession
   * BENCH_FULL.json records both raw measurements (`suite_sec`,
   * `idle_sec`) alongside the reported `sec`.
   *
+  * Contamination guard (the no-min-folding rule must not launder
+  * INFLATED figures either): every fork records /proc/loadavg
+  * before/after into the artifact; an idle figure > 2.5x its suite
+  * figure is treated as suspected machine-load contamination — the
+  * harness waits (bounded) for external CPU busy-fraction to subside,
+  * re-forks once, keeps the LOWER of the two idle attempts (both
+  * recorded under `idle_attempts`), and REFUSES to emit the benchmark
+  * at all if the machine never goes quiet. The suite pass also
+  * asserts the session CacheManager is empty after every query, so no
+  * plan-private cache leaks into later measurements.
+  *
   * Output protocol: the harness that collects this output keeps only
   * the LAST 2000 characters of stdout and JSON-parses the final line.
   * A full-precision `q_`-named map for 86 queries is ~3 KB — it can
@@ -85,13 +96,82 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** Warm-up discard + median of `runs` — one query. */
+  /** Warm-up discard + median of `runs` — one query. Afterwards the
+    * session CacheManager must be EMPTY: a query that leaves a cache
+    * entry behind silently substitutes it into every later query whose
+    * plan contains the subtree, so the rest of the suite no longer
+    * measures its own plans (and the leak pins an undeclared
+    * corpus-scale frame at real scale).
+    */
   private def measure(spark: SparkSession, sfDir: String, runs: Int,
                       name: String): Double = {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name"))
     timeOnce(spark, sfDir, name, fn) // warm-up, discarded
-    median((1 to runs).map(_ => timeOnce(spark, sfDir, name, fn)))
+    val sec = median((1 to runs).map(_ => timeOnce(spark, sfDir, name, fn)))
+    require(spark.sharedState.cacheManager.isEmpty,
+      s"query $name left entries in the session CacheManager — " +
+        "plan-private state leaked into the shared session (use a " +
+        "lazy localCheckpoint, never .cache(), for multi-consumed " +
+        "intermediates)")
+    sec
+  }
+
+  /** 1-minute load average from /proc/loadavg (-1 when unreadable) —
+    * recorded per forked idle measure so an inflated figure always
+    * carries the evidence of WHY (r14's idle batch ran on a loaded
+    * machine and committed 10x-inflated figures with nothing in the
+    * artifact to say so).
+    */
+  private def loadAvg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Fraction of total CPU time spent busy over a short /proc/stat
+    * sample — unlike load1 (minutes of exponential decay, polluted by
+    * our own just-finished fork), this reflects what is running NOW,
+    * so it is the subsidence test before a re-fork.
+    */
+  private def cpuBusyFrac(sampleMs: Int = 500): Double = {
+    def snap(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, f(3) + (if (f.length > 4) f(4) else 0L)) // idle+iowait
+      } catch { case _: Throwable => (0L, 0L) }
+    val (t0, i0) = snap()
+    Thread.sleep(sampleMs.toLong)
+    val (t1, i1) = snap()
+    val dt = (t1 - t0).toDouble
+    if (dt <= 0) 0.0 else 1.0 - (i1 - i0) / dt
+  }
+
+  /** Wait (bounded) for external CPU load to subside; true when the
+    * machine went quiet within the budget.
+    */
+  private def awaitQuiet(maxWaitSec: Int,
+                         busyThreshold: Double = 0.25): Boolean = {
+    val deadline =
+      System.nanoTime() + maxWaitSec.toLong * 1000000000L
+    var quiet = cpuBusyFrac() < busyThreshold
+    while (!quiet && System.nanoTime() < deadline) {
+      Thread.sleep(2000)
+      quiet = cpuBusyFrac() < busyThreshold
+    }
+    quiet
+  }
+
+  /** One forked idle measurement with its load evidence. */
+  private case class IdleAttempt(sec: Double, loadBefore: Double,
+                                 loadAfter: Double) {
+    def json: String =
+      f"""{"sec":$sec%.6f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}"""
+  }
+
+  private def forkAttempt(name: String): Option[IdleAttempt] = {
+    val lb = loadAvg1()
+    forkOne(name).map(s => IdleAttempt(s, lb, loadAvg1()))
   }
 
   /** Child-process mode: measure ONE query in this (idle) JVM and
@@ -183,28 +263,74 @@ object Bench {
       .getOrElse("SPARK_GRAFT_IDLE_THRESHOLD", "1.5").toDouble
     val slowest = (suite.filter(_._2 >= idleThresholdSec).map(_._1) ++
       suite.sortBy(-_._2).take(5).map(_._1)).toSet
-    val idle: Map[String, Double] = slowest.toSeq.sorted.flatMap { n =>
-      forkOne(n).map { s =>
-        System.err.println(f"[bench] idle-JVM $n: $s%.3f s (suite ${suite.toMap.apply(n)}%.3f s)")
-        n -> s
+    val suiteMap = suite.toMap
+    // every fork records /proc/loadavg before/after: an idle figure
+    // far above the warm-suite figure is either real fresh-JVM cost
+    // (~2x for write-heavy sinks) or a LOADED MACHINE — r14 committed
+    // the latter as engine numbers. idle > 2.5x suite is treated as
+    // contamination: wait for external CPU load to subside, re-fork
+    // once, and report the LOWER of the two idle attempts (both kept
+    // in the artifact). If the machine never goes quiet, REFUSE to
+    // emit the benchmark rather than launder inflated numbers.
+    val contaminationRatio = 2.5
+    val attempts = scala.collection.mutable.Map[String, Vector[IdleAttempt]]()
+    val neverQuiet = scala.collection.mutable.ArrayBuffer[String]()
+    slowest.toSeq.sorted.foreach { n =>
+      forkAttempt(n).foreach { a =>
+        System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
+          f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
+        attempts(n) = Vector(a)
+        if (a.sec > contaminationRatio * suiteMap(n)) {
+          System.err.println(f"[bench] idle-JVM $n is " +
+            f"${a.sec / suiteMap(n)}%.1fx its suite figure — " +
+            "suspected load contamination, waiting for quiet + re-fork")
+          if (awaitQuiet(maxWaitSec = 300))
+            forkAttempt(n).foreach { b =>
+              System.err.println(f"[bench] idle-JVM $n re-fork: " +
+                f"${b.sec}%.3f s (load ${b.loadBefore}%.2f)")
+              attempts(n) = attempts(n) :+ b
+            }
+          else neverQuiet += n
+        }
       }
-    }.toMap
-    // spot-checked queries report the IDLE number — whichever
-    // direction it moves. The earlier min(suite, idle) fold silently
-    // kept the flattering figure when a query was slower idle than in
-    // the warm suite JVM; both raw measurements are recorded
-    // explicitly in BENCH_FULL.json so a suite-vs-idle gap is always
-    // visible.
+    }
+    if (neverQuiet.nonEmpty) {
+      System.err.println("[bench] REFUSING to emit benchmark: " +
+        s"external CPU load never subsided while re-measuring " +
+        s"${neverQuiet.mkString(", ")} — these idle figures would be " +
+        "load noise, not engine cost. Re-run on a quiet machine.")
+      sys.exit(2)
+    }
+    // spot-checked queries report the idle number (never the warm
+    // suite figure — no min-folding against suite); among the idle
+    // ATTEMPTS the lower wins, since both are the same methodology and
+    // the gap between them is recorded load, not engine cost.
+    val idle: Map[String, Double] =
+      attempts.view.mapValues(_.map(_.sec).min).toMap
     val results = suite.map { case (n, v) =>
       n -> idle.getOrElse(n, v)
     }
     val total = results.map(_._2).sum
 
+    // q_k2b cost attribution: the one gate that pays a full container
+    // write per timed run records where those seconds go (stats from
+    // this JVM's last suite run — the idle fork re-times the whole
+    // query, the SPLIT shape is run-invariant)
+    val k2bSplit = graft.sinks.MsContainer.lastWriteStats.map { st =>
+      f""","container_split":{"encode_cpu_sec":${st.encodeCpuSec}%.4f,""" +
+        f""""part_write_cpu_sec":${st.partWriteCpuSec}%.4f,""" +
+        f""""main_job_sec":${st.mainJobSec}%.4f,""" +
+        f""""assemble_sec":${st.assembleSec}%.4f}"""
+    }.getOrElse("")
+
     // full-precision artifact -> file (the stdout capture is 2000B)
     val fullQs = results.map { case (k, v) =>
       val extra = if (idle.contains(k))
-        s""","suite_sec":${suite.toMap.apply(k)},"idle_sec":${idle(k)}""" else ""
-      s""""$k":{"sec":$v$extra}"""
+        s""","suite_sec":${suiteMap(k)},"idle_sec":${idle(k)}""" +
+          attempts(k).map(_.json).mkString(""","idle_attempts":[""", ",", "]")
+        else ""
+      val split = if (k == "q_k2b_ms_container") k2bSplit else ""
+      s""""$k":{"sec":$v$extra$split}"""
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs}"""

@@ -571,6 +571,8 @@ object Cli {
           spark.sparkContext.hadoopConfiguration)
         tr.unmapped.foreach(u =>
           log(s"[graft] rfi: lua strategy call NOT translated: $u"))
+        tr.approximated.foreach(a =>
+          log(s"[graft] rfi: lua strategy call APPROXIMATED: $a"))
         tr
       }
     val strategy = translation.map(_.strategy)
@@ -579,30 +581,40 @@ object Cli {
           spark.sparkContext.hadoopConfiguration)))
       .getOrElse(graft.ops.RfiStrategy())
     val pbSel = passbandSelect(cfg, meta)._2
-    // a strategy's apply_bandpass file routes through the passband
-    // stage as an external gain table; PassbandGains.external REFUSES
-    // when a built-in PFB table is also selected (double-application)
+    // a strategy's apply_bandpass file affects DETECTION ONLY: the
+    // reference runs the strategy on an ImageSet copy (flags.rs
+    // RunExisting) and only the flag mask propagates back, so the
+    // gains divide the amplitude grid fed to RfiFlag and never the
+    // output visibilities or weights. Loaded only when the RFI stage
+    // actually runs — a strategy the run never executes must not be
+    // read at all. PassbandGains.external still REFUSES when a
+    // built-in PFB table is also selected (the passband stage runs
+    // before RFI, so the detection grid would be double-corrected).
     val bandpassFiles = translation.map(_.bandpassFiles).getOrElse(Nil)
     require(bandpassFiles.size <= 1,
       s"strategy applies ${bandpassFiles.size} bandpass files — at " +
         "most one is supported")
-    val externalPfb = bandpassFiles.headOption.map { f =>
-      log(s"[graft] rfi: strategy bandpass '$f' routed through the " +
-        "passband stage")
-      graft.ops.PassbandGains.external(spark, f,
-        meta.fineChansPerCoarse, pipelineAppliesPfb = pbSel.isDefined)
-    }
+    if (!cfg.rfi && bandpassFiles.nonEmpty)
+      log("[graft] rfi: strategy bandpass ignored (--no-rfi — the " +
+        "strategy never runs)")
+    val rfiBandpass = bandpassFiles.headOption.filter(_ => cfg.rfi)
+      .map { f =>
+        log(s"[graft] rfi: strategy bandpass '$f' applied to the " +
+          "detection grid only (output data/weights untouched)")
+        graft.ops.PassbandGains.external(spark, f,
+          meta.fineChansPerCoarse, pipelineAppliesPfb = pbSel.isDefined)
+      }
     val pre = Preprocess(
       vanVleck = cfg.vanVleck,
       sampleScale = meta.vvSampleScale(),
       cable = !cfg.noCable,
       digitalGains = !cfg.noDigital,
-      passband = pbSel.isDefined || externalPfb.isDefined,
+      passband = pbSel.isDefined,
       geometry = !cfg.noGeom,
       rfi = cfg.rfi,
       pfbVersion = pbSel.map(_._1),
       pfbOversampled = pbSel.exists(_._2),
-      pfbExternal = externalPfb,
+      rfiBandpass = rfiBandpass,
       // DI calibration ONLY when a solutions file is given — the
       // reference applies it only under --apply-di-cal (cli.rs:1637);
       // a default run must never multiply by synthetic solutions

@@ -618,17 +618,19 @@ object SparkEntry {
     "q_sim2_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), nQueries = 8, k = 3)),
     "q_sim3_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir))),
+      Similarity.ivfTopK(emb(s, dir), fixtureScale = true)),
     "q_sim4_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(emb(s, dir))),
     "q_sim5_kmeans" -> ((s, dir) =>
       Clustering.kmeansAssign(emb(s, dir))),
     "q_sim6_semdedup" -> ((s, dir) =>
-      Clustering.semDedup(emb(s, dir))),
+      Clustering.semDedup(emb(s, dir), fixtureScale = true)),
     "q_sim7_cluster_sample" -> ((s, dir) =>
-      Clustering.clusterSample(emb(s, dir))),
+      Clustering.clusterSample(emb(s, dir), fixtureScale = true)),
+    "q_sim8_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(emb(s, dir), fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
-      Clustering.embPipeline(emb(s, dir))),
+      Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
     // -- LLM-data pipeline: text analysis -----------------------------
     "q_t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -688,6 +690,13 @@ object SparkEntry {
       graft.llm.Corpus.sourceOverlap(docs(s, dir))),
     "q_d10_span_clean" -> ((s, dir) =>
       graft.llm.Corpus.spanDedupClean(docs(s, dir))),
+    // skew stress: every 5th doc's text is the same boilerplate, so
+    // one band bucket carries C(n/5, 2) candidate pairs — the
+    // hot-bucket shape AQE's skew split must absorb at scale (the
+    // SkewAndExtensionsSpec proves the split fires; this gate pins
+    // that the ANSWER is skew-invariant)
+    "q_d11_skew_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(Dedup.skewBoilerplate(docs(s, dir)))),
 
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
@@ -1017,6 +1026,7 @@ object SparkEntry {
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,
     "q_sim4_ann_pq" -> LlmOracles.sim4PqTopK,
+    "q_sim8_ann_recall" -> LlmOracles.sim8AnnRecall(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),
@@ -1056,6 +1066,7 @@ object SparkEntry {
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
+    "q_d11_skew_lsh" -> LlmOracles.d11SkewLsh,
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,

@@ -184,8 +184,31 @@ object Clustering {
       .select(col("b_id").as("vec_id")).distinct()
   }
 
+  /** Cell-count honesty guard for the operators whose cost is
+    * per-cell QUADRATIC (the scoped self-join in [[semDedup]] /
+    * [[embPipeline]]) or whose recall depends on cell granularity
+    * ([[clusterSample]], IVF probing): the k = 8 / nCentroids = 16
+    * DEFAULTS are FIXTURE-sized — right for the sf* test corpora,
+    * catastrophically wrong for a production corpus. k must scale
+    * with the corpus: target ~1e6 vectors per cell (k ≈ rows / 1e6 —
+    * a 100 TB / 1e10-vector corpus needs k ~ 1e4, not 8; 8 cells
+    * would make each self-join side ~1e9 rows and the pair count
+    * ~1e18). A caller using a small k must say it is running at
+    * fixture scale; there is no silent path from the toy default to
+    * a big corpus.
+    */
+  private[graft] def requireScaledK(op: String, k: Int,
+                                    fixtureScale: Boolean): Unit =
+    require(fixtureScale || k >= 64,
+      s"$op: k = $k is fixture-sized (cells are the unit of " +
+        "quadratic work — target ~1e6 vectors per cell, k ≈ " +
+        "corpus_rows / 1e6). Pass fixtureScale = true to run a toy " +
+        "corpus, or a corpus-proportional k for production.")
+
   def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3,
-               tau: Double = 0.3, dim: Int = 64): DataFrame = {
+               tau: Double = 0.3, dim: Int = 64,
+               fixtureScale: Boolean = false): DataFrame = {
+    requireScaledK("semDedup", k, fixtureScale)
     graft.functions.FloatVecDot.register(emb.sparkSession)
     val asg = assignedWithNorm(emb, train(emb, k, iters, dim))
     asg.join(dupSet(asg, tau).withColumn("is_dup", lit(1L)),
@@ -203,7 +226,9 @@ object Clustering {
     */
   def embPipeline(emb: DataFrame, k: Int = 8, iters: Int = 3,
                   tau: Double = 0.3, nPer: Int = 10,
-                  dim: Int = 64): DataFrame = {
+                  dim: Int = 64,
+                  fixtureScale: Boolean = false): DataFrame = {
+    requireScaledK("embPipeline", k, fixtureScale)
     graft.functions.FloatVecDot.register(emb.sparkSession)
     implicit val d: Dialect = SparkD
     import org.apache.spark.sql.expressions.Window
@@ -267,7 +292,9 @@ object Clustering {
     * stage), so per-cell partitions stay bounded.
     */
   def clusterSample(emb: DataFrame, k: Int = 8, iters: Int = 3,
-                    nPer: Int = 20, dim: Int = 64): DataFrame = {
+                    nPer: Int = 20, dim: Int = 64,
+                    fixtureScale: Boolean = false): DataFrame = {
+    requireScaledK("clusterSample", k, fixtureScale)
     implicit val d: Dialect = SparkD
     import org.apache.spark.sql.expressions.Window
     val cents = train(emb, k, iters, dim)

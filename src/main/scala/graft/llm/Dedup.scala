@@ -40,7 +40,15 @@ object Dedup {
 
   /** (doc_id, hs): the hashed word-3-shingle list per document — the
     * shared input of the MinHash, candidate, and verify stages. Hashing
-    * (md5 per shingle) dominates, so pipelines cache this frame.
+    * (md5 per shingle) dominates, so multi-consumer pipelines
+    * materialise this frame ONCE via a plan-private LAZY
+    * `localCheckpoint` — deliberately never `.cache()`: a cache
+    * registers in the session CacheManager, silently substitutes into
+    * every later query whose plan contains the subtree, and pins a
+    * corpus-scale frame in MEMORY_AND_DISK that no plan declares. The
+    * lazy checkpoint materialises on first execution, is private to
+    * the consuming plan, and its blocks are reclaimed when the frame
+    * becomes unreachable.
     */
   def hashedShingles(docs: DataFrame): DataFrame =
     docs
@@ -77,9 +85,15 @@ object Dedup {
     * estimate).
     */
   def lshCandidates(docs: DataFrame): DataFrame =
-    lshCandidatesFromSig(minhashSignatures(docs).cache())
+    lshCandidatesFromSig(
+      minhashSignatures(docs).localCheckpoint(eager = false))
 
-  /** Candidates + estimated jaccard from a (cached) signature frame. */
+  /** Candidates + estimated jaccard from a signature frame the caller
+    * has already bounded for multi-consumption (this plan reads it six
+    * ways: four band projections, both pair sides) — pass a lazily
+    * localCheckpoint'ed frame, not a cached one (see
+    * [[hashedShingles]]).
+    */
   def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
@@ -103,6 +117,31 @@ object Dedup {
       .withColumn("est_jaccard",
         matches.cast("double") / NumPerms.toDouble)
       .select("doc1", "doc2", "est_jaccard")
+  }
+
+  /** The boilerplate sentence [[skewBoilerplate]] stamps — tokenises
+    * into 13 words (11 distinct 3-shingles), so the stamped docs get
+    * identical MinHash signatures and land in ONE band bucket.
+    */
+  val BoilerplateText: String =
+    "subscribe to our newsletter for the latest updates and offers " +
+      "from our site"
+
+  /** Deterministic skew-stress derivation: every `every`-th document's
+    * text becomes the same boilerplate sentence, so one LSH band
+    * bucket holds n/every docs (C(n/every, 2) candidate pairs) while
+    * every other bucket stays sparse — the exact hot-bucket shape a
+    * real corpus's boilerplate (cookie banners, license headers)
+    * produces at 100 TB. Used by the q_d11 gate to pin the dedup
+    * family's behaviour under skew, and by the AQE skew-join spec
+    * (the hot bucket becomes one oversized shuffle partition that
+    * OptimizeSkewedJoin must split WITHOUT changing the answer).
+    */
+  def skewBoilerplate(docs: DataFrame, every: Int = 5): DataFrame = {
+    require(every >= 2, s"every must be >= 2, got $every")
+    docs.withColumn("text",
+      when(col("doc_id") % every === 0, lit(BoilerplateText))
+        .otherwise(col("text")))
   }
 
   /** 32-bit SimHash over whitespace tokens (per-occurrence weighting):
@@ -130,12 +169,13 @@ object Dedup {
     * verify stage touches only candidate pairs, never n²).
     */
   def ngramJaccardCandidates(docs: DataFrame): DataFrame = {
-    val hs = hashedShingles(docs).cache()
+    val hs = hashedShingles(docs).localCheckpoint(eager = false)
     val sh = Corpus.explodeNoInfer(hs, col("hs"), "sh", col("doc_id"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = lshCandidatesFromSig(
-      minhashSignaturesFromHs(hs).cache()).select("doc1", "doc2")
+      minhashSignaturesFromHs(hs).localCheckpoint(eager = false))
+      .select("doc1", "doc2")
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))
       .join(sh.select(col("doc_id").as("doc2"), col("sh")),

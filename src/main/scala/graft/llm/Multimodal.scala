@@ -254,11 +254,15 @@ object Multimodal {
     *
     * 100 TB shape: the hash is one mapPartitions pass; the candidate
     * join is bucketed on (band_idx, band_val) — never all-pairs; the
-    * verify join touches candidates only. The hash frame is cached
-    * for its four band projections + two verify sides.
+    * verify join touches candidates only. The hash frame feeds four
+    * band projections + two verify sides, so it materialises ONCE via
+    * a plan-private lazy localCheckpoint — never `.cache()`, which
+    * would register a corpus-scale frame in the session CacheManager
+    * (undeclared memory pinning + silent substitution into later
+    * queries; see graft.llm.Dedup.hashedShingles).
     */
   def phashNearDup(docs: DataFrame, maxDist: Int = 6): DataFrame = {
-    val ph = perceptualHash(docs).toDF().cache()
+    val ph = perceptualHash(docs).toDF().localCheckpoint(eager = false)
     val bands = (0 to 3).map { k =>
       ph.select(col("doc_id"), lit(k).as("band_idx"),
         col(s"b$k").as("band_val"))

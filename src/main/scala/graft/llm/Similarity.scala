@@ -113,7 +113,14 @@ object Similarity {
     * query are corpus/nCells·nProbe.
     */
   def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
-              nQueries: Int = 8, k: Int = 5): DataFrame = {
+              nQueries: Int = 8, k: Int = 5,
+              fixtureScale: Boolean = false): DataFrame = {
+    // nCentroids = 16 is FIXTURE-sized (see Clustering.requireScaledK):
+    // cells are the recall/cost unit — production targets ~1e6 vectors
+    // per cell (nCentroids ≈ corpus_rows / 1e6), and nProbe trades
+    // recall for probed-candidate volume at that granularity
+    graft.llm.Clustering.requireScaledK("ivfTopK", nCentroids,
+      fixtureScale)
     val cents: Array[(Int, Array[Float])] = emb
       .where(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int"), col("embedding"))
@@ -303,6 +310,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"),
         col("score_r").as("pq_score"))
+  }
+
+  /** Recall@k of the three approximate indexes (LSH bucket, IVF,
+    * PQ/ADC) against [[bruteForceTopK]]'s exact ground truth — the
+    * quality number an ANN index is FOR (the determinism gates q_sim2/
+    * 3/4 prove the indexes reproduce; this one grades them as
+    * approximations). Both sides are deterministic, so the recall is
+    * an exact fraction the DuckDB twin pins bit-for-bit.
+    *
+    * Output: one row per method — (method, n_hits, n_truth, recall)
+    * with recall = n_hits / n_truth over all queries (micro recall@k).
+    * `nProbe` exposes IVF's recall/cost dial so callers (and the spec)
+    * can show recall RISING with probed cells; the other knobs default
+    * to the q_sim2/3/4 gate shapes.
+    *
+    * Scale: ground truth at nQueries·k rows is model-sized (lazily
+    * localCheckpointed for its two consumers); each index runs its own
+    * already-audited distributed shape; the final joins/aggregates
+    * touch retrieved-set-sized frames only.
+    */
+  def annRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                fixtureScale: Boolean = false): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select("qid", "vec_id").localCheckpoint(eager = false)
+    def ids(df: DataFrame, method: String): DataFrame =
+      df.select(lit(method).as("method"), col("qid"), col("vec_id"))
+    val got = ids(lshTopK(emb, nQueries, k), "lsh")
+      .unionByName(ids(ivfTopK(emb, nCentroids, nProbe, nQueries, k,
+        fixtureScale), "ivf"))
+      .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
+    val hits = got.join(truth, Seq("qid", "vec_id"))
+      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    Seq("ivf", "lsh", "pq").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+      .select("method", "n_hits", "n_truth", "recall")
   }
 
   /** Bucketed ANN: same ranking but candidates limited to the query's

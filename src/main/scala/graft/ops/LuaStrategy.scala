@@ -82,7 +82,13 @@ package graft.ops
   * logic) is NOT modeled; those calls are returned verbatim in
   * [[LuaStrategy.Translation.unmapped]] so the migration is honest —
   * the caller sees exactly which behaviors the translated strategy
-  * drops, instead of a silent approximation.
+  * drops, instead of a silent approximation. Calls that DO map but
+  * whose call-site position the engine cannot honour (an RMS cleanup
+  * pass inside the detect loop — its in-loop flags would feed the next
+  * iteration's background statistics in AOFlagger; a channel pass
+  * before SIR) are reported in
+  * [[LuaStrategy.Translation.approximated]]: translated to the closest
+  * fixed position, with the repositioning named.
   *
   * Honesty contract: EVERY occurrence of the token `aoflagger.` in the
   * (comment-stripped) file is accounted for — parsed into a mapped
@@ -96,13 +102,21 @@ object LuaStrategy {
 
   /** The translated strategy, the external bandpass files the strategy
     * applies (each `aoflagger.apply_bandpass(data, "file")` call, in
-    * order — route them through [[PassbandGains.external]], which
-    * guards against double-application), plus every `aoflagger.*` call
-    * the engine could not map — empty `unmapped` means full-fidelity
-    * migration.
+    * order — route them into the DETECTION grid via
+    * `Preprocess.rfiBandpass`: the reference runs strategies on an
+    * ImageSet copy so only flags propagate back), every `aoflagger.*`
+    * call the engine could not map, and every call that MAPPED but
+    * whose call-site POSITION the engine approximates (the whole-line
+    * RMS cleanup passes run once at fixed post-loop positions, the
+    * channel pass after SIR — a strategy calling them inside its
+    * detect loop, or before SIR, gets different iteration statistics).
+    * Full-fidelity migration means `unmapped` AND `approximated` are
+    * BOTH empty; `approximated` entries still translate to the closest
+    * engine placement, they are fidelity caveats, not drops.
     */
   case class Translation(strategy: RfiStrategy, unmapped: Seq[String],
-                         bandpassFiles: Seq[String] = Nil)
+                         bandpassFiles: Seq[String] = Nil,
+                         approximated: Seq[String] = Nil)
 
   private val LocalNum =
     """local\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(-?[0-9.eE+-]+)\s*""".r
@@ -123,11 +137,49 @@ object LuaStrategy {
     "require_min_version", "require_max_version")
 
   /** One scanned `aoflagger.` site: function name (None when the
-    * mention is not a parsable call), top-level-comma-split args, and
-    * the verbatim source snippet.
+    * mention is not a parsable call), top-level-comma-split args, the
+    * verbatim source snippet, and the character offset of the mention
+    * (for position-sensitive fidelity notes — e.g. a cleanup pass
+    * called inside the detect loop).
     */
   private case class Site(fn: Option[String], args: Seq[String],
-                          snippet: String)
+                          snippet: String, pos: Int = 0)
+
+  /** Character spans of Lua `for`/`while`/`repeat` loop BODIES —
+    * keyword-stack scan over the comment-stripped text (function/if/do
+    * blocks tracked so their `end`s pop correctly). A heuristic, not a
+    * Lua parser: a keyword inside a string literal could misalign the
+    * stack, but the only consumer is an ADVISORY fidelity note, never
+    * the translated strategy values.
+    */
+  private[graft] def loopSpans(text: String): Seq[(Int, Int)] = {
+    val kw = """\b(function|if|for|while|repeat|do|end|until)\b""".r
+    // frame kinds: 'F' function, 'I' if, 'H' loop header awaiting its
+    // `do`, 'L' loop body, 'D' plain do-block, 'R' repeat body
+    val stack = scala.collection.mutable.Stack[(Char, Int)]()
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    kw.findAllMatchIn(text).foreach { m =>
+      m.group(1) match {
+        case "function" => stack.push(('F', m.start))
+        case "if" => stack.push(('I', m.start))
+        case "for" | "while" => stack.push(('H', m.start))
+        case "repeat" => stack.push(('R', m.end))
+        case "do" =>
+          if (stack.nonEmpty && stack.top._1 == 'H') {
+            val (_, start) = stack.pop()
+            stack.push(('L', start))
+          } else stack.push(('D', m.start))
+        case "end" if stack.nonEmpty =>
+          val (kind, start) = stack.pop()
+          if (kind == 'L') spans += ((start, m.start))
+        case "until" if stack.nonEmpty && stack.top._1 == 'R' =>
+          val (_, start) = stack.pop()
+          spans += ((start, m.start))
+        case _ => ()
+      }
+    }
+    spans.toSeq
+  }
 
   /** Scan every `aoflagger.` mention with brace-matched argument
     * lists — works across newlines and through nested parentheses.
@@ -148,7 +200,8 @@ object LuaStrategy {
         case ("Polarization", _) =>
           // constant mention (aoflagger.Polarization.XX), not a call
           val stop = math.min(text.length, idEnd + 3)
-          Site(Some("Polarization"), Nil, text.substring(from, stop))
+          Site(Some("Polarization"), Nil, text.substring(from, stop),
+            from)
         case (fn, Some(open)) if fn.nonEmpty =>
           // brace-match the argument list, splitting at depth-1 commas
           var depth = 0
@@ -175,13 +228,13 @@ object LuaStrategy {
           }
           if (close < 0) // unterminated call — report, don't drop
             Site(None, Nil, text.substring(from,
-              math.min(text.length, from + 80)))
+              math.min(text.length, from + 80)), from)
           else Site(Some(fn), args.toSeq.map(_.trim),
-            text.substring(from, close + 1))
+            text.substring(from, close + 1), from)
         case _ =>
           // bare `aoflagger.` or field access with no call — report
           Site(None, Nil, text.substring(from,
-            math.min(text.length, idEnd.max(from + 20))))
+            math.min(text.length, idEnd.max(from + 20))), from)
       }
       sites += site
       from = text.indexOf("aoflagger.", from + site.snippet.length.max(1))
@@ -241,7 +294,7 @@ object LuaStrategy {
 
     val sites = scan(text)
     val pols = sites.collect {
-      case Site(Some("Polarization"), _, snip) =>
+      case Site(Some("Polarization"), _, snip, _) =>
         snip.split('.').last.toLowerCase
     }.filter(RfiStrategy.PolComps.contains).distinct
 
@@ -296,9 +349,21 @@ object LuaStrategy {
       pendingScale = None
       pendingLp = None
     }
+    // loop-body spans + the first SIR call site, for the positional
+    // fidelity notes on the whole-line RMS cleanup passes (the engine
+    // runs those ONCE at fixed post-loop positions, channel pass after
+    // SIR — an in-loop or pre-SIR call site is approximated, and the
+    // user must be told)
+    val spans = loopSpans(text)
+    def inLoop(p: Int): Boolean =
+      spans.exists { case (a, b) => p >= a && p < b }
+    val sirPos = sites.collectFirst {
+      case Site(Some("scale_invariant_rank_operator"), _, _, p) => p
+    }
+    val approximated = scala.collection.mutable.ArrayBuffer[String]()
     sites.foreach {
-      case Site(Some("Polarization"), _, _) => ()
-      case Site(Some(fn), args, snippet) => fn match {
+      case Site(Some("Polarization"), _, _, _) => ()
+      case Site(Some(fn), args, snippet, pos) => fn match {
         case "sumthreshold" if args.length >= 3 =>
           for (lt <- resolve(args(1))) s = s.copy(timeWeight = 1.0 / lt)
           for (lf <- resolve(args(2))) s = s.copy(chanWeight = 1.0 / lf)
@@ -389,6 +454,12 @@ object LuaStrategy {
                 s = s.copy(tsRmsThreshold = k)
                 tsSnip = Some(snippet)
               }
+              if (inLoop(pos))
+                approximated += s"$snippet: called inside a loop " +
+                  "body; the engine runs the timestep-RMS pass ONCE " +
+                  "at its fixed post-detect-loop cleanup position, " +
+                  "so in-loop flags cannot feed later iterations' " +
+                  "statistics — masks can diverge from AOFlagger"
             case _ => unmapped += snippet
           }
         case "threshold_channel_rms" if args.length >= 2 =>
@@ -405,6 +476,16 @@ object LuaStrategy {
               s = s.copy(chRmsThreshold = k,
                 chRmsFlagLow = l.forall(_ == "true"))
               chSnip = Some(snippet)
+              if (inLoop(pos))
+                approximated += s"$snippet: called inside a loop " +
+                  "body; the engine runs the channel-RMS pass ONCE " +
+                  "at its fixed cleanup position — masks can " +
+                  "diverge from AOFlagger"
+              else if (sirPos.exists(pos < _))
+                approximated += s"$snippet: called BEFORE the " +
+                  "strategy's scale_invariant_rank_operator; the " +
+                  "engine runs the channel-RMS pass AFTER SIR — " +
+                  "masks can diverge from AOFlagger"
             case _ => unmapped += snippet
           }
         case "apply_bandpass" if args.length >= 2 =>
@@ -421,10 +502,11 @@ object LuaStrategy {
         case f if Scaffolding.contains(f) => ()
         case _ => unmapped += snippet
       }
-      case Site(None, _, snippet) => unmapped += snippet
+      case Site(None, _, snippet, _) => unmapped += snippet
     }
     spillBracket() // anything still open at EOF is reported whole
-    Translation(s, unmapped.toSeq.distinct, bandpass.toSeq)
+    Translation(s, unmapped.toSeq.distinct, bandpass.toSeq,
+      approximated.toSeq.distinct)
   }
 
   /** Load + translate from any Hadoop filesystem (same IO seam as

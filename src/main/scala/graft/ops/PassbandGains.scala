@@ -62,19 +62,26 @@ object PassbandGains {
   /** Load an EXTERNAL per-fine-channel bandpass file — the gains an
     * AOFlagger Lua strategy applies via `aoflagger.apply_bandpass(data,
     * file)` (surfaced by [[LuaStrategy]] as `Translation.bandpassFiles`)
-    * — as a (fc, pfb_gain) table routed through the same application
-    * join as the built-in tables.
+    * — as a (fc, pfb_gain) table.
+    *
+    * Where the table lands matters: the reference executes a strategy
+    * on an ImageSet COPY of the visibilities (flags.rs RunExisting)
+    * and only the flag mask propagates back, so a strategy's
+    * apply_bandpass corrects DETECTION amplitudes only — route it via
+    * `Preprocess.rfiBandpass` (the CLI does). Routing it through the
+    * output passband stage (`Preprocess.pfbExternal`) is a separate,
+    * explicit opt-in that DOES rescale output data and weights.
     *
     * Format: one gain per line (fine channel order), `#`/`--` comments;
     * the line count must equal `fineChansPerCoarse` — a wrong-sized
     * table fails loudly rather than recycling through a silent modulo.
     *
-    * Double-application guard: a pipeline that already applies PFB
-    * passband gains (the built-in tables) must NOT also apply the
-    * strategy's external bandpass — the same correction twice is
-    * silently wrong data. Callers pass whether the pipeline's passband
-    * stage is enabled; the load REFUSES in that case, naming both
-    * sources, so a migrating user must explicitly pick one.
+    * Double-application guard: a pipeline whose passband stage already
+    * applies built-in PFB gains has corrected the data BEFORE the RFI
+    * stage sees it, so applying the strategy's bandpass on top (in
+    * either role) corrects twice. Callers pass whether the pipeline's
+    * passband stage is enabled; the load REFUSES in that case, naming
+    * both sources, so a migrating user must explicitly pick one.
     */
   def external(spark: org.apache.spark.sql.SparkSession, path: String,
                fineChansPerCoarse: Int,

@@ -35,12 +35,24 @@ case class Preprocess(vanVleck: Boolean = false,
                       pfbVersion: Option[graft.model.PfbTables.MwaVersion]
                         = None,
                       pfbOversampled: Boolean = false,
-                      // an EXTERNAL (fc, pfb_gain) table — a strategy's
-                      // apply_bandpass file loaded through
-                      // PassbandGains.external (whose guard already
-                      // refused it if a built-in table was also
-                      // selected); takes precedence over pfbVersion
+                      // an EXTERNAL (fc, pfb_gain) table applied as an
+                      // OUTPUT correction in place of a built-in PFB
+                      // table; takes precedence over pfbVersion. This
+                      // is an explicit opt-in — a Lua strategy's
+                      // apply_bandpass file must NOT land here (the
+                      // reference runs strategies on an ImageSet COPY,
+                      // flags.rs RunExisting, so only the flag mask
+                      // propagates back) — use rfiBandpass for that.
                       pfbExternal: Option[DataFrame] = None,
+                      // an EXTERNAL (fc, pfb_gain) table applied ONLY
+                      // to the amplitude grid fed to RFI detection —
+                      // the semantics of a strategy's
+                      // aoflagger.apply_bandpass(data, file): the
+                      // reference executes it on the detection copy
+                      // (flags.rs:406-412 via RunExisting) and only
+                      // flags flow back; output DATA and WEIGHTS are
+                      // never touched by it
+                      rfiBandpass: Option[DataFrame] = None,
                       apparentGeometry: Boolean = false,
                       // metadata seam: SynthDims or a parsed metafits
                       // (graft.sources.MetafitsMeta)
@@ -127,10 +139,24 @@ case class Preprocess(vanVleck: Boolean = false,
 
   /** RFI stage: detect per-baseline, OR the detections back into the
     * frame's flag column (reference flag-OR mode, flags.rs:414-418).
+    *
+    * When the strategy carries an apply_bandpass file ([[rfiBandpass]]),
+    * the gains divide a detection-only COPY of the visibilities before
+    * the kernel runs — the reference hands AOFlagger an ImageSet copy
+    * and only the resulting mask propagates (flags.rs RunExisting) —
+    * so the frame this method RETURNS carries the original,
+    * un-bandpassed data with only the flag column updated.
     */
   private def applyRfi(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rfi = RfiFlag(df, rfiStrategy)
+    val detectInput = rfiBandpass match {
+      case Some(pb) =>
+        (0 until 8).foldLeft(df.join(broadcast(pb), Seq("fc"))) {
+          (d, k) => d.withColumn(s"v$k", col(s"v$k") / col("pfb_gain"))
+        }.drop("pfb_gain")
+      case None => df
+    }
+    val rfi = RfiFlag(detectInput, rfiStrategy)
     df.join(rfi, Seq("bl", "t", "chan"), "left")
       .withColumn("flag", col("flag") || coalesce(col("rfi"), lit(false)))
       .drop("rfi")

@@ -1001,7 +1001,9 @@ object Oracles {
     * division + correctly-rounded sqrt — deterministic IEEE in both
     * engines), and each exclusion round decides
     * 10⁴·d² > K·(m·ss − s²) with d = m·rms − s and K = ⌊k²·10⁴ + 0.5⌋
-    * in pure BIGINT — the kernel's comparison verbatim. `lineCol` is
+    * in HUGEINT (the Scala kernel uses BigInt; 10⁴·d² exceeds int64
+    * once rms_q approaches 1e6 milli-units) — the kernel's comparison
+    * verbatim, at a width that cannot overflow. `lineCol` is
     * `t` (timestep pass) or `chan` (channel pass); `flagLow` admits low
     * outliers. Layers propagate the p-layer column contract
     * (bl, t, chan, seen, res, chi1, flg) so SumThreshold/SIR layers
@@ -1036,12 +1038,17 @@ object Oracles {
            |         CAST(sum(rms_q * rms_q) AS BIGINT) AS ss
            |  FROM ${pfx}q${r - 1} WHERE NOT lflg GROUP BY bl)"""
           .stripMargin,
+        // the comparison runs in HUGEINT: the Scala kernel uses BigInt,
+        // and with milli-unit rms_q near 1e6 and d = m*rms_q - s ~ 1e9,
+        // 10^4*d^2 ~ 1e22 exceeds int64 — BIGINT would error/diverge
+        // exactly where the engine succeeds
         s"""${pfx}q$r AS MATERIALIZED (
            |  SELECT q.bl, q.$lineCol, q.rms_q,
            |         (q.lflg OR (r.m >= 2 AND ($dirOk) AND
-           |          10000 * (q.rms_q * r.m - r.s)
-           |            * (q.rms_q * r.m - r.s)
-           |            > $bigK * (r.m * r.ss - r.s * r.s))) AS lflg
+           |          10000 * CAST(q.rms_q * r.m - r.s AS HUGEINT)
+           |            * CAST(q.rms_q * r.m - r.s AS HUGEINT)
+           |            > $bigK * (CAST(r.m AS HUGEINT) * r.ss
+           |                       - CAST(r.s AS HUGEINT) * r.s))) AS lflg
            |  FROM ${pfx}q${r - 1} q JOIN ${pfx}m$r r ON q.bl = r.bl)"""
           .stripMargin)
     }

@@ -223,6 +223,24 @@ object MsContainer {
 
   // ---- write -------------------------------------------------------------
 
+  /** Cost attribution of the LAST [[write]] on this driver — the
+    * benchmark's q_k2b entry records it so the one gate that pays a
+    * full container write per timed run carries WHERE the seconds go:
+    *  - `encodeCpuSec`: summed executor CPU inside the column-major
+    *    row encode + bool bit-packing (can exceed wall — parallel)
+    *  - `partWriteCpuSec`: summed executor CPU writing/renaming the
+    *    per-partition part files
+    *  - `mainJobSec`: wall time of the distributed MAIN job (compute +
+    *    encode + part writes, the `collect()` span)
+    *  - `assembleSec`: wall time of the driver-side container
+    *    assembly (table.dat, table.f0 streaming from parts, subtables)
+    */
+  final case class WriteStats(encodeCpuSec: Double,
+                              partWriteCpuSec: Double,
+                              mainJobSec: Double, assembleSec: Double)
+  @volatile private var lastStats: Option[WriteStats] = None
+  def lastWriteStats: Option[WriteStats] = lastStats
+
   /** Write the container under `dir` (an `.ms`-style directory).
     * `avg` is the averaged frame, `uvw` the (t, ant) partial-UVW
     * dimension, `antenna` the antenna dimension. Returns MAIN rows
@@ -259,6 +277,10 @@ object MsContainer {
     val ncol = cols.length
     val rdd = joined.rdd
     val actualParts = rdd.getNumPartitions
+    val encodeAcc = spark.sparkContext.doubleAccumulator("msEncodeSec")
+    val partWriteAcc =
+      spark.sparkContext.doubleAccumulator("msPartWriteSec")
+    val jobT0 = System.nanoTime()
     val partCounts: Array[(Int, Long)] = rdd
       .mapPartitionsWithIndex { (idx, rows) =>
         val conf = sconf.value
@@ -278,7 +300,11 @@ object MsContainer {
         val flagRow = scala.collection.mutable.ArrayBuffer[Boolean]()
         val flags = scala.collection.mutable.ArrayBuffer[Boolean]()
         var written = 0L
+        // per-row nanoTime brackets isolate the ENCODE body from the
+        // upstream compute the lazy iterator interleaves into foreach
+        var encNanos = 0L
         rows.foreach { r: Row =>
+          val encT0 = System.nanoTime()
           outs(0).writeDouble(r.getDouble(1)) // TIME
           outs(1).writeInt(r.getLong(2).toInt) // ANTENNA1
           outs(2).writeInt(r.getLong(3).toInt) // ANTENNA2
@@ -333,11 +359,16 @@ object MsContainer {
             p += 1
           }
           written += 1
+          encNanos += System.nanoTime() - encT0
         }
         require(written <= Int.MaxValue, "partition rows exceed uInt")
+        val packT0 = System.nanoTime()
         outs(6).write(packBools(flagRow.toArray))
         outs(12).write(packBools(flags.toArray))
         outs.foreach(_.flush())
+        encNanos += System.nanoTime() - packT0
+        encodeAcc.add(encNanos / 1e9)
+        val wrT0 = System.nanoTime()
         val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
         val dos = new DataOutputStream(out)
         dos.writeInt(ncol)
@@ -350,11 +381,14 @@ object MsContainer {
         org.apache.hadoop.fs.FileContext.getFileContext(partPath.toUri,
           conf).rename(tmp, partPath,
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        partWriteAcc.add((System.nanoTime() - wrT0) / 1e9)
         Iterator((idx, written))
       }.collect()
+    val mainJobSec = (System.nanoTime() - jobT0) / 1e9
     require(partCounts.length == actualParts,
       s"MS container partition invariant: ${partCounts.length} for " +
         s"$actualParts")
+    val assembleT0 = System.nanoTime()
     val nRows = partCounts.map(_._2).sum
     require(nRows <= 0xffffffffL,
       s"MAIN rows $nRows exceed the Table-v2 uInt row count")
@@ -525,6 +559,8 @@ object MsContainer {
     }
 
     cached.unpersist()
+    lastStats = Some(WriteStats(encodeAcc.value, partWriteAcc.value,
+      mainJobSec, (System.nanoTime() - assembleT0) / 1e9))
     nRows
   }
 

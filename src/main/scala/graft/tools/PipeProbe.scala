@@ -54,12 +54,12 @@ object PipeProbe {
     println(s"== emb pipeline stages ($sfDir)")
     time("kmeans train+assign (sim5 shape)")(
       Clustering.kmeansAssign(emb))
-    time("semDedup (sim6)")(Clustering.semDedup(emb))
+    time("semDedup (sim6)")(Clustering.semDedup(emb, fixtureScale = true))
     println("== emb pipeline composed: re-scan vs localCheckpoint")
     time("embPipeline (re-scan, committed)")(
-      Clustering.embPipeline(emb))
+      Clustering.embPipeline(emb, fixtureScale = true))
     time("embPipeline (lazy localCheckpoint)")(
-      Clustering.embPipeline(emb.localCheckpoint(eager = false)))
+      Clustering.embPipeline(emb.localCheckpoint(eager = false), fixtureScale = true))
     spark.stop()
   }
 }

@@ -70,14 +70,14 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("semDedup keeps each cluster's lowest id and is monotone in tau") {
-    val loose = Clustering.semDedup(emb, k = 4, iters = 2, tau = 0.3)
+    val loose = Clustering.semDedup(emb, k = 4, iters = 2, tau = 0.3, fixtureScale = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(loose.length == emb.count())
     // the lowest id in a cluster has no lower-id partner: always kept
     loose.groupBy(_._2).foreach { case (_, rows) =>
       assert(rows.minBy(_._1)._3 == 1L)
     }
-    val keptStrict = Clustering.semDedup(emb, k = 4, iters = 2, tau = 0.99)
+    val keptStrict = Clustering.semDedup(emb, k = 4, iters = 2, tau = 0.99, fixtureScale = true)
       .where(col("kept") === 1).count()
     assert(keptStrict >= loose.count(_._3 == 1L),
       "raising tau must never remove more")
@@ -90,7 +90,7 @@ class ClusteringSpec extends AnyFunSuite {
     val sizes = asg.values.groupBy(identity).map { case (c, v) =>
       c -> v.size.toLong
     }
-    val picked = Clustering.clusterSample(emb, k = 4, iters = 2,
+    val picked = Clustering.clusterSample(emb, fixtureScale = true, k = 4, iters = 2,
       nPer = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byCell = picked.groupBy(_._2)
@@ -107,12 +107,12 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("embPipeline composes consistently with its stages") {
-    val kept = Clustering.semDedup(emb, k = 4, iters = 2)
+    val kept = Clustering.semDedup(emb, k = 4, iters = 2, fixtureScale = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val keptSet = kept.filter(_._3 == 1L).map(_._1).toSet
     val keptPerCell = kept.filter(_._3 == 1L).groupBy(_._2)
       .map { case (c, v) => c -> v.length.toLong }
-    val out = Clustering.embPipeline(emb, k = 4, iters = 2, nPer = 5)
+    val out = Clustering.embPipeline(emb, k = 4, iters = 2, nPer = 5, fixtureScale = true)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))

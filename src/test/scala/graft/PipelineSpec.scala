@@ -123,4 +123,38 @@ class PipelineSpec extends AnyFunSuite {
       .where(col("a.v0") =!= col("b.v0"))
     assert(diff.count() > 0)
   }
+
+  test("strategy apply_bandpass (rfiBandpass): detection-only — " +
+    "flags change, output data and weights do not") {
+    val nFine = graft.model.Obs.FineChansPerCoarse
+    val dir = java.nio.file.Files.createTempDirectory("bpdet")
+    val f = dir.resolve("bandpass.txt")
+    // a tiny gain on one fine channel: dividing the DETECTION copy by
+    // it amplifies that channel's amplitude x20 -> SumThreshold flags
+    // the line, while the returned frame keeps the original numbers
+    java.nio.file.Files.writeString(f,
+      (0 until nFine).map(i => if (i == 5) "0.05" else "1.0")
+        .mkString("\n"))
+    val ext = PassbandGains.external(spark, f.toString, nFine,
+      pipelineAppliesPfb = false)
+    val base = Preprocess(passband = false, rfi = true,
+      calibrate = false)
+    val withBp = base.copy(rfiBandpass = Some(ext))(spark, weighted)
+    val without = base(spark, weighted)
+    // reference RunExisting semantics: only the flag mask propagates —
+    // the DATA+WEIGHT multiset must be identical, the flag multiset not
+    val dataCols = Seq("t", "bl", "chan") ++
+      (0 until 8).map(k => s"v$k") :+ "weight"
+    val aData = withBp.select(dataCols.map(col): _*)
+    val bData = without.select(dataCols.map(col): _*)
+    assert(aData.exceptAll(bData).count() == 0 &&
+      bData.exceptAll(aData).count() == 0,
+      "detection bandpass must not touch output data or weights")
+    val aFlag = withBp.select(col("t"), col("bl"), col("chan"),
+      col("flag"))
+    val bFlag = without.select(col("t"), col("bl"), col("chan"),
+      col("flag"))
+    assert(aFlag.exceptAll(bFlag).count() > 0,
+      "detection bandpass must change the flag mask on fc=5")
+  }
 }

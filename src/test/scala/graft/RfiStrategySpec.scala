@@ -261,8 +261,59 @@ class RfiStrategySpec extends AnyFunSuite {
     assert(tr.strategy.tsRmsThreshold == 3.5)
     assert(tr.strategy.chRmsThreshold == 3.0 && tr.strategy.chRmsFlagLow)
     assert(tr.strategy.tsRmsFinal == 4.0)
-    // full-fidelity migration of the published default strategy shape
+    // nothing dropped...
     assert(tr.unmapped.isEmpty, s"unmapped was ${tr.unmapped}")
+    // ...but the IN-LOOP RMS cleanup calls are POSITIONALLY
+    // approximated (the engine runs them once at fixed cleanup
+    // positions; AOFlagger's in-loop flags feed the next iteration's
+    // statistics) — and the translation says so instead of claiming
+    // full fidelity
+    assert(tr.approximated.exists(a =>
+      a.contains("threshold_timestep_rms(data, 3.5)") &&
+        a.contains("inside a loop")), s"approximated: ${tr.approximated}")
+    assert(tr.approximated.exists(a =>
+      a.contains("threshold_channel_rms") && a.contains("inside a loop")),
+      s"approximated: ${tr.approximated}")
+    // the final whole-set pass sits at the engine's own cleanup
+    // position (after the pol loop, after SIR) — NOT approximated
+    assert(!tr.approximated.exists(_.contains("(input, 4.0)")),
+      s"approximated: ${tr.approximated}")
+  }
+
+  test("Lua translation: RMS cleanup calls at the engine's own " +
+    "positions carry no approximation note; in-loop/pre-SIR ones do") {
+    import graft.ops.LuaStrategy
+    // cleanup-positioned: ts after the loop, ch after SIR -> exact
+    val clean = LuaStrategy.translate(
+      """function execute(input)
+        |  for i = 1, 2 do
+        |    aoflagger.sumthreshold(input, 1.0, 1.0, true, true)
+        |  end
+        |  aoflagger.scale_invariant_rank_operator(input, 0.2, 0.2)
+        |  aoflagger.threshold_channel_rms(data, 3.0, true)
+        |  aoflagger.threshold_timestep_rms(data, 3.5)
+        |end""".stripMargin)
+    assert(clean.approximated.isEmpty, s"${clean.approximated}")
+    assert(clean.strategy.tsRmsThreshold == 3.5 &&
+      clean.strategy.chRmsThreshold == 3.0)
+    // channel pass BEFORE SIR (outside any loop): repositioning note
+    val preSir = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.threshold_channel_rms(data, 3.0, true)
+        |  aoflagger.scale_invariant_rank_operator(input, 0.2, 0.2)
+        |end""".stripMargin)
+    assert(preSir.approximated.exists(a =>
+      a.contains("BEFORE") && a.contains("AFTER SIR")),
+      s"${preSir.approximated}")
+    assert(preSir.strategy.chRmsThreshold == 3.0)
+    // loopSpans: while/repeat bodies count, if/function bodies don't
+    val spans = LuaStrategy.loopSpans(
+      """function f(x)
+        |  if x then local y = 1 end
+        |  while x do g() end
+        |  repeat h() until x
+        |end""".stripMargin)
+    assert(spans.length == 2, s"spans: $spans")
   }
 
   test("Lua translation: a second RMS call re-targeting a slot with a " +

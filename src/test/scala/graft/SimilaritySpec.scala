@@ -80,4 +80,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ANN recall@k: IVF recall rises with nProbe and reaches 1.0 " +
+    "when every cell is probed") {
+    def ivfRecall(nProbe: Int): (Long, Long) = {
+      val r = Similarity.annRecall(emb, nProbe = nProbe,
+        fixtureScale = true)
+        .where(col("method") === "ivf").head()
+      (r.getLong(1), r.getLong(2))
+    }
+    val (h2, t2) = ivfRecall(2)
+    val (h8, t8) = ivfRecall(8)
+    val (hAll, tAll) = ivfRecall(16)
+    assert(t2 == t8 && t8 == tAll && t2 > 0)
+    // the recall/cost dial: more probed cells can only add candidates
+    assert(h2 <= h8 && h8 <= hAll,
+      s"recall must be monotone in nProbe: $h2/$t2, $h8/$t8, $hAll/$tAll")
+    assert(h2 < hAll,
+      s"probing all cells must beat nProbe=2 on this fixture: $h2 vs $hAll")
+    // probing ALL cells ranks the full corpus by the same rounded
+    // cosine rule as brute force -> exact ground truth
+    assert(hAll == tAll, s"full probe should be exact: $hAll/$tAll")
+  }
 }

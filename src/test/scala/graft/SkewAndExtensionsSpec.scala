@@ -65,4 +65,53 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     val salted = SkewTools.saltedJoin(left, right, "k", "v").count()
     assert(plain == salted)
   }
+
+  test("AQE skew split fires on the q_d11 hot band bucket and the " +
+    "answer is identical to the unsplit plan") {
+    import graft.llm.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val skewed = Dedup.skewBoilerplate(docs) // 100 of 500 docs identical
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // baseline: default session planning
+    val base = rows(Dedup.lshCandidates(skewed))
+    assert(base.size > 4900, s"hot bucket should yield C(100,2)+ pairs")
+    // skew-tuned: force the band self-join through a shuffle join and
+    // lower the AQE skew thresholds so sf0.01's hot partition counts
+    // as skewed — the split must change the PLAN, never the rows
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      val df = Dedup.lshCandidates(skewed)
+      val split = rows(df)
+      assert(split == base,
+        "skew-split plan changed the candidate set")
+      val finalPlan = df.queryExecution.executedPlan.toString()
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"expected a skew-split join in the adaptive final plan:\n" +
+          finalPlan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
