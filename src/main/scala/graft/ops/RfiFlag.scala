@@ -234,7 +234,12 @@ object RfiFlag {
       array(ampCols: _*).as("amps"),
       col("flag")).as[RfiCell]
 
-    cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
+    // COLUMN-keyed grouping (groupBy(col).as[K, T]), not the lambda
+    // groupByKey(_.bl): the lambda key is opaque to Catalyst, so it
+    // ALWAYS plans an AppendColumns + hash Exchange — over a source
+    // bucketed by bl, the column key lets the planner elide the
+    // shuffle entirely (the 100 TB layout; measured in SCALE.md)
+    cells.groupBy(col("bl")).as[Long, RfiCell].flatMapGroups { (bl, it) =>
       detectGroup(bl, it.toArray, strategy)
     }.toDF()
   }
@@ -534,7 +539,7 @@ object RfiFlag {
       array(sqrt(col("v0") * col("v0") + col("v1") * col("v1")))
         .as("amps"),
       col("flag")).as[RfiCell]
-    cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
+    cells.groupBy(col("bl")).as[Long, RfiCell].flatMapGroups { (bl, it) =>
       val rows = it.toArray
       val ts = rows.map(_.t).distinct.sorted
       val cs = rows.map(_.chan).distinct.sorted
@@ -579,7 +584,7 @@ object RfiFlag {
       array(sqrt(col("v0") * col("v0") + col("v1") * col("v1")))
         .as("amps"),
       col("flag")).as[RfiCell]
-    cells.groupByKey(_.bl).flatMapGroups { (bl, it) =>
+    cells.groupBy(col("bl")).as[Long, RfiCell].flatMapGroups { (bl, it) =>
       val rows = it.toArray
       val ts = rows.map(_.t).distinct.sorted
       val cs = rows.map(_.chan).distinct.sorted

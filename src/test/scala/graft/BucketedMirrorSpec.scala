@@ -33,4 +33,30 @@ class BucketedMirrorSpec extends AnyFunSuite {
       .contains("Exchange hashpartitioning"))
     spark.sql("DROP TABLE IF EXISTS vis_bucketed_spec")
   }
+
+  test("RfiFlag over the bl-bucketed mirror plans ZERO shuffles and " +
+    "detects identically to the plain run") {
+    import graft.model.Dims
+    import graft.ops.{FlagOps, RfiFlag, WeightOps}
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    Sinks.writeBucketedMirror(weighted, "vis_rfi_bucketed", buckets = 8)
+    val overBucketed = RfiFlag(spark.table("vis_rfi_bucketed"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    val got = rows(overBucketed)
+    // the operator-level claim (not just a column aggregate): the
+    // column-keyed flatMapGroups grouping is satisfied by the bucket
+    // clustering, so the WHOLE detection plan runs shuffle-free
+    val plan = overBucketed.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in RfiFlag over bucketed mirror:\n" +
+        plan.take(2000))
+    assert(got == rows(RfiFlag(weighted)),
+      "bucketed-layout detection diverged from the plain run")
+    spark.sql("DROP TABLE IF EXISTS vis_rfi_bucketed")
+  }
 }
