@@ -629,6 +629,8 @@ object SparkEntry {
       Clustering.clusterSample(emb(s, dir), fixtureScale = true)),
     "q_sim8_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(emb(s, dir), fixtureScale = true)),
+    "q_sim9_ann_lsh_multi" -> ((s, dir) =>
+      Similarity.lshMultiTopK(emb(s, dir), nQueries = 8, k = 5)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1027,6 +1029,7 @@ object SparkEntry {
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,
     "q_sim4_ann_pq" -> LlmOracles.sim4PqTopK,
     "q_sim8_ann_recall" -> LlmOracles.sim8AnnRecall(),
+    "q_sim9_ann_lsh_multi" -> LlmOracles.sim9LshMulti,
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

@@ -63,11 +63,24 @@ object Similarity {
     s"((($j * 64 + $dExpr) * 37) % 19 - 9)"
 
   /** Bucket id: bit j set iff dot(plane_j, v) > 0. */
-  def bucketSql(v: String)(implicit d: Dialect): String = {
-    val bits = (0 until NumPlanes).map { j =>
+  def bucketSql(v: String)(implicit d: Dialect): String =
+    bucketSqlTable(v, 0)
+
+  /** Bucket id for hash TABLE `t` — the standard multi-table
+    * random-hyperplane LSH: table t uses planes
+    * j = t·NumPlanes .. t·NumPlanes + NumPlanes − 1 (the same
+    * deterministic plane family, disjoint slices), so each table is an
+    * independent 2^NumPlanes-bucket partition of the sphere and a
+    * near neighbour missed by one table's cut gets more chances in
+    * the others. Table 0 IS [[bucketSql]] — the single-table gates
+    * (q_sim2, q_d5) are the L = 1 special case.
+    */
+  def bucketSqlTable(v: String, t: Int)(implicit d: Dialect): String = {
+    val bits = (0 until NumPlanes).map { b =>
+      val j = t * NumPlanes + b
       val dot = listFoldSumDouble(listTransformIdx(v, (x, i) =>
         s"CAST($x AS DOUBLE) * ${planeComponent(j, s"($i - 1)")}"))
-      s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN $dot > 0 THEN ${1 << b} ELSE 0 END)"
     }
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
@@ -332,6 +345,7 @@ object Similarity {
     */
   def annRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                 nCentroids: Int = 16, nProbe: Int = 2,
+                nTables: Int = 2,
                 fixtureScale: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -340,19 +354,78 @@ object Similarity {
     def ids(df: DataFrame, method: String): DataFrame =
       df.select(lit(method).as("method"), col("qid"), col("vec_id"))
     val got = ids(lshTopK(emb, nQueries, k), "lsh")
+      .unionByName(ids(lshMultiTopK(emb, nQueries, k, nTables),
+        "lsh_multi"))
       .unionByName(ids(ivfTopK(emb, nCentroids, nProbe, nQueries, k,
         fixtureScale), "ivf"))
       .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    Seq("ivf", "lsh", "pq").toDF("method")
+    Seq("ivf", "lsh", "lsh_multi", "pq").toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .crossJoin(broadcast(nTruth))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
       .select("method", "n_hits", "n_truth", "recall")
+  }
+
+  /** Multi-table LSH ANN: `nTables` independent hyperplane hash
+    * tables ([[bucketSqlTable]]); a candidate is any vector sharing
+    * the query's bucket in AT LEAST ONE table, ranked by exact cosine
+    * over the candidate set only. nTables is the recall/cost dial
+    * ([[lshTopK]] is the 1-table special case): each table multiplies
+    * candidate volume ~(corpus / 2^NumPlanes)·nQueries and
+    * independently re-cuts the sphere, so recall rises monotonically
+    * with L (pinned by the sim8 gate + SimilaritySpec).
+    *
+    * Plane diversity bound: the deterministic plane family cycles
+    * with period 19 in the plane index (mod-19 component), so tables
+    * beyond t = 2 start re-using planes in new combinations — recall
+    * still only rises (the candidate union grows), but with
+    * diminishing independence; production would widen the component
+    * modulus with the table count.
+    *
+    * Scale: per-table bucketing is a row-local projection; the
+    * candidate join is keyed (tbl, bucket) with the query side
+    * broadcast; the exact-rank join touches candidates only.
+    */
+  def lshMultiTopK(emb: DataFrame, nQueries: Int, k: Int,
+                   nTables: Int = 2): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val withNorm = emb
+      .withColumn("nrm", expr(normSql("embedding")(SparkD)))
+    val bucketed = (0 until nTables).foldLeft(withNorm) { (df, t) =>
+      df.withColumn(s"b$t",
+        expr(bucketSqlTable("embedding", t)(SparkD)))
+    }
+    val tables = (0 until nTables).map { t =>
+      bucketed.select(col("vec_id"), lit(t).as("tbl"),
+        col(s"b$t").as("bkt"))
+    }.reduce(_ unionAll _)
+    val qTab = broadcast(tables.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt")))
+    val cand = tables.join(qTab, Seq("tbl", "bkt"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val q = broadcast(withNorm.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val scored = cand
+      .join(q, "qid")
+      .join(withNorm.select(col("vec_id"), col("embedding"),
+        col("nrm")), "vec_id")
+      .withColumn("cos_r",
+        round(expr(dotSql("qe", "embedding")(SparkD))
+          / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("cos_r").as("cos_sim"))
   }
 
   /** Bucketed ANN: same ranking but candidates limited to the query's

@@ -59,6 +59,14 @@ case class Preprocess(vanVleck: Boolean = false,
                       meta: graft.model.MetaSource =
                         graft.model.SynthDims,
                       rfiStrategy: RfiStrategy = RfiStrategy(),
+                      // RFI stage shape: fused (detection group emits
+                      // the flagged rows — one corpus pass, one `bl`
+                      // exchange) vs join (detect cells, join the mask
+                      // back on (bl, t, chan) — recomputes the
+                      // upstream chain for the probe side and pays two
+                      // extra exchanges). Fused measured faster at
+                      // sf0.1 (SCALE.md round-15b); identical output.
+                      rfiFused: Boolean = true,
                       // C5 iteration-cap policy: true (default) =
                       // reference bit-parity (abandon to khat at the
                       // cap); false = engine-stable sub-nano acceptance
@@ -149,6 +157,8 @@ case class Preprocess(vanVleck: Boolean = false,
     */
   private def applyRfi(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    if (rfiFused)
+      return RfiFlag.detectAndFlag(df, rfiStrategy, rfiBandpass)
     val detectInput = rfiBandpass match {
       case Some(pb) =>
         (0 until 8).foldLeft(df.join(broadcast(pb), Seq("fc"))) {

@@ -244,6 +244,77 @@ object RfiFlag {
     }.toDF()
   }
 
+  /** FUSED detect-and-flag: run the per-baseline detection and emit
+    * the INPUT ROWS with the detections OR'd into `flag` — one pass,
+    * no mask join. The join shape (`RfiFlag` + join back on
+    * (bl, t, chan)) reads the upstream frame TWICE (once to feed
+    * detection, once as the probe side — the whole correction chain
+    * recomputes) and pays two (bl, t, chan) exchanges; this shape
+    * reads it once and pays one `bl` exchange (zero over a
+    * bl-bucketed source). The price is the full row crossing the
+    * object boundary instead of just the detection cells — measured
+    * faster for the composed preprocess chain (SCALE.md round-15b).
+    *
+    * `rfiBandpass`: optional (fc, pfb_gain) table dividing the
+    * DETECTION amplitudes only (a Lua strategy's apply_bandpass; the
+    * reference corrects the ImageSet copy, never the output) — the
+    * emitted rows carry the ORIGINAL values, the gains shape only the
+    * `amps` the kernel sees.
+    */
+  def detectAndFlag(visFlagged: DataFrame, strategy: RfiStrategy,
+                    rfiBandpass: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val ampCols = strategy.pols.map { p =>
+      val (ri, ii) = RfiStrategy.PolComps(p)
+      sqrt(col(s"v$ri") * col(s"v$ri") + col(s"v$ii") * col(s"v$ii"))
+    }
+    // amps computed UP FRONT (codegen'd projection), original columns
+    // untouched; gain-divided when a detection bandpass is given:
+    // sqrt((re/g)^2 + (im/g)^2) = amp / g for g > 0
+    val withAmps = rfiBandpass match {
+      case Some(pb) =>
+        visFlagged.join(broadcast(pb), Seq("fc"))
+          .withColumn("amps",
+            array(ampCols.map(_ / col("pfb_gain")): _*))
+          .drop("pfb_gain")
+          // the bandpass join must not reorder columns vs the input
+          .select((visFlagged.columns.map(col) :+ col("amps")).toSeq: _*)
+      case None => visFlagged.withColumn("amps", array(ampCols: _*))
+    }
+    val inSchema = withAmps.schema
+    val outSchema = visFlagged.schema
+    val n = outSchema.length // amps is appended last; out drops it
+    val blI = inSchema.fieldIndex("bl")
+    val tI = inSchema.fieldIndex("t")
+    val chanI = inSchema.fieldIndex("chan")
+    val flagI = inSchema.fieldIndex("flag")
+    val ampsI = inSchema.fieldIndex("amps")
+    require(flagI < n && blI < n && tI < n && chanI < n,
+      "detectAndFlag: key/flag columns must precede the appended amps")
+    withAmps.groupBy(col("bl"))
+      .as[Long, Row](Encoders.scalaLong, Encoders.row(inSchema))
+      .flatMapGroups { (bl: Long, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val cells = rows.map { r =>
+          RfiCell(bl, r.getLong(tI), r.getLong(chanI),
+            r.getSeq[Double](ampsI), r.getBoolean(flagI))
+        }
+        val rfi = detectGroup(bl, cells, strategy)
+          .map(o => (o.t, o.chan) -> o.rfi).toMap
+        rows.iterator.map { r =>
+          val hit = rfi.getOrElse((r.getLong(tI), r.getLong(chanI)),
+            false)
+          val vals = new Array[Any](n)
+          var i = 0
+          while (i < n) { vals(i) = r.get(i); i += 1 }
+          if (hit) vals(flagI) = true
+          Row.fromSeq(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(vals))
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** The per-baseline detection kernel on its own: grid assembly,
     * per-pol iterated background/SumThreshold, SIR post-extension.
     * Shared by the batch `flatMapGroups` above and the streaming twin

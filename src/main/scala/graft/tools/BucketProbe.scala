@@ -73,7 +73,10 @@ object BucketProbe {
       "r1_rfi" -> (df => RfiFlag(df, RfiStrategy())),
       "c5_vanvleck" -> (df => VanVleck(df, Seq(7L), 2.0)),
       "pp_full" -> (df =>
-        Preprocess(vanVleck = true, rfi = true)(spark, df)))
+        Preprocess(vanVleck = true, rfi = true)(spark, df)),
+      "pp_full_join" -> (df =>
+        Preprocess(vanVleck = true, rfi = true,
+          rfiFused = false)(spark, df)))
     // optional workload-name args; SPARK_GRAFT_BUCKET_EXPLAIN=1 also
     // prints each executed plan's Exchange lines (to NAME the
     // residual shuffles, not just count them)

@@ -102,4 +102,23 @@ class SimilaritySpec extends AnyFunSuite {
     // cosine rule as brute force -> exact ground truth
     assert(hAll == tAll, s"full probe should be exact: $hAll/$tAll")
   }
+
+  test("multi-table LSH: 1 table matches the single-bucket index, " +
+    "recall rises with table count") {
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2 - 1))).toSet
+    // L = 1 is exactly the single-table index's candidate set + rank
+    val one = ids(Similarity.lshMultiTopK(emb, 8, 5, nTables = 1))
+    val single = ids(Similarity.lshTopK(emb, 8, 5))
+    assert(one == single, "nTables = 1 must reproduce lshTopK")
+    def recall(nT: Int): Long =
+      Similarity.annRecall(emb, nTables = nT, fixtureScale = true)
+        .where(col("method") === "lsh_multi").head().getLong(1)
+    val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+    assert(r1 <= r2 && r2 <= r4,
+      s"recall must be monotone in tables: $r1, $r2, $r4")
+    assert(r4 > r1,
+      s"4 tables must beat 1 on this fixture: $r1 vs $r4")
+  }
 }
