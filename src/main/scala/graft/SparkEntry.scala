@@ -611,6 +611,8 @@ object SparkEntry {
       Dedup.embeddingNearDup(emb(s, dir), 0.3)),
     "q_d6_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(docs(s, dir))),
+    "q_d12_minhash_accuracy" -> ((s, dir) =>
+      Dedup.minhashAccuracy(docs(s, dir))),
 
     // -- LLM-data pipeline: similarity search -------------------------
     "q_sim1_ann_bruteforce" -> ((s, dir) =>
@@ -631,6 +633,8 @@ object SparkEntry {
       Similarity.annRecall(emb(s, dir), fixtureScale = true)),
     "q_sim9_ann_lsh_multi" -> ((s, dir) =>
       Similarity.lshMultiTopK(emb(s, dir), nQueries = 8, k = 5)),
+    "q_sim10_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1030,6 +1034,7 @@ object SparkEntry {
     "q_sim4_ann_pq" -> LlmOracles.sim4PqTopK,
     "q_sim8_ann_recall" -> LlmOracles.sim8AnnRecall(),
     "q_sim9_ann_lsh_multi" -> LlmOracles.sim9LshMulti,
+    "q_sim10_ann_ivfpq" -> LlmOracles.sim10IvfPq,
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),
@@ -1070,6 +1075,7 @@ object SparkEntry {
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
     "q_d11_skew_lsh" -> LlmOracles.d11SkewLsh,
+    "q_d12_minhash_accuracy" -> LlmOracles.d12MinhashAccuracy,
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,

@@ -119,6 +119,55 @@ object Dedup {
       .select("doc1", "doc2", "est_jaccard")
   }
 
+  /** MinHash estimator accuracy: for every LSH candidate pair, the
+    * 16-permutation match-count estimate next to the EXACT shingle
+    * Jaccard it estimates — the quality number the MinHash sketch is
+    * FOR (q_d2 proves the signatures reproduce; this gate grades them
+    * as an estimator, exactly as q_sim8 grades the ANN indexes as
+    * approximations). Emitted in order-free integers so the gate hashes
+    * bit-for-bit: `est_uq`/`jac_uq` are micro-unit fractions
+    * (n_matches·62500 and the half-up integer division
+    * (2e6·n_common + n_union) DIV (2·n_union)), `err_uq` their
+    * absolute gap.
+    *
+    * Scale: candidate pairs only (never all-pairs); the exact-verify
+    * joins are the q_d4 shapes over the same lazily-checkpointed
+    * shingle frame; output is candidate-sized.
+    */
+  def minhashAccuracy(docs: DataFrame): DataFrame = {
+    val hs = hashedShingles(docs).localCheckpoint(eager = false)
+    val sig = minhashSignaturesFromHs(hs).localCheckpoint(eager = false)
+    // est_jaccard = n_matches/16 is dyadic, so the ×16 round-trip is
+    // exact — no float error re-deriving the integer match count
+    val est = lshCandidatesFromSig(sig)
+      .withColumn("n_matches",
+        round(col("est_jaccard") * NumPerms).cast("long"))
+      .select("doc1", "doc2", "n_matches")
+    val sh = Corpus.explodeNoInfer(hs, col("hs"), "sh", col("doc_id"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = est.select("doc1", "doc2")
+      .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("sh")),
+        Seq("doc2", "sh"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_common"))
+    est
+      .join(inter, Seq("doc1", "doc2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc1"), col("n_sh").as("n1")),
+        "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n_sh").as("n2")),
+        "doc2")
+      .withColumn("n_union", col("n1") + col("n2") - col("n_common"))
+      .withColumn("est_uq", col("n_matches") * lit(1000000L / NumPerms))
+      .withColumn("jac_uq", expr(
+        "(2000000L * n_common + n_union) DIV (2L * n_union)"))
+      .withColumn("err_uq", abs(col("est_uq") - col("jac_uq")))
+      .select("doc1", "doc2", "n_matches", "n_common", "n_union",
+        "est_uq", "jac_uq", "err_uq")
+  }
+
   /** The boilerplate sentence [[skewBoilerplate]] stamps — tokenises
     * into 13 words (11 distinct 3-shingles), so the stamped docs get
     * identical MinHash signatures and land in ONE band bucket.

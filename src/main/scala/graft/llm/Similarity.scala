@@ -268,42 +268,10 @@ object Similarity {
     graft.functions.FloatVecDot.register(emb.sparkSession)
     val subDim = dim / m
     require(subDim * m == dim, s"dim $dim not divisible by m $m")
-    // codebooks(s) = the 16 codewords of subspace s
-    val codebooks: Array[Array[(Int, Array[Float])]] = {
-      val seeds = emb.where(col("vec_id") < nCodes)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      seeds.foreach { case (cid, v) =>
-        require(v.length == dim,
-          s"pqTopK: dim=$dim but vector $cid has ${v.length}")
-      }
-      // codes are looked up by ARRAY POSITION (element_at(cwLit, code+1))
-      // while the ranking emits seed cids — only sound when the seed set
-      // is exactly 0..nCodes-1; fail fast instead of silently scoring
-      // against the wrong codeword
-      require(seeds.map(_._1).toSeq == (0 until nCodes),
-        s"pqTopK: seed vec_ids must be exactly 0..${nCodes - 1}, got " +
-          seeds.map(_._1).mkString(","))
-      Array.tabulate(m)(s =>
-        seeds.map { case (cid, v) =>
-          (cid, v.slice(s * subDim, (s + 1) * subDim))
-        })
-    }
+    val codebooks = pqCodebooks(emb, nCodes, m, dim)
     def sub(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
-    // per-subspace code: argmax(round(dot − ‖c‖²/2, 6)) with cid
-    // tie-break — identical ranking rule to the IVF assignment
-    def codeExpr(vecCol: Column, s: Int): Column =
-      element_at(array_sort(array(codebooks(s).toIndexedSeq
-        .map { case (cid, cw) =>
-        struct(
-          (-round(call_function("float_dot", sub(vecCol, s), lit(cw))
-            - lit(halfNorm2(cw)), 6)).as("ns"),
-          lit(cid).as("cid"))
-      }: _*)), 1).getField("cid")
     val coded = emb.select(col("vec_id") +: (0 until m).map(s =>
-      codeExpr(col("embedding"), s).as(s"c$s")): _*)
+      pqCodeExpr(codebooks, col("embedding"), s, subDim).as(s"c$s")): _*)
     // queries keep their raw embedding (asymmetric distance)
     val q = broadcast(emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe")))
@@ -316,6 +284,128 @@ object Similarity {
         element_at(cwLit(s), col(s"c$s") + 1))
     }.reduce(_ + _)
     val scored = q.join(coded, col("vec_id") =!= col("qid"))
+      .withColumn("score_r", round(scoreCol, 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score_r").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("score_r").as("pq_score"))
+  }
+
+  /** PQ codebooks: codebooks(s) = the `nCodes` codewords of subspace
+    * s, deterministically the first `nCodes` vectors' subvectors —
+    * swap in per-subspace k-means exactly as [[trainIvfCentroids]]
+    * does for IVF. Shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqCodebooks(emb: DataFrame, nCodes: Int, m: Int,
+                          dim: Int): Array[Array[(Int, Array[Float])]] = {
+    val subDim = dim / m
+    val seeds = emb.where(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    seeds.foreach { case (cid, v) =>
+      require(v.length == dim,
+        s"pqCodebooks: dim=$dim but vector $cid has ${v.length}")
+    }
+    // codes are looked up by ARRAY POSITION (element_at(cwLit, code+1))
+    // while the ranking emits seed cids — only sound when the seed set
+    // is exactly 0..nCodes-1; fail fast instead of silently scoring
+    // against the wrong codeword
+    require(seeds.map(_._1).toSeq == (0 until nCodes),
+      s"pqCodebooks: seed vec_ids must be exactly 0..${nCodes - 1}, " +
+        "got " + seeds.map(_._1).mkString(","))
+    Array.tabulate(m)(s =>
+      seeds.map { case (cid, v) =>
+        (cid, v.slice(s * subDim, (s + 1) * subDim))
+      })
+  }
+
+  /** Per-subspace PQ code: argmax(round(dot − ‖c‖²/2, 6)) with cid
+    * tie-break — identical ranking rule to the IVF assignment. A pure
+    * array-expression projection: zero exchanges.
+    */
+  private def pqCodeExpr(codebooks: Array[Array[(Int, Array[Float])]],
+                         vecCol: Column, s: Int, subDim: Int): Column =
+    element_at(array_sort(array(codebooks(s).toIndexedSeq
+      .map { case (cid, cw) =>
+      struct(
+        (-round(call_function("float_dot",
+          slice(vecCol, s * subDim + 1, subDim), lit(cw))
+          - lit(halfNorm2(cw)), 6)).as("ns"),
+        lit(cid).as("cid"))
+    }: _*)), 1).getField("cid")
+
+  /** IVF-PQ (coarse cells + asymmetric-distance scoring over codes):
+    * the composition that actually indexes a 100 TB corpus. The IVF
+    * coarse quantiser ([[ivfTopK]]'s literal-argmax cell assignment)
+    * prunes the scan to the query's `nProbe` nearest cells; within
+    * probed cells candidates are scored by PQ/ADC ([[pqTopK]]'s
+    * m×1-byte codes against broadcast codebooks), never touching the
+    * raw embedding.
+    *
+    * Scale story: the corpus-resident index row is (cell, m codes) —
+    * 8 B of codes per vector at the gate shape — and the search reads
+    * only corpus/nCells·nProbe of them per query. IVF alone still
+    * scans raw vectors inside probed cells (256 B/row at dim 64); PQ
+    * alone scans every row's codes. IVF-PQ reads 1/nCells·nProbe of
+    * the corpus at 1/32 the bytes per row — both pruning axes at
+    * once, which is why it is the standard billion-vector layout.
+    * Cell assignment and code computation are zero-shuffle literal
+    * projections; the only exchange is the (cell)-keyed candidate
+    * join with the probe side broadcast. Partitioning the index by
+    * `cell` (bucketed mirror, as SCALE.md measures for the §2
+    * pipeline) makes probing a partition-pruned read.
+    *
+    * Parity: with `nProbe = nCentroids` every cell is probed and the
+    * result reproduces [[pqTopK]] exactly (SimilaritySpec pins this);
+    * the DuckDB twin re-derives cells AND codebooks from the same
+    * deterministic seed rules.
+    */
+  def ivfPqTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
+                nCodes: Int = 16, m: Int = 8, nQueries: Int = 8,
+                k: Int = 5, dim: Int = 64,
+                fixtureScale: Boolean = false): DataFrame = {
+    graft.llm.Clustering.requireScaledK("ivfPqTopK", nCentroids,
+      fixtureScale)
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
+    val cents: Array[(Int, Array[Float])] = emb
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val codebooks = pqCodebooks(emb, nCodes, m, dim)
+    val cellRank = cellRankExpr(cents)
+    // the index frame: one zero-shuffle projection to (vec_id, cell,
+    // c0..c{m-1}) — the raw embedding never leaves the scan
+    val coded = emb.select(
+      col("vec_id") +:
+        element_at(cellRank, 1).getField("cid").as("cell") +:
+        (0 until m).map(s =>
+          pqCodeExpr(codebooks, col("embedding"), s, subDim)
+            .as(s"c$s")): _*)
+    // queries keep their raw embedding (asymmetric distance) and
+    // probe their nProbe nearest cells
+    val probes = broadcast(emb.where(col("vec_id") < nQueries)
+      .withColumn("cell",
+        explode(slice(cellRank, 1, nProbe).getField("cid")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cell")))
+    val cwLit: Array[Column] = Array.tabulate(m)(s =>
+      typedLit(codebooks(s).map(_._2.toSeq).toSeq))
+    val scoreCol = (0 until m).map { s =>
+      call_function("float_dot", slice(col("qe"), s * subDim + 1, subDim),
+        element_at(cwLit(s), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    // each vector lives in exactly one cell and a query's probed cells
+    // are distinct, so (qid, vec_id) pairs are unique — no dedup stage
+    val scored = probes.join(coded, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
       .withColumn("score_r", round(scoreCol, 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("score_r").desc, col("vec_id").asc)
@@ -358,11 +448,14 @@ object Similarity {
         "lsh_multi"))
       .unionByName(ids(ivfTopK(emb, nCentroids, nProbe, nQueries, k,
         fixtureScale), "ivf"))
+      .unionByName(ids(ivfPqTopK(emb, nCentroids, nProbe,
+        nQueries = nQueries, k = k, fixtureScale = fixtureScale),
+        "ivfpq"))
       .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    Seq("ivf", "lsh", "lsh_multi", "pq").toDF("method")
+    Seq("ivf", "ivfpq", "lsh", "lsh_multi", "pq").toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .crossJoin(broadcast(nTruth))

@@ -114,4 +114,34 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("minhash accuracy: identical docs estimate exactly, candidate " +
+    "set matches lshCandidates, mean error is estimator-sized") {
+    import graft.llm.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val skewed = Dedup.skewBoilerplate(docs)
+    val acc = Dedup.minhashAccuracy(skewed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    val cand = Dedup.lshCandidates(skewed)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(acc.map(t => (t._1, t._2)).toSet == cand,
+      "accuracy rows must cover exactly the LSH candidate set")
+    // the boilerplate stamp makes every (5i, 5j) pair textually
+    // identical: 16/16 matches, exact Jaccard 1 -> zero error
+    val identical = acc.filter(t => t._1 % 5 == 0 && t._2 % 5 == 0)
+    assert(identical.nonEmpty)
+    assert(identical.forall(t => t._3 == 16 && t._4 == 1000000L &&
+      t._5 == 1000000L && t._6 == 0L),
+      "identical docs must estimate Jaccard exactly")
+    // estimator quality: with 16 permutations the per-pair std is
+    // <= 1/8; on this fixture (dominated by exact duplicates) the
+    // mean absolute error must stay far below that bound
+    val meanErr = acc.map(_._6).sum.toDouble / acc.length
+    assert(meanErr < 100000.0,
+      s"mean |est - jaccard| = ${meanErr / 1e6} too high")
+  }
 }
