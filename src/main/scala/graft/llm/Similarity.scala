@@ -155,10 +155,11 @@ object Similarity {
     * (score desc, cid asc) via (−score, cid) — round(x,6) never yields
     * −0.0, so negation can't split a tie. Zero exchanges.
     */
-  private def cellRankExpr(cents: Array[(Int, Array[Float])]): Column =
+  private def cellRankExpr(cents: Array[(Int, Array[Float])],
+                           vecCol: Column = col("embedding")): Column =
     array_sort(array(cents.toIndexedSeq.map { case (cid, ce) =>
       struct(
-        (-round(call_function("float_dot", col("embedding"), lit(ce))
+        (-round(call_function("float_dot", vecCol, lit(ce))
           - lit(halfNorm2(ce)), 6)).as("ns"),
         lit(cid).as("cid"))
     }: _*))
@@ -264,11 +265,21 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, nCodes: Int = 16, m: Int = 8,
              nQueries: Int = 8, k: Int = 5,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64): DataFrame =
+    pqTopKWith(emb, pqCodebooks(emb, nCodes, m, dim), m, nQueries, k,
+      dim)
+
+  /** PQ/ADC search against an explicit codebook set (seed-derived via
+    * the gate rule, or trained via [[trainPqCodebooks]]) — the same
+    * split as [[ivfTopK]]/[[ivfTopKWith]].
+    */
+  def pqTopKWith(emb: DataFrame,
+                 codebooks: Array[Array[(Int, Array[Float])]],
+                 m: Int = 8, nQueries: Int = 8, k: Int = 5,
+                 dim: Int = 64): DataFrame = {
     graft.functions.FloatVecDot.register(emb.sparkSession)
     val subDim = dim / m
     require(subDim * m == dim, s"dim $dim not divisible by m $m")
-    val codebooks = pqCodebooks(emb, nCodes, m, dim)
     def sub(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
     val coded = emb.select(col("vec_id") +: (0 until m).map(s =>
       pqCodeExpr(codebooks, col("embedding"), s, subDim).as(s"c$s")): _*)
@@ -323,6 +334,48 @@ object Similarity {
       })
   }
 
+  /** Per-subspace k-means (Lloyd) training of the PQ codebooks,
+    * seeded from the deterministic gate rule — the trained twin the
+    * [[pqCodebooks]] scaladoc promises, mirroring
+    * [[trainIvfCentroids]] for the coarse quantiser.
+    *
+    * Each iteration is ONE corpus scan: the per-subspace code is the
+    * zero-shuffle literal argmax, the m subvectors are unpivoted with
+    * a row-local explode (corpus×m rows, never materialised), and the
+    * new codewords come from a single (s, code) hash aggregate whose
+    * partials combine map-side — model-sized (m·nCodes rows) output
+    * collected to the driver, exactly how a vector store trains its
+    * PQ stage. Empty codes keep their old codeword.
+    */
+  def trainPqCodebooks(emb: DataFrame, nCodes: Int = 16, m: Int = 8,
+                       iters: Int = 2, dim: Int = 64)
+      : Array[Array[(Int, Array[Float])]] = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
+    var books = pqCodebooks(emb, nCodes, m, dim)
+    for (_ <- 0 until iters) {
+      val stacked = emb.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          pqCodeExpr(books, col("embedding"), s, subDim).as("code"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("sv"))
+      ): _*)).as("x"))
+        .select(col("x.s"), col("x.code"), col("x.sv"))
+      val aggs = (0 until subDim).map(i =>
+        avg(element_at(col("sv"), i + 1).cast("double")).as(s"d$i"))
+      val means = stacked.groupBy("s", "code")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          Array.tabulate(subDim)(i => r.getDouble(i + 2).toFloat)))
+        .toMap
+      books = Array.tabulate(m)(s => books(s).map { case (cid, old) =>
+        (cid, means.getOrElse((s, cid), old))
+      })
+    }
+    books
+  }
+
   /** Per-subspace PQ code: argmax(round(dot − ‖c‖²/2, 6)) with cid
     * tie-break — identical ranking rule to the IVF assignment. A pure
     * array-expression projection: zero exchanges.
@@ -364,47 +417,95 @@ object Similarity {
     * the DuckDB twin re-derives cells AND codebooks from the same
     * deterministic seed rules.
     */
-  def ivfPqTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
-                nCodes: Int = 16, m: Int = 8, nQueries: Int = 8,
-                k: Int = 5, dim: Int = 64,
-                fixtureScale: Boolean = false): DataFrame = {
-    graft.llm.Clustering.requireScaledK("ivfPqTopK", nCentroids,
-      fixtureScale)
-    graft.functions.FloatVecDot.register(emb.sparkSession)
-    val subDim = dim / m
-    require(subDim * m == dim, s"dim $dim not divisible by m $m")
-    val cents: Array[(Int, Array[Float])] = emb
-      .where(col("vec_id") < nCentroids)
+  /** The model state of an IVF-PQ index: coarse centroids + per-
+    * subspace codebooks — bounded, driver-resident, broadcast to the
+    * scan as literals (exactly the artifact a vector store persists
+    * after training). [[seed]] derives both from the deterministic
+    * gate rules; [[trained]] runs k-means on each
+    * ([[Similarity.trainIvfCentroids]] / [[Similarity.trainPqCodebooks]]).
+    */
+  final case class IvfPqModel(
+      cents: Array[(Int, Array[Float])],
+      codebooks: Array[Array[(Int, Array[Float])]])
+
+  object IvfPqModel {
+    def seed(emb: DataFrame, nCentroids: Int = 16, nCodes: Int = 16,
+             m: Int = 8, dim: Int = 64): IvfPqModel =
+      IvfPqModel(seedCentroids(emb, nCentroids),
+        pqCodebooks(emb, nCodes, m, dim))
+
+    def trained(emb: DataFrame, nCentroids: Int = 16, nCodes: Int = 16,
+                m: Int = 8, iters: Int = 2,
+                dim: Int = 64): IvfPqModel =
+      IvfPqModel(trainIvfCentroids(emb, nCentroids, iters, dim),
+        trainPqCodebooks(emb, nCodes, m, iters, dim))
+  }
+
+  private def seedCentroids(emb: DataFrame,
+                            nCentroids: Int): Array[(Int, Array[Float])] =
+    emb.where(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val codebooks = pqCodebooks(emb, nCodes, m, dim)
-    val cellRank = cellRankExpr(cents)
-    // the index frame: one zero-shuffle projection to (vec_id, cell,
-    // c0..c{m-1}) — the raw embedding never leaves the scan
-    val coded = emb.select(
+
+  /** The corpus-resident IVF-PQ index frame: `(vec_id, cell,
+    * c0..c{m-1})` — ONE zero-shuffle projection; the raw embedding
+    * never leaves the scan. Persist it partitioned by `cell`
+    * (`write.partitionBy("cell")`) and [[ivfPqSearch]]'s static
+    * probe-cell filter becomes a partition-pruned read.
+    */
+  def ivfPqIndex(emb: DataFrame, model: IvfPqModel, m: Int = 8,
+                 dim: Int = 64): DataFrame = {
+    graft.functions.FloatVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
+    val cellRank = cellRankExpr(model.cents)
+    emb.select(
       col("vec_id") +:
         element_at(cellRank, 1).getField("cid").as("cell") +:
         (0 until m).map(s =>
-          pqCodeExpr(codebooks, col("embedding"), s, subDim)
+          pqCodeExpr(model.codebooks, col("embedding"), s, subDim)
             .as(s"c$s")): _*)
-    // queries keep their raw embedding (asymmetric distance) and
-    // probe their nProbe nearest cells
-    val probes = broadcast(emb.where(col("vec_id") < nQueries)
+  }
+
+  /** ADC search over a prebuilt [[ivfPqIndex]] frame. `queries` is a
+    * model-sized `(qid, qe)` frame (raw embeddings — asymmetric
+    * distance). With `staticPrune` the probed cell ids (≤
+    * nQueries·nProbe values, bounded) are collected and pushed as an
+    * IN filter on the index side — over a cell-partitioned index that
+    * is a PartitionFilter, i.e. the serving path reads ONLY the
+    * probed cells' files (AnnProbe measures this; at 100 TB it is the
+    * difference between scanning the corpus and scanning
+    * nProbe/nCells of it).
+    */
+  def ivfPqSearch(index: DataFrame, queries: DataFrame,
+                  model: IvfPqModel, nProbe: Int = 2, k: Int = 5,
+                  m: Int = 8, dim: Int = 64,
+                  staticPrune: Boolean = false): DataFrame = {
+    graft.functions.FloatVecDot.register(index.sparkSession)
+    val subDim = dim / m
+    val probes = broadcast(queries
       .withColumn("cell",
-        explode(slice(cellRank, 1, nProbe).getField("cid")))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cell")))
+        explode(slice(cellRankExpr(model.cents, col("qe")), 1, nProbe)
+          .getField("cid")))
+      .select(col("qid"), col("qe"), col("cell")))
+    val pruned =
+      if (!staticPrune) index
+      else {
+        val cells = probes.select("cell").distinct().collect()
+          .map(_.getInt(0))
+        index.where(col("cell").isin(cells.toIndexedSeq: _*))
+      }
     val cwLit: Array[Column] = Array.tabulate(m)(s =>
-      typedLit(codebooks(s).map(_._2.toSeq).toSeq))
+      typedLit(model.codebooks(s).map(_._2.toSeq).toSeq))
     val scoreCol = (0 until m).map { s =>
       call_function("float_dot", slice(col("qe"), s * subDim + 1, subDim),
         element_at(cwLit(s), col(s"c$s") + 1))
     }.reduce(_ + _)
     // each vector lives in exactly one cell and a query's probed cells
     // are distinct, so (qid, vec_id) pairs are unique — no dedup stage
-    val scored = probes.join(coded, Seq("cell"))
+    val scored = probes.join(pruned, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("score_r", round(scoreCol, 6))
     val w = Window.partitionBy("qid")
@@ -413,6 +514,19 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"),
         col("score_r").as("pq_score"))
+  }
+
+  def ivfPqTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 2,
+                nCodes: Int = 16, m: Int = 8, nQueries: Int = 8,
+                k: Int = 5, dim: Int = 64,
+                fixtureScale: Boolean = false): DataFrame = {
+    graft.llm.Clustering.requireScaledK("ivfPqTopK", nCentroids,
+      fixtureScale)
+    val model = IvfPqModel.seed(emb, nCentroids, nCodes, m, dim)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfPqSearch(ivfPqIndex(emb, model, m, dim), queries, model,
+      nProbe, k, m, dim)
   }
 
   /** Recall@k of the three approximate indexes (LSH bucket, IVF,

@@ -126,6 +126,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(methods == Set("ivf", "ivfpq", "lsh", "lsh_multi", "pq"))
   }
 
+  test("PQ training: Lloyd iterations never increase quantisation " +
+    "cost, trained books beat the seed books") {
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cost(books: Array[Array[(Int, Array[Float])]]): Double = {
+      val m = books.length
+      val subDim = 64 / m
+      vecs.iterator.map { v =>
+        (0 until m).map { s =>
+          val sv = v.slice(s * subDim, (s + 1) * subDim)
+          books(s).map { case (_, cw) =>
+            sv.zip(cw).map { case (a, b) =>
+              val d = a.toDouble - b.toDouble; d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val c0 = cost(Similarity.trainPqCodebooks(emb, iters = 0))
+    val c1 = cost(Similarity.trainPqCodebooks(emb, iters = 1))
+    val c2 = cost(Similarity.trainPqCodebooks(emb, iters = 2))
+    // 1e-3 tolerance: the assignment argmax rounds scores to 6 dp for
+    // gate determinism, so strict Lloyd monotonicity holds up to that
+    assert(c1 <= c0 + 1e-3 && c2 <= c1 + 1e-3,
+      s"quantisation cost must not increase: $c0 -> $c1 -> $c2")
+    assert(c2 < c0,
+      s"training must strictly improve on the seed books: $c0 -> $c2")
+    // the trained books drop into the same ADC search
+    val trained = Similarity.pqTopKWith(emb,
+      Similarity.trainPqCodebooks(emb, iters = 2))
+    assert(trained.count() == 8L * 5)
+  }
+
   test("multi-table LSH: 1 table matches the single-bucket index, " +
     "recall rises with table count") {
     def ids(df: org.apache.spark.sql.DataFrame) = df

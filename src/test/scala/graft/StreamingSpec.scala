@@ -150,4 +150,32 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b, s"streaming ${s.size} docs vs batch ${b.size}")
   }
+
+  test("streaming IVF-PQ indexer and standing-query matcher equal " +
+    "their batch twins exactly") {
+    import graft.llm.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Similarity.IvfPqModel.seed(emb)
+    // indexer parity: the streamed index IS the batch index
+    val sIdx = graft.streaming.AnnStream.runIndexOnce(spark, dir, model)
+      .collect().map(_.toSeq).toSet
+    val bIdx = Similarity.ivfPqIndex(emb, model)
+      .collect().map(_.toSeq).toSet
+    assert(sIdx == bIdx, s"index parity: ${sIdx.size} vs ${bIdx.size}")
+    // matcher parity: same threshold over the same ADC scores; the
+    // batch twin is the identical expression on the batch frame
+    val queries = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val minQ = 500000L
+    val sMatch = graft.streaming.AnnStream
+      .runMatchOnce(spark, dir, queries, model, minQ)
+      .collect().map(_.toSeq).toSet
+    val bMatch = graft.streaming.AnnStream.matchStream(emb, queries,
+      model, minQ).collect().map(_.toSeq).toSet
+    assert(sMatch == bMatch,
+      s"match parity: ${sMatch.size} vs ${bMatch.size}")
+    assert(sMatch.nonEmpty, "threshold should admit some matches")
+  }
 }
