@@ -613,6 +613,13 @@ object SparkEntry {
       Dedup.duplicateClusters(docs(s, dir))),
     "q_d12_minhash_accuracy" -> ((s, dir) =>
       Dedup.minhashAccuracy(docs(s, dir))),
+    // the skew-stamped corpus (q_d11's derivation) supplies exact
+    // duplicates, and the filter is deliberately undersized so the
+    // replay also PRODUCES false positives at sf0.01 — the gate grades
+    // both labels; see Dedup.GateBloomBits
+    "q_d13_bloom_dedup" -> ((s, dir) =>
+      Dedup.bloomSeqDedup(Dedup.skewBoilerplate(docs(s, dir)),
+        Dedup.GateBloomBits, Dedup.GateBloomHashes)),
 
     // -- LLM-data pipeline: similarity search -------------------------
     "q_sim1_ann_bruteforce" -> ((s, dir) =>
@@ -688,6 +695,12 @@ object SparkEntry {
     // between the benchmark-quality target split and the raw pool
     "q_t21_dsir" -> ((s, dir) =>
       graft.llm.Corpus.dsirScore(docs(s, dir))),
+    // t22: BM25 relevance against a fixed benchmark-style term set
+    "q_t22_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir))),
+    // t23: temperature-based mixing weights (w ∝ n^(1/2)) per source
+    "q_t23_mix_temperature" -> ((s, dir) =>
+      TextAnalysis.mixTemperature(docs(s, dir))),
     "q_t14_bigram_nll" -> ((s, dir) =>
       graft.llm.Corpus.bigramNll(docs(s, dir))),
     "q_d8_repeated_spans" -> ((s, dir) =>
@@ -1071,11 +1084,14 @@ object SparkEntry {
     "q_t20_perceptron" -> LlmOracles.t20Perceptron(),
     "q_t20b_perceptron_apply" -> LlmOracles.t20bPerceptronApply(),
     "q_t21_dsir" -> graft.llm.Corpus.dsirScoreSql(),
+    "q_t22_bm25" -> TextAnalysis.bm25Sql(),
+    "q_t23_mix_temperature" -> TextAnalysis.mixTemperatureSql(),
     "q_d8_repeated_spans" -> graft.llm.Corpus.repeatedSpansSql(),
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
     "q_d11_skew_lsh" -> LlmOracles.d11SkewLsh,
     "q_d12_minhash_accuracy" -> LlmOracles.d12MinhashAccuracy,
+    "q_d13_bloom_dedup" -> LlmOracles.d13BloomDedup(),
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
     "q_h6_forecast_revenue" -> LlmOracles.h6ForecastRevenue,
     "q_h4_customers_without_orders" -> LlmOracles.h4CustomersWithoutOrders,

@@ -386,4 +386,139 @@ object Dedup {
       .select(col("bucket"), col("id1"), col("id2"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  // ---- Bloom-filter dedup (incremental-ingest screening) -------------
+
+  /** Gate sizing for q_d13: DELIBERATELY undersized (2048 bits for a
+    * ~500-doc corpus, ~60% fill) so the sequential replay PRODUCES
+    * false positives at sf0.01 and the gate proves they are detected
+    * and labelled — an oversized filter would make `false_positive`
+    * a constant-false column and grade nothing. Production sizing is
+    * the [[bloomSeqDedup]] default (2^20 bits and up; m grows with
+    * the ingested-corpus cardinality, k ≈ m/n · ln 2).
+    */
+  val GateBloomBits = 2048
+  val GateBloomHashes = 4
+
+  /** The `kHashes` distinct bit positions in `[0, mBits)` for a `text`
+    * column — `hex8(md5(text + '#i')) % m`, shared between the Spark
+    * plan and the DuckDB twin via the dialect builders so both engines
+    * hash bit-for-bit identically. Row-local; duplicates collapse so
+    * the position list IS the document's bit set.
+    */
+  private[graft] def bloomPositions(mBits: Int, kHashes: Int)
+                                   (implicit d: Dialect): String = {
+    val ps = (0 until kHashes).map { i =>
+      s"(${hex8FromMd5(s"md5(concat(text, '#$i'))")} % $mBits)"
+    }
+    d match {
+      case SparkD => s"array_distinct(array(${ps.mkString(", ")}))"
+      case DuckD  => s"list_distinct([${ps.mkString(", ")}])"
+    }
+  }
+
+  /** Bloom-filter dedup as a deterministic SEQUENTIAL-INGEST REPLAY:
+    * documents enter the filter in `doc_id` order, every document sets
+    * its `kHashes` bits, and a document is `bloom_dup` iff EVERY one of
+    * its bits was already set by a strictly earlier document — exactly
+    * what a single-pass Bloom dedup (the Dolma/CCNet paragraph-screen
+    * shape) would decide, re-expressed order-free so the whole thing is
+    * one declarative plan: "bit b set before doc d" ⟺
+    * `min(setter doc_id over b) < d`. The gate also carries the exact
+    * ground truth (`exact_dup` = an identical text occurred earlier),
+    * so `false_positive` rows ARE the filter's collision cost, graded
+    * row-by-row — Bloom never false-negatives (identical text ⇒
+    * identical bits ⇒ every bit set by the earlier copy), which the
+    * spec pins as `exact_dup ⇒ bloom_dup`.
+    *
+    * 100 TB shape: position derivation is row-local; the first-setter
+    * dim aggregates to ≤ `mBits` rows (MODEL-sized — map-side combined,
+    * a viral duplicate collapses per task) and broadcasts back over the
+    * corpus-scale probe side; the per-doc verdict is a k-row-per-doc
+    * map-side-combined aggregate. The only corpus-scale exchange beyond
+    * those partial aggs is the `exact_dup` ground-truth dim (the d1
+    * shape) — the GRADER's column, not the operator's: the serving path
+    * ([[bloomModel]] + [[bloomProbeWith]]) is zero-shuffle.
+    */
+  def bloomSeqDedup(docs: DataFrame, mBits: Int = 1 << 20,
+                    kHashes: Int = 4): DataFrame = {
+    require(mBits >= 64, s"mBits must be >= 64, got $mBits")
+    require(kHashes >= 1 && kHashes <= 16,
+      s"kHashes must be in [1, 16], got $kHashes")
+    // multi-consumed (occ twice, the final join, the text dim) — lazy
+    // plan-private localCheckpoint, never .cache() (see hashedShingles)
+    val base = docs.select(col("doc_id"),
+      md5(col("text")).as("text_hash"),
+      expr(bloomPositions(mBits, kHashes)).as("pos"))
+      .localCheckpoint(eager = false)
+    val occ = Corpus.explodeNoInfer(base, col("pos"), "p", col("doc_id"))
+    val firstSet = occ.groupBy("p").agg(min("doc_id").as("first_doc"))
+    val hits = occ.join(broadcast(firstSet), Seq("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bits"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_prior_bits"))
+    val firstText = base.groupBy("text_hash")
+      .agg(min("doc_id").as("first_text_doc"))
+    base.select("doc_id", "text_hash")
+      .join(hits, Seq("doc_id"))
+      .join(firstText, Seq("text_hash"))
+      .withColumn("bloom_dup", col("n_prior_bits") === col("n_bits"))
+      .withColumn("exact_dup", col("first_text_doc") < col("doc_id"))
+      .withColumn("false_positive",
+        col("bloom_dup") && !col("exact_dup"))
+      .select("doc_id", "n_bits", "n_prior_bits", "bloom_dup",
+        "exact_dup", "false_positive")
+  }
+
+  /** The serving artifact: `mBits` of filter state as packed 64-bit
+    * words — fixed-size MODEL state (m/8 bytes regardless of corpus
+    * size), the thing a 100 TB pipeline persists between ingest epochs
+    * and ships to every executor.
+    */
+  final case class BloomModel(mBits: Int, kHashes: Int,
+                              words: Array[Long]) {
+    def bitsSet: Int = words.map(java.lang.Long.bitCount).sum
+    /** Measured fill fraction — FPR ≈ fill^k. */
+    def fill: Double = bitsSet.toDouble / mBits
+  }
+
+  /** Build the filter from the already-ingested corpus: the distinct
+    * set-bit positions aggregate to ≤ `mBits` rows (model-sized — the
+    * ONE bounded collect, same class as ANN centroids), folded into
+    * the packed bitmap driver-side.
+    */
+  def bloomModel(build: DataFrame, mBits: Int = 1 << 20,
+                 kHashes: Int = 4): BloomModel = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(kHashes >= 1 && kHashes <= 16,
+      s"kHashes must be in [1, 16], got $kHashes")
+    val pos = build
+      .select(explode(expr(bloomPositions(mBits, kHashes))).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0).toInt)
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words(p >>> 6) |= 1L << (p & 63))
+    BloomModel(mBits, kHashes, words)
+  }
+
+  /** Probe a document frame against a prebuilt filter: k bit tests per
+    * row against the bitmap literal — a PURE PROJECTION, zero
+    * exchanges, zero joins; the shape that screens a new crawl against
+    * the existing corpus at ingest rate. `maybe_seen` has no false
+    * negatives (spec-pinned against exact membership); positives carry
+    * the filter's FPR ≈ fill^k.
+    */
+  def bloomProbeWith(probe: DataFrame, model: BloomModel): DataFrame =
+    probe
+      .withColumn("bw", typedLit(model.words))
+      .withColumn("pos",
+        expr(bloomPositions(model.mBits, model.kHashes)))
+      .withColumn("n_hits", expr(
+        "aggregate(pos, 0, (acc, p) -> acc + CAST(" +
+          "(shiftright(element_at(bw, CAST(p DIV 64 AS INT) + 1), " +
+          "CAST(p % 64 AS INT)) & 1) AS INT))"))
+      .withColumn("maybe_seen", col("n_hits") === size(col("pos")))
+      .select("doc_id", "n_hits", "maybe_seen")
 }

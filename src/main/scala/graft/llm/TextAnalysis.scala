@@ -403,6 +403,182 @@ object TextAnalysis {
   /** Pure-Scala polynomial rolling hash over UTF-8 bytes (the streaming
     * fingerprint a chunker would use; spec-tested, not oracle-checked).
     */
+  /** Gate query for [[bm25]]: a fixed benchmark-style term set (the
+    * retrieval query is always BOUNDED model state — an eval suite or
+    * decontamination probe, never corpus-derived).
+    */
+  val Bm25GateTerms: Seq[String] =
+    Seq("spark", "query", "window", "stream", "hash")
+
+  /** BM25 relevance of every document against a bounded query-term
+    * set — the retrieval primitive a curation pipeline uses for
+    * benchmark decontamination and quality-by-relevance screens.
+    * Lucene's non-negative idf variant, `ln(1 + (N-df+0.5)/(df+0.5))`,
+    * with k1 = 6/5 and b = 3/4 held as EXACT RATIONALS so the
+    * tf factor is pure BIGINT arithmetic:
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)   with S = Σ dl
+    *
+    * and the only transcendental is the idf, pinned to order-free
+    * integers the t14 way (`floor(ln(...)·1e6 + 0.5)`). Per-term
+    * contributions are integer-divided then summed, so the score is
+    * associative — identical under any partial-aggregation order.
+    *
+    * 100 TB shape: the term list rides as an `isin` literal into the
+    * token explode (row-local filter, match stream is |hits|-sized,
+    * not corpus×|Q|); df and the (N, S) globals aggregate to ≤ |Q|+1
+    * rows — model-sized, broadcast back; the one corpus-scale
+    * exchange is the per-doc score aggregate, map-side combined.
+    * Overflow bound: idf_u·22·tf·S needs S·tf ≲ 2^40 — beyond that
+    * (single-corpus Σ dl over ~10^12), pre-scale S and dl·N by a
+    * common power of two before calling (the ratio, not the
+    * magnitudes, is what the formula consumes).
+    */
+  def bm25(docs: DataFrame,
+           terms: Seq[String] = Bm25GateTerms): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 1024,
+      s"terms must be a bounded query set, got ${terms.size}")
+    val tok = docs
+      .select(col("doc_id"), col("text"),
+        expr(listSize(tokens("text"))).cast("long").as("dl"))
+    // (N, S): one row, broadcast via cross join
+    val glob = tok.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val hits = Corpus.explodeNoInfer(
+      tok.select(col("doc_id"), col("dl"),
+        expr(tokens("text")).as("toks")),
+      col("toks"), "term", col("doc_id"), col("dl"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // consumed by df dim + scoring
+    val dfDim = hits.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    hits
+      .join(broadcast(dfDim), Seq("term"))
+      .crossJoin(broadcast(glob))
+      .withColumn("idf_u", expr(
+        "CAST(floor(ln(1.0e0 + CAST(2*(n_docs - df) + 1 AS DOUBLE)" +
+          " / CAST(2*df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"))
+      .withColumn("contrib_u", expr(
+        "idf_u * (22 * tf * sum_dl)" +
+          " DIV (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("contrib_u").as("score_u"))
+  }
+
+  /** DuckDB twin of [[bm25]] — same exact-rational tf factor, same
+    * t14-style micro-unit idf.
+    */
+  def bm25Sql(terms: Seq[String] = Bm25GateTerms): String = {
+    implicit val d: Dialect = DuckD
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, text,
+       |         CAST(${listSize(tokens("text"))} AS BIGINT) AS dl
+       |  FROM documents),
+       |totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM tok),
+       |hits AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(${tokens("text")}) AS term
+       |        FROM tok)
+       |  WHERE term IN ($inList)
+       |  GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+       |               AS df
+       |        FROM hits GROUP BY 1),
+       |scored AS (
+       |  SELECT h.doc_id,
+       |         CAST(floor(ln(1.0e0
+       |             + CAST(2*(g.n_docs - d.df) + 1 AS DOUBLE)
+       |             / CAST(2*d.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0)
+       |           AS BIGINT)
+       |         * (22 * h.tf * g.sum_dl)
+       |         // (10 * h.tf * g.sum_dl + 3 * g.sum_dl
+       |            + 9 * h.dl * g.n_docs) AS contrib_u
+       |  FROM hits h JOIN dft d USING (term) CROSS JOIN totals g)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |       CAST(sum(contrib_u) AS BIGINT) AS score_u
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
+  /** Temperature-based corpus mixing — the sampling-weight math of
+    * multilingual/multi-source training runs (`w_i ∝ n_i^α`,
+    * α = 1/2^halvings): per (lang, source), the α-scaled token mass,
+    * its share of the budget, and the implied epochs over the
+    * source's own tokens (epochs > 1 ⇒ the source repeats; the
+    * up-weighting temperature mixing exists to quantify).
+    *
+    * α is restricted to 1/2^h so the power is an ITERATED INTEGER
+    * SQUARE ROOT (`floor(sqrt(·))` composed h times equals
+    * `floor(n^(1/2^h))`), keeping every emitted column exact BIGINT
+    * arithmetic — no cross-engine pow/rounding seam. Exactness bound:
+    * `floor(sqrt(double(n)))` is the true isqrt for n < 2^52 (a 100 TB
+    * corpus is ~2^45 tokens).
+    *
+    * Scale: one map-side-combined corpus aggregate to the
+    * (lang, source) grain; everything after (the share window) runs on
+    * the MODEL-sized group table — the single-partition window is over
+    * tens of rows, never the corpus.
+    */
+  def mixTemperature(docs: DataFrame, budgetTokens: Long = 4000000L,
+                     halvings: Int = 1): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0")
+    require(halvings >= 0 && halvings <= 4,
+      s"halvings must be in [0, 4], got $halvings")
+    def isqrt(e: String, h: Int): String =
+      if (h == 0) e
+      else isqrt(s"CAST(floor(sqrt(CAST($e AS DOUBLE))) AS BIGINT)",
+        h - 1)
+    val grouped = docs
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(listSize(tokens("text"))).cast("long"))
+          .as("n_tokens"))
+      .withColumn("s_alpha", expr(isqrt("n_tokens", halvings)))
+    val all = Window.partitionBy(lit(0))
+    grouped
+      .withColumn("s_total", sum("s_alpha").over(all))
+      .withColumn("weight_ppm",
+        expr("s_alpha * 1000000 DIV s_total"))
+      .withColumn("alloc_tokens",
+        expr(s"$budgetTokens * s_alpha DIV s_total"))
+      .withColumn("epochs_ppm", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE alloc_tokens * 1000000 DIV n_tokens END"))
+      .select("lang", "source", "n_docs", "n_tokens", "s_alpha",
+        "weight_ppm", "alloc_tokens", "epochs_ppm")
+  }
+
+  /** DuckDB twin of [[mixTemperature]]. */
+  def mixTemperatureSql(budgetTokens: Long = 4000000L,
+                        halvings: Int = 1): String = {
+    implicit val d: Dialect = DuckD
+    def isqrt(e: String, h: Int): String =
+      if (h == 0) e
+      else isqrt(s"CAST(floor(sqrt(CAST($e AS DOUBLE))) AS BIGINT)",
+        h - 1)
+    s"""WITH grouped AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(${listSize(tokens("text"))}) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY 1, 2),
+       |s AS (SELECT *, ${isqrt("n_tokens", halvings)} AS s_alpha
+       |      FROM grouped),
+       |t AS (SELECT *, CAST(sum(s_alpha) OVER () AS BIGINT)
+       |                  AS s_total FROM s)
+       |SELECT lang, source, n_docs, n_tokens, s_alpha,
+       |       s_alpha * 1000000 // s_total AS weight_ppm,
+       |       $budgetTokens * s_alpha // s_total AS alloc_tokens,
+       |       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE ($budgetTokens * s_alpha // s_total) * 1000000
+       |                 // n_tokens END AS epochs_ppm
+       |FROM t""".stripMargin
+  }
+
   def rollingHash(text: String, window: Int = 16): Array[Long] = {
     val P = 1000000007L
     val B = 257L

@@ -33,4 +33,25 @@ object DedupStream {
   def runOnce(spark: SparkSession, dir: String,
               queryName: String = "dedup_stream"): DataFrame =
     StreamDrain.runOnce(dedupByContent(spark, dir), queryName)
+
+  /** Bloom-screened ingestion — the BOUNDED-state counterpart of
+    * [[dedupByContent]]'s unbounded store: arriving documents are
+    * probed row-locally against a prebuilt fixed-size filter of the
+    * already-ingested corpus ([[graft.llm.Dedup.bloomModel]]). No
+    * state store at all — the filter is m/8 bytes of model state
+    * baked into the plan, rebuilt per ingest epoch by the batch half —
+    * so the stage is a stateless projection (append mode, any
+    * trigger); the price is the filter's quantified FPR ≈ fill^k
+    * instead of exactness, which is the trade a 100 TB/day front door
+    * actually takes.
+    */
+  def bloomProbeStream(spark: SparkSession, dir: String,
+                       model: graft.llm.Dedup.BloomModel): DataFrame =
+    graft.llm.Dedup.bloomProbeWith(
+      CorpusStream.docStream(spark, dir), model)
+
+  def bloomProbeOnce(spark: SparkSession, dir: String,
+                     model: graft.llm.Dedup.BloomModel): DataFrame =
+    StreamDrain.runOnce(bloomProbeStream(spark, dir, model),
+      "bloom_probe_stream")
 }

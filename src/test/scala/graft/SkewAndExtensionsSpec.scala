@@ -144,4 +144,77 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     assert(meanErr < 100000.0,
       s"mean |est - jaccard| = ${meanErr / 1e6} too high")
   }
+
+  test("bloom sequential replay: no false negatives ever; FPs appear " +
+    "when the filter saturates and vanish when it is sized right") {
+    import graft.llm.Dedup
+    // the gate's corpus: skew-stamped so exact duplicates exist
+    val docs = Dedup.skewBoilerplate(spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet"))
+    def stats(mBits: Int): (Long, Long, Long) = {
+      val r = Dedup.bloomSeqDedup(docs, mBits, Dedup.GateBloomHashes)
+        .select("bloom_dup", "exact_dup", "false_positive").collect()
+      // Bloom never false-negatives: identical text => identical bits,
+      // all set by the earlier copy
+      assert(r.forall(x => !x.getBoolean(1) || x.getBoolean(0)),
+        s"false negative at mBits=$mBits")
+      (r.count(_.getBoolean(0)), r.count(_.getBoolean(1)),
+        r.count(_.getBoolean(2)))
+    }
+    val (_, exactTiny, fpTiny) = stats(256)      // fill ~1: FP-heavy
+    val (_, _, fpGate) = stats(Dedup.GateBloomBits) // gate sizing
+    val (bloomBig, exactBig, fpBig) = stats(1 << 16) // production-ish
+    assert(exactTiny > 0, "fixture must contain exact duplicates")
+    assert(fpTiny > fpGate,
+      s"saturated filter must out-collide the gate sizing " +
+        s"($fpTiny vs $fpGate)")
+    assert(fpGate > 0,
+      "gate sizing must produce false positives to grade (else the " +
+        "false_positive column is constant and the gate proves nothing)")
+    assert(fpBig == 0 && bloomBig == exactBig,
+      s"well-sized filter must be exact on this fixture " +
+        s"(fp=$fpBig bloom=$bloomBig exact=$exactBig)")
+  }
+
+  test("bloom probe: zero-shuffle plan, agrees with set membership, " +
+    "streaming twin matches batch") {
+    import graft.llm.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val build = docs.where(col("doc_id") % 2 === 0)
+    val m = 4096
+    val model = Dedup.bloomModel(build, m, 4)
+    assert(model.words.length == m / 64)
+    assert(model.bitsSet > 0 && model.fill < 1.0)
+    val probed = Dedup.bloomProbeWith(docs, model)
+    // serving path is a pure projection: no exchange anywhere
+    assert(!probed.queryExecution.executedPlan.toString()
+      .toLowerCase.contains("exchange"),
+      "bloom probe must be zero-shuffle")
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    // independent membership re-derivation: positions via the same
+    // builder, driver-side set containment
+
+    val posOf = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"),
+      expr(Dedup.bloomPositions(m, 4)(graft.llm.TextExprs.SparkD))
+        .as("pos")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val builtBits = posOf(build).values.flatten.toSet
+    val expected = posOf(docs).map { case (id, ps) =>
+      (id, ps.count(builtBits.contains),
+        ps.forall(builtBits.contains))
+    }.toSet
+    assert(got == expected, "probe verdicts must equal set membership")
+    // every built doc must self-hit (no false negatives)
+    val buildIds = build.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.filter(t => buildIds(t._1)).forall(_._3))
+    // streaming twin: same rows from the file-source stream
+    val streamed = graft.streaming.DedupStream
+      .bloomProbeOnce(spark, dir, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(streamed == got, "streaming bloom probe must match batch")
+  }
 }

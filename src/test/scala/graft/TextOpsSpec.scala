@@ -139,4 +139,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L)._4 == 0L && out(4L)._6 == 0L) // r_dup fails
     assert(out(5L)._5 == 0L && out(5L)._6 == 0L) // r_alpha fails
   }
+
+  test("bm25: hand-computed micro-unit scores; tf monotone; " +
+    "only hit docs emitted") {
+    // the no-hit doc still counts in the globals: N=3, S=3+2+2=7;
+    // "spark": df=2 -> idf_u = floor(ln(1 + 3/5)*1e6 + 0.5) = 470004
+    // d1 (dl=3, tf=2): 470004*(22*2*7) DIV (10*2*7+3*7+9*3*3) = 598186
+    // d2 (dl=2, tf=1): 470004*(22*1*7) DIV (10*1*7+3*7+9*2*3) = 499176
+    val docs = docsOf(
+      (1L, "spark spark x", "en", "s"),
+      (2L, "spark y", "en", "s"),
+      (3L, "nothing here", "en", "s"))
+    val r = TextAnalysis.bm25(docs, Seq("spark")).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(1L, 2L), "only docs with a hit are emitted")
+    assert(r(1L) == ((1L, 598186L)), s"d1: ${r(1L)}")
+    assert(r(2L) == ((1L, 499176L)), s"d2: ${r(2L)}")
+    assert(r(1L)._2 > r(2L)._2, "higher tf at comparable dl wins")
+    // multi-term: contributions add per matched term
+    val r2 = TextAnalysis.bm25(docsOf(
+      (1L, "spark query", "en", "s"),
+      (2L, "spark spark", "en", "s")), Seq("spark", "query"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2(1L) == 2L && r2(2L) == 1L)
+  }
+
+  test("mixTemperature: exact integer shares; alpha=1 is " +
+    "proportional; alpha=1/2 up-weights the small source") {
+    // A: 16 tokens -> isqrt 4; B: 4 tokens -> isqrt 2
+    val docs = docsOf(
+      (1L, Seq.fill(16)("w").mkString(" "), "en", "A"),
+      (2L, Seq.fill(4)("w").mkString(" "), "en", "B"))
+    val half = TextAnalysis.mixTemperature(docs, budgetTokens = 600L,
+        halvings = 1).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("s_alpha"), r.getAs[Long]("weight_ppm"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_ppm")))
+      .toMap
+    assert(half("A") == ((4L, 666666L, 400L, 25000000L)))
+    assert(half("B") == ((2L, 333333L, 200L, 50000000L)))
+    val prop = TextAnalysis.mixTemperature(docs, budgetTokens = 600L,
+        halvings = 0).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("weight_ppm")).toMap
+    assert(prop("A") == 800000L && prop("B") == 200000L)
+    // temperature flattens: B's share rises from 20% to 33%
+    assert(half("B")._2 > prop("B"))
+  }
 }
