@@ -79,6 +79,24 @@ object Sinks {
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
 
+  /** Write the `(t, chan)` bucketed mirror — the measured CANONICAL
+    * layout for the composed preprocess chain (SCALE.md round-15
+    * table: removes BOTH of Van Vleck's exchanges because equal
+    * (t, ant, chan) implies equal (t, chan), so the bucket clustering
+    * satisfies the σ-aggregate's distribution; with the fused RFI
+    * stage the whole chain drops to ONE corpus-scale exchange, ~1.7×
+    * faster at sf0.1 than the plain layout). Use
+    * [[writeBucketedMirror]] (`bl`) instead for RFI-/occupancy-
+    * dominated jobs — the two keys are mutually exclusive layouts,
+    * which is why both writers exist.
+    */
+  def writeTimeChanMirror(df: DataFrame, table: String,
+                          buckets: Int = 32): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(buckets, "t", "chan").sortBy("t", "chan")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
   /** Write a frame as the parquet mirror of the uvfits sink: partitioned
     * by coarse channel (mirrors one-gpubox-per-file granularity and the
     * picket-fence fan-out, /root/reference/src/cli.rs:1524-1574).

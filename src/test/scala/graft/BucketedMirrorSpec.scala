@@ -59,4 +59,33 @@ class BucketedMirrorSpec extends AnyFunSuite {
       "bucketed-layout detection diverged from the plain run")
     spark.sql("DROP TABLE IF EXISTS vis_rfi_bucketed")
   }
+
+  test("Van Vleck over the (t, chan) mirror plans fewer exchanges " +
+    "and corrects identically to the plain run") {
+    import graft.model.Dims
+    import graft.ops.{FlagOps, VanVleck, WeightOps}
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    Sinks.writeTimeChanMirror(weighted, "vis_tchan_spec", buckets = 8)
+    def nEx(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString()).length
+    val overMirror = VanVleck(spark.table("vis_tchan_spec"),
+      Seq(7L), 2.0)
+    val plain = VanVleck(weighted, Seq(7L), 2.0)
+    // equal (t, ant, chan) implies equal (t, chan): the bucket
+    // clustering satisfies the sigma aggregate's distribution, so
+    // both of C5's fact-side exchanges disappear
+    assert(nEx(overMirror) < nEx(plain),
+      s"(t,chan) mirror did not elide exchanges: " +
+        s"${nEx(overMirror)} vs plain ${nEx(plain)}")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("t"), col("bl"), col("chan"),
+        round(col("v0"), 6), round(col("v1"), 6))
+      .collect().map(_.toSeq).toSet
+    assert(key(overMirror) == key(plain),
+      "(t,chan)-layout correction diverged from the plain run")
+    spark.sql("DROP TABLE IF EXISTS vis_tchan_spec")
+  }
 }
