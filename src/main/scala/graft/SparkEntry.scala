@@ -355,6 +355,17 @@ object SparkEntry {
         "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
           "ch_rms_flag_low = true\nts_rms_final = 1.03"))),
 
+    // R1f: the same RMS flaggers at their IN-LOOP call sites — the
+    // placement a strategy's loop body implies (channel pass per-pol
+    // BEFORE SIR at one iteration; multi-iteration feedback is
+    // spec-pinned). Must flag a DIFFERENT mask than q_r1e while both
+    // stay hash-green: the call-site position is load-bearing.
+    "q_r1f_rms_inloop" -> ((s, dir) =>
+      RfiFlag(flagged(s, dir), RfiStrategy.parse(
+        "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
+          "ch_rms_flag_low = true\nts_rms_in_loop = true\n" +
+          "ch_rms_in_loop = true"))),
+
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
@@ -1019,6 +1030,7 @@ object SparkEntry {
     "q_r1c_background" -> Oracles.r1cBackground,
     "q_r1d_gaussian_bg" -> Oracles.r1dGaussianBg,
     "q_r1e_rms_flaggers" -> Oracles.r1eRmsFlaggers,
+    "q_r1f_rms_inloop" -> Oracles.r1fRmsInLoop,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k1d_uvfits_data" -> Oracles.k1dUvfitsData,

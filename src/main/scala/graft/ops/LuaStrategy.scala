@@ -82,11 +82,15 @@ package graft.ops
   * logic) is NOT modeled; those calls are returned verbatim in
   * [[LuaStrategy.Translation.unmapped]] so the migration is honest —
   * the caller sees exactly which behaviors the translated strategy
-  * drops, instead of a silent approximation. Calls that DO map but
-  * whose call-site position the engine cannot honour (an RMS cleanup
-  * pass inside the detect loop — its in-loop flags would feed the next
-  * iteration's background statistics in AOFlagger; a channel pass
-  * before SIR) are reported in
+  * drops, instead of a silent approximation. RMS cleanup passes called
+  * INSIDE the detect loop are MODELED, not approximated: the translator
+  * sets `RfiStrategy.tsRmsInLoop`/`chRmsInLoop` and the kernel runs the
+  * pass after every iteration's detection, so its flags feed the next
+  * iteration's background statistics exactly as in AOFlagger (gated by
+  * q_r1f). The two positions the engine still cannot honour — a
+  * channel pass out of the loop but before SIR, and the whole-set
+  * final timestep pass called inside the per-pol loop (the combined
+  * grid does not exist there) — are reported in
   * [[LuaStrategy.Translation.approximated]]: translated to the closest
   * fixed position, with the repositioning named.
   *
@@ -106,10 +110,11 @@ object LuaStrategy {
     * `Preprocess.rfiBandpass`: the reference runs strategies on an
     * ImageSet copy so only flags propagate back), every `aoflagger.*`
     * call the engine could not map, and every call that MAPPED but
-    * whose call-site POSITION the engine approximates (the whole-line
-    * RMS cleanup passes run once at fixed post-loop positions, the
-    * channel pass after SIR — a strategy calling them inside its
-    * detect loop, or before SIR, gets different iteration statistics).
+    * whose call-site POSITION the engine approximates. In-loop RMS
+    * call sites are modeled (tsRmsInLoop/chRmsInLoop — the pass runs
+    * inside every detect iteration); what remains approximated is a
+    * channel pass out of the loop but before SIR, and a whole-set
+    * final timestep pass called inside the per-pol loop.
     * Full-fidelity migration means `unmapped` AND `approximated` are
     * BOTH empty; `approximated` entries still translate to the closest
     * engine placement, they are fidelity caveats, not drops.
@@ -349,11 +354,11 @@ object LuaStrategy {
       pendingScale = None
       pendingLp = None
     }
-    // loop-body spans + the first SIR call site, for the positional
-    // fidelity notes on the whole-line RMS cleanup passes (the engine
-    // runs those ONCE at fixed post-loop positions, channel pass after
-    // SIR — an in-loop or pre-SIR call site is approximated, and the
-    // user must be told)
+    // loop-body spans + the first SIR call site: an in-loop RMS call
+    // site is MODELED (tsRmsInLoop/chRmsInLoop — the kernel runs the
+    // pass inside every detect iteration); an out-of-loop pre-SIR
+    // channel pass and an in-loop whole-set final pass remain
+    // positional approximations the user must be told about
     val spans = loopSpans(text)
     def inLoop(p: Int): Boolean =
       spans.exists { case (a, b) => p >= a && p < b }
@@ -453,13 +458,19 @@ object LuaStrategy {
                   tsSnip.foreach(unmapped += _)
                 s = s.copy(tsRmsThreshold = k)
                 tsSnip = Some(snippet)
+                // in-loop per-pol call site: MODELED — the engine
+                // runs the pass inside every detect iteration, so
+                // its flags feed the next iteration's statistics
+                // (RfiStrategy.tsRmsInLoop), full fidelity
+                if (inLoop(pos)) s = s.copy(tsRmsInLoop = true)
               }
-              if (inLoop(pos))
-                approximated += s"$snippet: called inside a loop " +
-                  "body; the engine runs the timestep-RMS pass ONCE " +
-                  "at its fixed post-detect-loop cleanup position, " +
-                  "so in-loop flags cannot feed later iterations' " +
-                  "statistics — masks can diverge from AOFlagger"
+              if (inLoop(pos) && inputName.contains(args(0).trim))
+                approximated += s"$snippet: the whole-set final " +
+                  "pass called inside a loop body; the engine runs " +
+                  "ts_rms_final ONCE after the pol loop (it reads " +
+                  "the combined grid, which does not exist inside " +
+                  "the per-pol loop) — masks can diverge from " +
+                  "AOFlagger"
             case _ => unmapped += snippet
           }
         case "threshold_channel_rms" if args.length >= 2 =>
@@ -476,11 +487,9 @@ object LuaStrategy {
               s = s.copy(chRmsThreshold = k,
                 chRmsFlagLow = l.forall(_ == "true"))
               chSnip = Some(snippet)
-              if (inLoop(pos))
-                approximated += s"$snippet: called inside a loop " +
-                  "body; the engine runs the channel-RMS pass ONCE " +
-                  "at its fixed cleanup position — masks can " +
-                  "diverge from AOFlagger"
+              // in-loop call site: MODELED — per-pol, inside every
+              // detect iteration, before SIR (RfiStrategy.chRmsInLoop)
+              if (inLoop(pos)) s = s.copy(chRmsInLoop = true)
               else if (sirPos.exists(pos < _))
                 approximated += s"$snippet: called BEFORE the " +
                   "strategy's scale_invariant_rank_operator; the " +

@@ -100,7 +100,21 @@ case class RfiStrategy(madK: Double = 6.0, maxLog2: Int = 5,
                        // fixture that converges within the bound is
                        // exact, and the bound keeps the oracle twin
                        // finitely expressible)
-                       rmsIterations: Int = 3) {
+                       rmsIterations: Int = 3,
+                       // IN-LOOP placement (AOFlagger strategies that
+                       // call the RMS flaggers inside the detect-loop
+                       // body): the pass runs after EVERY iteration's
+                       // detection, so its flags feed the next
+                       // iteration's background/threshold statistics,
+                       // and the channel pass runs per-pol BEFORE SIR
+                       // instead of on the combined mask after. false
+                       // keeps the fixed post-loop cleanup positions
+                       // (the published MWA default's call sites). At
+                       // iterations = 1 the ts placement is
+                       // positionally identical; the ch placement
+                       // still moves the pass ahead of SIR.
+                       tsRmsInLoop: Boolean = false,
+                       chRmsInLoop: Boolean = false) {
   require(pols.nonEmpty && pols.forall(RfiStrategy.PolComps.contains),
     s"pols must be non-empty from ${RfiStrategy.PolComps.keys}, " +
       s"got $pols")
@@ -179,6 +193,10 @@ object RfiStrategy {
               s.copy(tsRmsFinal = x.toDouble)
             case ("rms_iterations", x) =>
               s.copy(rmsIterations = x.toInt)
+            case ("ts_rms_in_loop", x) =>
+              s.copy(tsRmsInLoop = x.toBoolean)
+            case ("ch_rms_in_loop", x) =>
+              s.copy(chRmsInLoop = x.toBoolean)
             case (other, _) =>
               sys.error(s"unknown strategy key '$other' " +
                 "(expected mad_k, max_log2, rho, pols, time_weight, " +
@@ -186,7 +204,8 @@ object RfiStrategy {
                 "bg_window_time, bg_window_chan, bg_kind, " +
                 "bg_sigma_time, bg_sigma_chan, iterations, " +
                 "ramp_factor, ts_rms_threshold, ch_rms_threshold, " +
-                "ch_rms_flag_low, ts_rms_final, rms_iterations)")
+                "ch_rms_flag_low, ts_rms_final, rms_iterations, " +
+                "ts_rms_in_loop, ch_rms_in_loop)")
           }
           case _ => sys.error(s"malformed strategy line '$line'")
         }
@@ -355,6 +374,29 @@ object RfiFlag {
       // kernel at iterations = 1).
       val out = Array.fill(ts.length, cs.length)(false)
       val slidingBg = strategy.bgWindowTime > 0 || strategy.bgWindowChan > 0
+      // the two per-pol whole-line passes, shared by the in-loop and
+      // fixed-position call sites (identical line statistics; only
+      // WHERE they run differs)
+      def tsPassOn(polFlags: Array[Array[Boolean]], p: Int)
+          : Array[Array[Boolean]] = {
+        val lf = rmsThresholdLines(ts.length, cs.length,
+          (i, j) => amp(p)(i)(j),
+          (i, j) => seen(i)(j) && !polFlags(i)(j),
+          strategy.tsRmsThreshold, flagLow = false,
+          strategy.rmsIterations)
+        Array.tabulate(ts.length, cs.length)((i, j) =>
+          polFlags(i)(j) || lf(i))
+      }
+      def chPassOn(polFlags: Array[Array[Boolean]], p: Int)
+          : Array[Array[Boolean]] = {
+        val lf = rmsThresholdLines(cs.length, ts.length,
+          (j, i) => amp(p)(i)(j),
+          (j, i) => seen(i)(j) && !polFlags(i)(j),
+          strategy.chRmsThreshold, strategy.chRmsFlagLow,
+          strategy.rmsIterations)
+        Array.tabulate(ts.length, cs.length)((i, j) =>
+          polFlags(i)(j) || lf(j))
+      }
       var p = 0
       while (p < nPols) {
         // the kernels never mutate their input flags (they clone), so
@@ -406,22 +448,23 @@ object RfiFlag {
                 strategy.chanWeight)
             }
           polFlags = det
+          // IN-LOOP RMS call sites: the passes run after every
+          // iteration's detection, so their flags feed the next
+          // iteration's background/threshold statistics — AOFlagger's
+          // semantics when the strategy's loop body calls them
+          if (strategy.tsRmsInLoop && strategy.tsRmsThreshold > 0)
+            polFlags = tsPassOn(polFlags, p)
+          if (strategy.chRmsInLoop && strategy.chRmsThreshold > 0)
+            polFlags = chPassOn(polFlags, p)
           iter += 1
         }
         // whole-timestep RMS pass (AOFlagger threshold_timestep_rms):
         // runs per polarisation image after its detect loop, exactly
         // where the published MWA default strategy calls it — high
-        // outliers only (the channel pass owns the flag-low knob)
-        if (strategy.tsRmsThreshold > 0) {
-          val lf = rmsThresholdLines(ts.length, cs.length,
-            (i, j) => amp(p)(i)(j),
-            (i, j) => seen(i)(j) && !polFlags(i)(j),
-            strategy.tsRmsThreshold, flagLow = false,
-            strategy.rmsIterations)
-          val base = polFlags
-          polFlags = Array.tabulate(ts.length, cs.length)((i, j) =>
-            base(i)(j) || lf(i))
-        }
+        // outliers only (the channel pass owns the flag-low knob);
+        // an in-loop call site already ran it inside the loop
+        if (strategy.tsRmsThreshold > 0 && !strategy.tsRmsInLoop)
+          polFlags = tsPassOn(polFlags, p)
         var i = 0
         while (i < ts.length) {
           var j = 0
@@ -460,8 +503,9 @@ object RfiFlag {
       // published strategy's final cleanup, after SIR, on the combined
       // mask — the engine's combined amplitude is the max across the
       // selected pol images (the same conservative combine the grid
-      // assembly uses for duplicate samples)
-      if (strategy.chRmsThreshold > 0) {
+      // assembly uses for duplicate samples); an in-loop call site
+      // already ran the pass per pol inside the detect loop
+      if (strategy.chRmsThreshold > 0 && !strategy.chRmsInLoop) {
         val lf = rmsThresholdLines(cs.length, ts.length,
           (j, i) => {
             var m = amp(0)(i)(j); var p2 = 1

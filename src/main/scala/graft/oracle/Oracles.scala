@@ -1077,7 +1077,14 @@ object Oracles {
                           chRms: Double = 0.0,
                           chRmsFlagLow: Boolean = true,
                           tsRmsFinal: Double = 0.0,
-                          rmsRounds: Int = 3): (Seq[String], String) = {
+                          rmsRounds: Int = 3,
+                          // in-loop channel placement (q_r1f): the
+                          // engine's single-iteration in-loop call
+                          // site runs the channel pass per pol BEFORE
+                          // SIR; the ts pass's in-loop position is
+                          // already the twin's (post-detect, pre-SIR)
+                          chRmsBeforeSir: Boolean = false)
+      : (Seq[String], String) = {
     val chiDivT =
       (0 to 5).map(l => fmt(math.pow(1.5, l.toDouble) * timeWeight))
     val chiDivC =
@@ -1172,6 +1179,12 @@ object Oracles {
       postLayers ++= ls
       last = out
     }
+    if (chRmsBeforeSir && chRms > 0) {
+      val (ls, out) = rmsPass(last, "ch", "chan", chRms,
+        chRmsFlagLow, rmsRounds)
+      postLayers ++= ls
+      last = out
+    }
     if (sirT > 0) {
       postLayers += sirPass(last, "p13", "bl, chan", "t", sirT)
       last = "p13"
@@ -1180,7 +1193,7 @@ object Oracles {
       postLayers += sirPass(last, "p14", "bl, t", "chan", sirC)
       last = "p14"
     }
-    if (chRms > 0) {
+    if (!chRmsBeforeSir && chRms > 0) {
       val (ls, out) = rmsPass(last, "ch", "chan", chRms,
         chRmsFlagLow, rmsRounds)
       postLayers ++= ls
@@ -1206,10 +1219,12 @@ object Oracles {
                                  chRms: Double = 0.0,
                                  chRmsFlagLow: Boolean = true,
                                  tsRmsFinal: Double = 0.0,
-                                 rmsRounds: Int = 3): String = {
+                                 rmsRounds: Int = 3,
+                                 chRmsBeforeSir: Boolean = false)
+      : String = {
     val (ctes, last) = r1ChainCtes("vis_flagged", ampExpr, madK,
       timeWeight, chanWeight, sirEtaTime, sirEtaChan, tsRms, chRms,
-      chRmsFlagLow, tsRmsFinal, rmsRounds)
+      chRmsFlagLow, tsRmsFinal, rmsRounds, chRmsBeforeSir)
     OracleSql.query(
       s"SELECT bl, t, chan, flg AS rfi FROM $last WHERE seen",
       (OracleSql.visFlaggedCte +: ctes): _*)
@@ -1240,6 +1255,21 @@ object Oracles {
     r1SumThresholdWith("sqrt(v0 * v0 + v1 * v1)", 6.0, 1.0, 1.0,
       tsRms = 1.02, chRms = 1.01, chRmsFlagLow = true,
       tsRmsFinal = 1.03)
+
+  /** R1f: the RMS flaggers at their IN-LOOP call sites
+    * (ts_rms_in_loop / ch_rms_in_loop — a strategy whose loop body
+    * calls them). At the gate's single detect iteration the
+    * observable placement difference is the channel pass running
+    * per-pol BEFORE SIR instead of on the combined mask after it;
+    * this gate and q_r1e must both be hash-green while flagging
+    * different masks (the placement is load-bearing). Multi-iteration
+    * feedback — in-loop flags entering the next iteration's
+    * statistics — is pinned by RfiStrategySpec on a hand fixture.
+    */
+  val r1fRmsInLoop: String =
+    r1SumThresholdWith("sqrt(v0 * v0 + v1 * v1)", 6.0, 1.0, 1.0,
+      tsRms = 1.02, chRms = 1.01, chRmsFlagLow = true,
+      chRmsBeforeSir = true)
 
   /** R1c sliding-median background twin: the same dense per-baseline
     * grid as the SumThreshold twin (XX amplitude, max over duplicate

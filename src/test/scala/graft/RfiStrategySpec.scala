@@ -263,21 +263,77 @@ class RfiStrategySpec extends AnyFunSuite {
     assert(tr.strategy.tsRmsFinal == 4.0)
     // nothing dropped...
     assert(tr.unmapped.isEmpty, s"unmapped was ${tr.unmapped}")
-    // ...but the IN-LOOP RMS cleanup calls are POSITIONALLY
-    // approximated (the engine runs them once at fixed cleanup
-    // positions; AOFlagger's in-loop flags feed the next iteration's
-    // statistics) — and the translation says so instead of claiming
-    // full fidelity
-    assert(tr.approximated.exists(a =>
-      a.contains("threshold_timestep_rms(data, 3.5)") &&
-        a.contains("inside a loop")), s"approximated: ${tr.approximated}")
-    assert(tr.approximated.exists(a =>
-      a.contains("threshold_channel_rms") && a.contains("inside a loop")),
+    // ...and the IN-LOOP RMS cleanup calls are now MODELED, not
+    // approximated: the translator sets the in-loop placement flags
+    // and the kernel runs the passes inside every detect iteration,
+    // feeding the next iteration's statistics exactly as AOFlagger
+    // does (q_r1f gates the placement; the feedback loop is pinned
+    // below). The published strategy shape is a FULL-FIDELITY
+    // migration: unmapped AND approximated both empty.
+    assert(tr.strategy.tsRmsInLoop && tr.strategy.chRmsInLoop,
+      s"in-loop placements not set: ${tr.strategy}")
+    assert(tr.approximated.isEmpty,
       s"approximated: ${tr.approximated}")
-    // the final whole-set pass sits at the engine's own cleanup
-    // position (after the pol loop, after SIR) — NOT approximated
-    assert(!tr.approximated.exists(_.contains("(input, 4.0)")),
+  }
+
+  test("in-loop RMS placement: the whole-set final pass inside a " +
+    "loop body stays approximated (the combined grid does not exist " +
+    "there)") {
+    import graft.ops.LuaStrategy
+    val tr = LuaStrategy.translate(
+      """function execute(input)
+        |  for i = 1, 2 do
+        |    aoflagger.sumthreshold(input, 1.0, 1.0, true, true)
+        |    aoflagger.threshold_timestep_rms(input, 4.0)
+        |  end
+        |end""".stripMargin)
+    assert(tr.strategy.tsRmsFinal == 4.0)
+    assert(!tr.strategy.tsRmsInLoop,
+      "the input-target pass must not set the per-pol in-loop flag")
+    assert(tr.approximated.exists(a =>
+      a.contains("whole-set final") && a.contains("inside a loop")),
       s"approximated: ${tr.approximated}")
+  }
+
+  test("in-loop RMS feedback: at iterations = 2 the in-loop flags " +
+    "change the second iteration's statistics; at one iteration the " +
+    "ts placement is positionally identical") {
+    import graft.ops.{RfiCell, RfiFlag, RfiStrategy}
+    // hand grid: 8 timesteps x 8 channels, quiet background, one HOT
+    // timestep (t = 3, all channels elevated) that only the line-RMS
+    // pass catches, plus a borderline cell whose detection depends on
+    // whether the hot timestep's samples are inside the second
+    // iteration's MAD statistics
+    def grid(): Array[RfiCell] =
+      (for (t <- 0L until 8L; c <- 0L until 8L) yield {
+        val amp =
+          if (t == 3) 3.0 // hot line: elevated but below SumThreshold
+          else if (t == 6 && c == 4) 2.4 // borderline cell
+          else 1.0 + 0.01 * ((t * 7 + c * 3) % 5)
+        RfiCell(0L, t, c, Seq(amp), flag = false)
+      }).toArray
+    def run(inLoop: Boolean, iters: Int): Set[(Long, Long)] = {
+      val s = RfiStrategy(madK = 6.0, sirEtaTime = 0.0,
+        sirEtaChan = 0.0, iterations = iters,
+        tsRmsThreshold = 1.4, tsRmsInLoop = inLoop)
+      RfiFlag.detectGroup(0L, grid(), s)
+        .filter(_.rfi).map(o => (o.t, o.chan)).toSet
+    }
+    // iterations = 1: in-loop and post-loop are the same position
+    // (after the single detection, before SIR) — identical masks
+    assert(run(inLoop = true, 1) == run(inLoop = false, 1),
+      "single-iteration ts placement must be positionally identical")
+    // iterations = 2: the in-loop pass flags the hot timestep after
+    // iteration 1, removing it from iteration 2's MAD statistics —
+    // the placement must change the final mask (this is the feedback
+    // AOFlagger's in-loop call sites get)
+    val fed = run(inLoop = true, 2)
+    val fixed = run(inLoop = false, 2)
+    assert(fed != fixed,
+      s"in-loop feedback had no effect: $fed == $fixed")
+    // both placements still catch the hot line itself
+    assert((0L until 8L).forall(c => fed.contains((3L, c))) &&
+      (0L until 8L).forall(c => fixed.contains((3L, c))))
   }
 
   test("Lua translation: RMS cleanup calls at the engine's own " +
