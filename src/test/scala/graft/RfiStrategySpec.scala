@@ -295,45 +295,134 @@ class RfiStrategySpec extends AnyFunSuite {
       s"approximated: ${tr.approximated}")
   }
 
+  // Engineered 8x8 feedback fixture (shared by the ts and ch in-loop
+  // tests below). The hot line t = 3 sits at H = 1.06: invisible to
+  // SumThreshold at BOTH iteration thresholds (the deepest chan-axis
+  // window sums 8·0.06 = 0.48 < 8·χ₁/ρ³ even at the unramped
+  // iteration-2 χ₁) but a massive line-RMS outlier (rmsQ 1060 vs 1000
+  // on every background line). The background rows are three multisets
+  // (A: 2 zeros + ±0.01×2 + ±0.04; G: ±0.01×2 + ±0.04×2; J: 4 zeros +
+  // ±0.04×2) engineered so that (a) every background row's
+  // milli-quantised RMS is exactly 1000 — the in-loop pass's
+  // iteration-2 re-run sees zero variance and can never over-flag —
+  // and (b) the grid-wide MAD CROSSES a deviation tier when the hot
+  // row leaves the statistics: with the 8 hot cells the 64-sample
+  // absolute-deviation median (index 32) lands in the 0.04 tier
+  // (χ₁ = 6·1.4826·0.04 ≈ 0.267) while the 56 unflagged samples after
+  // the in-loop pass put index 28 in the 0.01 tier (χ₁ ≈ 0.089). The
+  // borderline cell B = 1.12 at (6,4) sits between the two: flagged
+  // iff the hot row was removed from iteration 2's statistics. The
+  // ±0.04 cells are staggered across rows so no SumThreshold window
+  // ever accumulates them, even against the tighter fed threshold.
+  private val fbRowA = Vector(1.00, 1.01, 0.96, 0.99, 1.00, 1.01, 0.99, 1.04)
+  private val fbRowG = Vector(1.01, 0.96, 0.99, 1.04, 1.01, 0.96, 0.99, 1.04)
+  private def fbRot(k: Int): Vector[Double] =
+    Vector.tabulate(8)(i => fbRowG((i + k) % 8))
+  private val fbRows: Map[Long, Vector[Double]] = Map(
+    0L -> fbRowA, 1L -> fbRowG, 2L -> fbRot(3), 4L -> fbRot(6),
+    5L -> fbRot(1),
+    6L -> Vector(1.00, 1.04, 1.00, 0.96, 1.00, 1.04, 1.00, 0.96),
+    7L -> Vector(0.96, 1.00, 1.04, 1.00, 0.96, 1.00, 1.04, 1.00))
+  private val fbHot = 1.06
+  private val fbBorder = 1.12
+  /** amp of the feedback grid at (t, c): hot row t = 3, border (6,4). */
+  private def fbAmp(t: Long, c: Long): Double =
+    if (t == 3L) fbHot
+    else if (t == 6L && c == 4L) fbBorder
+    else fbRows(t)(c.toInt)
+
   test("in-loop RMS feedback: at iterations = 2 the in-loop flags " +
     "change the second iteration's statistics; at one iteration the " +
     "ts placement is positionally identical") {
     import graft.ops.{RfiCell, RfiFlag, RfiStrategy}
-    // hand grid: 8 timesteps x 8 channels, quiet background, one HOT
-    // timestep (t = 3, all channels elevated) that only the line-RMS
-    // pass catches, plus a borderline cell whose detection depends on
-    // whether the hot timestep's samples are inside the second
-    // iteration's MAD statistics
     def grid(): Array[RfiCell] =
-      (for (t <- 0L until 8L; c <- 0L until 8L) yield {
-        val amp =
-          if (t == 3) 3.0 // hot line: elevated but below SumThreshold
-          else if (t == 6 && c == 4) 2.4 // borderline cell
-          else 1.0 + 0.01 * ((t * 7 + c * 3) % 5)
-        RfiCell(0L, t, c, Seq(amp), flag = false)
-      }).toArray
+      (for (t <- 0L until 8L; c <- 0L until 8L) yield
+        RfiCell(0L, t, c, Seq(fbAmp(t, c)), flag = false)).toArray
     def run(inLoop: Boolean, iters: Int): Set[(Long, Long)] = {
       val s = RfiStrategy(madK = 6.0, sirEtaTime = 0.0,
-        sirEtaChan = 0.0, iterations = iters,
-        tsRmsThreshold = 1.4, tsRmsInLoop = inLoop)
+        sirEtaChan = 0.0, iterations = iters, rmsIterations = 1,
+        tsRmsThreshold = 2.5, tsRmsInLoop = inLoop)
       RfiFlag.detectGroup(0L, grid(), s)
         .filter(_.rfi).map(o => (o.t, o.chan)).toSet
     }
+    val hotRow = (0L until 8L).map(c => (3L, c)).toSet
     // iterations = 1: in-loop and post-loop are the same position
-    // (after the single detection, before SIR) — identical masks
-    assert(run(inLoop = true, 1) == run(inLoop = false, 1),
+    // (after the single detection, before SIR) — identical masks,
+    // and the mask is exactly the hot row (line-RMS work only)
+    val one = run(inLoop = true, 1)
+    assert(one == run(inLoop = false, 1),
       "single-iteration ts placement must be positionally identical")
+    assert(one == hotRow, s"iters=1 mask must be the hot row: $one")
     // iterations = 2: the in-loop pass flags the hot timestep after
     // iteration 1, removing it from iteration 2's MAD statistics —
-    // the placement must change the final mask (this is the feedback
-    // AOFlagger's in-loop call sites get)
+    // χ₁ drops 0.267 → 0.089 and exposes the borderline cell (this is
+    // the feedback AOFlagger's in-loop call sites get); the fixed
+    // post-loop placement leaves the hot row in the statistics and
+    // the borderline cell survives
     val fed = run(inLoop = true, 2)
     val fixed = run(inLoop = false, 2)
-    assert(fed != fixed,
-      s"in-loop feedback had no effect: $fed == $fixed")
-    // both placements still catch the hot line itself
-    assert((0L until 8L).forall(c => fed.contains((3L, c))) &&
-      (0L until 8L).forall(c => fixed.contains((3L, c))))
+    assert(fixed == hotRow,
+      s"post-loop placement must flag exactly the hot row: $fixed")
+    assert(fed == hotRow + ((6L, 4L)),
+      s"in-loop feedback must expose exactly the borderline cell: $fed")
+  }
+
+  test("in-loop RMS feedback, channel pass: iterations = 2 per-pol " +
+    "chRmsInLoop feeds iteration 2; the post-loop combined pass does " +
+    "not (transposed fixture, hot channel c = 3, borderline (4,6))") {
+    import graft.ops.{RfiCell, RfiFlag, RfiStrategy}
+    // transpose of the ts fixture: amp(t, c) = fbAmp(c, t) — hot
+    // CHANNEL c = 3, borderline cell at (t, c) = (4, 6)
+    def grid(): Array[RfiCell] =
+      (for (t <- 0L until 8L; c <- 0L until 8L) yield
+        RfiCell(0L, t, c, Seq(fbAmp(c, t)), flag = false)).toArray
+    def run(inLoop: Boolean, iters: Int): Set[(Long, Long)] = {
+      val s = RfiStrategy(madK = 6.0, sirEtaTime = 0.0,
+        sirEtaChan = 0.0, iterations = iters, rmsIterations = 1,
+        chRmsThreshold = 2.5, chRmsInLoop = inLoop)
+      RfiFlag.detectGroup(0L, grid(), s)
+        .filter(_.rfi).map(o => (o.t, o.chan)).toSet
+    }
+    val hotCol = (0L until 8L).map(t => (t, 3L)).toSet
+    // same MAD-tier crossing as the ts test, along the other axis:
+    // the in-loop per-pol channel pass removes the hot channel after
+    // iteration 1 and iteration 2's χ₁ exposes the borderline cell;
+    // the post-loop pass (combined mask, after SIR) cannot feed back
+    assert(run(inLoop = false, 2) == hotCol,
+      "post-loop ch placement must flag exactly the hot channel")
+    assert(run(inLoop = true, 2) == hotCol + ((4L, 6L)),
+      "in-loop ch feedback must expose exactly the borderline cell")
+  }
+
+  test("in-loop RMS feedback, channel pass, 2 pols: the pass runs " +
+    "per polarisation image — a borderline cell present only in XX " +
+    "is exposed by XX's own iteration-2 statistics") {
+    import graft.ops.{RfiCell, RfiFlag, RfiStrategy}
+    // XX = transposed fixture (hot channel + borderline); YY = the
+    // same grid with the borderline cell quiet (1.00). max-over-pols
+    // equals XX everywhere, so the post-loop combined pass sees the
+    // identical column statistics as the single-pol test.
+    def grid(): Array[RfiCell] =
+      (for (t <- 0L until 8L; c <- 0L until 8L) yield {
+        val xx = fbAmp(c, t)
+        val yy = if (t == 4L && c == 6L) 1.00 else xx
+        RfiCell(0L, t, c, Seq(xx, yy), flag = false)
+      }).toArray
+    def run(inLoop: Boolean): Set[(Long, Long)] = {
+      val s = RfiStrategy(madK = 6.0, sirEtaTime = 0.0,
+        sirEtaChan = 0.0, iterations = 2, rmsIterations = 1,
+        chRmsThreshold = 2.5, chRmsInLoop = inLoop,
+        pols = Seq("xx", "yy"))
+      RfiFlag.detectGroup(0L, grid(), s)
+        .filter(_.rfi).map(o => (o.t, o.chan)).toSet
+    }
+    val hotCol = (0L until 8L).map(t => (t, 3L)).toSet
+    assert(run(inLoop = false) == hotCol,
+      "post-loop combined ch pass must flag exactly the hot channel")
+    // XX's in-loop feedback exposes (4,6); YY (quiet there) does not —
+    // the OR combine carries XX's per-pol detection through
+    assert(run(inLoop = true) == hotCol + ((4L, 6L)),
+      "per-pol in-loop ch feedback must expose XX's borderline cell")
   }
 
   test("Lua translation: RMS cleanup calls at the engine's own " +
