@@ -474,7 +474,10 @@ object TextAnalysis {
     */
   def bm25Sql(terms: Seq[String] = Bm25GateTerms): String = {
     implicit val d: Dialect = DuckD
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-literal escape so a term containing a quote produces the
+    // same IN-list semantics as the Spark twin's isin
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
+      .mkString(", ")
     s"""WITH tok AS (
        |  SELECT doc_id, text,
        |         CAST(${listSize(tokens("text"))} AS BIGINT) AS dl
@@ -533,19 +536,26 @@ object TextAnalysis {
       if (h == 0) e
       else isqrt(s"CAST(floor(sqrt(CAST($e AS DOUBLE))) AS BIGINT)",
         h - 1)
+    // coalesce: a group whose every text is NULL sums to NULL — carry
+    // it as 0 tokens so s_total and the shares stay exact BIGINTs
     val grouped = docs
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(expr(listSize(tokens("text"))).cast("long"))
-          .as("n_tokens"))
+        coalesce(sum(expr(listSize(tokens("text"))).cast("long")),
+          lit(0L)).as("n_tokens"))
       .withColumn("s_alpha", expr(isqrt("n_tokens", halvings)))
     val all = Window.partitionBy(lit(0))
     grouped
       .withColumn("s_total", sum("s_alpha").over(all))
-      .withColumn("weight_ppm",
-        expr("s_alpha * 1000000 DIV s_total"))
-      .withColumn("alloc_tokens",
-        expr(s"$budgetTokens * s_alpha DIV s_total"))
+      // a fully empty corpus (every group 0 tokens) makes s_total 0;
+      // guard the shares to 0 rather than diverge (Spark's non-ANSI
+      // DIV would yield NULL where DuckDB's // raises)
+      .withColumn("weight_ppm", expr(
+        "CASE WHEN s_total = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE s_alpha * 1000000 DIV s_total END"))
+      .withColumn("alloc_tokens", expr(
+        "CASE WHEN s_total = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE $budgetTokens * s_alpha DIV s_total END"))
       .withColumn("epochs_ppm", expr(
         "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE alloc_tokens * 1000000 DIV n_tokens END"))
@@ -563,17 +573,21 @@ object TextAnalysis {
         h - 1)
     s"""WITH grouped AS (
        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-       |         CAST(sum(${listSize(tokens("text"))}) AS BIGINT)
-       |           AS n_tokens
+       |         CAST(coalesce(sum(${listSize(tokens("text"))}), 0)
+       |              AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1, 2),
        |s AS (SELECT *, ${isqrt("n_tokens", halvings)} AS s_alpha
        |      FROM grouped),
        |t AS (SELECT *, CAST(sum(s_alpha) OVER () AS BIGINT)
        |                  AS s_total FROM s)
        |SELECT lang, source, n_docs, n_tokens, s_alpha,
-       |       s_alpha * 1000000 // s_total AS weight_ppm,
-       |       $budgetTokens * s_alpha // s_total AS alloc_tokens,
-       |       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |       CASE WHEN s_total = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE s_alpha * 1000000 // s_total END AS weight_ppm,
+       |       CASE WHEN s_total = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE $budgetTokens * s_alpha // s_total
+       |       END AS alloc_tokens,
+       |       CASE WHEN n_tokens = 0 OR s_total = 0
+       |            THEN CAST(0 AS BIGINT)
        |            ELSE ($budgetTokens * s_alpha // s_total) * 1000000
        |                 // n_tokens END AS epochs_ppm
        |FROM t""".stripMargin

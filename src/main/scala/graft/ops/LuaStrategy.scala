@@ -318,9 +318,13 @@ object LuaStrategy {
     val bandpass = scala.collection.mutable.ArrayBuffer[String]()
     // last snippet mapped into each RMS slot — the call a later
     // different-threshold re-targeting displaces (and must report)
-    var tsSnip: Option[String] = None
+    // per-pol RMS slots record (snippet, wasInLoop) so a later call
+    // re-targeting the slot from a DIFFERENT loop position displaces
+    // the earlier one visibly (last call site wins, never a silent
+    // collapse of two placements into one)
+    var tsSnip: Option[(String, Boolean)] = None
     var tsFinalSnip: Option[String] = None
-    var chSnip: Option[String] = None
+    var chSnip: Option[(String, Boolean)] = None
     // downsample → low_pass_filter → upsample bracketing: published
     // strategies compute their high-pass background on a decimated
     // image for speed (aoflagger's own high_pass_filter does the same
@@ -454,15 +458,20 @@ object LuaStrategy {
                 s = s.copy(tsRmsFinal = k)
                 tsFinalSnip = Some(snippet)
               } else {
-                if (s.tsRmsThreshold > 0 && s.tsRmsThreshold != k)
-                  tsSnip.foreach(unmapped += _)
-                s = s.copy(tsRmsThreshold = k)
-                tsSnip = Some(snippet)
+                val here = inLoop(pos)
+                // a re-targeting call displaces the earlier one when
+                // the threshold OR the loop placement differs —
+                // reported, never silently dropped; the LAST call
+                // site's placement wins
+                if (s.tsRmsThreshold > 0 &&
+                    (s.tsRmsThreshold != k || s.tsRmsInLoop != here))
+                  tsSnip.foreach(p => unmapped += p._1)
                 // in-loop per-pol call site: MODELED — the engine
                 // runs the pass inside every detect iteration, so
                 // its flags feed the next iteration's statistics
                 // (RfiStrategy.tsRmsInLoop), full fidelity
-                if (inLoop(pos)) s = s.copy(tsRmsInLoop = true)
+                s = s.copy(tsRmsThreshold = k, tsRmsInLoop = here)
+                tsSnip = Some((snippet, here))
               }
               if (inLoop(pos) && inputName.contains(args(0).trim))
                 approximated += s"$snippet: the whole-set final " +
@@ -482,15 +491,18 @@ object LuaStrategy {
           (resolve(args(1)), low) match {
             case (Some(k), l) if k > 0 &&
                 l.forall(a => a == "true" || a == "false") =>
-              if (s.chRmsThreshold > 0 && s.chRmsThreshold != k)
-                chSnip.foreach(unmapped += _)
-              s = s.copy(chRmsThreshold = k,
-                chRmsFlagLow = l.forall(_ == "true"))
-              chSnip = Some(snippet)
+              val here = inLoop(pos)
+              if (s.chRmsThreshold > 0 &&
+                  (s.chRmsThreshold != k || s.chRmsInLoop != here))
+                chSnip.foreach(p => unmapped += p._1)
               // in-loop call site: MODELED — per-pol, inside every
-              // detect iteration, before SIR (RfiStrategy.chRmsInLoop)
-              if (inLoop(pos)) s = s.copy(chRmsInLoop = true)
-              else if (sirPos.exists(pos < _))
+              // detect iteration, before SIR (RfiStrategy.chRmsInLoop);
+              // the LAST call site's placement wins
+              s = s.copy(chRmsThreshold = k,
+                chRmsFlagLow = l.forall(_ == "true"),
+                chRmsInLoop = here)
+              chSnip = Some((snippet, here))
+              if (!here && sirPos.exists(pos < _))
                 approximated += s"$snippet: called BEFORE the " +
                   "strategy's scale_invariant_rank_operator; the " +
                   "engine runs the channel-RMS pass AFTER SIR — " +

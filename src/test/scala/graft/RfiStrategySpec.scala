@@ -484,6 +484,41 @@ class RfiStrategySpec extends AnyFunSuite {
     assert(tr2.strategy.tsRmsThreshold == 3.5 && tr2.unmapped.isEmpty)
   }
 
+  test("Lua translation: a same-threshold RMS call at a DIFFERENT " +
+    "loop position displaces the earlier call site — the last " +
+    "placement wins and the displaced snippet is reported") {
+    import graft.ops.LuaStrategy
+    // in-loop then post-loop at the same threshold: two distinct
+    // AOFlagger call sites — must NOT silently collapse into one
+    // in-loop pass
+    val tr = LuaStrategy.translate(
+      """function execute(input)
+        |  for i = 1, 3 do
+        |    aoflagger.sumthreshold(data, 1.0, 1.0, true, true)
+        |    aoflagger.threshold_timestep_rms(data, 3.5)
+        |  end
+        |  aoflagger.threshold_timestep_rms(data, 3.5)
+        |end""".stripMargin)
+    assert(tr.strategy.tsRmsThreshold == 3.5)
+    assert(!tr.strategy.tsRmsInLoop,
+      "the post-loop re-call must clear the in-loop placement")
+    assert(tr.unmapped.exists(_.contains("threshold_timestep_rms")),
+      s"displaced in-loop call must be reported: ${tr.unmapped}")
+    // and the mirror direction: post-loop then in-loop → ends in-loop
+    val tr2 = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.threshold_channel_rms(data, 2.5, true)
+        |  for i = 1, 3 do
+        |    aoflagger.sumthreshold(data, 1.0, 1.0, true, true)
+        |    aoflagger.threshold_channel_rms(data, 2.5, true)
+        |  end
+        |end""".stripMargin)
+    assert(tr2.strategy.chRmsInLoop,
+      "the in-loop re-call must set the in-loop placement")
+    assert(tr2.unmapped.exists(_.contains("threshold_channel_rms")),
+      s"displaced post-loop call must be reported: ${tr2.unmapped}")
+  }
+
   test("whole-line RMS flaggers do real work: each pass tightens " +
     "occupancy on the synthetic frame") {
     val flagged = FlagOps.setFlags(

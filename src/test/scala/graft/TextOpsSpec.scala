@@ -186,4 +186,35 @@ class TextOpsSpec extends AnyFunSuite {
     // temperature flattens: B's share rises from 20% to 33%
     assert(half("B")._2 > prop("B"))
   }
+
+  test("mixTemperature: a degenerate all-empty corpus yields zero " +
+    "shares, never NULL or a cross-engine divide seam") {
+    // NULL text is the only zero-token shape the whitespace tokenizer
+    // admits (split("") keeps one empty token); an all-NULL corpus
+    // makes every group 0 tokens and s_total 0
+    val docs = docsOf((1L, null, "en", "A"), (2L, null, "fr", "B"))
+    val out = TextAnalysis.mixTemperature(docs, budgetTokens = 600L,
+        halvings = 1).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("weight_ppm")) &&
+        r.getAs[Long]("weight_ppm") == 0L &&
+        r.getAs[Long]("alloc_tokens") == 0L &&
+        r.getAs[Long]("epochs_ppm") == 0L, s"row: $r")
+    }
+  }
+
+  test("bm25: a term containing a quote is escaped in the DuckDB " +
+    "twin and matched identically by the Spark side") {
+    val sql = TextAnalysis.bm25Sql(Seq("it's", "plain"))
+    assert(sql.contains("'it''s'"), "single quote must be doubled")
+    assert(!sql.contains("'it's'"), "raw quote would break the SQL")
+    // Spark side: isin handles the quote natively; the quoted term
+    // scores when it appears as a token
+    val r = TextAnalysis.bm25(
+      docsOf((1L, "it's here", "en", "s"), (2L, "plain text", "en", "s")),
+      Seq("it's", "plain")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 1L && r(2L) == 1L, s"hits: $r")
+  }
 }
