@@ -264,8 +264,13 @@ object MsContainer {
     val payload = cached.groupBy("t_out", "bl").agg(
       expr("array_sort(collect_list(struct(c_out, a0, a1, a2, a3, " +
         "a4, a5, a6, a7, weight_out, flag_out)))").as("chans"))
+    // size-derived encode parallelism: drive the part-file count from
+    // the cached cell count (rows / nChan ~= MS main rows); a fixed
+    // count caps part_write_cpu, the dominant sink cost, at scale
+    val encParts = Sinks.encodePartitions(spark,
+      math.max(1L, cached.count() / math.max(1, nChan)))
     val joined = skeleton.join(payload, Seq("t_out", "bl"))
-      .repartitionByRange(32, col("row_idx"))
+      .repartitionByRange(encParts, col("row_idx"))
       .sortWithinPartitions("row_idx")
       .select("row_idx", "time_s", "ant1", "ant2", "u_m", "v_m", "w_m",
         "interval_s", "exposure_s", "flag_row", "data_desc_id",

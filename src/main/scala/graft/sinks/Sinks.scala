@@ -16,6 +16,35 @@ import org.apache.spark.sql.types.LongType
   */
 object Sinks {
 
+  /** Size-derived encode parallelism for the binary sinks (uvfits /
+    * MS part files). A fixed task count is a throughput ceiling at
+    * 100x scale — the dominant sink cost is the parallel per-partition
+    * encode, so the count must grow with the frame. Derivation:
+    * ceil(rows / targetRowsPerTask), floored at the cluster's default
+    * parallelism (small frames keep every core busy, matching the
+    * previous fixed-32 behaviour on local[32]) and capped at 65536
+    * tasks. `spark.graft.sink.encodePartitions` overrides explicitly.
+    * Row-identical output at any count: the writers assign global
+    * indices from range-partitioned order (partition-count-invariant)
+    * and each task writes its byte slice at a computed offset.
+    */
+  def encodePartitions(spark: SparkSession, nRows: Long,
+                       targetRowsPerTask: Long = 65536L): Int = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be > 0")
+    spark.conf.getOption("spark.graft.sink.encodePartitions") match {
+      case Some(v) =>
+        val n = v.toInt
+        require(n > 0, s"spark.graft.sink.encodePartitions must be " +
+          s"> 0, got $n")
+        n
+      case None =>
+        val bySize =
+          (nRows + targetRowsPerTask - 1) / targetRowsPerTask
+        val floor = spark.sparkContext.defaultParallelism.toLong
+        math.max(1L, math.min(math.max(bySize, floor), 65536L)).toInt
+    }
+  }
+
   /** K1: assign the global uvfits row index in (keys...) order.
     * Two-pass: range-partition + local sort puts partitions in global
     * order; `zipWithIndex` then assigns contiguous indices using partition

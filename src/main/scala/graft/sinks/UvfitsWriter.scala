@@ -236,8 +236,12 @@ object UvfitsWriter {
     }
     val cMin = cMinL.toInt
     val nChans = (cMaxL - cMinL + 1).toInt
+    // size-derived encode parallelism (frame is cached, the count is
+    // one cheap job); a fixed count would cap the dominant encode
+    // cost at scale
+    val encParts = Sinks.encodePartitions(spark, frame.count())
     val ordered = frame
-      .repartitionByRange(32, col("t_out"), col("bl"))
+      .repartitionByRange(encParts, col("t_out"), col("bl"))
       .sortWithinPartitions("t_out", "bl", "c_out")
       .select("t_out", "bl", "ant1", "ant2", "c_out",
         "a0", "a1", "a2", "a3", "a4", "a5", "a6", "a7", "weight_out")

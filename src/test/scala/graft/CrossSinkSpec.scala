@@ -103,4 +103,23 @@ class CrossSinkSpec extends AnyFunSuite {
     avg.unpersist()
     ()
   }
+
+  test("encodePartitions: scales with the frame, floors at default " +
+    "parallelism, conf-overridable") {
+    import graft.sinks.Sinks
+    val floor = spark.sparkContext.defaultParallelism
+    // small frames keep every core busy (the previous fixed count)
+    assert(Sinks.encodePartitions(spark, 1L) == floor)
+    assert(Sinks.encodePartitions(spark, 65536L * floor / 2) == floor)
+    // big frames grow the task count linearly past the floor
+    val big = Sinks.encodePartitions(spark, 65536L * 1000)
+    assert(big == 1000, s"expected 1000 encode tasks, got $big")
+    assert(Sinks.encodePartitions(spark, 65536L * 2000) == 2000)
+    // capped: a 100 TB frame never explodes the scheduler
+    assert(Sinks.encodePartitions(spark, Long.MaxValue / 4) == 65536)
+    // explicit conf override wins
+    spark.conf.set("spark.graft.sink.encodePartitions", "7")
+    try assert(Sinks.encodePartitions(spark, 65536L * 1000) == 7)
+    finally spark.conf.unset("spark.graft.sink.encodePartitions")
+  }
 }
