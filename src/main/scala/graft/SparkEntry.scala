@@ -131,6 +131,25 @@ object SparkEntry {
             .as("w112")): _*)
     }),
 
+    // PP4: the SAME chain and gate columns as q_pp_full, executed over
+    // the canonical (t, chan) bucketed mirror (Sinks.
+    // writeTimeChanMirror) — the measured production layout (SCALE.md
+    // 15b: the composed chain drops to ONE corpus-scale exchange over
+    // the mirror). Identical hashes to q_pp_full by construction
+    // (BucketedMirrorSpec proves layout-invariance per stage); this
+    // gate oracle-locks the canonical layout instead of leaving it
+    // spec-only. The mirror write is part of the gate (the honest
+    // one-off cost of establishing the layout).
+    "q_pp4_mirror_preprocess" -> ((s, dir) => {
+      Sinks.writeTimeChanMirror(weighted(s, dir), "vis_pp4_mirror")
+      val pre = Preprocess(vanVleck = true, rfi = true)(
+        s, s.table("vis_pp4_mirror"))
+      pre.select(col("t") +: col("bl") +: col("chan") +:
+        (microComps() :+ col("flag") :+
+          floor(col("weight") * 112.0 + 0.5).cast("long")
+            .as("w112")): _*)
+    }),
+
     // PP2: the same full chain driven by a PARSED metafits whose
     // CABLEDEL/GEODEL keywords say cable and geometric delays were
     // applied upstream — the reference CLI's auto-skip decisions
@@ -1005,6 +1024,8 @@ object SparkEntry {
     "q_w2_weights" -> Oracles.w2Weights,
     "q_a1_avg" -> Oracles.a1Avg,
     "q_pp_full_preprocess" -> Oracles.ppFullPreprocess,
+    // the mirror path must reproduce the plain layout's oracle exactly
+    "q_pp4_mirror_preprocess" -> Oracles.ppFullPreprocess,
     "q_pp2_preprocess_skips" -> Oracles.ppPreprocessSkips,
     "q_pp3_preprocess_avg" -> Oracles.ppPreprocessAvg,
     "q_c1_cable" -> Oracles.c1Cable,

@@ -88,4 +88,31 @@ class BucketedMirrorSpec extends AnyFunSuite {
       "(t,chan)-layout correction diverged from the plain run")
     spark.sql("DROP TABLE IF EXISTS vis_tchan_spec")
   }
+
+  test("COMPOSED preprocess chain over the (t, chan) mirror: at most " +
+    "3 exchanges in the executed plan, identical gate columns to the " +
+    "plain layout (the q_pp4 canonical-layout claim)") {
+    import graft.model.Dims
+    import graft.ops.{FlagOps, Preprocess, WeightOps}
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark)))
+    Sinks.writeTimeChanMirror(weighted, "vis_pp4_spec", buckets = 8)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Preprocess(vanVleck = true, rfi = true)(spark, df)
+        .select(col("t"), col("bl"), col("chan"),
+          floor(col("v0") * 1e6 + 0.5), floor(col("v1") * 1e6 + 0.5),
+          col("flag"),
+          floor(col("weight") * 112.0 + 0.5).cast("long"))
+    val overMirror = gate(spark.table("vis_pp4_spec"))
+    val rows = overMirror.collect().map(_.toSeq).toSet // executes
+    val nEx = "Exchange hashpartitioning".r
+      .findAllIn(overMirror.queryExecution.executedPlan.toString())
+      .length
+    assert(nEx <= 3, s"composed chain over the (t,chan) mirror " +
+      s"planned $nEx exchanges (SCALE.md 15b budget is <= 3)")
+    assert(rows == gate(weighted).collect().map(_.toSeq).toSet,
+      "mirror-layout chain diverged from the plain layout")
+    spark.sql("DROP TABLE IF EXISTS vis_pp4_spec")
+  }
 }
