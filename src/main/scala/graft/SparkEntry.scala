@@ -672,6 +672,11 @@ object SparkEntry {
       Similarity.lshMultiTopK(emb(s, dir), nQueries = 8, k = 5)),
     "q_sim10_ann_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(emb(s, dir), fixtureScale = true)),
+    // the full production PQ path (train → encode → ADC) end-to-end:
+    // Lloyd-trained micro-unit codebooks, oracle re-derives the
+    // training with unrolled iterations
+    "q_sim11_ann_pq_trained" -> ((s, dir) =>
+      Similarity.pqTrainedTopK(emb(s, dir), fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1081,6 +1086,7 @@ object SparkEntry {
     "q_sim8_ann_recall" -> LlmOracles.sim8AnnRecall(),
     "q_sim9_ann_lsh_multi" -> LlmOracles.sim9LshMulti,
     "q_sim10_ann_ivfpq" -> LlmOracles.sim10IvfPq,
+    "q_sim11_ann_pq_trained" -> LlmOracles.sim11PqTrained(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

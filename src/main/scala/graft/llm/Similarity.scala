@@ -529,6 +529,146 @@ object Similarity {
       nProbe, k, m, dim)
   }
 
+  // ---- trained-codebook PQ, exact end-to-end (q_sim11) -------------
+
+  /** Half squared norm of a driver-held double codeword, sequential
+    * fold (same element order as `double_dot(cw, cw) / 2` and the
+    * oracle's `list_reduce`).
+    */
+  private def halfNorm2d(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s / 2.0
+  }
+
+  /** Per-subspace code over literal DOUBLE codebooks on the micro-unit
+    * grid: argmax of round((dot − ‖c‖²/2) / 1e12, 6) with cid
+    * tie-break — [[graft.llm.Clustering]]'s assignment rule applied to
+    * a subvector. Zero exchanges.
+    */
+  private def pqCodeExprD(cw: Array[(Int, Array[Double])],
+                          sv: Column): Column =
+    element_at(array_sort(array(cw.toIndexedSeq.map { case (cid, v) =>
+      struct(
+        (-round((call_function("double_dot", sv, lit(v))
+          - lit(halfNorm2d(v))) / lit(1.0e12), 6)).as("ns"),
+        lit(cid).as("cid"))
+    }: _*)), 1).getField("cid")
+
+  /** Micro-unit quantised projection shared by the trained-PQ train
+    * and search passes.
+    */
+  private def quantised(emb: DataFrame): DataFrame = {
+    implicit val d: Dialect = SparkD
+    emb.select(col("vec_id"),
+      expr(Clustering.quantSql("embedding")).as("qv"))
+  }
+
+  /** Per-subspace Lloyd training of the PQ codebooks on the
+    * MICRO-UNIT grid — the oracle-gateable twin of
+    * [[trainPqCodebooks]]. [[trainPqCodebooks]]'s float `avg` is
+    * aggregation-order dependent (fine for a spec, fatal for a
+    * cross-engine hash gate); here the embeddings quantise to integer
+    * micro-units held in doubles, so every per-(s, code) component sum
+    * is EXACT under any partitioning and the trained codeword is the
+    * exact rational S/n — bit-identical in Spark and DuckDB
+    * ([[graft.llm.Clustering]]'s proven k-means recipe, applied per
+    * subspace). Empty codes keep their previous codeword.
+    *
+    * Scale: each iteration is ONE corpus scan — the m subvector codes
+    * are zero-shuffle literal argmaxes, the update is a single
+    * map-side-combined (s, code) aggregate with m·nCodes·(subDim+1)
+    * model-sized output collected to the driver.
+    */
+  def pqTrainedCodebooks(emb: DataFrame, nCodes: Int = 16, m: Int = 8,
+                         iters: Int = 2, dim: Int = 64)
+      : Array[Array[(Int, Array[Double])]] = {
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
+    val embq = quantised(emb)
+    val seeds = embq.where(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("int"), col("qv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(seeds.map(_._1).toSeq == (0 until nCodes),
+      s"pqTrainedCodebooks: seed vec_ids must be exactly " +
+        s"0..${nCodes - 1}, got " + seeds.map(_._1).mkString(","))
+    seeds.foreach { case (cid, v) =>
+      require(v.length == dim,
+        s"pqTrainedCodebooks: dim=$dim but vector $cid has ${v.length}")
+    }
+    var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m)(
+      s => seeds.map { case (cid, v) =>
+        (cid, v.slice(s * subDim, (s + 1) * subDim))
+      })
+    for (_ <- 0 until iters) {
+      val stacked = embq.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          pqCodeExprD(books(s),
+            slice(col("qv"), s * subDim + 1, subDim)).as("code"),
+          slice(col("qv"), s * subDim + 1, subDim).as("sv"))
+      ): _*)).as("x"))
+        .select(col("x.s"), col("x.code"), col("x.sv"))
+      val aggs = count(lit(1)).as("n") +: (0 until subDim).map(i =>
+        sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+      val means = stacked.groupBy("s", "code")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), r.getInt(1)) ->
+            Array.tabulate(subDim)(i => r.getDouble(i + 3) / n)
+        }
+        .toMap
+      books = Array.tabulate(m)(s => books(s).map { case (cid, old) =>
+        (cid, means.getOrElse((s, cid), old))
+      })
+    }
+    books
+  }
+
+  /** The full production PQ path — train → encode → ADC search — as
+    * ONE oracle-gateable operator: Lloyd-trained micro-unit codebooks
+    * ([[pqTrainedCodebooks]]), zero-shuffle code projection, and
+    * asymmetric-distance scoring where the candidate's embedding is
+    * never touched (the per-subspace query·codeword dots come from the
+    * literal trained codebooks, summed s = 0..m−1 left-to-right and
+    * rescaled to cosine units). The DuckDB twin re-derives the trained
+    * codebooks from the same seed rule with the iterations unrolled
+    * (graft.oracle.LlmOracles.sim11PqTrained).
+    */
+  def pqTrainedTopK(emb: DataFrame, nCodes: Int = 16, m: Int = 8,
+                    iters: Int = 2, nQueries: Int = 8, k: Int = 5,
+                    dim: Int = 64,
+                    fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("pqTrainedTopK", nCodes, fixtureScale)
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    val books = pqTrainedCodebooks(emb, nCodes, m, iters, dim)
+    val embq = quantised(emb)
+    val coded = embq.select(col("vec_id") +: (0 until m).map(s =>
+      pqCodeExprD(books(s),
+        slice(col("qv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
+    val q = broadcast(embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe")))
+    val cwLit: Array[Column] = Array.tabulate(m)(s =>
+      typedLit(books(s).map(_._2.toSeq).toSeq))
+    val scoreCol = (0 until m).map { s =>
+      call_function("double_dot",
+        slice(col("qe"), s * subDim + 1, subDim),
+        element_at(cwLit(s), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val scored = coded.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("pq_score"))
+  }
+
   /** Recall@k of the three approximate indexes (LSH bucket, IVF,
     * PQ/ADC) against [[bruteForceTopK]]'s exact ground truth — the
     * quality number an ANN index is FOR (the determinism gates q_sim2/
@@ -566,10 +706,13 @@ object Similarity {
         nQueries = nQueries, k = k, fixtureScale = fixtureScale),
         "ivfpq"))
       .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
+      .unionByName(ids(pqTrainedTopK(emb, nQueries = nQueries, k = k,
+        fixtureScale = fixtureScale), "pq_trained"))
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    Seq("ivf", "ivfpq", "lsh", "lsh_multi", "pq").toDF("method")
+    Seq("ivf", "ivfpq", "lsh", "lsh_multi", "pq", "pq_trained")
+      .toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .crossJoin(broadcast(nTruth))

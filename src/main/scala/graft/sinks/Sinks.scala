@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -101,9 +102,24 @@ object Sinks {
     * shuffles are"). Verified by SinksSpec: groupBy(bl) over the mirror
     * plans zero hash-partitioning exchanges.
     */
+  /** Drop `table` AND its managed-warehouse location: a fresh session's
+    * in-memory catalog forgets the table while the warehouse directory
+    * persists on disk, and saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS — remove the stale path so the mirror
+    * writers are re-runnable across sessions.
+    */
+  private def dropTableAndLocation(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def writeBucketedMirror(df: DataFrame, table: String,
                           buckets: Int = 32): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    dropTableAndLocation(df, table)
     df.write.bucketBy(buckets, "bl").sortBy("bl")
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
@@ -121,7 +137,7 @@ object Sinks {
     */
   def writeTimeChanMirror(df: DataFrame, table: String,
                           buckets: Int = 32): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    dropTableAndLocation(df, table)
     df.write.bucketBy(buckets, "t", "chan").sortBy("t", "chan")
       .format("parquet").mode("overwrite").saveAsTable(table)
   }

@@ -123,7 +123,8 @@ class SimilaritySpec extends AnyFunSuite {
     // composed index is reported alongside the others
     val methods = Similarity.annRecall(emb, fixtureScale = true)
       .select("method").collect().map(_.getString(0)).toSet
-    assert(methods == Set("ivf", "ivfpq", "lsh", "lsh_multi", "pq"))
+    assert(methods == Set("ivf", "ivfpq", "lsh", "lsh_multi", "pq",
+      "pq_trained"))
   }
 
   test("PQ training: Lloyd iterations never increase quantisation " +
@@ -157,6 +158,38 @@ class SimilaritySpec extends AnyFunSuite {
     val trained = Similarity.pqTopKWith(emb,
       Similarity.trainPqCodebooks(emb, iters = 2))
     assert(trained.count() == 8L * 5)
+  }
+
+  test("trained-PQ exact path (q_sim11): training moves the books, " +
+    "the ADC search keeps the top-k contract and is deterministic") {
+    val seeds = Similarity.pqTrainedCodebooks(emb, iters = 0)
+    val books = Similarity.pqTrainedCodebooks(emb, iters = 2)
+    assert(seeds.flatten.map(_._2.toSeq) != books.flatten.map(_._2.toSeq),
+      "Lloyd iterations must move the codewords off the seeds")
+    // micro-unit quantisation cost never increases across iterations
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.round(x.toDouble * 1e6).toDouble))
+    def cost(bk: Array[Array[(Int, Array[Double])]]): Double = {
+      val m = bk.length
+      val subDim = 64 / m
+      vecs.iterator.map { v =>
+        (0 until m).map { s =>
+          val sv = v.slice(s * subDim, (s + 1) * subDim)
+          bk(s).map { case (_, cw) =>
+            sv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    assert(cost(books) < cost(seeds),
+      s"training must improve: ${cost(seeds)} -> ${cost(books)}")
+    val r1 = Similarity.pqTrainedTopK(emb, fixtureScale = true)
+    assert(r1.count() == 8L * 5)
+    val rows = r1.collect().map(_.toSeq).toSet
+    assert(rows == Similarity.pqTrainedTopK(emb, fixtureScale = true)
+      .collect().map(_.toSeq).toSet, "trained ADC search must be " +
+      "deterministic run-to-run")
   }
 
   test("multi-table LSH: 1 table matches the single-bucket index, " +
