@@ -247,6 +247,35 @@ class MsContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("encode-parallelism invariance: an encodePartitions override " +
+    "changes the task count, not the decoded container") {
+    val dir = "/root/testdata/sf0.001"
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, dir), Dims.timestep(spark), Dims.chan(spark),
+      Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val uvw = graft.ops.GeometryCorrection.partUvw(
+      Dims.timestep(spark), Dims.antenna(spark))
+    val outA = Files.createTempDirectory("mspa").toString + "/obs.ms"
+    val outB = Files.createTempDirectory("mspb").toString + "/obs.ms"
+    MsContainer.write(avg, uvw, Dims.antenna(spark), outA)
+    spark.conf.set("spark.graft.sink.encodePartitions", "3")
+    try MsContainer.write(avg, uvw, Dims.antenna(spark), outB)
+    finally spark.conf.unset("spark.graft.sink.encodePartitions")
+    // the StManAipsIO extension chain's CHUNK boundaries follow the
+    // partitioning (each task emits one self-contained extension), so
+    // table.f0 bytes legitimately differ — the DECODED table must not
+    val a = MsContainer.readTable(outA, conf)
+    val b = MsContainer.readTable(outB, conf)
+    assert(a.nRows == b.nRows && a.nRows > 0)
+    (0L until a.nRows).foreach { r =>
+      Seq("DATA", "WEIGHT_SPECTRUM", "FLAG", "UVW").foreach { c =>
+        assert(MsContainer.cell(a, r, c) == MsContainer.cell(b, r, c),
+          s"row $r col $c diverged across encode partitionings")
+      }
+    }
+  }
+
   test("container DATA carries the averaged payload at f32") {
     val dir = "/root/testdata/sf0.001"
     val weighted = WeightOps.flagToWeight(FlagOps.setFlags(

@@ -52,6 +52,26 @@ class UvfitsSpec extends AnyFunSuite {
     assert(frac >= 0.0f && frac < 1.0f)
   }
 
+  test("encode-parallelism invariance: an encodePartitions override " +
+    "yields a byte-identical uvfits file (slice offsets are computed, " +
+    "not partition-relative)") {
+    val dir = "/root/testdata/sf0.001"
+    val weighted = WeightOps.flagToWeight(FlagOps.setFlags(
+      VisSynth.vis(spark, dir), Dims.timestep(spark), Dims.chan(spark),
+      Dims.baseline(spark)))
+    val avg = Averaging.avgTimeFreq(weighted, 2, 2)
+    val tmpA = Files.createTempDirectory("uvpa").toString + "/a.uvfits"
+    val tmpB = Files.createTempDirectory("uvpb").toString + "/b.uvfits"
+    UvfitsWriter.write(avg, tmpA)
+    spark.conf.set("spark.graft.sink.encodePartitions", "3")
+    try UvfitsWriter.write(avg, tmpB)
+    finally spark.conf.unset("spark.graft.sink.encodePartitions")
+    val a = Files.readAllBytes(Paths.get(tmpA))
+    val b = Files.readAllBytes(Paths.get(tmpB))
+    assert(java.util.Arrays.equals(a, b),
+      "uvfits bytes must be invariant to the encode partition count")
+  }
+
   test("uvfits round trip: reader recovers the writer's frame at f32") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
