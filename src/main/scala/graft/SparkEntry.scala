@@ -677,6 +677,10 @@ object SparkEntry {
     // training with unrolled iterations
     "q_sim11_ann_pq_trained" -> ((s, dir) =>
       Similarity.pqTrainedTopK(emb(s, dir), fixtureScale = true)),
+    // the COMPLETE serving path with both quantisers trained:
+    // k-means cells + Lloyd codebooks -> index -> nProbe prune -> ADC
+    "q_sim12_ann_ivfpq_trained" -> ((s, dir) =>
+      Similarity.ivfPqTrainedTopK(emb(s, dir), fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1087,6 +1091,7 @@ object SparkEntry {
     "q_sim9_ann_lsh_multi" -> LlmOracles.sim9LshMulti,
     "q_sim10_ann_ivfpq" -> LlmOracles.sim10IvfPq,
     "q_sim11_ann_pq_trained" -> LlmOracles.sim11PqTrained(),
+    "q_sim12_ann_ivfpq_trained" -> LlmOracles.sim12IvfPqTrained(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

@@ -333,17 +333,20 @@ object Clustering {
     * labelling assignment (`a{iters+1}`), mirroring
     * [[kmeansAssign]]'s `iters`×lloydStep + final pass.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int)
-                        (implicit d: Dialect): (String, String) = {
+  private[graft] def kmeansCtes(k: Int, iters: Int, dim: Int,
+                                prefix: String = "", withE: Boolean = true)
+                               (implicit d: Dialect): (String, String) = {
     def score(cv: String) =
       s"round((${listFoldSumDouble(listTransformIdx("e.qv",
         (x, i) => s"$x * ${elem(cv, i)}"))}" +
         s" - ${listFoldSumDouble(listTransform(cv, x => s"$x * $x"))}" +
         s" / 2.0e0) / 1.0e12, 6)"
+    val p = prefix
     val ctes = new StringBuilder
-    ctes ++= s"""WITH e AS (
+    if (withE) ctes ++= s"""WITH e AS (
        |  SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
-       |c0 AS (
+       |""".stripMargin
+    ctes ++= s"""${p}c0 AS (
        |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM e
        |  WHERE vec_id < $k)""".stripMargin
     // assignments a1..a{iters+1}; centroid updates after the first
@@ -352,28 +355,29 @@ object Clustering {
     // `iters`×lloydStep + final labelling pass.
     for (i <- 1 to iters + 1) {
       ctes ++= s""",
-       |s$i AS (
+       |${p}s$i AS (
        |  SELECT e.vec_id, e.qv, c.cid, ${score("c.cv")} AS score
-       |  FROM e CROSS JOIN c${i - 1} c),
-       |a$i AS (
+       |  FROM e CROSS JOIN ${p}c${i - 1} c),
+       |${p}a$i AS (
        |  SELECT vec_id, qv, cid AS cell, score FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY score DESC, cid) AS rn FROM s$i)
+       |      ORDER BY score DESC, cid) AS rn FROM ${p}s$i)
        |  WHERE rn = 1)""".stripMargin
       if (i <= iters) {
         val sums = (0 until dim).map(j =>
           s"SUM(qv[${j + 1}]) AS s$j").mkString(", ")
         val upd = (0 until dim).map(j => s"m.s$j / m.n").mkString(", ")
         ctes ++= s""",
-         |m$i AS (
-         |  SELECT cell, COUNT(*) AS n, $sums FROM a$i GROUP BY cell),
-         |c$i AS (
+         |${p}m$i AS (
+         |  SELECT cell, COUNT(*) AS n, $sums FROM ${p}a$i GROUP BY cell),
+         |${p}c$i AS (
          |  SELECT c.cid,
          |         CASE WHEN m.n IS NULL THEN c.cv ELSE [$upd] END AS cv
-         |  FROM c${i - 1} c LEFT JOIN m$i m ON m.cell = c.cid)""".stripMargin
+         |  FROM ${p}c${i - 1} c LEFT JOIN ${p}m$i m
+         |    ON m.cell = c.cid)""".stripMargin
       }
     }
-    (ctes.toString, s"a${iters + 1}")
+    (ctes.toString, s"${p}a${iters + 1}")
   }
 
   /** DuckDB oracle twin of [[kmeansAssign]]: the SAME quantisation,

@@ -541,19 +541,27 @@ object Similarity {
     s / 2.0
   }
 
-  /** Per-subspace code over literal DOUBLE codebooks on the micro-unit
-    * grid: argmax of round((dot − ‖c‖²/2) / 1e12, 6) with cid
-    * tie-break — [[graft.llm.Clustering]]'s assignment rule applied to
-    * a subvector. Zero exchanges.
+  /** Ranked (ns, cid) struct array of a micro-unit vector against
+    * literal DOUBLE centroids/codewords: round((dot − ‖c‖²/2) / 1e12,
+    * 6) with cid tie-break — [[graft.llm.Clustering]]'s assignment
+    * rule. Element 1 is the winner; elements 1..nProbe are the probe
+    * set. Zero exchanges.
     */
-  private def pqCodeExprD(cw: Array[(Int, Array[Double])],
-                          sv: Column): Column =
-    element_at(array_sort(array(cw.toIndexedSeq.map { case (cid, v) =>
+  private def cellSortD(cw: Array[(Int, Array[Double])],
+                        sv: Column): Column =
+    array_sort(array(cw.toIndexedSeq.map { case (cid, v) =>
       struct(
         (-round((call_function("double_dot", sv, lit(v))
           - lit(halfNorm2d(v))) / lit(1.0e12), 6)).as("ns"),
         lit(cid).as("cid"))
-    }: _*)), 1).getField("cid")
+    }: _*))
+
+  /** Per-subspace code / cell over literal DOUBLE codebooks on the
+    * micro-unit grid (winner of [[cellSortD]]).
+    */
+  private def pqCodeExprD(cw: Array[(Int, Array[Double])],
+                          sv: Column): Column =
+    element_at(cellSortD(cw, sv), 1).getField("cid")
 
   /** Micro-unit quantised projection shared by the trained-PQ train
     * and search passes.
@@ -661,6 +669,60 @@ object Similarity {
         element_at(cwLit(s), col(s"c$s") + 1))
     }.reduce(_ + _)
     val scored = coded.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("pq_score"))
+  }
+
+  /** The COMPLETE production serving path with BOTH quantisers
+    * trained — q_sim12: exact micro-unit k-means coarse centroids
+    * ([[graft.llm.Clustering.train]]), exact per-subspace Lloyd
+    * codebooks ([[pqTrainedCodebooks]]), zero-shuffle cell + code
+    * projection, candidates pruned to each query's `nProbe` best
+    * trained cells, ADC over the pruned pairs from the literal
+    * trained codebooks. Same scale shape as [[ivfPqSearch]] (the
+    * corpus-resident row is (cell, m codes); the only exchange is the
+    * cell-keyed candidate join with the probe side broadcast) — but
+    * every model component is Lloyd-trained AND the DuckDB twin
+    * re-derives both trainings with the iterations unrolled, so the
+    * end-to-end train → index → prune → ADC path is hash-gated.
+    */
+  def ivfPqTrainedTopK(emb: DataFrame, nCentroids: Int = 16,
+                       nProbe: Int = 2, nCodes: Int = 16, m: Int = 8,
+                       iters: Int = 2, nQueries: Int = 8, k: Int = 5,
+                       dim: Int = 64,
+                       fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("ivfPqTrainedTopK", nCentroids,
+      fixtureScale)
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    val cents = Clustering.train(emb, nCentroids, iters, dim)
+    val books = pqTrainedCodebooks(emb, nCodes, m, iters, dim)
+    val embq = quantised(emb)
+    val index = embq.select(
+      col("vec_id") +:
+        pqCodeExprD(cents, col("qv")).as("cell") +:
+        (0 until m).map(s =>
+          pqCodeExprD(books(s),
+            slice(col("qv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
+    val probes = broadcast(embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        explode(slice(cellSortD(cents, col("qv")), 1, nProbe)
+          .getField("cid")).as("cell")))
+    val cwLit: Array[Column] = Array.tabulate(m)(s =>
+      typedLit(books(s).map(_._2.toSeq).toSeq))
+    val scoreCol = (0 until m).map { s =>
+      call_function("double_dot",
+        slice(col("qe"), s * subDim + 1, subDim),
+        element_at(cwLit(s), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    // one cell per vector + distinct probed cells per query ⇒ unique
+    // (qid, vec_id) pairs, no dedup stage
+    val scored = probes.join(index, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
       .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("pq_score").desc, col("vec_id").asc)

@@ -192,6 +192,25 @@ class SimilaritySpec extends AnyFunSuite {
       "deterministic run-to-run")
   }
 
+  test("fully-trained IVF-PQ (q_sim12): probing every trained cell " +
+    "reproduces the full trained-PQ/ADC scan") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // nProbe = nCentroids removes the prune: the candidate set is the
+    // whole corpus, so the result must equal the un-pruned trained
+    // ADC scan — identical books, identical scoring rule
+    val full = Similarity.ivfPqTrainedTopK(emb, nProbe = 16,
+      fixtureScale = true)
+    assert(rows(full) == rows(
+      Similarity.pqTrainedTopK(emb, fixtureScale = true)),
+      "full-probe trained IVF-PQ must reproduce the trained PQ scan")
+    // the pruned path keeps the top-k contract per query
+    val pruned = Similarity.ivfPqTrainedTopK(emb, fixtureScale = true)
+    val perQ = pruned.groupBy("qid").count().collect()
+    assert(perQ.forall(_.getLong(1) <= 5))
+    assert(pruned.count() > 0)
+  }
+
   test("multi-table LSH: 1 table matches the single-bucket index, " +
     "recall rises with table count") {
     def ids(df: org.apache.spark.sql.DataFrame) = df
