@@ -770,10 +770,14 @@ object Similarity {
       .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
       .unionByName(ids(pqTrainedTopK(emb, nQueries = nQueries, k = k,
         fixtureScale = fixtureScale), "pq_trained"))
+      .unionByName(ids(ivfPqTrainedTopK(emb, nCentroids, nProbe,
+        nQueries = nQueries, k = k, fixtureScale = fixtureScale),
+        "ivfpq_trained"))
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    Seq("ivf", "ivfpq", "lsh", "lsh_multi", "pq", "pq_trained")
+    Seq("ivf", "ivfpq", "ivfpq_trained", "lsh", "lsh_multi", "pq",
+      "pq_trained")
       .toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))

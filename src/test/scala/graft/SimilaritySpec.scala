@@ -123,8 +123,8 @@ class SimilaritySpec extends AnyFunSuite {
     // composed index is reported alongside the others
     val methods = Similarity.annRecall(emb, fixtureScale = true)
       .select("method").collect().map(_.getString(0)).toSet
-    assert(methods == Set("ivf", "ivfpq", "lsh", "lsh_multi", "pq",
-      "pq_trained"))
+    assert(methods == Set("ivf", "ivfpq", "ivfpq_trained", "lsh",
+      "lsh_multi", "pq", "pq_trained"))
   }
 
   test("PQ training: Lloyd iterations never increase quantisation " +
