@@ -31,19 +31,28 @@ object Sinks {
     */
   def encodePartitions(spark: SparkSession, nRows: Long,
                        targetRowsPerTask: Long = 65536L): Int = {
-    require(targetRowsPerTask > 0, "targetRowsPerTask must be > 0")
     spark.conf.getOption("spark.graft.sink.encodePartitions") match {
       case Some(v) =>
         val n = v.toInt
         require(n > 0, s"spark.graft.sink.encodePartitions must be " +
           s"> 0, got $n")
         n
-      case None =>
-        val bySize =
-          (nRows + targetRowsPerTask - 1) / targetRowsPerTask
-        val floor = spark.sparkContext.defaultParallelism.toLong
-        math.max(1L, math.min(math.max(bySize, floor), 65536L)).toInt
+      case None => deriveEncodePartitions(nRows,
+        spark.sparkContext.defaultParallelism, targetRowsPerTask)
     }
+  }
+
+  /** The pure size→task-count rule behind [[encodePartitions]]
+    * (property-tested: monotone in rows, floored at the cluster
+    * parallelism, capped at 65536).
+    */
+  def deriveEncodePartitions(nRows: Long, defaultParallelism: Int,
+                             targetRowsPerTask: Long = 65536L): Int = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be > 0")
+    val bySize = (nRows + targetRowsPerTask - 1) / targetRowsPerTask
+    math.max(1L,
+      math.min(math.max(bySize, defaultParallelism.toLong), 65536L))
+      .toInt
   }
 
   /** K1: assign the global uvfits row index in (keys...) order.

@@ -320,4 +320,35 @@ object PropertySpecs extends Properties("kernels") {
       // note: detection flags are NOT generally monotone (masking
       // changes the background estimate), so only closure is asserted
     }
+
+  property("encode partition derivation: monotone in rows, floored " +
+    "at the parallelism, capped") =
+    Prop.forAll(Gen.chooseNum(0L, 1L << 50), Gen.chooseNum(0L, 1L << 50),
+      Gen.chooseNum(1, 512)) { (a, b, par) =>
+      import graft.sinks.Sinks.deriveEncodePartitions
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (pLo, pHi) = (deriveEncodePartitions(lo, par),
+        deriveEncodePartitions(hi, par))
+      pLo <= pHi &&                              // monotone in rows
+        pLo >= math.min(par, 65536) &&           // floor
+        pHi <= 65536 &&                          // cap
+        deriveEncodePartitions(0L, par) == math.min(par, 65536)
+    }
+
+  property("line-RMS outlier pass: a constant grid flags nothing; " +
+    "one strongly scaled line flags exactly itself") =
+    // nL >= 6: a single outlier among m lines has z = sqrt(m-1), so
+    // k = 2.0 is only exceedable from m = 6 lines up
+    Prop.forAll(Gen.chooseNum(6, 16), Gen.chooseNum(4, 16),
+      Gen.chooseNum(0.5, 2.0), Gen.chooseNum(0, 15)) {
+      (nL, nC, base, hotIdx) =>
+      val hot = hotIdx % nL
+      val flat = graft.ops.RfiFlag.rmsThresholdLines(nL, nC,
+        (_, _) => base, (_, _) => true, 2.0, flagLow = false, 3)
+      val oneHot = graft.ops.RfiFlag.rmsThresholdLines(nL, nC,
+        (i, _) => if (i == hot) base * 50 else base,
+        (_, _) => true, 2.0, flagLow = false, 3)
+      flat.forall(!_) &&
+        oneHot(hot) && oneHot.count(identity) == 1
+    }
 }
