@@ -690,30 +690,67 @@ object Similarity {
     * re-derives both trainings with the iterations unrolled, so the
     * end-to-end train → index → prune → ADC path is hash-gated.
     */
-  def ivfPqTrainedTopK(emb: DataFrame, nCentroids: Int = 16,
-                       nProbe: Int = 2, nCodes: Int = 16, m: Int = 8,
-                       iters: Int = 2, nQueries: Int = 8, k: Int = 5,
-                       dim: Int = 64,
-                       fixtureScale: Boolean = false): DataFrame = {
-    Clustering.requireScaledK("ivfPqTrainedTopK", nCentroids,
-      fixtureScale)
+  /** Model state of the FULLY-trained index: exact micro-unit k-means
+    * centroids + exact Lloyd PQ codebooks (the double/micro world,
+    * hash-gateable end-to-end; [[IvfPqModel]] is the float sibling).
+    */
+  final case class IvfPqTrainedModel(
+      cents: Array[(Int, Array[Double])],
+      books: Array[Array[(Int, Array[Double])]])
+
+  object IvfPqTrainedModel {
+    def train(emb: DataFrame, nCentroids: Int = 16, nCodes: Int = 16,
+              m: Int = 8, iters: Int = 2,
+              dim: Int = 64): IvfPqTrainedModel =
+      IvfPqTrainedModel(Clustering.train(emb, nCentroids, iters, dim),
+        pqTrainedCodebooks(emb, nCodes, m, iters, dim))
+  }
+
+  /** Corpus-resident index frame for the trained model: `(vec_id,
+    * cell, c0..c{m-1})` as one zero-shuffle projection over the
+    * micro-unit corpus — persist `partitionBy("cell")` and
+    * [[ivfPqTrainedSearch]]'s static prune becomes a partition-pruned
+    * read, exactly the [[ivfPqIndex]] serving layout with the trained
+    * quantisers.
+    */
+  def ivfPqTrainedIndex(emb: DataFrame, model: IvfPqTrainedModel,
+                        m: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.DoubleVecDot.register(emb.sparkSession)
     val subDim = dim / m
-    val cents = Clustering.train(emb, nCentroids, iters, dim)
-    val books = pqTrainedCodebooks(emb, nCodes, m, iters, dim)
-    val embq = quantised(emb)
-    val index = embq.select(
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
+    quantised(emb).select(
       col("vec_id") +:
-        pqCodeExprD(cents, col("qv")).as("cell") +:
+        pqCodeExprD(model.cents, col("qv")).as("cell") +:
         (0 until m).map(s =>
-          pqCodeExprD(books(s),
+          pqCodeExprD(model.books(s),
             slice(col("qv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
-    val probes = broadcast(embq.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("qv").as("qe"),
-        explode(slice(cellSortD(cents, col("qv")), 1, nProbe)
-          .getField("cid")).as("cell")))
+  }
+
+  /** ADC search over a prebuilt [[ivfPqTrainedIndex]] frame.
+    * `queries` is a model-sized `(qid, qe)` frame with qe in
+    * MICRO-UNITS (the [[quantised]] projection). Same static-prune
+    * contract as [[ivfPqSearch]].
+    */
+  def ivfPqTrainedSearch(index: DataFrame, queries: DataFrame,
+                         model: IvfPqTrainedModel, nProbe: Int = 2,
+                         k: Int = 5, m: Int = 8, dim: Int = 64,
+                         staticPrune: Boolean = false): DataFrame = {
+    graft.functions.DoubleVecDot.register(index.sparkSession)
+    val subDim = dim / m
+    val probes = broadcast(queries
+      .withColumn("cell",
+        explode(slice(cellSortD(model.cents, col("qe")), 1, nProbe)
+          .getField("cid")))
+      .select(col("qid"), col("qe"), col("cell")))
+    val pruned =
+      if (!staticPrune) index
+      else {
+        val cells = probes.select("cell").distinct().collect()
+          .map(_.getInt(0))
+        index.where(col("cell").isin(cells.toIndexedSeq: _*))
+      }
     val cwLit: Array[Column] = Array.tabulate(m)(s =>
-      typedLit(books(s).map(_._2.toSeq).toSeq))
+      typedLit(model.books(s).map(_._2.toSeq).toSeq))
     val scoreCol = (0 until m).map { s =>
       call_function("double_dot",
         slice(col("qe"), s * subDim + 1, subDim),
@@ -721,7 +758,7 @@ object Similarity {
     }.reduce(_ + _)
     // one cell per vector + distinct probed cells per query ⇒ unique
     // (qid, vec_id) pairs, no dedup stage
-    val scored = probes.join(index, Seq("cell"))
+    val scored = probes.join(pruned, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
     val w = Window.partitionBy("qid")
@@ -729,6 +766,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("pq_score"))
+  }
+
+  def ivfPqTrainedTopK(emb: DataFrame, nCentroids: Int = 16,
+                       nProbe: Int = 2, nCodes: Int = 16, m: Int = 8,
+                       iters: Int = 2, nQueries: Int = 8, k: Int = 5,
+                       dim: Int = 64,
+                       fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("ivfPqTrainedTopK", nCentroids,
+      fixtureScale)
+    val model = IvfPqTrainedModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val queries = quantised(emb).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    ivfPqTrainedSearch(ivfPqTrainedIndex(emb, model, m, dim), queries,
+      model, nProbe, k, m, dim)
   }
 
   /** Recall@k of the three approximate indexes (LSH bucket, IVF,

@@ -211,6 +211,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("trained IVF-PQ serving split: a persisted cell-partitioned " +
+    "index + static prune reproduces the composed gate as a " +
+    "partition-pruned read") {
+    import graft.llm.Clustering
+    import graft.llm.TextExprs.SparkD
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val model = Similarity.IvfPqTrainedModel.train(emb)
+    val dir = java.nio.file.Files.createTempDirectory("annidx")
+      .toString + "/index"
+    Similarity.ivfPqTrainedIndex(emb, model)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        expr(Clustering.quantSql("embedding")(SparkD)).as("qe"))
+    val served = Similarity.ivfPqTrainedSearch(idx, queries, model,
+      staticPrune = true)
+    assert(rows(served) ==
+      rows(Similarity.ivfPqTrainedTopK(emb, fixtureScale = true)),
+      "served path must reproduce the composed gate")
+    // the static IN filter over the partition column must reach the
+    // scan as a PartitionFilter (at 100 TB: only probed cells' files
+    // are read — the AnnProbe-measured serving property). AQE wraps
+    // the scan nodes, so assert on the executed plan's rendering.
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString()
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters: [")).mkString(";")
+    assert(pf.contains("cell"),
+      s"probe cells must prune partitions, got: $pf")
+  }
+
   test("multi-table LSH: 1 table matches the single-bucket index, " +
     "recall rises with table count") {
     def ids(df: org.apache.spark.sql.DataFrame) = df
