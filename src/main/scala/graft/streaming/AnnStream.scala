@@ -77,11 +77,28 @@ object AnnStream {
       .select("qid", "vec_id", "cell", "score_uq")
   }
 
+  /** Streaming index maintenance with the FULLY-trained model
+    * ([[Similarity.IvfPqTrainedModel]], trained offline on the batch
+    * corpus — the offline-model streaming pattern the tokenizer/DSIR
+    * twins use): the exact [[Similarity.ivfPqTrainedIndex]]
+    * projection on an unbounded source, stateless.
+    */
+  def indexStreamTrained(emb: DataFrame,
+                         model: Similarity.IvfPqTrainedModel,
+                         m: Int = 8, dim: Int = 64): DataFrame =
+    Similarity.ivfPqTrainedIndex(emb, model, m, dim)
+
   /** One-shot drains for the spec. */
   def runIndexOnce(spark: SparkSession, dir: String,
                    model: IvfPqModel): DataFrame =
     StreamDrain.runOnce(indexStream(readEmbStream(spark, dir), model),
       "ann_index_stream")
+
+  def runIndexTrainedOnce(spark: SparkSession, dir: String,
+                          model: Similarity.IvfPqTrainedModel): DataFrame =
+    StreamDrain.runOnce(
+      indexStreamTrained(readEmbStream(spark, dir), model),
+      "ann_index_trained_stream")
 
   def runMatchOnce(spark: SparkSession, dir: String,
                    queries: DataFrame, model: IvfPqModel,

@@ -178,4 +178,20 @@ class StreamingSpec extends AnyFunSuite {
       s"match parity: ${sMatch.size} vs ${bMatch.size}")
     assert(sMatch.nonEmpty, "threshold should admit some matches")
   }
+
+  test("streaming indexer with the FULLY-trained model equals its " +
+    "batch twin exactly (offline-trained model, stateless stream)") {
+    import graft.llm.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Similarity.IvfPqTrainedModel.train(emb)
+    val sIdx = graft.streaming.AnnStream
+      .runIndexTrainedOnce(spark, dir, model)
+      .collect().map(_.toSeq).toSet
+    val bIdx = Similarity.ivfPqTrainedIndex(emb, model)
+      .collect().map(_.toSeq).toSet
+    assert(sIdx == bIdx,
+      s"trained index parity: ${sIdx.size} vs ${bIdx.size}")
+    assert(sIdx.nonEmpty)
+  }
 }
