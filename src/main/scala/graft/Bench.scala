@@ -189,6 +189,11 @@ object Bench {
     timeOnce(spark, sfDir, name, fn) // JIT warm-up 2, discarded
     val sec = median((1 to runs.max(3)).map(_ =>
       timeOnce(spark, sfDir, name, fn)))
+    // same cache-leak invariant as the suite pass: a leaked entry in
+    // the idle JVM would mean the 2nd+ timed runs measured a cached
+    // subtree, not the plan
+    require(spark.sharedState.cacheManager.isEmpty,
+      s"idle-JVM $name left entries in the session CacheManager")
     println(f"""BENCHONE {"query":"$name","sec":$sec%.6f}""")
     spark.stop()
   }
