@@ -272,13 +272,9 @@ object Bench {
     // every fork records /proc/loadavg before/after: an idle figure
     // far above the warm-suite figure is either real fresh-JVM cost
     // (~2x for write-heavy sinks) or a LOADED MACHINE — r14 committed
-    // the latter as engine numbers. idle > 2.5x suite is treated as
-    // contamination: wait for external CPU load to subside, re-fork
-    // once, and report the LOWER of the two idle attempts (both kept
-    // in the artifact). If the machine never goes quiet, REFUSE to
-    // emit the benchmark rather than launder inflated numbers.
-    // the artifact's own refusal rule, ENFORCED per entry (the r15
-    // artifact shipped q_k1b at 3.1x after a single hot re-fork):
+    // the latter as engine numbers. The contamination rule is
+    // ENFORCED per entry (the r15 artifact shipped q_k1b at 3.1x
+    // after its single permitted hot re-fork):
     // re-fork up to `maxIdleAttempts` total times, each after waiting
     // for external CPU load to subside; if the BEST idle attempt still
     // exceeds the ratio, the entry ships its SUITE figure with
@@ -289,11 +285,17 @@ object Bench {
     val maxIdleAttempts = 4
     val attempts = scala.collection.mutable.Map[String, Vector[IdleAttempt]]()
     val suiteBased = scala.collection.mutable.Set[String]()
+    // forks that produced NO measurement (child crashed / invariant
+    // fired) — recorded in the artifact so a reader can distinguish
+    // "spot-checked clean" from "never idle-measured"
+    val forkFailed = scala.collection.mutable.Set[String]()
     slowest.toSeq.sorted.foreach { n =>
-      forkAttempt(n).foreach { a =>
-        System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
-          f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
-        attempts(n) = Vector(a)
+      forkAttempt(n) match {
+        case Some(a) =>
+          System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
+            f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
+          attempts(n) = Vector(a)
+        case None => forkFailed += n
       }
       def best: Option[Double] =
         attempts.get(n).map(_.map(_.sec).min)
@@ -358,7 +360,10 @@ object Bench {
         s""","basis":"$basis","suite_sec":${suiteMap(k)}""" +
           s""","idle_sec":$idleBest""" +
           attempts(k).map(_.json).mkString(""","idle_attempts":[""", ",", "]")
-      } else ""
+      } else if (forkFailed.contains(k))
+        s""","basis":"suite","suite_sec":${suiteMap(k)}""" +
+          s""","idle_error":true"""
+      else ""
       val split = if (k == "q_k2b_ms_container") k2bSplit else ""
       s""""$k":{"sec":$v$extra$split}"""
     }.mkString("{", ",", "}")
@@ -405,6 +410,10 @@ object Bench {
         gen ++= s"\nSuite-based entries (every idle attempt hot): " +
           s"${suiteBased.toSeq.sorted.mkString(", ")}.\n"
     }
+    if (forkFailed.nonEmpty)
+      gen ++= s"\nIdle fork FAILED (entry ships suite figure, " +
+        s"`idle_error` in artifact): " +
+        s"${forkFailed.toSeq.sorted.mkString(", ")}.\n"
     val gw = new java.io.FileWriter("BENCH_NOTES_GEN.md")
     try gw.write(gen.toString) finally gw.close()
 

@@ -594,7 +594,12 @@ object Similarity {
     graft.functions.DoubleVecDot.register(emb.sparkSession)
     val subDim = dim / m
     require(subDim * m == dim, s"dim $dim not divisible by m $m")
-    val embq = quantised(emb)
+    // Clustering.train's pattern: training is fully materialised
+    // inside this call (seeds + one aggregate per iteration), so the
+    // quantised corpus caches for its duration and unpersists before
+    // return — the session CacheManager stays empty for the caller
+    val embq = quantised(emb).cache()
+    try {
     val seeds = embq.where(col("vec_id") < nCodes)
       .select(col("vec_id").cast("int"), col("qv"))
       .collect()
@@ -635,6 +640,7 @@ object Similarity {
       })
     }
     books
+    } finally embq.unpersist(false)
   }
 
   /** The full production PQ path — train → encode → ADC search — as
@@ -811,6 +817,21 @@ object Similarity {
       .select("qid", "vec_id").localCheckpoint(eager = false)
     def ids(df: DataFrame, method: String): DataFrame =
       df.select(lit(method).as("method"), col("qid"), col("vec_id"))
+    // train ONE IvfPqTrainedModel and serve both trained rows from it
+    // (training is driver-looped corpus scans — the expensive part):
+    // pq_trained = full probe ≡ the un-pruned trained ADC scan
+    // (SimilaritySpec pins the identity), ivfpq_trained = nProbe
+    val trainedPair: (DataFrame, DataFrame) = {
+      Clustering.requireScaledK("annRecall(trained)", nCentroids,
+        fixtureScale)
+      val tm = IvfPqTrainedModel.train(emb, nCentroids)
+      val tIdx = ivfPqTrainedIndex(emb, tm)
+        .localCheckpoint(eager = false)
+      val tQ = quantised(emb).where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qe"))
+      (ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = tm.cents.length, k = k),
+        ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = nProbe, k = k))
+    }
     val got = ids(lshTopK(emb, nQueries, k), "lsh")
       .unionByName(ids(lshMultiTopK(emb, nQueries, k, nTables),
         "lsh_multi"))
@@ -820,11 +841,8 @@ object Similarity {
         nQueries = nQueries, k = k, fixtureScale = fixtureScale),
         "ivfpq"))
       .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
-      .unionByName(ids(pqTrainedTopK(emb, nQueries = nQueries, k = k,
-        fixtureScale = fixtureScale), "pq_trained"))
-      .unionByName(ids(ivfPqTrainedTopK(emb, nCentroids, nProbe,
-        nQueries = nQueries, k = k, fixtureScale = fixtureScale),
-        "ivfpq_trained"))
+      .unionByName(ids(trainedPair._1, "pq_trained"))
+      .unionByName(ids(trainedPair._2, "ivfpq_trained"))
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))

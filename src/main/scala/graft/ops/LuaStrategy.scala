@@ -492,14 +492,19 @@ object LuaStrategy {
             case (Some(k), l) if k > 0 &&
                 l.forall(a => a == "true" || a == "false") =>
               val here = inLoop(pos)
+              val lowHere = l.forall(_ == "true")
+              // a re-targeting call displaces the earlier one when
+              // the threshold, the loop placement OR the flag_low arg
+              // differs — any of the three changes the pass
               if (s.chRmsThreshold > 0 &&
-                  (s.chRmsThreshold != k || s.chRmsInLoop != here))
+                  (s.chRmsThreshold != k || s.chRmsInLoop != here ||
+                    s.chRmsFlagLow != lowHere))
                 chSnip.foreach(p => unmapped += p._1)
               // in-loop call site: MODELED — per-pol, inside every
               // detect iteration, before SIR (RfiStrategy.chRmsInLoop);
               // the LAST call site's placement wins
               s = s.copy(chRmsThreshold = k,
-                chRmsFlagLow = l.forall(_ == "true"),
+                chRmsFlagLow = lowHere,
                 chRmsInLoop = here)
               chSnip = Some((snippet, here))
               if (!here && sirPos.exists(pos < _))

@@ -63,10 +63,16 @@ object Sinks {
     * byte-offset slices.
     */
   def orderedRowIdx(df: DataFrame, keys: Seq[String],
-                    numParts: Int = 32): DataFrame = {
+                    numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // numParts <= 0: derive from the conf override / cluster
+    // parallelism (rows unknown without an extra job — the floor
+    // alone already removes the old fixed-32 ceiling; AQE coalesces
+    // small range partitions at runtime)
+    val parts =
+      if (numParts > 0) numParts else encodePartitions(spark, 0L)
     val sorted = df
-      .repartitionByRange(numParts, keys.map(col): _*)
+      .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val schema = sorted.schema.add("row_idx", LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>

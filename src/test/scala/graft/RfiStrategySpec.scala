@@ -517,6 +517,16 @@ class RfiStrategySpec extends AnyFunSuite {
       "the in-loop re-call must set the in-loop placement")
     assert(tr2.unmapped.exists(_.contains("threshold_channel_rms")),
       s"displaced post-loop call must be reported: ${tr2.unmapped}")
+    // a flag_low-only re-targeting is ALSO a displacement (same
+    // threshold, same position, different pass semantics)
+    val tr3 = LuaStrategy.translate(
+      """function execute(input)
+        |  aoflagger.threshold_channel_rms(data, 2.5, true)
+        |  aoflagger.threshold_channel_rms(data, 2.5, false)
+        |end""".stripMargin)
+    assert(!tr3.strategy.chRmsFlagLow, "last call's flag_low wins")
+    assert(tr3.unmapped.exists(_.contains("threshold_channel_rms")),
+      s"flag_low re-targeting must be reported: ${tr3.unmapped}")
   }
 
   test("whole-line RMS flaggers do real work: each pass tightens " +
