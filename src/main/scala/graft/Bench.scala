@@ -290,33 +290,38 @@ object Bench {
     // "spot-checked clean" from "never idle-measured"
     val forkFailed = scala.collection.mutable.Set[String]()
     slowest.toSeq.sorted.foreach { n =>
-      forkAttempt(n) match {
-        case Some(a) =>
-          System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
-            f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
-          attempts(n) = Vector(a)
-        case None => forkFailed += n
-      }
       def best: Option[Double] =
         attempts.get(n).map(_.map(_.sec).min)
-      var tries = attempts.get(n).map(_.size).getOrElse(0)
-      while (best.exists(_ > contaminationRatio * suiteMap(n)) &&
+      // a crashed fork and a contaminated fork draw from the SAME
+      // attempt budget: keep forking (after the bounded quiet wait,
+      // except before the very first try) until an attempt lands
+      // under the gate or the budget runs out
+      var tries = 0
+      while ((best.isEmpty ||
+          best.exists(_ > contaminationRatio * suiteMap(n))) &&
           tries < maxIdleAttempts) {
-        System.err.println(f"[bench] idle-JVM $n best attempt is " +
-          f"${best.get / suiteMap(n)}%.1fx its suite figure — " +
-          "suspected load contamination, waiting for quiet + re-fork")
-        val quiet = awaitQuiet(maxWaitSec = 300)
-        if (!quiet)
-          System.err.println(s"[bench] $n: machine never went quiet " +
-            "within the wait budget; forking anyway for the record")
-        forkAttempt(n).foreach { b =>
-          System.err.println(f"[bench] idle-JVM $n re-fork: " +
-            f"${b.sec}%.3f s (load ${b.loadBefore}%.2f)")
-          attempts(n) = attempts(n) :+ b
+        if (tries > 0) {
+          best.foreach(b => System.err.println(
+            f"[bench] idle-JVM $n best attempt is " +
+              f"${b / suiteMap(n)}%.1fx its suite figure — suspected " +
+              "load contamination, waiting for quiet + re-fork"))
+          if (!awaitQuiet(maxWaitSec = 300))
+            System.err.println(s"[bench] $n: machine never went " +
+              "quiet within the wait budget; forking anyway")
+        }
+        forkAttempt(n) match {
+          case Some(a) =>
+            System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
+              f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
+            attempts(n) = attempts.getOrElse(n, Vector.empty) :+ a
+          case None =>
+            System.err.println(s"[bench] idle-JVM $n: fork produced " +
+              "no measurement")
         }
         tries += 1
       }
-      if (best.exists(_ > contaminationRatio * suiteMap(n))) {
+      if (best.isEmpty) forkFailed += n
+      else if (best.exists(_ > contaminationRatio * suiteMap(n))) {
         suiteBased += n
         System.err.println(f"[bench] $n: best idle " +
           f"${best.get}%.3f s is still > ${contaminationRatio}x the " +

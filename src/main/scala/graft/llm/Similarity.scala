@@ -572,6 +572,33 @@ object Similarity {
       expr(Clustering.quantSql("embedding")).as("qv"))
   }
 
+  /** The trained-path ADC rank: score each (qe, c0..c{m-1}) candidate
+    * pair by summing per-subspace query·codeword dots from the
+    * literal trained books (s = 0..m−1 left-to-right), rescale to
+    * cosine units, round, and keep the per-query top k with the
+    * (score desc, vec_id asc) tie-break. ONE definition so the
+    * spec-pinned identities (full probe ≡ un-pruned scan, served ≡
+    * composed gate) cannot drift between call sites.
+    */
+  private def adcTopKD(pairs: DataFrame,
+                       books: Array[Array[(Int, Array[Double])]],
+                       m: Int, subDim: Int, k: Int): DataFrame = {
+    val cwLit: Array[Column] = Array.tabulate(m)(s =>
+      typedLit(books(s).map(_._2.toSeq).toSeq))
+    val scoreCol = (0 until m).map { s =>
+      call_function("double_dot",
+        slice(col("qe"), s * subDim + 1, subDim),
+        element_at(cwLit(s), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val scored = pairs
+      .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("pq_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("pq_score"))
+  }
+
   /** Per-subspace Lloyd training of the PQ codebooks on the
     * MICRO-UNIT grid — the oracle-gateable twin of
     * [[trainPqCodebooks]]. [[trainPqCodebooks]]'s float `avg` is
@@ -667,20 +694,8 @@ object Similarity {
         slice(col("qv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
     val q = broadcast(embq.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qe")))
-    val cwLit: Array[Column] = Array.tabulate(m)(s =>
-      typedLit(books(s).map(_._2.toSeq).toSeq))
-    val scoreCol = (0 until m).map { s =>
-      call_function("double_dot",
-        slice(col("qe"), s * subDim + 1, subDim),
-        element_at(cwLit(s), col(s"c$s") + 1))
-    }.reduce(_ + _)
-    val scored = coded.join(q, col("vec_id") =!= col("qid"))
-      .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("pq_score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("pq_score"))
+    adcTopKD(coded.join(q, col("vec_id") =!= col("qid")),
+      books, m, subDim, k)
   }
 
   /** The COMPLETE production serving path with BOTH quantisers
@@ -755,23 +770,11 @@ object Similarity {
           .map(_.getInt(0))
         index.where(col("cell").isin(cells.toIndexedSeq: _*))
       }
-    val cwLit: Array[Column] = Array.tabulate(m)(s =>
-      typedLit(model.books(s).map(_._2.toSeq).toSeq))
-    val scoreCol = (0 until m).map { s =>
-      call_function("double_dot",
-        slice(col("qe"), s * subDim + 1, subDim),
-        element_at(cwLit(s), col(s"c$s") + 1))
-    }.reduce(_ + _)
     // one cell per vector + distinct probed cells per query ⇒ unique
     // (qid, vec_id) pairs, no dedup stage
-    val scored = probes.join(pruned, Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("pq_score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("pq_score"))
+    adcTopKD(probes.join(pruned, Seq("cell"))
+      .where(col("vec_id") =!= col("qid")),
+      model.books, m, subDim, k)
   }
 
   def ivfPqTrainedTopK(emb: DataFrame, nCentroids: Int = 16,

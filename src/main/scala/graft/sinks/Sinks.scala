@@ -65,12 +65,16 @@ object Sinks {
   def orderedRowIdx(df: DataFrame, keys: Seq[String],
                     numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    // numParts <= 0: derive from the conf override / cluster
-    // parallelism (rows unknown without an extra job — the floor
-    // alone already removes the old fixed-32 ceiling; AQE coalesces
-    // small range partitions at runtime)
+    // numParts <= 0: size from the cluster's parallelism (rows are
+    // unknown without an extra job; the parallelism floor alone
+    // removes the old fixed-32 ceiling). Deliberately NOT the
+    // spark.graft.sink.encodePartitions knob — that sizes the binary
+    // ENCODE tasks, and an explicit repartition count is exempt from
+    // AQE coalescing, so coupling the two would force the row-index
+    // range shuffle to the encode width even on tiny frames.
     val parts =
-      if (numParts > 0) numParts else encodePartitions(spark, 0L)
+      if (numParts > 0) numParts
+      else spark.sparkContext.defaultParallelism
     val sorted = df
       .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
