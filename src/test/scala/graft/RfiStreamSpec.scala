@@ -135,6 +135,33 @@ class RfiStreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("batch parity holds under IN-LOOP RMS placement (the r16 " +
+    "feedback semantics flow through the streaming twin unchanged)") {
+    import spark.implicits._
+    val inloop = RfiStrategy(madK = 6.0, iterations = 2,
+      rmsIterations = 1, tsRmsThreshold = 1.02, chRmsThreshold = 1.01,
+      tsRmsInLoop = true, chRmsInLoop = true)
+    val flagged = FlagOps.setFlags(
+      VisSynth.vis(spark, "/root/testdata/sf0.001"),
+      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
+      .where(col("bl") < 4)
+    val cells = flagged.select(col("bl"), col("t"), col("chan"),
+      array(sqrt(col("v0") * col("v0") + col("v1") * col("v1")))
+        .as("amps"), col("flag")).as[RfiCell].collect()
+    val streamed = cells.groupBy(_.bl).flatMap { case (bl, rows) =>
+      val st = new FakeState(None)
+      assert(RfiStream.updateBl(bl, rows.iterator, st, 1000L,
+        inloop).isEmpty)
+      RfiStream.openFlags(bl, st.v.get, inloop)
+    }.map(o => (o.bl, o.t, o.chan, o.rfi)).toSet
+    val batch = RfiFlag(flagged, inloop)
+      .select("bl", "t", "chan", "rfi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("real stream end-to-end: a second micro-batch advances the " +
     "window and emits the exited timesteps") {
     import spark.implicits._
