@@ -300,7 +300,11 @@ object Bench {
       while ((best.isEmpty ||
           best.exists(_ > contaminationRatio * suiteMap(n))) &&
           tries < maxIdleAttempts) {
-        if (tries > 0) {
+        // wait for quiet only after a HOT measurement — a crashed
+        // fork carries no contamination signal, and paying the
+        // up-to-300 s wait before every re-fork would turn a
+        // deterministic crasher into ~15 min of pure waiting
+        if (tries > 0 && best.nonEmpty) {
           best.foreach(b => System.err.println(
             f"[bench] idle-JVM $n best attempt is " +
               f"${b / suiteMap(n)}%.1fx its suite figure — suspected " +

@@ -317,14 +317,13 @@ object LuaStrategy {
     val unmapped = scala.collection.mutable.ArrayBuffer[String]()
     val bandpass = scala.collection.mutable.ArrayBuffer[String]()
     // last snippet mapped into each RMS slot — the call a later
-    // different-threshold re-targeting displaces (and must report)
-    // per-pol RMS slots record (snippet, wasInLoop) so a later call
-    // re-targeting the slot from a DIFFERENT loop position displaces
-    // the earlier one visibly (last call site wins, never a silent
-    // collapse of two placements into one)
-    var tsSnip: Option[(String, Boolean)] = None
+    // re-targeting displaces (and must report); the slot's loop
+    // placement lives in s.tsRmsInLoop / s.chRmsInLoop (the strategy
+    // field the displacement check reads), so the slot holds the
+    // snippet text only
+    var tsSnip: Option[String] = None
     var tsFinalSnip: Option[String] = None
-    var chSnip: Option[(String, Boolean)] = None
+    var chSnip: Option[String] = None
     // downsample → low_pass_filter → upsample bracketing: published
     // strategies compute their high-pass background on a decimated
     // image for speed (aoflagger's own high_pass_filter does the same
@@ -465,13 +464,13 @@ object LuaStrategy {
                 // site's placement wins
                 if (s.tsRmsThreshold > 0 &&
                     (s.tsRmsThreshold != k || s.tsRmsInLoop != here))
-                  tsSnip.foreach(p => unmapped += p._1)
+                  tsSnip.foreach(unmapped += _)
                 // in-loop per-pol call site: MODELED — the engine
                 // runs the pass inside every detect iteration, so
                 // its flags feed the next iteration's statistics
                 // (RfiStrategy.tsRmsInLoop), full fidelity
                 s = s.copy(tsRmsThreshold = k, tsRmsInLoop = here)
-                tsSnip = Some((snippet, here))
+                tsSnip = Some(snippet)
               }
               if (inLoop(pos) && inputName.contains(args(0).trim))
                 approximated += s"$snippet: the whole-set final " +
@@ -499,14 +498,14 @@ object LuaStrategy {
               if (s.chRmsThreshold > 0 &&
                   (s.chRmsThreshold != k || s.chRmsInLoop != here ||
                     s.chRmsFlagLow != lowHere))
-                chSnip.foreach(p => unmapped += p._1)
+                chSnip.foreach(unmapped += _)
               // in-loop call site: MODELED — per-pol, inside every
               // detect iteration, before SIR (RfiStrategy.chRmsInLoop);
               // the LAST call site's placement wins
               s = s.copy(chRmsThreshold = k,
                 chRmsFlagLow = lowHere,
                 chRmsInLoop = here)
-              chSnip = Some((snippet, here))
+              chSnip = Some(snippet)
               if (!here && sirPos.exists(pos < _))
                 approximated += s"$snippet: called BEFORE the " +
                   "strategy's scale_invariant_rank_operator; the " +

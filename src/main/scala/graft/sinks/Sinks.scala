@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -56,15 +56,32 @@ object Sinks {
   }
 
   /** K1: assign the global uvfits row index in (keys...) order.
-    * Two-pass: range-partition + local sort puts partitions in global
-    * order; `zipWithIndex` then assigns contiguous indices using partition
-    * sizes only (one lightweight extra job) — each task writes its slice
-    * independently, exactly how a parallel FITS encoder would emit
-    * byte-offset slices.
+    * Two-pass, all-DataFrame: range-partition + local sort puts
+    * partitions in global order; `monotonically_increasing_id` then
+    * numbers rows consecutively WITHIN each partition (pid in the high
+    * bits, a 0-based counter in the low 33), so the global index is
+    * `partition_offset + (mid − partition_first_mid)` — the offsets
+    * come from one model-sized aggregate (≤ numParts rows) and return
+    * to the scan through a broadcast-hash join. The whole path stays
+    * inside Tungsten/whole-stage codegen: the previous
+    * `rdd.zipWithIndex` variant deserialised every row to external
+    * `Row` objects and re-encoded them, paying full materialisation
+    * twice on the sink path.
+    *
+    * The sorted frame is locally checkpointed (eager) before the two
+    * consumers: the range partitioner SAMPLES its bounds with an
+    * RDD-id-dependent seed, so two separately-planned jobs over the
+    * same lineage may cut DIFFERENT partition bounds — the offsets
+    * would then be computed against a different partitioning than the
+    * final pass reads. Pinning the partitions also means the range
+    * shuffle executes once, not twice (the old zipWithIndex recomputed
+    * the parent for its second pass). Blocks are InternalRow — no
+    * CacheManager entry, no row re-encoding.
     */
   def orderedRowIdx(df: DataFrame, keys: Seq[String],
                     numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     // numParts <= 0: size from the cluster's parallelism (rows are
     // unknown without an extra job; the parallelism floor alone
     // removes the old fixed-32 ceiling). Deliberately NOT the
@@ -78,11 +95,25 @@ object Sinks {
     val sorted = df
       .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-    val schema = sorted.schema.add("row_idx", LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, schema)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    // per-partition (row count, first id): model-sized (≤ parts rows),
+    // map-side combined — the bounded collect a parallel encoder needs
+    // to turn local counts into global byte/row offsets
+    val stats = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("n"), min("__mid").as("base"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = stats.map { case (pid, n, base) =>
+      val off = acc; acc += n; (pid, off, base)
+    }.toSeq.toDF("__pid", "__off", "__base")
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn("row_idx",
+        (col("__off") + (col("__mid") - col("__base"))).cast(LongType))
+      .select(df.columns.map(col).toIndexedSeq :+ col("row_idx"): _*)
   }
 
   /** K3 mwaf occupancy statistics per (coarse_chan, baseline)
@@ -125,15 +156,25 @@ object Sinks {
     * in-memory catalog forgets the table while the warehouse directory
     * persists on disk, and saveAsTable then refuses with
     * LOCATION_ALREADY_EXISTS — remove the stale path so the mirror
-    * writers are re-runnable across sessions.
+    * writers are re-runnable across sessions. The default-path delete
+    * covers ONLY the stale-directory case — NO table registered under
+    * the name yet the managed location survives from an earlier
+    * session. If a table WAS registered, DROP TABLE already removed a
+    * managed table's data, and an EXTERNAL table's data (wherever it
+    * lives — including a namesake directory at the default path) is
+    * someone else's: deleting it here would destroy a bystander, so
+    * that case is left to saveAsTable's own collision error.
     */
   private def dropTableAndLocation(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
+    val wasRegistered = spark.catalog.tableExists(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new Path(spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!wasRegistered) {
+      val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   def writeBucketedMirror(df: DataFrame, table: String,
