@@ -681,6 +681,16 @@ object SparkEntry {
     // k-means cells + Lloyd codebooks -> index -> nProbe prune -> ADC
     "q_sim12_ann_ivfpq_trained" -> ((s, dir) =>
       Similarity.ivfPqTrainedTopK(emb(s, dir), fixtureScale = true)),
+    // canonical IVF-ADC (residual encoding): the PQ codes quantise
+    // x − centroid(cell) on the exact integer micro grid; oracle
+    // re-derives snapped centroids, residuals and the residual Lloyd
+    // rounds independently
+    "q_sim13_ann_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(emb(s, dir), fixtureScale = true)),
+    // the serving tail: trained ADC top-R, exact-cosine re-rank to
+    // top-k over candidate-sized frames only
+    "q_sim14_ann_ivfpq_rerank" -> ((s, dir) =>
+      Similarity.ivfPqRerankTopK(emb(s, dir), fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1092,6 +1102,8 @@ object SparkEntry {
     "q_sim10_ann_ivfpq" -> LlmOracles.sim10IvfPq,
     "q_sim11_ann_pq_trained" -> LlmOracles.sim11PqTrained(),
     "q_sim12_ann_ivfpq_trained" -> LlmOracles.sim12IvfPqTrained(),
+    "q_sim13_ann_ivfpq_residual" -> LlmOracles.sim13IvfPqResidual(),
+    "q_sim14_ann_ivfpq_rerank" -> LlmOracles.sim14IvfPqRerank(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

@@ -582,14 +582,18 @@ object Similarity {
     */
   private def adcTopKD(pairs: DataFrame,
                        books: Array[Array[(Int, Array[Double])]],
-                       m: Int, subDim: Int, k: Int): DataFrame = {
+                       m: Int, subDim: Int, k: Int,
+                       cellDot: Option[Column] = None): DataFrame = {
     val cwLit: Array[Column] = Array.tabulate(m)(s =>
       typedLit(books(s).map(_._2.toSeq).toSeq))
-    val scoreCol = (0 until m).map { s =>
+    // with a cell term (residual encoding) the fold starts from the
+    // query·centroid dot — ((cd + d0) + d1)…, exactly the twin's
+    // list_prepend(cd, …) left fold
+    val scoreCol = (cellDot.toSeq ++ (0 until m).map { s =>
       call_function("double_dot",
         slice(col("qe"), s * subDim + 1, subDim),
         element_at(cwLit(s), col(s"c$s") + 1))
-    }.reduce(_ + _)
+    }).reduce(_ + _)
     val scored = pairs
       .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
     val w = Window.partitionBy("qid")
@@ -639,16 +643,32 @@ object Similarity {
       require(v.length == dim,
         s"pqTrainedCodebooks: dim=$dim but vector $cid has ${v.length}")
     }
-    var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m)(
+    val books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m)(
       s => seeds.map { case (cid, v) =>
         (cid, v.slice(s * subDim, (s + 1) * subDim))
       })
+    lloydSubspaceBooks(embq, "qv", books, m, subDim, iters)
+    } finally embq.unpersist(false)
+  }
+
+  /** The per-subspace Lloyd loop shared by [[pqTrainedCodebooks]]
+    * (raw micro vectors) and [[IvfPqResidualModel]] (residual
+    * vectors): each iteration is ONE scan of `frame` — the m
+    * subvector codes are zero-shuffle literal argmaxes over the
+    * current books, the update one map-side-combined (s, code)
+    * aggregate of exact integer sums, model-sized output collected
+    * to the driver. Empty codes keep their previous codeword.
+    */
+  private def lloydSubspaceBooks(frame: DataFrame, vcol: String,
+      books0: Array[Array[(Int, Array[Double])]], m: Int, subDim: Int,
+      iters: Int): Array[Array[(Int, Array[Double])]] = {
+    var books = books0
     for (_ <- 0 until iters) {
-      val stacked = embq.select(explode(array((0 until m).map(s =>
+      val stacked = frame.select(explode(array((0 until m).map(s =>
         struct(lit(s).as("s"),
           pqCodeExprD(books(s),
-            slice(col("qv"), s * subDim + 1, subDim)).as("code"),
-          slice(col("qv"), s * subDim + 1, subDim).as("sv"))
+            slice(col(vcol), s * subDim + 1, subDim)).as("code"),
+          slice(col(vcol), s * subDim + 1, subDim).as("sv"))
       ): _*)).as("x"))
         .select(col("x.s"), col("x.code"), col("x.sv"))
       val aggs = count(lit(1)).as("n") +: (0 until subDim).map(i =>
@@ -667,7 +687,6 @@ object Similarity {
       })
     }
     books
-    } finally embq.unpersist(false)
   }
 
   /** The full production PQ path — train → encode → ADC search — as
@@ -792,10 +811,231 @@ object Similarity {
       model, nProbe, k, m, dim)
   }
 
-  /** Recall@k of the three approximate indexes (LSH bucket, IVF,
-    * PQ/ADC) against [[bruteForceTopK]]'s exact ground truth — the
-    * quality number an ANN index is FOR (the determinism gates q_sim2/
-    * 3/4 prove the indexes reproduce; this one grades them as
+  // ---- residual-encoded IVF-PQ (q_sim13) ---------------------------
+
+  /** SQL-`round` twin for driver-held model state: half away from
+    * zero on doubles — bit-identical to `round(x)` in both engines
+    * (checked: DuckDB rounds 2.5→3, −2.5→−3). Used to snap trained
+    * centroids onto the integer micro grid so residuals stay exact.
+    */
+  private def qround(x: Double): Double =
+    if (x < 0) -math.floor(-x + 0.5) else math.floor(x + 0.5)
+
+  /** Model state of the RESIDUAL-encoded IVF-PQ index — the canonical
+    * IVF-ADC form (Jégou, Douze & Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011): PQ codes quantise the
+    * residual x − centroid(cell(x)) instead of the raw vector, so the
+    * codebooks spend their 8-byte budget on the WITHIN-cell geometry
+    * the coarse quantiser already localised — materially better
+    * recall at the same code size (the q_sim8 matrix measures it).
+    *
+    * Hash-gate exactness: residuals must stay on the integer micro
+    * grid or the Lloyd sums become partition-order dependent. The
+    * trained centroid components are exact rationals S/n — NOT
+    * integers — so the residual is taken against [[centsQ]], the
+    * centroid snapped to the micro grid with SQL-round semantics
+    * ([[qround]]); the ≤0.5-micro-unit (5·10⁻⁷ cosine) snap error is
+    * orders below the PQ quantisation error it exists to measure,
+    * and both engines re-derive the same snapped grid. Cell
+    * ASSIGNMENT and probing still use the full-precision [[cents]].
+    */
+  final case class IvfPqResidualModel(
+      cents: Array[(Int, Array[Double])],
+      centsQ: Array[(Int, Array[Double])],
+      books: Array[Array[(Int, Array[Double])]])
+
+  object IvfPqResidualModel {
+    def train(emb: DataFrame, nCentroids: Int = 16, nCodes: Int = 16,
+              m: Int = 8, iters: Int = 2,
+              dim: Int = 64): IvfPqResidualModel =
+      fromCentroids(Clustering.train(emb, nCentroids, iters, dim),
+        emb, nCodes, m, iters, dim)
+
+    /** Train the residual codebooks against an EXISTING coarse
+      * quantiser (shared with the raw-vector trained index — the
+      * q_sim8 matrix trains the centroids once and serves both rows).
+      */
+    def fromCentroids(cents: Array[(Int, Array[Double])],
+                      emb: DataFrame, nCodes: Int = 16, m: Int = 8,
+                      iters: Int = 2,
+                      dim: Int = 64): IvfPqResidualModel = {
+      graft.functions.DoubleVecDot.register(emb.sparkSession)
+      val subDim = dim / m
+      require(subDim * m == dim, s"dim $dim not divisible by m $m")
+      // residuals index the snapped-centroid literal by cell id
+      require(cents.map(_._1).toSeq == (0 until cents.length),
+        "IvfPqResidualModel: centroid cids must be exactly " +
+          s"0..${cents.length - 1}, got " + cents.map(_._1).mkString(","))
+      val centsQ = cents.map { case (cid, v) => (cid, v.map(qround)) }
+      // residual corpus: one zero-shuffle projection (literal-argmax
+      // cell + element-wise integer subtraction); cached for the
+      // bounded training loop, unpersisted before return
+      // (CacheManager-free for the caller, Clustering.train's pattern)
+      val resid = residualFrame(quantised(emb), cents, centsQ)
+        .select("vec_id", "rv").cache()
+      try {
+        val seeds = resid.where(col("vec_id") < nCodes)
+          .select(col("vec_id").cast("int"), col("rv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        require(seeds.map(_._1).toSeq == (0 until nCodes),
+          "IvfPqResidualModel: seed vec_ids must be exactly " +
+            s"0..${nCodes - 1}, got " + seeds.map(_._1).mkString(","))
+        val books0 = Array.tabulate(m)(s => seeds.map { case (cid, v) =>
+          (cid, v.slice(s * subDim, (s + 1) * subDim))
+        })
+        IvfPqResidualModel(cents, centsQ,
+          lloydSubspaceBooks(resid, "rv", books0, m, subDim, iters))
+      } finally resid.unpersist(false)
+    }
+  }
+
+  /** (vec_id, qv, cell, rv): trained-cell assignment (full-precision
+    * literal argmax) + exact integer residual vs the snapped centroid.
+    * Pure projection — zero exchanges.
+    */
+  private def residualFrame(embq: DataFrame,
+                            cents: Array[(Int, Array[Double])],
+                            centsQ: Array[(Int, Array[Double])])
+      : DataFrame = {
+    val cqLit = typedLit(centsQ.map(_._2.toSeq).toSeq)
+    embq
+      .withColumn("cell", pqCodeExprD(cents, col("qv")))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(cqLit, col("cell") + 1), (a, b) => a - b))
+  }
+
+  /** Corpus-resident residual index frame: `(vec_id, cell,
+    * c0..c{m-1})` with the codes quantising the RESIDUAL — same
+    * serving layout as [[ivfPqTrainedIndex]] (persist
+    * `partitionBy("cell")` for partition-pruned probes), one
+    * zero-shuffle projection.
+    */
+  def ivfPqResidualIndex(emb: DataFrame, model: IvfPqResidualModel,
+                         m: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
+    residualFrame(quantised(emb), model.cents, model.centsQ).select(
+      col("vec_id") +: col("cell") +: (0 until m).map(s =>
+        pqCodeExprD(model.books(s),
+          slice(col("rv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
+  }
+
+  /** ADC search over a prebuilt [[ivfPqResidualIndex]]. The candidate
+    * score reconstructs dot(q, x̂) = dot(q, centroid(cell)) +
+    * Σ_s dot(q_s, codeword_s) — the per-cell query·centroid term is
+    * the "ADC table depends on the probed cell" part of canonical
+    * IVF-ADC, and it broadcasts (nProbe × nQueries dots, computed
+    * inline from the literal snapped centroids). Same static-prune
+    * contract as [[ivfPqTrainedSearch]].
+    */
+  def ivfPqResidualSearch(index: DataFrame, queries: DataFrame,
+                          model: IvfPqResidualModel, nProbe: Int = 2,
+                          k: Int = 5, m: Int = 8, dim: Int = 64,
+                          staticPrune: Boolean = false): DataFrame = {
+    graft.functions.DoubleVecDot.register(index.sparkSession)
+    val subDim = dim / m
+    val probes = broadcast(queries
+      .withColumn("cell",
+        explode(slice(cellSortD(model.cents, col("qe")), 1, nProbe)
+          .getField("cid")))
+      .select(col("qid"), col("qe"), col("cell")))
+    val pruned =
+      if (!staticPrune) index
+      else {
+        val cells = probes.select("cell").distinct().collect()
+          .map(_.getInt(0))
+        index.where(col("cell").isin(cells.toIndexedSeq: _*))
+      }
+    val cqLit = typedLit(model.centsQ.map(_._2.toSeq).toSeq)
+    val cellDot = call_function("double_dot", col("qe"),
+      element_at(cqLit, col("cell") + 1))
+    adcTopKD(probes.join(pruned, Seq("cell"))
+      .where(col("vec_id") =!= col("qid")),
+      model.books, m, subDim, k, Some(cellDot))
+  }
+
+  def ivfPqResidualTopK(emb: DataFrame, nCentroids: Int = 16,
+                        nProbe: Int = 2, nCodes: Int = 16, m: Int = 8,
+                        iters: Int = 2, nQueries: Int = 8, k: Int = 5,
+                        dim: Int = 64,
+                        fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("ivfPqResidualTopK", nCentroids,
+      fixtureScale)
+    val model = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val queries = quantised(emb).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    ivfPqResidualSearch(ivfPqResidualIndex(emb, model, m, dim),
+      queries, model, nProbe, k, m, dim)
+  }
+
+  // ---- exact re-rank serving stage (q_sim14) -----------------------
+
+  /** Production ANN's last stage: ADC top-`r` candidates, re-ranked
+    * by EXACT cosine. The ADC pass reads only codes; the exact pass
+    * broadcast-joins the r·nQueries candidate ids back to the corpus
+    * by vec_id — one corpus scan filtered through a broadcast-hash
+    * join, every post-join frame candidate-sized — then one exact
+    * micro-unit dot per candidate and the per-query top-k window.
+    * Any ground-truth neighbour that reaches the candidate set is
+    * returned (a global top-k vector beats every non-truth candidate
+    * on exact cosine), so recall equals candidate coverage — the ADC
+    * ranking error the code budget causes is erased for the cost of
+    * r exact dots per query.
+    */
+  def ivfPqRerankSearch(index: DataFrame, corpusQ: DataFrame,
+                        queries: DataFrame, model: IvfPqTrainedModel,
+                        nProbe: Int = 4, r: Int = 40, k: Int = 5,
+                        m: Int = 8, dim: Int = 64): DataFrame = {
+    val cand = ivfPqTrainedSearch(index, queries, model, nProbe, r,
+      m, dim).select(col("qid"), col("vec_id"))
+    val qn = queries.withColumn("qn",
+      sqrt(call_function("double_dot", col("qe"), col("qe"))))
+    val scored = corpusQ
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(qn), "qid")
+      .withColumn("cos_sim", round(
+        call_function("double_dot", col("qe"), col("qv"))
+          / (col("qn")
+            * sqrt(call_function("double_dot", col("qv"), col("qv")))),
+        6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Gate shape: nProbe = nCentroids/2 and r = 32·k measure recall
+    * 1.0 on the fixture (the spec pins ≥0.95) — the point of the
+    * stage: a SMALL exact budget (r ≪ corpus) erases the ADC
+    * ranking error, leaving only the coarse-prune miss rate.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, nCentroids: Int = 16,
+                      nProbe: Int = 8, nCodes: Int = 16, m: Int = 8,
+                      iters: Int = 2, nQueries: Int = 8, r: Int = 160,
+                      k: Int = 5, dim: Int = 64,
+                      fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("ivfPqRerankTopK", nCentroids,
+      fixtureScale)
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    val model = IvfPqTrainedModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val embq = quantised(emb)
+    val queries = embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    ivfPqRerankSearch(ivfPqTrainedIndex(emb, model, m, dim), embq,
+      queries, model, nProbe, r, k, m, dim)
+  }
+
+  /** Recall@k of the nine approximate retrieval methods (LSH ×2, IVF,
+    * PQ ×2, IVF-PQ seed/trained/residual, trained+exact-rerank)
+    * against [[bruteForceTopK]]'s exact ground truth — the quality
+    * number an ANN index is FOR (the determinism gates q_sim2/3/4/
+    * 10–14 prove the indexes reproduce; this one grades them as
     * approximations). Both sides are deterministic, so the recall is
     * an exact fraction the DuckDB twin pins bit-for-bit.
     *
@@ -820,11 +1060,18 @@ object Similarity {
       .select("qid", "vec_id").localCheckpoint(eager = false)
     def ids(df: DataFrame, method: String): DataFrame =
       df.select(lit(method).as("method"), col("qid"), col("vec_id"))
-    // train ONE IvfPqTrainedModel and serve both trained rows from it
-    // (training is driver-looped corpus scans — the expensive part):
+    // train the coarse quantiser + raw-vector codebooks ONCE and
+    // serve every trained-family row from them (training is
+    // driver-looped corpus scans — the expensive part):
     // pq_trained = full probe ≡ the un-pruned trained ADC scan
-    // (SimilaritySpec pins the identity), ivfpq_trained = nProbe
-    val trainedPair: (DataFrame, DataFrame) = {
+    // (SimilaritySpec pins the identity), ivfpq_trained = nProbe,
+    // ivfpq_residual = the same centroids with residual-trained
+    // codebooks at the SAME nProbe (the IVF-ADC row the raw-vector
+    // one is graded against), ivfpq_rerank = the trained index at its
+    // own serving dial (nProbe = cells/2, exact re-rank of the ADC
+    // top-32k) — the row that shows a small exact budget restores
+    // recall ≈ 1.0
+    val trained: (DataFrame, DataFrame, DataFrame, DataFrame) = {
       Clustering.requireScaledK("annRecall(trained)", nCentroids,
         fixtureScale)
       val tm = IvfPqTrainedModel.train(emb, nCentroids)
@@ -832,8 +1079,13 @@ object Similarity {
         .localCheckpoint(eager = false)
       val tQ = quantised(emb).where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("qv").as("qe"))
+      val rm = IvfPqResidualModel.fromCentroids(tm.cents, emb)
       (ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = tm.cents.length, k = k),
-        ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = nProbe, k = k))
+        ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = nProbe, k = k),
+        ivfPqResidualSearch(ivfPqResidualIndex(emb, rm), tQ, rm,
+          nProbe = nProbe, k = k),
+        ivfPqRerankSearch(tIdx, quantised(emb), tQ, tm,
+          nProbe = tm.cents.length / 2, r = 32 * k, k = k))
     }
     val got = ids(lshTopK(emb, nQueries, k), "lsh")
       .unionByName(ids(lshMultiTopK(emb, nQueries, k, nTables),
@@ -844,13 +1096,15 @@ object Similarity {
         nQueries = nQueries, k = k, fixtureScale = fixtureScale),
         "ivfpq"))
       .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
-      .unionByName(ids(trainedPair._1, "pq_trained"))
-      .unionByName(ids(trainedPair._2, "ivfpq_trained"))
+      .unionByName(ids(trained._1, "pq_trained"))
+      .unionByName(ids(trained._2, "ivfpq_trained"))
+      .unionByName(ids(trained._3, "ivfpq_residual"))
+      .unionByName(ids(trained._4, "ivfpq_rerank"))
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    Seq("ivf", "ivfpq", "ivfpq_trained", "lsh", "lsh_multi", "pq",
-      "pq_trained")
+    Seq("ivf", "ivfpq", "ivfpq_rerank", "ivfpq_residual",
+      "ivfpq_trained", "lsh", "lsh_multi", "pq", "pq_trained")
       .toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))

@@ -123,8 +123,9 @@ class SimilaritySpec extends AnyFunSuite {
     // composed index is reported alongside the others
     val methods = Similarity.annRecall(emb, fixtureScale = true)
       .select("method").collect().map(_.getString(0)).toSet
-    assert(methods == Set("ivf", "ivfpq", "ivfpq_trained", "lsh",
-      "lsh_multi", "pq", "pq_trained"))
+    assert(methods == Set("ivf", "ivfpq", "ivfpq_rerank",
+      "ivfpq_residual", "ivfpq_trained", "lsh", "lsh_multi", "pq",
+      "pq_trained"))
   }
 
   test("PQ training: Lloyd iterations never increase quantisation " +
@@ -242,6 +243,90 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(_.contains("PartitionFilters: [")).mkString(";")
     assert(pf.contains("cell"),
       s"probe cells must prune partitions, got: $pf")
+  }
+
+  test("residual IVF-PQ (q_sim13): snapped centroids live on the " +
+    "integer micro grid, books train on residuals, and the serving " +
+    "split reproduces the composed gate as a partition-pruned read") {
+    import graft.llm.Clustering
+    import graft.llm.TextExprs.SparkD
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val model = Similarity.IvfPqResidualModel.train(emb)
+    // the snap target is integer-valued (exact residual arithmetic)
+    assert(model.centsQ.forall(_._2.forall(x => x == math.rint(x)
+      || x == math.floor(x) || x == math.ceil(x))),
+      "snapped centroids must be integers held in doubles")
+    assert(model.centsQ.forall { case (cid, v) =>
+      v.zip(model.cents.find(_._1 == cid).get._2)
+        .forall { case (q, c) => math.abs(q - c) <= 0.5 } },
+      "snap must move each component at most half a micro unit")
+    // residual books are NOT the raw-vector books: the encoding
+    // genuinely quantises x − centroid(cell)
+    val rawBooks = Similarity.pqTrainedCodebooks(emb)
+    assert(model.books.flatten.map(_._2.toSeq) !=
+      rawBooks.flatten.map(_._2.toSeq),
+      "residual training must move the books off the raw-vector ones")
+    // serving split: persisted cell-partitioned index + static prune
+    // ≡ the composed gate, with the probe filter reaching the scan
+    // as a PartitionFilter
+    val dir = java.nio.file.Files.createTempDirectory("annresidx")
+      .toString + "/index"
+    Similarity.ivfPqResidualIndex(emb, model)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        expr(Clustering.quantSql("embedding")(SparkD)).as("qe"))
+    val served = Similarity.ivfPqResidualSearch(idx, queries, model,
+      staticPrune = true)
+    assert(rows(served) ==
+      rows(Similarity.ivfPqResidualTopK(emb, fixtureScale = true)),
+      "served residual path must reproduce the composed gate")
+    served.collect()
+    val pf = served.queryExecution.executedPlan.toString().linesIterator
+      .filter(_.contains("PartitionFilters: [")).mkString(";")
+    assert(pf.contains("cell"),
+      s"probe cells must prune partitions, got: $pf")
+  }
+
+  test("recall matrix: residual encoding beats raw-vector codes at " +
+    "the same 8-byte budget; exact re-rank restores recall >= 0.95") {
+    val m = Similarity.annRecall(emb, fixtureScale = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m("ivfpq_residual") >= m("ivfpq_trained"),
+      s"residual ${m("ivfpq_residual")} must be >= raw-vector " +
+        s"${m("ivfpq_trained")} at the same code budget")
+    assert(m("ivfpq_rerank") >= 0.95,
+      s"rerank recall ${m("ivfpq_rerank")} must be >= 0.95 (exact " +
+        "re-rank erases the ADC ranking error)")
+    // the exact stage can only help: at the same nProbe the plain
+    // trained row is a lower bound for ANY rerank configuration probing
+    // at least as many cells
+    assert(m("ivfpq_rerank") >= m("ivfpq_trained"))
+  }
+
+  test("rerank recall is monotone in the exact budget r") {
+    import graft.llm.Clustering
+    import graft.llm.TextExprs.SparkD
+    graft.functions.DoubleVecDot.register(spark)
+    val tm = Similarity.IvfPqTrainedModel.train(emb)
+    val idx = Similarity.ivfPqTrainedIndex(emb, tm)
+      .localCheckpoint(eager = false)
+    val embq = emb.select(col("vec_id"),
+      expr(Clustering.quantSql("embedding")(SparkD)).as("qv"))
+    val q = embq.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    val truth = Similarity.bruteForceTopK(emb, 8, 5)
+      .select("qid", "vec_id")
+    def hits(r: Int): Long =
+      Similarity.ivfPqRerankSearch(idx, embq, q, tm, nProbe = 8,
+        r = r, k = 5).join(truth, Seq("qid", "vec_id")).count()
+    val (h10, h40, h160) = (hits(10), hits(40), hits(160))
+    assert(h10 <= h40 && h40 <= h160,
+      s"recall must be monotone in r: $h10, $h40, $h160")
+    assert(h160 > h10,
+      s"a bigger exact budget must pay on this fixture: $h10 vs $h160")
   }
 
   test("multi-table LSH: 1 table matches the single-bucket index, " +
