@@ -390,6 +390,24 @@ object SparkEntry {
       Sinks.orderedRowIdx(Averaging.avgTimeFreq(weighted(s, dir), 2, 2),
         Seq("t_out", "bl", "c_out"))),
 
+    // K1e: the production path END-TO-END over the canonical layout —
+    // (t, chan) mirror → full correction chain → averaging → the
+    // uvfits sink's global row order. q_pp4 locks the chain over the
+    // mirror; this locks the SINK side of it (same quantisation as
+    // q_pp3, so the averaged output hashes exactly), pinning that the
+    // one-corpus-exchange mirror plan carries all the way into the
+    // ordered write.
+    "q_k1e_mirror_uvfits_order" -> ((s, dir) => {
+      Sinks.writeTimeChanMirror(weighted(s, dir), "vis_k1e_mirror")
+      val pre = Preprocess(vanVleck = true, rfi = true)(
+        s, s.table("vis_k1e_mirror"))
+      val quant = (0 until 8).foldLeft(pre)((df, k) =>
+        df.withColumn(s"v$k", floor(col(s"v$k") * 1.0e6 + 0.5)))
+        .withColumn("weight", floor(col("weight") * 112.0 + 0.5))
+      Sinks.orderedRowIdx(Averaging.avgTimeFreq(quant, 2, 2),
+        Seq("t_out", "bl", "c_out"))
+    }),
+
     // K1b: the WRITTEN uvfits file's UVW group parameters — write the
     // averaged frame through the binary sink with the partial-UVW
     // table, read the group params back out of the file, and gate them
@@ -1072,6 +1090,7 @@ object SparkEntry {
     "q_r1e_rms_flaggers" -> Oracles.r1eRmsFlaggers,
     "q_r1f_rms_inloop" -> Oracles.r1fRmsInLoop,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
+    "q_k1e_mirror_uvfits_order" -> Oracles.k1eMirrorUvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k1d_uvfits_data" -> Oracles.k1dUvfitsData,
     "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,

@@ -1407,6 +1407,21 @@ object Oracles {
        |FROM avg""".stripMargin,
     s"avg AS (\n$avgBody)")
 
+  /** q_k1e_mirror_uvfits_order: the PRODUCTION sink path end-to-end —
+    * the canonical (t, chan) mirror feeding the full correction chain,
+    * the real averaging operator, and the uvfits writer's global
+    * time-major-baseline row order. The oracle is the q_pp3 composed
+    * chain (layout-invariant — the mirror holds the same rows) with
+    * the sink's total order assigned by one window; (t_out, bl, c_out)
+    * is unique per averaged row, so the order — and hence row_idx —
+    * is deterministic in both engines.
+    */
+  val k1eMirrorUvfitsOrder: String =
+    s"""SELECT *,
+       |       row_number() OVER (ORDER BY t_out, bl, c_out) - 1
+       |         AS row_idx
+       |FROM ($ppPreprocessAvg) avg""".stripMargin
+
   /** K1b uvfits UVW group parameters: one row per written group with
     * UU VV WW = (part(ant1) − part(ant2)) / c in seconds, cast through
     * float32 exactly as the binary writer emits them (reference group
