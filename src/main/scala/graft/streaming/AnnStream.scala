@@ -88,6 +88,18 @@ object AnnStream {
                          m: Int = 8, dim: Int = 64): DataFrame =
     Similarity.ivfPqTrainedIndex(emb, model, m, dim)
 
+  /** Streaming index maintenance with the RESIDUAL-encoded model
+    * ([[Similarity.IvfPqResidualModel]], the canonical IVF-ADC
+    * layout): cell assignment, integer residual vs the snapped
+    * centroid, and m residual codes per arriving vector — the exact
+    * [[Similarity.ivfPqResidualIndex]] projection on an unbounded
+    * source, stateless (the model is literals in the plan).
+    */
+  def indexStreamResidual(emb: DataFrame,
+                          model: Similarity.IvfPqResidualModel,
+                          m: Int = 8, dim: Int = 64): DataFrame =
+    Similarity.ivfPqResidualIndex(emb, model, m, dim)
+
   /** One-shot drains for the spec. */
   def runIndexOnce(spark: SparkSession, dir: String,
                    model: IvfPqModel): DataFrame =
@@ -99,6 +111,13 @@ object AnnStream {
     StreamDrain.runOnce(
       indexStreamTrained(readEmbStream(spark, dir), model),
       "ann_index_trained_stream")
+
+  def runIndexResidualOnce(spark: SparkSession, dir: String,
+                           model: Similarity.IvfPqResidualModel)
+      : DataFrame =
+    StreamDrain.runOnce(
+      indexStreamResidual(readEmbStream(spark, dir), model),
+      "ann_index_residual_stream")
 
   def runMatchOnce(spark: SparkSession, dir: String,
                    queries: DataFrame, model: IvfPqModel,

@@ -194,4 +194,20 @@ class StreamingSpec extends AnyFunSuite {
       s"trained index parity: ${sIdx.size} vs ${bIdx.size}")
     assert(sIdx.nonEmpty)
   }
+
+  test("streaming indexer with the RESIDUAL model equals its batch " +
+    "twin exactly (canonical IVF-ADC layout, stateless stream)") {
+    import graft.llm.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Similarity.IvfPqResidualModel.train(emb)
+    val sIdx = graft.streaming.AnnStream
+      .runIndexResidualOnce(spark, dir, model)
+      .collect().map(_.toSeq).toSet
+    val bIdx = Similarity.ivfPqResidualIndex(emb, model)
+      .collect().map(_.toSeq).toSet
+    assert(sIdx == bIdx,
+      s"residual index parity: ${sIdx.size} vs ${bIdx.size}")
+    assert(sIdx.nonEmpty)
+  }
 }
