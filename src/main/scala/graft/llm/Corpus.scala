@@ -393,20 +393,17 @@ object Corpus {
     * the aggregate. The final rank window runs over `topK` rows.
     */
   def bpePairStats(docs: DataFrame, topK: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = explodeNoInfer(
       explodeNoInfer(docs, expr(tokens("text")), "tok")
         .where(length(col("tok")) >= 2),
       expr(s"transform(${idxSeq1("length(tok) - 1")}," +
         " i -> substring(tok, i, 2))"), "pair")
-    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
-      // rank over the already-limited topK rows: constant partition
-      // key = explicit bounded single-partition window (no WARN)
-      .withColumn("rk", row_number()
-        .over(Window.partitionBy(lit(0))
-          .orderBy(col("cnt").desc, col("pair").asc))
-        .cast("long"))
+    // rank over the already-limited topK rows (graft.ops.Bounded:
+    // explicit single-partition total order, no degenerate window)
+    graft.ops.Bounded.rank(
+      pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(topK),
+      "rk", col("cnt").desc, col("pair").asc)
   }
 
   /** DuckDB twin of [[bpePairStats]]. */

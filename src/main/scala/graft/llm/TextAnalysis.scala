@@ -544,9 +544,13 @@ object TextAnalysis {
         coalesce(sum(expr(listSize(tokens("text"))).cast("long")),
           lit(0L)).as("n_tokens"))
       .withColumn("s_alpha", expr(isqrt("n_tokens", halvings)))
-    val all = Window.partitionBy(lit(0))
+    // the grand total over the (lang, source) aggregate — model-sized
+    // by construction — as one broadcast 1-row cross join instead of a
+    // degenerate global window (which Catalyst folds to a
+    // WARN-per-execution single-partition WindowExec)
+    val total = grouped.agg(sum("s_alpha").as("s_total"))
     grouped
-      .withColumn("s_total", sum("s_alpha").over(all))
+      .crossJoin(broadcast(total))
       // a fully empty corpus (every group 0 tokens) makes s_total 0;
       // guard the shares to 0 rather than diverge (Spark's non-ANSI
       // DIV would yield NULL where DuckDB's // raises)

@@ -76,13 +76,10 @@ object FlagOps {
     * partition key for the sink.
     */
   def picketRanges(providedCoarse: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // bounded input (the provided-coarse dim, ≤ 24 rows): the
-    // constant partition key makes the single-partition execution
-    // explicit instead of tripping the global-window WARN per batch
-    val w = Window.partitionBy(lit(0)).orderBy("cc")
-    providedCoarse
-      .withColumn("grp", col("cc") - row_number().over(w))
+    // bounded input (the provided-coarse dim, ≤ 24 rows):
+    // Bounded.rank makes the single-partition execution explicit
+    Bounded.rank(providedCoarse, "rn", col("cc"))
+      .withColumn("grp", col("cc") - col("rn"))
       .groupBy("grp")
       .agg(min("cc").as("cc_min"), max("cc").as("cc_max"),
         count(lit(1)).as("n_coarse"))
@@ -94,15 +91,13 @@ object FlagOps {
     * cell is unflagged, collapsed into contiguous ranges.
     */
   def unflaggedTimestepRanges(visFlagged: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val unflaggedTs = visFlagged.groupBy("t")
       .agg(min(col("flag").cast("int")).as("all_flagged"))
       .where(col("all_flagged") === 0)
       .select("t")
     // bounded input (distinct timesteps — dimension-sized)
-    val w = Window.partitionBy(lit(0)).orderBy("t")
-    unflaggedTs
-      .withColumn("grp", col("t") - row_number().over(w))
+    Bounded.rank(unflaggedTs, "rn", col("t"))
+      .withColumn("grp", col("t") - col("rn"))
       .groupBy("grp")
       .agg(min("t").as("t_min"), max("t").as("t_max"))
       .select("t_min", "t_max")

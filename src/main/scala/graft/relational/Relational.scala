@@ -79,9 +79,9 @@ object Relational {
     // through one partition; the rank window then runs over k rows only
     val top = agg.orderBy(col("revenue_c").desc, col("o_orderkey").asc)
       .limit(k)
-    val w = Window.partitionBy(lit(0)) // over the k limited rows only
-      .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
-    top.withColumn("rk", row_number().over(w).cast("long"))
+    // rank over the k limited rows only (explicit bounded frame)
+    graft.ops.Bounded.rank(top, "rk",
+      col("revenue_c").desc, col("o_orderkey").asc)
       .select(col("o_orderkey"), col("rk"),
         (col("revenue_c").cast("double") / 10000.0).as("revenue"))
   }
