@@ -35,6 +35,17 @@ object SparkEntry {
 
   private def comps: Seq[Column] = (0 until 8).map(k => col(s"v$k"))
 
+  /** The q_pp3 averaging-input quantisation — comps to integer-valued
+    * micro-unit doubles, weight to 112-units — shared by q_pp3 and
+    * q_k1e so "same quantisation" is single-sourced, not a promise
+    * enforced by duplication (both gates' oracles assume this exact
+    * rule).
+    */
+  private def quantForAvg(pre: DataFrame): DataFrame =
+    (0 until 8).foldLeft(pre)((df, k) =>
+      df.withColumn(s"v$k", floor(col(s"v$k") * 1.0e6 + 0.5)))
+      .withColumn("weight", floor(col("weight") * 112.0 + 0.5))
+
   private def flagged(s: SparkSession, dir: String): DataFrame =
     FlagOps.setFlags(VisSynth.vis(s, dir), Dims.timestep(s),
       Dims.chan(s), Dims.baseline(s))
@@ -178,10 +189,7 @@ object SparkEntry {
     "q_pp3_preprocess_avg" -> ((s, dir) => {
       val pre = Preprocess(vanVleck = true, rfi = true)(
         s, weighted(s, dir))
-      val quant = (0 until 8).foldLeft(pre)((df, k) =>
-        df.withColumn(s"v$k", floor(col(s"v$k") * 1.0e6 + 0.5)))
-        .withColumn("weight", floor(col("weight") * 112.0 + 0.5))
-      Averaging.avgTimeFreq(quant, 2, 2)
+      Averaging.avgTimeFreq(quantForAvg(pre), 2, 2)
     }),
 
     // S3: MWAOCAL binary round trip — a deterministic dyadic calsol is
@@ -401,10 +409,7 @@ object SparkEntry {
       Sinks.writeTimeChanMirror(weighted(s, dir), "vis_k1e_mirror")
       val pre = Preprocess(vanVleck = true, rfi = true)(
         s, s.table("vis_k1e_mirror"))
-      val quant = (0 until 8).foldLeft(pre)((df, k) =>
-        df.withColumn(s"v$k", floor(col(s"v$k") * 1.0e6 + 0.5)))
-        .withColumn("weight", floor(col("weight") * 112.0 + 0.5))
-      Sinks.orderedRowIdx(Averaging.avgTimeFreq(quant, 2, 2),
+      Sinks.orderedRowIdx(Averaging.avgTimeFreq(quantForAvg(pre), 2, 2),
         Seq("t_out", "bl", "c_out"))
     }),
 

@@ -813,12 +813,22 @@ object Similarity {
 
   // ---- residual-encoded IVF-PQ (q_sim13) ---------------------------
 
-  /** SQL-`round` twin for driver-held model state: half away from
-    * zero on doubles — bit-identical to `round(x)` in both engines
-    * (checked: DuckDB rounds 2.5→3, −2.5→−3). Used to snap trained
-    * centroids onto the integer micro grid so residuals stay exact.
+  /** Twin of DuckDB's integer-snap `round(x)` for driver-held model
+    * state: half away from zero on doubles. Measured in DuckDB at
+    * micro-unit magnitudes, on negative ties, inside `list_transform`
+    * (the sim13 oracle's exact form) and on S/n divisions:
+    * round(2.5)=3, round(−2.5)=−3, round(333332.5)=333333,
+    * round(1234567.5)=1234568 — all away from zero. NOTE the
+    * distinction from the DIGIT-scaled `round(x, n)`, whose tie-break
+    * differs between engines (TextAnalysis.quality avoids that path
+    * with floor(x·1e6 + 0.5) for exactly that reason); the
+    * zero-digit integer snap used here is the one form both engines
+    * agree on, and exact .5 ties ARE reachable (a centroid component
+    * is S/n with S an exact integer sum). Tie cases pinned by
+    * SimilaritySpec. Used to snap trained centroids onto the integer
+    * micro grid so residuals stay exact.
     */
-  private def qround(x: Double): Double =
+  private[graft] def qround(x: Double): Double =
     if (x < 0) -math.floor(-x + 0.5) else math.floor(x + 0.5)
 
   /** Model state of the RESIDUAL-encoded IVF-PQ index — the canonical
@@ -1080,6 +1090,12 @@ object Similarity {
       val tQ = quantised(emb).where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("qv").as("qe"))
       val rm = IvfPqResidualModel.fromCentroids(tm.cents, emb)
+      // NOTE the q_sim8 DuckDB twin is FIXED at the 16-centroid gate
+      // shape (its inner sim3/sim10/sim12/sim13/sim14 bodies all
+      // derive from the vec_id < 16 seed rule, and the rerank row
+      // probes 16/2 = 8 cells); a non-default nCentroids here is
+      // spec-only — the Spark matrix stays self-consistent but has no
+      // oracle at that shape
       (ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = tm.cents.length, k = k),
         ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = nProbe, k = k),
         ivfPqResidualSearch(ivfPqResidualIndex(emb, rm), tQ, rm,

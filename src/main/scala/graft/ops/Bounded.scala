@@ -30,6 +30,13 @@ object Bounded {
     * `row_number().over(Window.partitionBy(lit(0)).orderBy(sort))`
     * when the sort order is total (unique keys) — which every caller
     * guarantees.
+    *
+    * Relies on `monotonically_increasing_id` being CONSECUTIVE
+    * within a partition — Spark's current behavior, though the API
+    * contract promises only monotone+unique. PropertySpecs pins the
+    * consecutive stepping (a Spark upgrade that changes it fails the
+    * suite), and every value this helper feeds is hash-gated at two
+    * SFs per round, so a drift cannot ship silently.
     */
   def rank(df: DataFrame, name: String, sort: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(sort: _*)

@@ -98,16 +98,30 @@ object Sinks {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint()
-    // per-partition (row count, first id): model-sized (≤ parts rows),
-    // map-side combined — the bounded collect a parallel encoder needs
-    // to turn local counts into global byte/row offsets
+    // per-partition (row count, first/last id): model-sized (≤ parts
+    // rows), map-side combined — the bounded collect a parallel
+    // encoder needs to turn local counts into global byte/row offsets
     val stats = sorted.groupBy("__pid")
-      .agg(count(lit(1)).as("n"), min("__mid").as("base"))
+      .agg(count(lit(1)).as("n"), min("__mid").as("base"),
+        max("__mid").as("top"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    // the index arithmetic needs the per-partition ids CONSECUTIVE —
+    // Spark's current monotonically_increasing_id is (a per-partition
+    // +1 counter), but the API contract only promises monotone+unique,
+    // so verify it here: with monotone unique longs,
+    // max − min + 1 == count ⟺ consecutive. A stepping change in some
+    // future Spark fails LOUDLY instead of writing silently wrong
+    // row indices into FITS bytes.
+    stats.foreach { case (pid, n, base, top) =>
+      require(top - base + 1 == n,
+        s"orderedRowIdx: partition $pid ids not consecutive " +
+          s"(min $base, max $top, count $n) — " +
+          "monotonically_increasing_id changed stepping")
+    }
     var acc = 0L
-    val offsets = stats.map { case (pid, n, base) =>
+    val offsets = stats.map { case (pid, n, base, _) =>
       val off = acc; acc += n; (pid, off, base)
     }.toSeq.toDF("__pid", "__off", "__base")
     sorted.join(broadcast(offsets), "__pid")

@@ -83,7 +83,8 @@ object C2bProbe {
     codegen.zipWithIndex.foreach { case ((_, _, codeStats), i) =>
       println(s"[c2b] stage $i maxMethodCodeSize=" +
         s"${codeStats.maxMethodCodeSize} maxConstPoolSize=" +
-        s"${codeStats.maxConstPoolSize} methods=${codeStats.numInnerClasses}")
+        s"${codeStats.maxConstPoolSize} innerClasses=" +
+        s"${codeStats.numInnerClasses}")
     }
     println("[c2b] loadavg " + java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).trim)

@@ -130,6 +130,30 @@ class CrossSinkSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.sink.encodePartitions")
   }
 
+  test("monotonically_increasing_id steps by exactly 1 within a " +
+    "partition (the contract Bounded.rank and orderedRowIdx lean on)") {
+    // Spark's API doc promises only monotone+unique; the repo's
+    // row-index arithmetic additionally needs per-partition
+    // CONSECUTIVE ids. orderedRowIdx verifies it at runtime per call;
+    // this spec pins the stepping itself so a Spark upgrade that
+    // changes it fails the suite even before any gate runs.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0 until 1000).toDF("x").repartition(7)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("mid", monotonically_increasing_id())
+    val bad = df.groupBy("pid")
+      .agg(count(lit(1)).as("n"), min("mid").as("lo"), max("mid").as("hi"))
+      .where(col("hi") - col("lo") + 1 =!= col("n"))
+      .count()
+    assert(bad == 0L, "ids not consecutive within some partition")
+    // and on a single coalesced partition they are exactly 0..n-1
+    val one = (0 until 50).toDF("x").coalesce(1)
+      .withColumn("mid", monotonically_increasing_id())
+      .select("mid").collect().map(_.getLong(0)).toSeq
+    assert(one == (0L until 50L))
+  }
+
   test("orderedRowIdx: contiguous 0..n-1 in key order, partition-count" +
     " invariant, index assignment stays in the SQL plan") {
     import graft.sinks.Sinks

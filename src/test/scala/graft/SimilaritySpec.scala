@@ -306,6 +306,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m("ivfpq_rerank") >= m("ivfpq_trained"))
   }
 
+  test("qround: integer snap breaks .5 ties away from zero at every " +
+    "magnitude (the measured DuckDB round(x) rule)") {
+    // exact .5 ties ARE reachable (centroid component = S/n, S an
+    // exact integer sum); DuckDB measured: round(2.5)=3,
+    // round(-2.5)=-3, round(333332.5)=333333, round(1234567.5)=1234568
+    // — including inside list_transform, the sim13 oracle's form
+    val cases = Seq(
+      0.5 -> 1.0, -0.5 -> -1.0, 2.5 -> 3.0, -2.5 -> -3.0,
+      3.5 -> 4.0, -3.5 -> -4.0, 333332.5 -> 333333.0,
+      -333332.5 -> -333333.0, 1234567.5 -> 1234568.0,
+      999999.5 -> 1000000.0, 0.0 -> 0.0, 7.0 -> 7.0, -7.2 -> -7.0,
+      7.7 -> 8.0)
+    cases.foreach { case (x, want) =>
+      assert(Similarity.qround(x) == want,
+        s"qround($x) = ${Similarity.qround(x)}, want $want")
+    }
+  }
+
   test("rerank recall is monotone in the exact budget r") {
     import graft.llm.Clustering
     import graft.llm.TextExprs.SparkD
