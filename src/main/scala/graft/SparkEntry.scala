@@ -714,6 +714,11 @@ object SparkEntry {
     // top-k over candidate-sized frames only
     "q_sim14_ann_ivfpq_rerank" -> ((s, dir) =>
       Similarity.ivfPqRerankTopK(emb(s, dir), fixtureScale = true)),
+    // the COMPLETE canonical serving stack (FAISS IVFPQ+refine):
+    // residual index -> per-cell ADC top-R -> exact re-rank
+    "q_sim15_ann_residual_rerank" -> ((s, dir) =>
+      Similarity.ivfPqResidualRerankTopK(emb(s, dir),
+        fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1128,6 +1133,8 @@ object SparkEntry {
     "q_sim12_ann_ivfpq_trained" -> LlmOracles.sim12IvfPqTrained(),
     "q_sim13_ann_ivfpq_residual" -> LlmOracles.sim13IvfPqResidual(),
     "q_sim14_ann_ivfpq_rerank" -> LlmOracles.sim14IvfPqRerank(),
+    "q_sim15_ann_residual_rerank" ->
+      LlmOracles.sim15IvfPqResidualRerank(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

@@ -999,9 +999,19 @@ object Similarity {
   def ivfPqRerankSearch(index: DataFrame, corpusQ: DataFrame,
                         queries: DataFrame, model: IvfPqTrainedModel,
                         nProbe: Int = 4, r: Int = 40, k: Int = 5,
-                        m: Int = 8, dim: Int = 64): DataFrame = {
-    val cand = ivfPqTrainedSearch(index, queries, model, nProbe, r,
-      m, dim).select(col("qid"), col("vec_id"))
+                        m: Int = 8, dim: Int = 64): DataFrame =
+    exactRerankTail(
+      ivfPqTrainedSearch(index, queries, model, nProbe, r, m, dim)
+        .select(col("qid"), col("vec_id")),
+      corpusQ, queries, k)
+
+  /** The exact stage shared by both rerank paths: candidate ids
+    * broadcast back onto the corpus scan, one exact micro-unit cosine
+    * per candidate, per-query top-k window — every post-join frame is
+    * candidate-sized.
+    */
+  private def exactRerankTail(cand: DataFrame, corpusQ: DataFrame,
+                              queries: DataFrame, k: Int): DataFrame = {
     val qn = queries.withColumn("qn",
       sqrt(call_function("double_dot", col("qe"), col("qe"))))
     val scored = corpusQ
@@ -1017,6 +1027,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** The COMPLETE canonical serving stack (FAISS's IVFPQ+refine
+    * shape): residual-encoded index → per-cell ADC top-R → exact
+    * re-rank to top-k. Composes [[ivfPqResidualSearch]]'s pruned ADC
+    * pass with the shared exact tail — both quantisation error
+    * sources (cell prune aside) are erased for r exact dots/query.
+    */
+  def ivfPqResidualRerankSearch(index: DataFrame, corpusQ: DataFrame,
+                                queries: DataFrame,
+                                model: IvfPqResidualModel,
+                                nProbe: Int = 8, r: Int = 160,
+                                k: Int = 5, m: Int = 8,
+                                dim: Int = 64): DataFrame =
+    exactRerankTail(
+      ivfPqResidualSearch(index, queries, model, nProbe, r, m, dim)
+        .select(col("qid"), col("vec_id")),
+      corpusQ, queries, k)
+
+  def ivfPqResidualRerankTopK(emb: DataFrame, nCentroids: Int = 16,
+                              nProbe: Int = 8, nCodes: Int = 16,
+                              m: Int = 8, iters: Int = 2,
+                              nQueries: Int = 8, r: Int = 160,
+                              k: Int = 5, dim: Int = 64,
+                              fixtureScale: Boolean = false)
+      : DataFrame = {
+    Clustering.requireScaledK("ivfPqResidualRerankTopK", nCentroids,
+      fixtureScale)
+    graft.functions.DoubleVecDot.register(emb.sparkSession)
+    val model = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val embq = quantised(emb)
+    val queries = embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    ivfPqResidualRerankSearch(ivfPqResidualIndex(emb, model, m, dim),
+      embq, queries, model, nProbe, r, k, m, dim)
   }
 
   /** Gate shape: nProbe = nCentroids/2 and r = 32·k measure recall

@@ -324,6 +324,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("residual index + exact re-rank (q_sim15): recall >= 0.95 on " +
+    "the fixture, well-formed per-query top-k") {
+    val out = Similarity.ivfPqResidualRerankTopK(emb,
+      fixtureScale = true)
+    val truth = Similarity.bruteForceTopK(emb, 8, 5)
+      .select("qid", "vec_id")
+    val hits = out.join(truth, Seq("qid", "vec_id")).count()
+    val nTruth = truth.count()
+    assert(hits.toDouble / nTruth >= 0.95,
+      s"residual+rerank recall $hits/$nTruth below 0.95")
+    val perQ = out.groupBy("qid").count().collect()
+    assert(perQ.forall(_.getLong(1) <= 5) && out.count() > 0)
+  }
+
   test("rerank recall is monotone in the exact budget r") {
     import graft.llm.Clustering
     import graft.llm.TextExprs.SparkD
