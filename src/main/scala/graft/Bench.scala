@@ -36,12 +36,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Contamination guard (the no-min-folding rule must not launder
   * INFLATED figures either): every fork records /proc/loadavg
-  * before/after into the artifact; an idle figure > 2.5x its suite
-  * figure is treated as suspected machine-load contamination — the
-  * harness waits (bounded) for external CPU busy-fraction to subside,
-  * re-forks once, keeps the LOWER of the two idle attempts (both
-  * recorded under `idle_attempts`), and REFUSES to emit the benchmark
-  * at all if the machine never goes quiet. The suite pass also
+  * before/after into the artifact. IdleConverge measured steady-state
+  * fresh-JVM cost at or below the warm-suite figure from run 2, and
+  * runOne discards two runs — so an idle figure > 1.3x its suite
+  * figure is machine-load contamination by definition. The harness
+  * waits (bounded, shared global budget) for external CPU
+  * busy-fraction to subside and re-forks up to the attempt budget;
+  * entries whose every idle attempt stays above the ratio ship their
+  * warm-suite figure, explicitly labelled `"basis":"suite"` (all
+  * attempts + load stay in the artifact). The suite pass also
   * asserts the session CacheManager is empty after every query, so no
   * plan-private cache leaks into later measurements.
   *
@@ -281,8 +284,20 @@ object Bench {
     // `"basis":"suite"` — an explicitly-labelled warm-suite number is
     // honest, a load-inflated "idle" number is not. All attempts stay
     // in the artifact either way.
-    val contaminationRatio = 2.5
+    // 1.3, not the old 2.5: IdleConverge measured steady-state
+    // fresh-JVM cost AT OR BELOW the warm-suite figure from run 2,
+    // and runOne discards two runs — so an idle figure materially
+    // above its own suite figure is machine-load contamination BY
+    // DEFINITION, not engine cost (the r17 artifact shipped four
+    // entries at 2.0-2.4x under the old rule; all four were
+    // load-inflated). The margin covers run-to-run jitter only.
+    val contaminationRatio = 1.3
     val maxIdleAttempts = 4
+    // global quiet-wait budget: per-entry waits share ONE bounded
+    // pool, so a machine that stays loaded for the whole bench costs
+    // at most this much extra wall-clock before the remaining hot
+    // entries ship their (honest, labelled) suite figures
+    var quietWaitBudgetSec = 1200
     val attempts = scala.collection.mutable.Map[String, Vector[IdleAttempt]]()
     val suiteBased = scala.collection.mutable.Set[String]()
     // forks that produced NO measurement (child crashed / invariant
@@ -309,9 +324,23 @@ object Bench {
             f"[bench] idle-JVM $n best attempt is " +
               f"${b / suiteMap(n)}%.1fx its suite figure — suspected " +
               "load contamination, waiting for quiet + re-fork"))
-          if (!awaitQuiet(maxWaitSec = 300))
+          val wait = math.min(300, quietWaitBudgetSec)
+          val t0 = System.nanoTime()
+          val quiet = wait > 0 && awaitQuiet(maxWaitSec = wait)
+          quietWaitBudgetSec -=
+            ((System.nanoTime() - t0) / 1e9).toInt
+          if (!quiet)
             System.err.println(s"[bench] $n: machine never went " +
-              "quiet within the wait budget; forking anyway")
+              s"quiet (remaining global wait budget " +
+              s"$quietWaitBudgetSec s); forking anyway")
+        } else if (tries > 0) {
+          // crashed fork (no measurement): retry after a short FIXED
+          // backoff — back-to-back retries of a load-induced crash
+          // (e.g. OOM on a contended machine) would burn the whole
+          // attempt budget in seconds without ever sampling a quiet
+          // window; the crash carries no contamination signal, so the
+          // full 300 s quiet wait is not warranted either
+          Thread.sleep(15000)
         }
         forkAttempt(n) match {
           case Some(a) =>

@@ -828,8 +828,20 @@ object Similarity {
     * SimilaritySpec. Used to snap trained centroids onto the integer
     * micro grid so residuals stay exact.
     */
-  private[graft] def qround(x: Double): Double =
-    if (x < 0) -math.floor(-x + 0.5) else math.floor(x + 0.5)
+  private[graft] def qround(x: Double): Double = {
+    // NOT floor(x+0.5): for inputs one ULP below a half-integer
+    // (e.g. 0.49999999999999994) the ADDITION rounds up to the half
+    // first, so floor(x+0.5) yields 1 where DuckDB's std::round
+    // half-away rule yields 0. The fraction a−f is EXACT in FP
+    // (f ≤ a < f+1 ⇒ Sterbenz), so comparing it to 0.5 applies the
+    // half-away rule to the true double value — measured to match
+    // DuckDB at exact .5 ties AND the near-tie ULP cases (pinned in
+    // SimilaritySpec).
+    val a = math.abs(x)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    if (x < 0) -r else r
+  }
 
   /** Model state of the RESIDUAL-encoded IVF-PQ index — the canonical
     * IVF-ADC form (Jégou, Douze & Schmid, "Product quantization for

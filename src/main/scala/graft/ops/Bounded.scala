@@ -33,10 +33,11 @@ object Bounded {
     *
     * Relies on `monotonically_increasing_id` being CONSECUTIVE
     * within a partition — Spark's current behavior, though the API
-    * contract promises only monotone+unique. PropertySpecs pins the
-    * consecutive stepping (a Spark upgrade that changes it fails the
-    * suite), and every value this helper feeds is hash-gated at two
-    * SFs per round, so a drift cannot ship silently.
+    * contract promises only monotone+unique. CrossSinkSpec pins the
+    * consecutive stepping ("monotonically_increasing_id steps by
+    * exactly 1..."; a Spark upgrade that changes it fails the suite),
+    * and every value this helper feeds is hash-gated at two SFs per
+    * round, so a drift cannot ship silently.
     */
   def rank(df: DataFrame, name: String, sort: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(sort: _*)

@@ -317,7 +317,15 @@ class SimilaritySpec extends AnyFunSuite {
       3.5 -> 4.0, -3.5 -> -4.0, 333332.5 -> 333333.0,
       -333332.5 -> -333333.0, 1234567.5 -> 1234568.0,
       999999.5 -> 1000000.0, 0.0 -> 0.0, 7.0 -> 7.0, -7.2 -> -7.0,
-      7.7 -> 8.0)
+      7.7 -> 8.0,
+      // near-tie ULP cases (one ULP below a half-integer): the naive
+      // floor(x+0.5) form rounds these UP because the ADDITION hits
+      // the half first — DuckDB measured round(0.49999999999999994)=0,
+      // round(2.4999999999999996)=2 (incl. inside list_transform)
+      0.49999999999999994 -> 0.0, -0.49999999999999994 -> -0.0,
+      2.4999999999999996 -> 2.0, -2.4999999999999996 -> -2.0,
+      // one ULP above a half rounds away, as before
+      0.5000000000000001 -> 1.0, -0.5000000000000001 -> -1.0)
     cases.foreach { case (x, want) =>
       assert(Similarity.qround(x) == want,
         s"qround($x) = ${Similarity.qround(x)}, want $want")
