@@ -50,6 +50,20 @@ object SparkEntry {
     FlagOps.setFlags(VisSynth.vis(s, dir), Dims.timestep(s),
       Dims.chan(s), Dims.baseline(s))
 
+  /** The flagged frame widened to the LEGACY 10 kHz channel width for
+    * the mwaf gates: fc128 = fc + 8·((5t + 3bl + chan) mod 16) spreads
+    * the synth's 8 fine channels deterministically across all 128 —
+    * every 32-chan bitmask word (including bits 31/32 and 127) carries
+    * data, so the multi-word path is exercised end to end, not just
+    * word 0. Flags and row counts are untouched (the remap moves fc
+    * only), and the oracle applies the identical positive-integer
+    * arithmetic.
+    */
+  private def flagged128(s: SparkSession, dir: String): DataFrame =
+    flagged(s, dir).withColumn("fc",
+      col("fc") + lit(8L) *
+        ((col("t") * 5 + col("bl") * 3 + col("chan")) % 16))
+
   private def weighted(s: SparkSession, dir: String): DataFrame =
     WeightOps.flagToWeight(flagged(s, dir))
 
@@ -636,20 +650,34 @@ object SparkEntry {
     }),
 
     "q_k3_mwaf_occupancy" -> ((s, dir) =>
-      Sinks.mwafOccupancy(flagged(s, dir))),
+      Sinks.mwafOccupancy(flagged128(s, dir))),
 
-    // S4 container loop: the flagged frame is written as REAL per-cc
-    // mwaf FITS files and parsed back; the oracle recomputes the dense
-    // grid (absent cells fully flagged) — a bit-packing, header, row
-    // order, or density error anywhere in writer or reader flips it
+    // S4 container loop AT THE LEGACY 10 kHz WIDTH (128 fine chans per
+    // coarse — the one real-user case the single-long mask refused):
+    // the widened flagged frame is written as REAL per-cc mwaf FITS
+    // files (16-byte X columns, multi-word bitvectors) and parsed
+    // back; the oracle recomputes the dense grid per 32-chan word
+    // (absent cells fully flagged) — a bit-packing, word-split,
+    // header, row order, or density error anywhere flips it
     "q_s4_mwaf_roundtrip" -> ((s, dir) => {
-      graft.sinks.MwafWriter.write(flagged(s, dir), mwafFixtureDir)
+      graft.sinks.MwafWriter.write(flagged128(s, dir), mwafFixtureDir,
+        meta = graft.model.MetaDecorators.ChanWidth(
+          graft.model.SynthDims, 128))
       graft.sources.MwafReader.read(s, mwafFixtureDir)
-        .select("cc", "t", "bl", "flag_mask")
+        .select(col("cc"), col("t"), col("bl"),
+          posexplode(col("flag_words")))
+        .select(col("cc"), col("t"), col("bl"),
+          col("pos").cast("long").as("word"),
+          col("col").as("flag_mask"))
     }),
 
     "q_k3_mwaf_bitmask" -> ((s, dir) =>
-      Sinks.mwafBitmask(flagged(s, dir))),
+      Sinks.mwafBitmask(flagged128(s, dir), 128)
+        .select(col("cc"), col("bl"), col("t"), col("n_samples"),
+          posexplode(col("flag_words")))
+        .select(col("cc"), col("bl"), col("t"),
+          col("pos").cast("long").as("word"),
+          col("col").as("flag_mask"), col("n_samples"))),
 
     // -- LLM-data pipeline: dedup -------------------------------------
     "q_d1_dedup_exact" -> ((s, dir) =>

@@ -49,6 +49,21 @@ object MetaDecorators {
       inner.pointingCentreDeg
   }
 
+  /** Override ONLY the fine-channel width — the seam a legacy 10 kHz
+    * container presents (128 fine channels per coarse vs MWAX's 64 or
+    * fewer; the reference reads the width from the metafits the same
+    * way). Deliberately does NOT rewrite `chan`/`nChans`: the mwaf
+    * sink, the one consumer that exists for this decorator, derives
+    * its dense grid from timestep/baseline + this width alone
+    * (MwafForeignSpec's contract); a pipeline-wide width change is a
+    * different MetaSource, not a decorator.
+    */
+  final case class ChanWidth(inner: MetaSource, fpc: Int)
+      extends Delegating {
+    require(fpc >= 1, s"fpc must be >= 1, got $fpc")
+    override def fineChansPerCoarse: Int = fpc
+  }
+
   /** Re-derive static channel flags at a chosen edge width: fc within
     * `edge` of either coarse-channel boundary, plus the DC centre
     * (reference --flag-edge-chans, cli.rs:1162-1169).

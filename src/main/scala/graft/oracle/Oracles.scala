@@ -1729,34 +1729,61 @@ object Oracles {
       |       1280000.0e0 AS total_bw_hz
       |FROM range(0, 16) r(i)""".stripMargin)
 
-  /** S4 mwaf container round trip: the Spark side WRITES the per-cc
-    * mwaf FITS files and reads them back; this twin recomputes the
-    * dense grid the files must hold — every (cc ∈ data, t, bl) cell,
-    * present cells carrying the fine-channel flag bitmask, absent
-    * cells fully flagged (missing-HDU semantics,
-    * /root/reference/src/io/mod.rs:297-303; dense table
-    * /root/reference/src/io/mwaf.rs:424-495).
+  /** The 128-fine-chan widening the mwaf gates apply (legacy 10 kHz
+    * width): fc128 = fc + 8·((5t + 3bl + chan) mod 16) — pure
+    * positive-BIGINT arithmetic, identical in both engines.
     */
-  val s4MwafRoundtrip: String = OracleSql.query(
-    s"""SELECT g.cc, g.t, g.bl,
-       |       coalesce(m.flag_mask, CAST(255 AS BIGINT)) AS flag_mask
-       |FROM (SELECT c.cc, ts.t, b.bl
-       |      FROM (SELECT DISTINCT cc FROM vis) c
-       |      CROSS JOIN timestep ts CROSS JOIN baseline b) g
-       |LEFT JOIN (SELECT cc, bl, t,
-       |             CAST(bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)
-       |                         ELSE 0 END) AS BIGINT) AS flag_mask
-       |           FROM vis_flagged GROUP BY 1, 2, 3) m
-       |  ON g.cc = m.cc AND g.t = m.t AND g.bl = m.bl""".stripMargin,
-    OracleSql.visFlaggedCte)
+  private val visWide128Cte: String = """
+vis_wide AS (
+  SELECT cc, bl, t,
+         CAST(fc + 8 * ((t * 5 + bl * 3 + chan) % 16) AS BIGINT) AS fcw,
+         flag
+  FROM vis_flagged)"""
 
-  val k3MwafBitmask: String = OracleSql.query(
-    """SELECT cc, bl, t,
-      |       CAST(bit_or(CASE WHEN flag THEN 1 << CAST(fc AS INT)
+  /** The per-32-chan-word mask table over vis_wide: every (cc, bl, t)
+    * group emits ALL four words (bit_or of CASE..ELSE 0), exactly the
+    * fixed-length array the Spark side posexplodes. 32-bit words
+    * because DuckDB refuses `1::BIGINT << 63` (measured overflow
+    * error) — a 64-bit payload cannot be oracle-computed; see
+    * graft.sinks.Sinks.MwafWordChans.
+    */
+  private val wideWordMasks: String =
+    """SELECT cc, bl, t, w.word,
+      |       CAST(bit_or(CASE WHEN flag AND fcw // 32 = w.word
+      |                   THEN (CAST(1 AS BIGINT) << CAST(fcw % 32 AS INT))
       |                   ELSE 0 END) AS BIGINT) AS flag_mask,
       |       count(*) AS n_samples
-      |FROM vis_flagged GROUP BY 1, 2, 3""".stripMargin,
-    OracleSql.visFlaggedCte)
+      |FROM vis_wide
+      |CROSS JOIN (SELECT CAST(i AS BIGINT) AS word
+      |            FROM range(0, 4) r(i)) w
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** S4 mwaf container round trip AT THE LEGACY 128-CHAN WIDTH: the
+    * Spark side WRITES the per-cc mwaf FITS files (16-byte X columns)
+    * and reads them back; this twin recomputes the dense grid the
+    * files must hold — every (cc ∈ data, t, bl) cell × 4 words,
+    * present cells carrying the per-word flag bitvector, absent cells
+    * fully flagged at the 32-bit word width 4294967295
+    * (missing-HDU semantics, /root/reference/src/io/mod.rs:297-303;
+    * arbitrary-width dense table /root/reference/src/io/mwaf.rs:424-495).
+    */
+  val s4MwafRoundtrip: String = OracleSql.query(
+    s"""SELECT g.cc, g.t, g.bl, g.word,
+       |       coalesce(m.flag_mask, CAST(4294967295 AS BIGINT))
+       |         AS flag_mask
+       |FROM (SELECT c.cc, ts.t, b.bl, w.word
+       |      FROM (SELECT DISTINCT cc FROM vis) c
+       |      CROSS JOIN timestep ts CROSS JOIN baseline b
+       |      CROSS JOIN (SELECT CAST(i AS BIGINT) AS word
+       |                  FROM range(0, 4) r(i)) w) g
+       |LEFT JOIN ($wideWordMasks) m
+       |  ON g.cc = m.cc AND g.t = m.t AND g.bl = m.bl
+       |     AND g.word = m.word""".stripMargin,
+    OracleSql.visFlaggedCte, visWide128Cte)
+
+  val k3MwafBitmask: String = OracleSql.query(
+    wideWordMasks,
+    OracleSql.visFlaggedCte, visWide128Cte)
 
   val k3MwafOccupancy: String = OracleSql.query(
     """SELECT cc, bl, count(*) AS n_cells,

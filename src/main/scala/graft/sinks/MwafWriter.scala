@@ -8,8 +8,11 @@ import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** One dense-grid row of the mwaf flag table. */
-final case class MwafRow(cc: Long, t: Long, bl: Long, flag_mask: Long)
+/** One dense-grid row of the mwaf flag table; `flag_words` is the
+  * 32-chans-per-word bitvector ([[Sinks.MwafWordChans]]).
+  */
+final case class MwafRow(cc: Long, t: Long, bl: Long,
+                         flag_words: Seq[Long])
 
 /** K3: mwaf binary flag files
   * (/root/reference/src/io/mwaf.rs): one FITS file per coarse channel
@@ -108,11 +111,16 @@ object MwafWriter {
     buf.array()
   }
 
-  /** Pack a fine-channel flag mask (bit `ch` = channel `ch` flagged)
-    * into FITS `X`-column bytes: channel `8b+k` lands in byte `b` at
-    * bit `7-k` (first bit = MSB of first byte, the cfitsio packing).
+  /** Pack a fine-channel flag bitvector (bit `ch mod 32` of word
+    * `ch div 32` = channel `ch` flagged, [[Sinks.MwafWordChans]]
+    * layout) into FITS `X`-column bytes: channel `8b+k` lands in byte
+    * `b` at bit `7-k` (first bit = MSB of first byte, the cfitsio
+    * packing). Arbitrary width — legacy 10 kHz containers carry 128
+    * fine channels per coarse (reference FLAGS cell is a fine-chan
+    * bitvector of any width, /root/reference/src/io/mwaf.rs:424-495).
     */
-  def packBits(mask: Long, fpc: Int, out: Array[Byte]): Unit = {
+  def packBits(words: Seq[Long], fpc: Int, out: Array[Byte]): Unit = {
+    val wc = Sinks.MwafWordChans
     var b = 0
     val n = (fpc + 7) / 8
     while (b < n) {
@@ -120,7 +128,8 @@ object MwafWriter {
       var k = 0
       while (k < 8) {
         val ch = 8 * b + k
-        if (ch < fpc && ((mask >> ch) & 1L) == 1L) byte |= 1 << (7 - k)
+        if (ch < fpc && ((words(ch / wc) >> (ch % wc)) & 1L) == 1L)
+          byte |= 1 << (7 - k)
         k += 1
       }
       out(b) = byte.toByte
@@ -138,28 +147,27 @@ object MwafWriter {
       : Map[Long, Long] = {
     val spark = visFlagged.sparkSession
     import spark.implicits._
-    // the Long bitvector carries at most 64 fine channels per coarse;
-    // a wider container (legacy 10 kHz = 128) would silently wrap into
-    // corrupt flag files — fail loudly until the multi-word row layout
-    // exists (documented limitation, SURVEY §2.8)
+    // arbitrary width via the 32-chans-per-word container (legacy
+    // 10 kHz observations carry 128 fine channels per coarse; the
+    // reference's FLAGS bit-column is arbitrary-width, mwaf.rs:424-495)
     val fpc = meta.fineChansPerCoarse
-    require(fpc >= 1 && fpc <= 64,
-      s"mwaf writer supports at most 64 fine chans per coarse, got $fpc")
+    require(fpc >= 1, s"fpc must be >= 1, got $fpc")
     // densify to the full (cc, t, bl) grid FROM THE METADATA SEAM —
     // the reference's tables are dense by construction; cells with NO
     // data are fully flagged (missing-HDU semantics,
     // /root/reference/src/io/mod.rs:297-303), matching GpuboxSource's
     // flag=!present on ingest
-    val allFlagged = if (fpc == 64) -1L else (1L << fpc) - 1L
+    val allFlagged = Sinks.mwafFullWords(fpc)
     val ccs = visFlagged.select("cc").distinct().as[Long].collect().sorted
     val grid = ccs.toSeq.toDF("cc")
       .crossJoin(meta.timestep(spark).select("t"))
       .crossJoin(meta.baseline(spark).select("bl"))
     val masks = grid
-      .join(Sinks.mwafBitmask(visFlagged), Seq("cc", "t", "bl"), "left")
-      .withColumn("flag_mask", coalesce(col("flag_mask"),
-        lit(allFlagged)))
-      .select("cc", "t", "bl", "flag_mask")
+      .join(Sinks.mwafBitmask(visFlagged, fpc), Seq("cc", "t", "bl"),
+        "left")
+      .withColumn("flag_words", coalesce(col("flag_words"),
+        array(allFlagged.map(lit): _*)))
+      .select("cc", "t", "bl", "flag_words")
 
     val nScans = meta.nScans
     val nAnts = meta.nAnts
@@ -291,17 +299,20 @@ object MwafWriter {
             out.write(primary)
             out.write(flagsHead)
           }
-          packBits(r.flag_mask, fpc, rowBuf)
+          packBits(r.flag_words, fpc, rowBuf)
           out.write(rowBuf)
           // occupancy accumulation: rows stream in (t, bl) order, so
           // the dense baseline index is rowsInFile mod nBl
+          val wc = Sinks.MwafWordChans
           var ch = 0
+          var bits = 0L
           while (ch < fpc) {
-            chCount(ch) += (r.flag_mask >> ch) & 1L
+            val bit = (r.flag_words(ch / wc) >> (ch % wc)) & 1L
+            chCount(ch) += bit
+            bits += bit
             ch += 1
           }
-          blCount((rowsInFile % nBl).toInt) +=
-            java.lang.Long.bitCount(r.flag_mask)
+          blCount((rowsInFile % nBl).toInt) += bits
           rowsInFile += 1
         }
         closeFile()

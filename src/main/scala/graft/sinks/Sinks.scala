@@ -141,22 +141,70 @@ object Sinks {
       (sum(when(col("flag"), 1L).otherwise(0L)).cast("double") /
         count(lit(1))).as("occupancy"))
 
-  /** K3 mwaf bitmap rows: per (cc, bl, t), the fine-channel flag
-    * bitvector packed into a long (bit fc set ⇔ flagged) — the parquet
-    * mirror of the mwaf FLAGS bit-column table
-    * (/root/reference/src/io/mwaf.rs:424-495, row per (timestep,
-    * baseline), cell = fine-chan bitvector).
+  /** Fine channels per bitmask word. 32, not 64: the words live in
+    * LongType columns as NON-NEGATIVE payloads, so neither engine ever
+    * shifts into the sign bit — DuckDB REFUSES `1::BIGINT << 63`
+    * (measured: "Overflow in left shift"), which makes a 64-bit
+    * payload impossible to oracle-compute; a 32-bit payload keeps the
+    * Spark side and the DuckDB twin in identical, sign-free BIGINT
+    * arithmetic. The FITS bytes are unchanged either way — the file
+    * stores a bit COLUMN, the word width is purely the in-flight
+    * container choice.
     */
-  def mwafBitmask(visFlagged: DataFrame): DataFrame =
+  val MwafWordChans = 32
+
+  /** Words needed for `fpc` fine channels per coarse. */
+  def mwafWordCount(fpc: Int): Int =
+    (fpc + MwafWordChans - 1) / MwafWordChans
+
+  /** The all-flagged word array at width `fpc` (missing-cell fill):
+    * every in-range bit set, out-of-range bits clear.
+    */
+  def mwafFullWords(fpc: Int): Seq[Long] =
+    (0 until mwafWordCount(fpc)).map { w =>
+      val chans = math.min(MwafWordChans, fpc - w * MwafWordChans)
+      (1L << chans) - 1L
+    }
+
+  /** K3 mwaf bitmap rows: per (cc, bl, t), the fine-channel flag
+    * bitvector packed into `flag_words` — an array of
+    * ceil(fpc/32) words, bit k of word w ⇔ channel 32w+k flagged —
+    * the parquet mirror of the mwaf FLAGS bit-column table
+    * (/root/reference/src/io/mwaf.rs:424-495, row per (timestep,
+    * baseline), cell = fine-chan bitvector; the reference's FLAGS
+    * column is arbitrary-width, so this container must be too —
+    * legacy 10 kHz observations carry 128 fine channels per coarse).
+    *
+    * One hash aggregate with map-side combine, one bit_or slot per
+    * word (word count is a few, never data-sized). A row whose `fc`
+    * falls outside [0, fpc) raises at execution — silently dropping
+    * it from every word would write corrupt flag files.
+    */
+  def mwafBitmask(visFlagged: DataFrame, fpc: Int): DataFrame = {
+    require(fpc >= 1, s"fpc must be >= 1, got $fpc")
+    val nWords = mwafWordCount(fpc)
+    val wc = MwafWordChans
+    val wordAggs = (0 until nWords).map { w =>
+      val lo = w * wc
+      val hi = lo + wc
+      // the range guard lives on word 0 only — one check per row
+      val guard = if (w == 0)
+        s"WHEN fc < 0 OR fc >= $fpc THEN CAST(raise_error(" +
+          s"concat('mwaf bitmask: fc ', CAST(fc AS STRING), " +
+          s"' outside [0, $fpc)')) AS BIGINT) "
+      else ""
+      expr(s"bit_or(CASE ${guard}WHEN flag AND fc >= $lo AND fc < $hi" +
+        s" THEN shiftleft(CAST(1 AS BIGINT), CAST(fc AS INT) - $lo)" +
+        " ELSE CAST(0 AS BIGINT) END)").cast("long").as(s"__w$w")
+    }
+    val aggs = wordAggs :+ count(lit(1)).as("n_samples")
     visFlagged.groupBy("cc", "bl", "t")
-      // BIGINT shift — a 32-bit `1 << fc` silently wraps at fc = 32,
-      // corrupting flag files for real containers (legacy fine-channel
-      // counts exceed 32 per coarse); valid through fc = 63, and the
-      // mwaf writer/reader guard the width at entry
-      .agg(expr("bit_or(CASE WHEN flag THEN" +
-        " shiftleft(CAST(1 AS BIGINT), CAST(fc AS INT))" +
-        " ELSE CAST(0 AS BIGINT) END)").cast("long").as("flag_mask"),
-        count(lit(1)).as("n_samples"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("flag_words",
+        array((0 until nWords).map(w => col(s"__w$w")): _*))
+      .select(col("cc"), col("bl"), col("t"), col("flag_words"),
+        col("n_samples"))
+  }
 
   /** Write the canonical bucketed mirror: parquet bucketed (and sorted)
     * by baseline. Wide operators keyed on `bl` (RFI grouping, occupancy,

@@ -30,7 +30,8 @@ object MwafReader {
     StructField("cc", LongType, nullable = false),
     StructField("t", LongType, nullable = false),
     StructField("bl", LongType, nullable = false),
-    StructField("flag_mask", LongType, nullable = false),
+    StructField("flag_words",
+      ArrayType(LongType, containsNull = false), nullable = false),
     StructField("n_chans", LongType, nullable = false)))
 
   final case class Header(nChans: Int, nAnts: Int, nScans: Int,
@@ -104,32 +105,32 @@ object MwafReader {
     (for (a1 <- 0 until nAnts; a2 <- a1 until nAnts)
       yield (a1 * nAnts + a2).toLong).toArray
 
-  /** Unpack FITS `X`-column bytes back to the logical mask (bit `ch` =
-    * channel `ch`): channel `8b+k` is bit `7-k` of byte `b`.
+  /** Unpack FITS `X`-column bytes back to the logical bitvector
+    * (bit `ch mod 32` of word `ch div 32` = channel `ch`,
+    * [[graft.sinks.Sinks.MwafWordChans]] layout): channel `8b+k` is
+    * bit `7-k` of byte `b`. Arbitrary width — legacy 10 kHz files
+    * carry 128 fine channels per coarse.
     */
-  def unpackBits(buf: java.nio.ByteBuffer, nChans: Int): Long = {
-    var mask = 0L
+  def unpackBits(buf: java.nio.ByteBuffer, nChans: Int): Array[Long] = {
+    val wc = graft.sinks.Sinks.MwafWordChans
+    val words = new Array[Long]((nChans + wc - 1) / wc)
     var ch = 0
     while (ch < nChans) {
       val byte = buf.get(ch / 8) & 0xff
-      if (((byte >> (7 - ch % 8)) & 1) == 1) mask |= 1L << ch
+      if (((byte >> (7 - ch % 8)) & 1) == 1)
+        words(ch / wc) |= 1L << (ch % wc)
       ch += 1
     }
-    mask
+    words
   }
 
-  /** Decode one mwaf file into (cc, t, bl, flag_mask, n_chans) rows. */
+  /** Decode one mwaf file into (cc, t, bl, flag_words, n_chans) rows. */
   def decodeFile(path: String, cc: Long,
                  conf: org.apache.hadoop.conf.Configuration)
       : Iterator[Row] = {
     val rd = new SlabIO.SlabReader(path, conf)
     val h = readHeader(rd)
-    // the Long flag_mask column holds at most 64 fine channels; a
-    // wider file would silently drop bits past the 8th byte — fail
-    // loudly (matching the writer's guard)
-    require(h.nChans >= 1 && h.nChans <= 64,
-      s"mwaf reader supports at most 64 fine chans per coarse, " +
-        s"got ${h.nChans} in $path")
+    require(h.nChans >= 1, s"NCHANS must be >= 1, got ${h.nChans}")
     val bls = baselineIds(h.nAnts)
     val nBl = bls.length
     val bytesPerRow = (h.nChans + 7) / 8
@@ -139,7 +140,7 @@ object MwafReader {
     val iter = (0L until nRows).iterator.map { idx =>
       val buf = rd.readAt(h.dataStart + idx * bytesPerRow, bytesPerRow)
       Row(cc, idx / nBl, bls((idx % nBl).toInt),
-        unpackBits(buf, h.nChans), h.nChans.toLong)
+        unpackBits(buf, h.nChans).toSeq, h.nChans.toLong)
     }
     SlabIO.closeOnExhaust(iter)(() => rd.close())
   }

@@ -61,14 +61,15 @@ class MwafForeignSpec extends AnyFunSuite {
 
     val back = graft.sources.MwafReader.read(spark, dir)
     assert(back.count() == 30)
-    // the present cell carries exactly bits 1 and 3
+    // the present cell carries exactly bits 1 and 3 (one word at the
+    // 4-chan width)
     val present = back.where(col("t") === 0 && col("bl") === 0)
-      .select("flag_mask", "n_chans").head()
-    assert(present.getLong(0) == ((1 << 1) | (1 << 3)).toLong)
+      .select("flag_words", "n_chans").head()
+    assert(present.getSeq[Long](0) == Seq(((1 << 1) | (1 << 3)).toLong))
     assert(present.getLong(1) == 4L, "NCHANS from the file header")
     // every absent cell is fully flagged at the 4-chan width
     assert(back.where(!(col("t") === 0 && col("bl") === 0))
-      .where(col("flag_mask") =!= 15L).count() == 0)
+      .where(element_at(col("flag_words"), 1) =!= 15L).count() == 0)
     // baseline ids enumerate the 4-antenna grid, not the default 8
     val bls = back.select("bl").distinct().as[Long].collect().sorted
     assert(bls.toSeq == graft.sources.MwafReader.baselineIds(4).toSeq)

@@ -40,43 +40,71 @@ class MwafSpec extends AnyFunSuite {
     }
   }
 
-  test("bitmask handles fine channels past 32; width > 64 fails loudly") {
+  test("bitmask splits fine channels across 32-chan words; out-of-" +
+    "range fc fails loudly") {
+    import spark.implicits._
+    // 32-chan words: fc 40 is bit 8 of word 1, fc 63 bit 31 of word 1,
+    // fc 100 bit 4 of word 3, fc 127 bit 31 of word 3 — a single-long
+    // (or 64-chan-word) layout would fold these together
+    val wide = Seq((0L, 0L, 0L, 40L, true), (0L, 0L, 0L, 2L, true),
+      (0L, 0L, 0L, 63L, true), (0L, 0L, 0L, 100L, true),
+      (0L, 0L, 0L, 127L, true), (0L, 0L, 0L, 10L, false))
+      .toDF("cc", "bl", "t", "fc", "flag")
+    val words = graft.sinks.Sinks.mwafBitmask(wide, 128)
+      .select("flag_words").head().getSeq[Long](0)
+    assert(words == Seq(1L << 2, (1L << 8) | (1L << 31), 0L,
+      (1L << 4) | (1L << 31)), s"got words $words")
+
+    // an fc outside [0, fpc) must raise, never silently vanish from
+    // every word
+    val bad = Seq((0L, 0L, 0L, 130L, true))
+      .toDF("cc", "bl", "t", "fc", "flag")
+    val ex = intercept[Exception] {
+      graft.sinks.Sinks.mwafBitmask(bad, 128).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("128-chan (legacy 10 kHz) container writes and round-trips: " +
+    "16-byte X rows, bits at the word boundaries, CH_OCC width") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    // fc = 40 would wrap to bit 8 under a 32-bit shift — the BIGINT
-    // shift must set bit 40 exactly
-    val wide = Seq((0L, 0L, 0L, 40L, true), (0L, 0L, 0L, 2L, true),
-      (0L, 0L, 0L, 63L, true), (0L, 0L, 0L, 10L, false))
+    val meta128 = graft.model.MetaDecorators.ChanWidth(
+      graft.model.SynthDims, 128)
+    // one present cell with bits straddling every word boundary —
+    // 0, 31, 32, 63, 64, 95, 96, 127
+    val marks = Seq(0L, 31L, 32L, 63L, 64L, 95L, 96L, 127L)
+    val vis = marks.map(fc => (0L, 0L, 0L, fc, true))
       .toDF("cc", "bl", "t", "fc", "flag")
-    val mask = graft.sinks.Sinks.mwafBitmask(wide)
-      .select("flag_mask").head().getLong(0)
-    assert(mask == ((1L << 40) | (1L << 2) | (1L << 63)),
-      s"got mask $mask")
-
-    // a 128-chans-per-coarse container (real legacy MWA) must be
-    // rejected, not silently truncated to its low 64 bits
-    val meta128 = new graft.model.MetaSource {
-      def antenna(s: org.apache.spark.sql.SparkSession) =
-        Dims.antenna(s)
-      def timestep(s: org.apache.spark.sql.SparkSession) =
-        Dims.timestep(s)
-      def chan(s: org.apache.spark.sql.SparkSession) = Dims.chan(s)
-      def baseline(s: org.apache.spark.sql.SparkSession) =
-        Dims.baseline(s)
-      def digitalGain(s: org.apache.spark.sql.SparkSession) =
-        Dims.digitalGain(s)
-      def flaggedAnts(s: org.apache.spark.sql.SparkSession) = Seq(7L)
-      override def fineChansPerCoarse: Int = 128
+    val dir = Files.createTempDirectory("mwaf_128").toString
+    val counts = MwafWriter.write(vis, dir, meta = meta128)
+    assert(counts.keySet == Set(0L))
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/flags_0.mwaf"))
+    assert(bytes.length % 2880 == 0)
+    val back = graft.sources.MwafReader.read(spark, dir)
+    val present = back.where(col("t") === 0 && col("bl") === 0)
+      .select("flag_words", "n_chans").head()
+    val expectWords =
+      Seq((1L << 0) | (1L << 31), (1L << 0) | (1L << 31),
+        (1L << 0) | (1L << 31), (1L << 0) | (1L << 31))
+    assert(present.getSeq[Long](0) == expectWords)
+    assert(present.getLong(1) == 128L, "NCHANS from the file header")
+    // every absent cell reads back fully flagged at the 128-chan width
+    val full = Seq.fill(4)(0xFFFFFFFFL)
+    assert(back.where(!(col("t") === 0 && col("bl") === 0))
+      .collect().forall(_.getSeq[Long](3) == full))
+    // CH_OCC carries one row per fine channel (128), and exactly the
+    // marked channels count 1 (plus the absent-cell full flags)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val chocc = graft.sources.MwafReader
+      .readChOcc(s"$dir/flags_0.mwaf", conf)
+    assert(chocc.length == 128)
+    val totalRows = counts(0L)
+    chocc.foreach { case (idx, count, _) =>
+      val expect =
+        (totalRows - 1) + (if (marks.contains(idx.toLong)) 1 else 0)
+      assert(count == expect, s"CH_OCC[$idx] = $count, want $expect")
     }
-    val flagged = FlagOps.setFlags(
-      VisSynth.vis(spark, "/root/testdata/sf0.001"),
-      Dims.timestep(spark), Dims.chan(spark), Dims.baseline(spark))
-    val ex = intercept[IllegalArgumentException] {
-      MwafWriter.write(flagged,
-        Files.createTempDirectory("mwaf_wide").toString,
-        meta = meta128)
-    }
-    assert(ex.getMessage.contains("64 fine chans"))
   }
 
   test("mwaf extensions are standard-conforming FITS BINTABLEs " +

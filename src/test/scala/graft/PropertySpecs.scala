@@ -138,14 +138,23 @@ object PropertySpecs extends Properties("kernels") {
         strs.forall { case (k, v) => strsBack(k).toSeq == v }
     }
 
-  property("mwaf FITS X-column bit packing round-trips any mask") =
-    Prop.forAll(Gen.chooseNum(1, 64),
-      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (fpc, raw) =>
-      val mask = if (fpc == 64) raw else raw & ((1L << fpc) - 1)
+  property("mwaf FITS X-column bit packing round-trips any bitvector " +
+    "at any width (multi-word incl. legacy 128)") =
+    Prop.forAll(Gen.chooseNum(1, 256),
+      Gen.listOfN(8, Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      (fpc, raws) =>
+      val wc = graft.sinks.Sinks.MwafWordChans
+      val nWords = graft.sinks.Sinks.mwafWordCount(fpc)
+      // mask each word to its in-range 32-bit payload (last word may
+      // be partial)
+      val words = (0 until nWords).map { w =>
+        val chans = math.min(wc, fpc - w * wc)
+        raws(w % raws.length) & ((1L << chans) - 1L)
+      }
       val buf = new Array[Byte]((fpc + 7) / 8)
-      graft.sinks.MwafWriter.packBits(mask, fpc, buf)
+      graft.sinks.MwafWriter.packBits(words, fpc, buf)
       graft.sources.MwafReader.unpackBits(
-        java.nio.ByteBuffer.wrap(buf), fpc) == mask
+        java.nio.ByteBuffer.wrap(buf), fpc).toSeq == words
     }
 
   property("casacore Bool bit packing round-trips (LSB-first)") =
