@@ -427,6 +427,22 @@ object SparkEntry {
         Seq("t_out", "bl", "c_out"))
     }),
 
+    // K1f: q_k1e's SERVE side alone — the same correction chain +
+    // averaging + global uvfits row order, but reading a PRE-BUILT
+    // (t, chan) mirror. q_k1e times layout-build + serve together,
+    // double-counting q_pp4's one-off mirror cost inside the sink
+    // gate; this gate measures the production path a user actually
+    // pays per query: mirror already on disk (ensureK1fMirror builds
+    // it once per JVM/dir — Bench's warm-up discards absorb the
+    // build, the timed runs read the finished bucketed table).
+    // Shares q_k1e's oracle verbatim.
+    "q_k1f_mirror_serve_order" -> ((s, dir) => {
+      val pre = Preprocess(vanVleck = true, rfi = true)(
+        s, s.table(ensureK1fMirror(s, dir)))
+      Sinks.orderedRowIdx(Averaging.avgTimeFreq(quantForAvg(pre), 2, 2),
+        Seq("t_out", "bl", "c_out"))
+    }),
+
     // K1b: the WRITTEN uvfits file's UVW group parameters — write the
     // averaged frame through the binary sink with the partial-UVW
     // table, read the group params back out of the file, and gate them
@@ -747,6 +763,13 @@ object SparkEntry {
     "q_sim15_ann_residual_rerank" -> ((s, dir) =>
       Similarity.ivfPqResidualRerankTopK(emb(s, dir),
         fixtureScale = true)),
+    // index staleness / retrain trigger: per-cell old/new occupancy
+    // of a model trained BEFORE the corpus grew, plus exact
+    // ground-truth hit counts of stale vs fresh-trained serving —
+    // the statistic that tells a 100 TB index when to retrain
+    "q_sim16_ann_staleness" -> ((s, dir) =>
+      Similarity.indexStalenessReport(emb(s, dir),
+        fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -986,6 +1009,23 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Build q_k1f's (t, chan) mirror ONCE per (JVM, sfDir) and return
+    * its table name. The name carries the dir hash so two sfDirs in
+    * one JVM can never serve each other's mirror; a FRESH JVM (every
+    * Bench idle fork) rebuilds on first call — which lands in the
+    * warm-up discards — and the timed runs read the finished table.
+    * ConcurrentHashMap.computeIfAbsent gives once-only semantics even
+    * if gates ever run concurrently.
+    */
+  private val k1fMirrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureK1fMirror(s: SparkSession, dir: String): String =
+    k1fMirrors.computeIfAbsent(dir, d => {
+      val table = s"vis_k1f_mirror_${math.abs(d.hashCode).toString}"
+      Sinks.writeTimeChanMirror(weighted(s, d), table)
+      table
+    })
+
   /** Scratch path for the q_k1b uvfits write-then-read-back gate; one
     * per JVM, overwritten per invocation (verify + every bench run).
     */
@@ -1129,6 +1169,9 @@ object SparkEntry {
     "q_r1f_rms_inloop" -> Oracles.r1fRmsInLoop,
     "q_k1_uvfits_order" -> Oracles.k1UvfitsOrder,
     "q_k1e_mirror_uvfits_order" -> Oracles.k1eMirrorUvfitsOrder,
+    // q_k1f is q_k1e's serve side over a pre-built mirror — same
+    // output by construction, same oracle verbatim
+    "q_k1f_mirror_serve_order" -> Oracles.k1eMirrorUvfitsOrder,
     "q_k1b_uvw" -> Oracles.k1bUvw,
     "q_k1d_uvfits_data" -> Oracles.k1dUvfitsData,
     "q_k1c_antenna_table" -> Oracles.k1cAntennaTable,
@@ -1163,6 +1206,7 @@ object SparkEntry {
     "q_sim14_ann_ivfpq_rerank" -> LlmOracles.sim14IvfPqRerank(),
     "q_sim15_ann_residual_rerank" ->
       LlmOracles.sim15IvfPqResidualRerank(),
+    "q_sim16_ann_staleness" -> LlmOracles.sim16Staleness(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

@@ -334,7 +334,9 @@ object Clustering {
     * [[kmeansAssign]]'s `iters`×lloydStep + final pass.
     */
   private[graft] def kmeansCtes(k: Int, iters: Int, dim: Int,
-                                prefix: String = "", withE: Boolean = true)
+                                prefix: String = "", withE: Boolean = true,
+                                trainSrc: String = "e",
+                                assignSrc: String = "e")
                                (implicit d: Dialect): (String, String) = {
     def score(cv: String) =
       s"round((${listFoldSumDouble(listTransformIdx("e.qv",
@@ -347,17 +349,21 @@ object Clustering {
        |  SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
        |""".stripMargin
     ctes ++= s"""${p}c0 AS (
-       |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM e
+       |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM $trainSrc
        |  WHERE vec_id < $k)""".stripMargin
     // assignments a1..a{iters+1}; centroid updates after the first
     // `iters` of them — so the output is the extra assignment against
     // the fully-trained centroid set, mirroring kmeansAssign's
-    // `iters`×lloydStep + final labelling pass.
+    // `iters`×lloydStep + final labelling pass. Training rounds read
+    // `trainSrc`; the final labelling pass reads `assignSrc` — they
+    // differ only in the staleness twin, where the model trains on
+    // the old corpus but the whole grown corpus is labelled.
     for (i <- 1 to iters + 1) {
+      val src = if (i <= iters) trainSrc else assignSrc
       ctes ++= s""",
        |${p}s$i AS (
        |  SELECT e.vec_id, e.qv, c.cid, ${score("c.cv")} AS score
-       |  FROM e CROSS JOIN ${p}c${i - 1} c),
+       |  FROM $src e CROSS JOIN ${p}c${i - 1} c),
        |${p}a$i AS (
        |  SELECT vec_id, qv, cid AS cell, score FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id

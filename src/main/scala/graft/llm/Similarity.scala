@@ -1077,6 +1077,85 @@ object Similarity {
       embq, queries, model, nProbe, r, k, m, dim)
   }
 
+  // ---- index staleness / retrain trigger (q_sim16) ------------------
+
+  /** Default old-corpus cutoff for [[indexStalenessReport]]: vectors
+    * with vec_id below it are the "already indexed" corpus the stale
+    * model trained on; the rest are post-training arrivals. 256 keeps
+    * the centroid/codebook seed rules (vec_id < 16) inside the old
+    * corpus at every test SF.
+    */
+  val StalenessOldCut = 256
+
+  /** The retrain-trigger statistic a 100 TB index needs: a trained
+    * [[IvfPqResidualModel]] goes STALE as the corpus grows — new
+    * arrivals are encoded against centroids and codebooks that never
+    * saw them, so per-cell occupancy skews and recall drifts below a
+    * fresh-trained model's. This report measures both, exactly:
+    *
+    * - one row per stale-model cell: `n_old` / `n_new` — old-corpus
+    *   vs post-training vectors assigned to the cell (occupancy skew:
+    *   growth concentrating in few cells is the classic retrain
+    *   signal, FAISS's IVF re-balance criterion);
+    * - on every row (summary columns): `stale_hits` / `fresh_hits` /
+    *   `truth_total` — exact ground-truth top-k hits of the ADC
+    *   serving path under the stale model vs a fresh-trained one,
+    *   summed over the query set. All counts are integers, so the
+    *   gate hashes bit-for-bit.
+    *
+    * Scale shape: two bounded trainings (iters-capped map-side-
+    * combined scans), two zero-shuffle index projections, searches
+    * over broadcast probes, and MODEL-sized joins for the hit counts
+    * (nQueries·k pairs). No corpus-scale shuffle anywhere.
+    */
+  def indexStalenessReport(emb: DataFrame, nCentroids: Int = 16,
+                           nProbe: Int = 2, nCodes: Int = 16,
+                           m: Int = 8, iters: Int = 2,
+                           nQueries: Int = 8, k: Int = 5,
+                           dim: Int = 64,
+                           oldCut: Int = StalenessOldCut,
+                           fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("indexStalenessReport", nCentroids,
+      fixtureScale)
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.DoubleVecDot.register(s)
+    val embOld = emb.where(col("vec_id") < oldCut)
+    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
+      m, iters, dim)
+    val fresh = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val embq = quantised(emb)
+    val queries = embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    def served(model: IvfPqResidualModel): DataFrame =
+      ivfPqResidualSearch(ivfPqResidualIndex(emb, model, m, dim),
+        queries, model, nProbe, k, m, dim)
+        .select("qid", "vec_id")
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select("qid", "vec_id")
+    def hits(pairs: DataFrame, name: String): DataFrame =
+      truth.join(pairs, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as(name))
+    // full-corpus assignment to the STALE cells, split old/new
+    val occCounts = embq
+      .withColumn("cell", pqCodeExprD(stale.cents, col("qv")))
+      .groupBy("cell").agg(
+        sum(when(col("vec_id") < oldCut, 1L).otherwise(0L))
+          .as("n_old_raw"),
+        sum(when(col("vec_id") >= oldCut, 1L).otherwise(0L))
+          .as("n_new_raw"))
+    val cells = (0 until nCentroids).map(_.toLong).toDF("cell")
+    cells
+      .join(occCounts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old_raw"), lit(0L)).as("n_old"),
+        coalesce(col("n_new_raw"), lit(0L)).as("n_new"))
+      .crossJoin(broadcast(hits(served(stale), "stale_hits")))
+      .crossJoin(broadcast(hits(served(fresh), "fresh_hits")))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_total"))))
+  }
+
   /** Gate shape: nProbe = nCentroids/2 and r = 32·k measure recall
     * 1.0 on the fixture (the spec pins ≥0.95) — the point of the
     * stage: a SMALL exact budget (r ≪ corpus) erases the ADC

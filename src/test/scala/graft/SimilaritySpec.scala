@@ -369,6 +369,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"a bigger exact budget must pay on this fixture: $h10 vs $h160")
   }
 
+  test("staleness report (q_sim16): well-formed occupancy split, " +
+    "stale recall <= fresh recall, stale occupancy drifts") {
+    val rep = Similarity.indexStalenessReport(emb, fixtureScale = true)
+      .collect()
+    assert(rep.length == 16, "one row per stale-model cell")
+    val oldCut = Similarity.StalenessOldCut
+    val corpus = emb.count()
+    // the occupancy split partitions the grown corpus exactly
+    assert(rep.map(_.getLong(1)).sum == math.min(oldCut, corpus),
+      "n_old must total the old corpus")
+    assert(rep.map(_.getLong(2)).sum == corpus - math.min(oldCut, corpus),
+      "n_new must total the arrivals")
+    val (staleHits, freshHits, total) =
+      (rep.head.getLong(3), rep.head.getLong(4), rep.head.getLong(5))
+    assert(total == 40L, "8 queries x top-5 ground truth")
+    // the retrain trigger: a model that never saw the arrivals cannot
+    // beat the fresh-trained one on this fixture
+    assert(staleHits <= freshHits,
+      s"stale $staleHits must be <= fresh $freshHits")
+    // and the summary columns are constant across rows
+    assert(rep.forall(r => r.getLong(3) == staleHits &&
+      r.getLong(4) == freshHits && r.getLong(5) == total))
+  }
+
   test("multi-table LSH: 1 table matches the single-bucket index, " +
     "recall rises with table count") {
     def ids(df: org.apache.spark.sql.DataFrame) = df
