@@ -42,21 +42,32 @@ object FunnelStream {
     var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
     val out = List.newBuilder[Conversion]
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      require(e.ts_us >= 0,
-        s"funnel requires non-negative ts_us, got ${e.ts_us}")
-      if (st.t3 < 0) e.event_type match {
-        case "view" if st.t1 < 0 =>
-          st = st.copy(t1 = e.ts_us)
-        case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
-          st = st.copy(t2 = e.ts_us)
-        case "purchase" if st.t2 >= 0 && e.ts_us > st.t2 =>
-          st = st.copy(t3 = e.ts_us)
-          out += Conversion(userId, st.t1, st.t2, st.t3)
-        case _ => ()
-      }
+      val (next, emitted) = advance(userId, st, e)
+      st = next
+      emitted.foreach(out += _)
     }
     state.update(st)
     out.result().iterator
+  }
+
+  /** Pure single-event transition — ONE definition shared by the
+    * in-order twin and [[OooStream]]'s watermark-reordered variant.
+    */
+  def advance(userId: Long, st: FunnelState, e: Ev)
+      : (FunnelState, Option[Conversion]) = {
+    require(e.ts_us >= 0,
+      s"funnel requires non-negative ts_us, got ${e.ts_us}")
+    if (st.t3 >= 0) (st, None)
+    else e.event_type match {
+      case "view" if st.t1 < 0 =>
+        (st.copy(t1 = e.ts_us), None)
+      case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
+        (st.copy(t2 = e.ts_us), None)
+      case "purchase" if st.t2 >= 0 && e.ts_us > st.t2 =>
+        val n = st.copy(t3 = e.ts_us)
+        (n, Some(Conversion(userId, n.t1, n.t2, n.t3)))
+      case _ => (st, None)
+    }
   }
 
   /** Wire the stateful operator over a streaming Dataset[Ev]. */

@@ -55,32 +55,41 @@ object ResampleStream {
     var out = List.empty[Bucket]
     var cur = state.getOption
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      val b = (e.ts_us / BucketUs) * BucketSec
-      cur match {
-        case Some(s) if b == s.bucketS =>
-          cur = Some(s.copy(nEv = s.nEv + 1, sum = s.sum + e.value))
-        case Some(s) if b > s.bucketS =>
-          // close the open bucket, then the gap buckets it fills
-          val closedFill = r4(s.sum)
-          out ::= Bucket(userId, s.bucketS, s.nEv, closedFill,
-            closedFill)
-          var g = s.bucketS + BucketSec
-          while (g < b) {
-            out ::= Bucket(userId, g, 0L, 0.0, closedFill)
-            g += BucketSec
-          }
-          cur = Some(BucketState(b, 1L, e.value))
-        case Some(s) => // late event older than the open bucket: the
-          // batch operator would have folded it; streaming drops it —
-          // the documented watermark tradeoff
-          ()
-        case None =>
-          cur = Some(BucketState(b, 1L, e.value))
-      }
+      val (next, emitted) = advance(userId, cur, e)
+      cur = next
+      emitted.foreach(out ::= _)
     }
     cur.foreach(state.update)
     idleFlushMs.foreach(ms => state.setTimeoutDuration(ms))
     out.reverseIterator
+  }
+
+  /** Pure single-event transition (emissions in bucket order) — ONE
+    * definition shared by the in-order twin and [[OooStream]]'s
+    * watermark-reordered variant. An event older than the open bucket
+    * is dropped (the documented streaming tradeoff; the Ooo variant's
+    * reorder buffer makes that drop impossible within the allowed
+    * lateness).
+    */
+  def advance(userId: Long, cur: Option[BucketState], e: Ev)
+      : (Option[BucketState], List[Bucket]) = {
+    val b = (e.ts_us / BucketUs) * BucketSec
+    cur match {
+      case Some(s) if b == s.bucketS =>
+        (Some(s.copy(nEv = s.nEv + 1, sum = s.sum + e.value)), Nil)
+      case Some(s) if b > s.bucketS =>
+        // close the open bucket, then the gap buckets it fills
+        val closedFill = r4(s.sum)
+        val closed = Bucket(userId, s.bucketS, s.nEv, closedFill,
+          closedFill)
+        val gaps = Iterator.iterate(s.bucketS + BucketSec)(_ + BucketSec)
+          .takeWhile(_ < b)
+          .map(g => Bucket(userId, g, 0L, 0.0, closedFill))
+          .toList
+        (Some(BucketState(b, 1L, e.value)), closed :: gaps)
+      case Some(_) => (cur, Nil) // older than the open bucket: dropped
+      case None => (Some(BucketState(b, 1L, e.value)), Nil)
+    }
   }
 
   /** The final open bucket a batch backfill would also contain —

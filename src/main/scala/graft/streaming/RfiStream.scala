@@ -29,25 +29,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object RfiStream {
 
-  case class Buf(cells: Seq[RfiCell])
+  /** `frontierT` is the oldest timestep the window still admits —
+    * monotone; a cell arriving below it is LATE BEYOND THE WINDOW
+    * (its timestep already exited and was emitted), so it is dropped
+    * and counted rather than re-emitted with a truncated context
+    * (which would both duplicate the (t, chan) emission and flag it
+    * against less background than the first pass saw).
+    */
+  case class Buf(cells: Seq[RfiCell], frontierT: Long)
 
-  /** Pure per-baseline transition: buffer, detect, emit exiting rows. */
+  /** Pure per-baseline transition: buffer, detect, emit exiting rows.
+    * `lateDrops` (when given) counts the beyond-window arrivals — the
+    * visible drop metric the out-of-order specs assert on.
+    */
   def updateBl(bl: Long, newRows: Iterator[RfiCell],
                state: GroupState[Buf], window: Long,
-               strategy: RfiStrategy): Iterator[RfiFlagOut] = {
+               strategy: RfiStrategy,
+               lateDrops: Option[org.apache.spark.util.LongAccumulator]
+                 = None): Iterator[RfiFlagOut] = {
     if (state.hasTimedOut) {
       val flushed = state.getOption.map(b =>
         openFlags(bl, b, strategy)).getOrElse(Iterator.empty)
       state.remove()
       return flushed
     }
-    val all = state.getOption.map(_.cells).getOrElse(Seq.empty) ++
-      newRows
+    val st0 = state.getOption.getOrElse(Buf(Seq.empty, Long.MinValue))
+    val (late, fresh) = newRows.toSeq.partition(_.t < st0.frontierT)
+    if (late.nonEmpty) lateDrops.foreach(_.add(late.size.toLong))
+    val all = st0.cells ++ fresh
     if (all.isEmpty) return Iterator.empty
     val maxT = all.iterator.map(_.t).max
-    val cutoff = maxT - window + 1
+    val cutoff = math.max(maxT - window + 1, st0.frontierT)
     val (keep, exit) = all.partition(_.t >= cutoff)
-    state.update(Buf(keep))
+    state.update(Buf(keep, cutoff))
     if (exit.isEmpty) Iterator.empty
     else {
       // detect over the FULL buffer so exiting rows keep their
@@ -74,7 +88,9 @@ object RfiStream {
     */
   def flags(cells: Dataset[RfiCell], window: Long,
             strategy: RfiStrategy = RfiStrategy(),
-            idleFlushMs: Option[Long] = None): Dataset[RfiFlagOut] = {
+            idleFlushMs: Option[Long] = None,
+            lateDrops: Option[org.apache.spark.util.LongAccumulator]
+              = None): Dataset[RfiFlagOut] = {
     import cells.sparkSession.implicits._
     val timeout =
       if (idleFlushMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -83,7 +99,7 @@ object RfiStream {
       .groupByKey(_.bl)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (bl: Long, rows: Iterator[RfiCell], st: GroupState[Buf]) => {
-          val out = updateBl(bl, rows, st, window, strategy)
+          val out = updateBl(bl, rows, st, window, strategy, lateDrops)
           idleFlushMs.foreach(ms =>
             if (st.exists) st.setTimeoutDuration(ms))
           out

@@ -25,6 +25,26 @@ object SessionStream {
 
   val GapUs: Long = 1800L * 1000000L
 
+  /** The open session materialised as an emitted row. */
+  def closeSession(userId: Long, s: SessionState): Session =
+    Session(userId, s.startUs, s.endUs, s.n, s.endUs - s.startUs)
+
+  /** Pure single-event transition: fold `e` into the open session,
+    * emitting the closed session when the gap splits. ONE definition
+    * shared by the in-order twin and [[OooStream]]'s
+    * watermark-reordered variant, so the two paths cannot drift.
+    */
+  def advance(userId: Long, cur: Option[SessionState], e: Ev)
+      : (Option[SessionState], Option[Session]) = cur match {
+    case Some(s) if e.ts_us - s.endUs <= GapUs =>
+      (Some(s.copy(endUs = e.ts_us, n = s.n + 1)), None)
+    case Some(s) =>
+      (Some(SessionState(e.ts_us, e.ts_us, 1)),
+        Some(closeSession(userId, s)))
+    case None =>
+      (Some(SessionState(e.ts_us, e.ts_us, 1)), None)
+  }
+
   /** The per-group state transition — pure, testable without a stream. */
   def updateUser(userId: Long, events: Iterator[Ev],
                  state: GroupState[SessionState]): Iterator[Session] = {
@@ -32,20 +52,12 @@ object SessionStream {
     var cur = state.getOption
     // deterministic order within the micro-batch
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      cur match {
-        case Some(s) if e.ts_us - s.endUs <= GapUs =>
-          cur = Some(s.copy(endUs = e.ts_us, n = s.n + 1))
-        case Some(s) =>
-          closed ::= Session(userId, s.startUs, s.endUs, s.n,
-            s.endUs - s.startUs)
-          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-        case None =>
-          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-      }
+      val (next, emitted) = advance(userId, cur, e)
+      cur = next
+      emitted.foreach(closed ::= _)
     }
     if (state.hasTimedOut) {
-      cur.foreach(s => closed ::= Session(userId, s.startUs, s.endUs,
-        s.n, s.endUs - s.startUs))
+      cur.foreach(s => closed ::= closeSession(userId, s))
       state.remove()
     } else {
       cur.foreach(state.update)
