@@ -122,6 +122,22 @@ object ScaleGen {
     embs.repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     println(s"[scalegen] embeddings $nEmb rows")
+
+    // events (feeds the q_e* family): replicate the user POPULATION —
+    // user_id' = user_id·factor + r keeps every per-user history
+    // intact (sessionisation/funnel/retention shapes preserved) while
+    // the group count grows `factor`×; event ids remapped the same
+    // way to stay unique. Timestamps untouched: the time axis is the
+    // window/bucket GRID, which real growth doesn't widen.
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val nEv = ev.count()
+    ev.crossJoin(spark.range(factor).select(col("id").as("__r")))
+      .withColumn("user_id", col("user_id") * factor + col("__r"))
+      .withColumn("event_id", col("event_id") * factor + col("__r"))
+      .drop("__r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"[scalegen] events ${nEv * factor} rows")
     spark.stop()
   }
 }
