@@ -845,6 +845,16 @@ object SparkEntry {
     "q_d11_skew_lsh" -> ((s, dir) =>
       Dedup.lshCandidates(Dedup.skewBoilerplate(docs(s, dir)))),
 
+    // the PRODUCTION answer to d11's stress: hot band buckets
+    // (> 64 docs) are excluded from pair generation — a constant-
+    // fraction boilerplate class otherwise makes candidate pairs
+    // QUADRATIC in corpus size (d11 measures 52x at 10x data); the
+    // over-cap buckets are boilerplate en masse, already handled at
+    // linear cost by the census (q_d7)
+    "q_d14_lsh_hot_cap" -> ((s, dir) =>
+      Dedup.lshCandidates(Dedup.skewBoilerplate(docs(s, dir)),
+        hotBucketCap = 64)),
+
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
     "q_doc_pipeline" -> ((s, dir) =>
@@ -1249,6 +1259,7 @@ object SparkEntry {
     "q_d9_source_overlap" -> graft.llm.Corpus.sourceOverlapSql(),
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
     "q_d11_skew_lsh" -> LlmOracles.d11SkewLsh,
+    "q_d14_lsh_hot_cap" -> LlmOracles.d14LshHotCap(64),
     "q_d12_minhash_accuracy" -> LlmOracles.d12MinhashAccuracy,
     "q_d13_bloom_dedup" -> LlmOracles.d13BloomDedup(),
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,

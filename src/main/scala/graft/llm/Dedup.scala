@@ -83,10 +83,25 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band bucket, scored by the
     * fraction of equal minhash components (the unbiased Jaccard
     * estimate).
+    *
+    * `hotBucketCap` (0 = off, the gate-default) is the production
+    * skew guard: a band bucket holding more than `cap` docs is
+    * EXCLUDED from pair generation. A bucket of size m contributes
+    * C(m, 2) pairs — a boilerplate class that is a constant FRACTION
+    * of the corpus makes the pair count QUADRATIC in corpus size
+    * (measured: q_d11's stamped corpus runs 52× at 10× data,
+    * SCALE.md round-18), and at 100 TB that one bucket IS the job.
+    * Over-cap buckets are by definition near-identical text en
+    * masse — the boilerplate CENSUS ([[boilerplateCensus]], q_d7) is
+    * the right operator for them, at linear cost; the cap routes
+    * them there instead of paying C(m, 2). The cap check is a
+    * map-side-combined count on the SAME key as the pair join — the
+    * hot bucket's pairs are never materialised anywhere.
     */
-  def lshCandidates(docs: DataFrame): DataFrame =
+  def lshCandidates(docs: DataFrame, hotBucketCap: Int = 0): DataFrame =
     lshCandidatesFromSig(
-      minhashSignatures(docs).localCheckpoint(eager = false))
+      minhashSignatures(docs).localCheckpoint(eager = false),
+      hotBucketCap)
 
   /** Candidates + estimated jaccard from a signature frame the caller
     * has already bounded for multi-consumption (this plan reads it six
@@ -94,11 +109,21 @@ object Dedup {
     * localCheckpoint'ed frame, not a cached one (see
     * [[hashedShingles]]).
     */
-  def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
+  def lshCandidatesFromSig(sig: DataFrame,
+                           hotBucketCap: Int = 0): DataFrame = {
+    val allBands = (0 until NumBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
         col(s"band$b").as("band_hash"))
     }.reduce(_ unionAll _)
+    val bands =
+      if (hotBucketCap <= 0) allBands
+      else {
+        val sizes = allBands.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .where(col("__bucket_n") <= hotBucketCap)
+        allBands.join(sizes, Seq("band_idx", "band_hash"))
+          .drop("__bucket_n")
+      }
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

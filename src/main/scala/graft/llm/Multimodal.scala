@@ -261,12 +261,28 @@ object Multimodal {
     * (undeclared memory pinning + silent substitution into later
     * queries; see graft.llm.Dedup.hashedShingles).
     */
-  def phashNearDup(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+  def phashNearDup(docs: DataFrame, maxDist: Int = 6,
+                   hotBucketCap: Int = 0): DataFrame = {
     val ph = perceptualHash(docs).toDF().localCheckpoint(eager = false)
-    val bands = (0 to 3).map { k =>
+    val allBands = (0 to 3).map { k =>
       ph.select(col("doc_id"), lit(k).as("band_idx"),
         col(s"b$k").as("band_val"))
     }.reduce(_ unionByName _)
+    // production skew guard, same rationale as Dedup.lshCandidates:
+    // a band bucket whose occupancy grows with the corpus contributes
+    // C(m, 2) pairs — quadratic at scale (the 16-bit pHash bands are
+    // low-entropy on near-uniform corpora; measured 28x at 10x data,
+    // SCALE.md round-18). Over-cap buckets are the mass-duplicate
+    // class the exact-dedup/census operators already handle linearly.
+    val bands =
+      if (hotBucketCap <= 0) allBands
+      else {
+        val sizes = allBands.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .where(col("__bucket_n") <= hotBucketCap)
+        allBands.join(sizes, Seq("band_idx", "band_val"))
+          .drop("__bucket_n")
+      }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&

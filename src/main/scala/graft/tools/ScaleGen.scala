@@ -138,6 +138,31 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"[scalegen] events ${nEv * factor} rows")
+
+    // orders (feeds the q_h*/q_e3 relational family): the SAME
+    // order-key remap as lineitem — o_orderkey' = o_orderkey·factor+r
+    // — so the lineitem⋈orders join keys stay aligned and both fact
+    // sides grow factor× together. Customer keys untouched: each
+    // customer simply places factor× the orders, fact-growth without
+    // dimension growth, which is what a 100 TB year looks like.
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    val nOrd = ord.count()
+    ord.crossJoin(spark.range(factor).select(col("id").as("__r")))
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("__r"))
+      .drop("__r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    println(s"[scalegen] orders ${nOrd * factor} rows")
+
+    // dimension tables: broadcast-sized in every consumer; copied
+    // verbatim so the dim joins resolve (growth measurements target
+    // the fact sides)
+    Seq("customer", "supplier", "part", "region", "nation").foreach {
+      t =>
+        spark.read.parquet(s"$baseDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        println(s"[scalegen] $t copied")
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,33 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-bucket cap (q_d14): capped candidates are a subset, the " +
+    "quadratic boilerplate bucket is gone, sparse buckets untouched") {
+    import graft.llm.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val skewed = Dedup.skewBoilerplate(docs) // 100 of 500 docs identical
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Dedup.lshCandidates(skewed))
+    val capped = pairs(Dedup.lshCandidates(skewed, hotBucketCap = 64))
+    assert(capped.subsetOf(uncapped), "the cap may only remove pairs")
+    // the C(100, 2) boilerplate-x-boilerplate blow-up is exactly what
+    // goes: no surviving pair has BOTH ends stamped
+    assert(!capped.exists(p => p._1 % 5 == 0 && p._2 % 5 == 0),
+      "no boilerplate-boilerplate pair may survive the cap")
+    assert(uncapped.count(p => p._1 % 5 == 0 && p._2 % 5 == 0) >= 4950,
+      "the uncapped run must actually contain the hot bucket")
+    // sparse-bucket pairs (organic near-dups) are untouched
+    val organic = uncapped.filterNot(p => p._1 % 5 == 0 && p._2 % 5 == 0)
+    assert(capped == organic || capped.subsetOf(organic),
+      "capping must keep the organic candidates")
+    // cap = 0 is the identity (the d2/d11 gate behaviour)
+    assert(pairs(Dedup.lshCandidates(skewed, hotBucketCap = 0))
+      == uncapped)
+  }
+
   test("minhash accuracy: identical docs estimate exactly, candidate " +
     "set matches lshCandidates, mean error is estimator-sized") {
     import graft.llm.Dedup
