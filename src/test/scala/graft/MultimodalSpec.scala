@@ -109,4 +109,27 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.contains((1L, 2L, 0L)), s"got ${pairs.toSeq}")
   }
+
+  test("phash hot-bucket cap: the mass-duplicate bucket is excluded, " +
+    "sparse pairs kept, cap=0 is the identity") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter now " * 10
+    val organic = "the quick brown fox jumps over the lazy dog " * 20
+    // 40 identical boilerplate docs (ids 10..49, one 4-band bucket of
+    // 40) + one organic near-dup pair (ids 1, 2)
+    val docs = (Seq((1L, organic), (2L, organic)) ++
+      (10L until 50L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Multimodal.phashNearDup(docs))
+    val capped = pairs(Multimodal.phashNearDup(docs, hotBucketCap = 8))
+    assert(uncapped.count(p => p._1 >= 10 && p._2 >= 10) ==
+      40 * 39 / 2, "the uncapped run carries C(40,2) hot pairs")
+    assert(capped == Set((1L, 2L)),
+      s"cap keeps only the sparse organic pair, got $capped")
+    assert(pairs(Multimodal.phashNearDup(docs, hotBucketCap = 0))
+      == uncapped, "cap=0 must be the identity")
+  }
 }
