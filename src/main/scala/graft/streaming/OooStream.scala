@@ -32,10 +32,24 @@ import org.apache.spark.util.LongAccumulator
   *
   * State per group = the O(lateness·rate) pending buffer + the
   * in-order twin's O(1) state + the monotone frontier. EventTime
-  * timeouts flush a group once the watermark passes its horizon
-  * (pending drained in order, the open aggregate closed) — flushing
-  * forgets the frontier with the state, the same
-  * liveness/exactly-once tradeoff as ResampleStream's idle flush.
+  * timeouts flush a group once the watermark passes its horizon:
+  *
+  *  - sessions/resample DRAIN pending and CLOSE the open aggregate
+  *    (a session/bucket past the watermark is closable), then remove
+  *    the state. Removal forgets the frontier: a straggler arriving
+  *    after the flush is caught only by Spark's operator-level
+  *    watermark filter (counted in `numRowsDroppedByWatermark`), not
+  *    by the in-function counter — the same liveness/exactly-once
+  *    tradeoff as ResampleStream's idle flush, accepted here because
+  *    a retained tombstone per ever-seen group would grow state with
+  *    the key cardinality of the whole stream, not the live window.
+  *  - the funnel has NO closable aggregate: a partial FunnelState
+  *    (view seen, purchase still to come — nothing late) must survive
+  *    the flush or the conversion is silently lost. Its timeout
+  *    drains pending but RETAINS the folded O(1) state + frontier —
+  *    exactly what the in-order twin keeps forever under NoTimeout —
+  *    so funnels spanning micro-batches convert, and post-flush
+  *    stragglers still hit the in-function lateness counter.
   *
   * Scale shape: identical to the in-order twins — one stateful
   * exchange on the group key; the buffer adds memory bounded by the
@@ -145,7 +159,16 @@ object OooStream {
         st = next
         emitted.foreach(out += _)
       }
-      state.remove()
+      // no closable aggregate to emit: removing the state here would
+      // lose a partial funnel whose remaining stages arrive in later
+      // micro-batches with nothing late (the timeout fires on the
+      // next watermark advance while the buffer sits empty). Retain
+      // the folded O(1) state — the in-order twin keeps it forever
+      // under NoTimeout — plus the advanced frontier; no new timeout
+      // is armed (nothing pending), the next arrival re-arms one.
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      state.update(FunOoo(Seq.empty, st,
+        math.max(st0.frontierUs, wmUs + 1)))
       return out.result().iterator
     }
     val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -163,8 +186,14 @@ object OooStream {
       emitted.foreach(out += _)
     }
     state.update(FunOoo(hold, st, math.max(st0.frontierUs, wmUs + 1)))
-    val horizonUs = hold.map(_.ts_us).foldLeft(wmUs)(math.max) + 1L
-    state.setTimeoutTimestamp(horizonUs / 1000L + 1L)
+    // arm a flush only when something is actually buffered — an idle
+    // partial funnel just persists (a stale timeout from an earlier
+    // batch may still fire; the handler then drains nothing and
+    // re-stores the state, harmless)
+    if (hold.nonEmpty) {
+      val horizonUs = hold.map(_.ts_us).max + 1L
+      state.setTimeoutTimestamp(horizonUs / 1000L + 1L)
+    }
     out.result().iterator
   }
 

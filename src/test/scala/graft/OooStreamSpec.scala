@@ -180,6 +180,30 @@ class OooStreamSpec extends AnyFunSuite {
       "in-order twin mis-orders this arrival (documented)")
   }
 
+  test("funnel: a partial funnel survives an idle timeout flush — " +
+    "stages spanning micro-batches, none late, still convert") {
+    val lateness = 600L
+    // u1's stages land in batches 0/2/3; sentinel u99 advances the
+    // watermark BETWEEN them so u1's group timeout-fires while its
+    // buffer is empty (batch 1). A flush that discarded the folded
+    // FunnelState would lose t1 and the funnel would never convert —
+    // the silent-loss mode this spec pins shut.
+    val batches = Seq(
+      Seq(fEv(1, 1, "view", 1000), fEv(99, 90, "view", 2000)),
+      Seq(fEv(99, 91, "view", 2500)), // u1 idle: timeout fires here
+      Seq(fEv(1, 2, "click", 2200), fEv(99, 92, "view", 3000)),
+      Seq(fEv(1, 3, "purchase", 2900), fEv(99, 93, "view", 4000)),
+      Seq(fEv(99, 94, "view", 10000)))
+    val (rows, drops) = drain[FunnelStream.Ev, FunnelStream.Conversion](
+      batches, (ds, acc) => OooStream.conversions(ds, lateness, Some(acc)))
+    val convs = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 99L)
+    assert(convs == Seq((1L, sec(1000), sec(2200), sec(2900))),
+      s"partial funnel lost across the idle flush: $convs")
+    assert(drops == 0L, "nothing here is late")
+  }
+
   // ---- resample + forward fill -------------------------------------------
 
   private def rEv(u: Long, id: Long, tsSec: Long, v: Double) =
