@@ -48,6 +48,15 @@ import org.apache.spark.sql.SparkSession
   * asserts the session CacheManager is empty after every query, so no
   * plan-private cache leaks into later measurements.
   *
+  * Wall-clock discipline (the r18 driver run died rc=124 with NO
+  * artifact): one global budget (SPARK_GRAFT_BENCH_WALL_SEC, default
+  * 2100 s) covers EVERYTHING including fork execution; spot-checks
+  * run slowest-first so the headline-dominating entries are idle-
+  * verified before the budget can run out; each fork has a hard kill
+  * bound; BENCH_FULL.json + the generated notes are rewritten after
+  * the suite pass and after every spot-checked entry, so even an
+  * externally-killed run leaves a complete artifact on disk.
+  *
   * Output protocol: the harness that collects this output keeps only
   * the LAST 2000 characters of stdout and JSON-parses the final line.
   * A full-precision `q_`-named map for 86 queries is ~3 KB — it can
@@ -172,9 +181,10 @@ object Bench {
       f"""{"sec":$sec%.6f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}"""
   }
 
-  private def forkAttempt(name: String): Option[IdleAttempt] = {
+  private def forkAttempt(name: String,
+                          maxForkSec: Int): Option[IdleAttempt] = {
     val lb = loadAvg1()
-    forkOne(name).map(s => IdleAttempt(s, lb, loadAvg1()))
+    forkOne(name, maxForkSec).map(s => IdleAttempt(s, lb, loadAvg1()))
   }
 
   /** Child-process mode: measure ONE query in this (idle) JVM and
@@ -202,9 +212,12 @@ object Bench {
   }
 
   /** Fork a fresh JVM (same flags + classpath) to measure one query
-    * idle; None if the child fails for any reason.
+    * idle; None if the child fails for any reason OR exceeds
+    * `maxForkSec` (the child is then killed — an unbounded fork on a
+    * loaded machine is exactly how the r18 driver run blew its
+    * wall-clock with rc=124 and no artifact).
     */
-  private def forkOne(name: String): Option[Double] = {
+  private def forkOne(name: String, maxForkSec: Int): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"),
@@ -220,13 +233,33 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(true)
       val p = pb.start()
-      val out = scala.io.Source.fromInputStream(p.getInputStream)
-        .getLines().toVector
-      val rc = p.waitFor()
-      val line = out.reverseIterator.find(_.startsWith("BENCHONE "))
+      // read the child's output on a side thread so the bounded
+      // waitFor below is the only thing the parent blocks on (a full
+      // pipe would otherwise deadlock the child against the bound)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val reader = new Thread(() => {
+        try scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().foreach(l => out.synchronized { out += l })
+        catch { case _: Throwable => }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val finished =
+        p.waitFor(maxForkSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        System.err.println(s"[bench] idle-JVM $name exceeded the " +
+          s"$maxForkSec s fork bound — killing the child")
+        p.destroyForcibly()
+        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        return None
+      }
+      reader.join(5000)
+      val rc = p.exitValue()
+      val lines = out.synchronized { out.toVector }
+      val line = lines.reverseIterator.find(_.startsWith("BENCHONE "))
       if (rc != 0 || line.isEmpty) {
         System.err.println(
-          s"[bench] idle-JVM $name rc=$rc (${out.takeRight(3).mkString(" | ")})")
+          s"[bench] idle-JVM $name rc=$rc (${lines.takeRight(3).mkString(" | ")})")
         None
       } else {
         val re = """"sec":([0-9.eE+-]+)""".r
@@ -251,17 +284,33 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallStartNs = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStartNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     if (args.length == 2 && args(0) == "--one")
       return runOne(args(1), sfDir, cpus, runs)
+    // GLOBAL wall-clock budget, covering FORK EXECUTION time — the
+    // r18 driver run died rc=124 with parsed:null because the old
+    // harness bounded only the quiet-WAITS while the forks themselves
+    // ran 10-33 s each under load (~30 entries x up to 4 forks). Once
+    // the budget (minus a reserve for the final artifact/stdout) is
+    // spent, every remaining spot-check ships its warm-suite figure
+    // immediately, explicitly labelled — a bench that always finishes
+    // and labels what it skipped beats one that dies mid-pass.
+    val wallBudgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "2100").toInt
+    val wallReserveSec = 60
+    def remainingSec: Double = wallBudgetSec - wallReserveSec - elapsedSec
     val spark = sessionFor(cpus)
 
     val ordered = SparkEntry.queries.keys.toSeq.sorted
     // per-query consecutive runs: 1 warm-up discard + `runs` timed
     val suite = ordered.map(n => n -> measure(spark, sfDir, runs, n))
     spark.stop()
+    System.err.println(f"[bench] suite pass done in $elapsedSec%.0f s " +
+      f"(wall budget $wallBudgetSec s)")
 
     // idle-JVM spot-check: re-measure every query over the threshold
     // (plus at minimum the 5 slowest) in fresh processes — fresh-JVM
@@ -293,183 +342,259 @@ object Bench {
     // load-inflated). The margin covers run-to-run jitter only.
     val contaminationRatio = 1.3
     val maxIdleAttempts = 4
+    // quiet-machine threshold for the structural-cost escape hatch,
+    // normalised by core count (a hardcoded loadavg<2.0 means
+    // different things on 4 vs 64 cores)
+    val quietLoad = math.max(2.0,
+      0.08 * Runtime.getRuntime.availableProcessors())
     // global quiet-wait budget: per-entry waits share ONE bounded
     // pool, so a machine that stays loaded for the whole bench costs
     // at most this much extra wall-clock before the remaining hot
-    // entries ship their (honest, labelled) suite figures
+    // entries ship their (honest, labelled) suite figures — and every
+    // wait is additionally clipped to the remaining WALL budget
     var quietWaitBudgetSec = 1200
     val attempts = scala.collection.mutable.Map[String, Vector[IdleAttempt]]()
     val suiteBased = scala.collection.mutable.Set[String]()
+    // why an entry ships basis=suite: "contaminated" (every idle
+    // attempt hot), "structural" (quiet-machine attempt still above
+    // the gate — real fresh-JVM cost), "wall_budget" (never forked:
+    // the global bound ran out first)
+    val suiteReason = scala.collection.mutable.Map[String, String]()
+    // best attempt observed on a QUIET machine (recorded even when
+    // the suite figure ships, so the artifact keeps the idle evidence)
+    val quietIdleSec = scala.collection.mutable.Map[String, Double]()
     // forks that produced NO measurement (child crashed / invariant
     // fired) — recorded in the artifact so a reader can distinguish
     // "spot-checked clean" from "never idle-measured"
     val forkFailed = scala.collection.mutable.Set[String]()
-    slowest.toSeq.sorted.foreach { n =>
+
+    def shippedResults: Seq[(String, Double)] = {
+      val idle: Map[String, Double] = attempts.view
+        .filterKeys(!suiteBased.contains(_))
+        .mapValues(_.map(_.sec).min).toMap
+      suite.map { case (n, v) => n -> idle.getOrElse(n, v) }
+    }
+
+    // INCREMENTAL artifact emission: BENCH_FULL.json + the generated
+    // notes are (re)written after the suite pass and after EVERY
+    // spot-checked entry, so even a run killed mid-pass leaves a
+    // complete, parseable artifact on disk (the r18 one left nothing)
+    def emitArtifacts(complete: Boolean): String = {
+      val results = shippedResults
+      val total = results.map(_._2).sum
+      // q_k2b cost attribution: the one gate that pays a full
+      // container write per timed run records where those seconds go
+      // (stats from this JVM's last suite run — the idle fork
+      // re-times the whole query, the SPLIT shape is run-invariant)
+      val k2bSplit = graft.sinks.MsContainer.lastWriteStats.map { st =>
+        f""","container_split":{"encode_cpu_sec":${st.encodeCpuSec}%.4f,""" +
+          f""""part_write_cpu_sec":${st.partWriteCpuSec}%.4f,""" +
+          f""""main_job_sec":${st.mainJobSec}%.4f,""" +
+          f""""assemble_sec":${st.assembleSec}%.4f}"""
+      }.getOrElse("")
+      // spot-checked queries report the idle number (never the warm
+      // suite figure — no min-folding against suite); among the idle
+      // ATTEMPTS the lower wins, since both are the same methodology
+      // and the gap between them is recorded load, not engine cost.
+      val fullQs = results.map { case (k, v) =>
+        val extra = if (attempts.contains(k) || suiteBased.contains(k)) {
+          val basis = if (suiteBased.contains(k)) "suite" else "idle"
+          val reason = suiteReason.get(k)
+            .map(r => s""","suite_reason":"$r"""").getOrElse("")
+          val quiet = quietIdleSec.get(k)
+            .map(q => s""","quiet_idle_sec":$q""").getOrElse("")
+          val as = attempts.getOrElse(k, Vector.empty)
+          val idlePart =
+            if (as.isEmpty) ""
+            else s""","idle_sec":${as.map(_.sec).min}""" +
+              as.map(_.json).mkString(""","idle_attempts":[""", ",", "]")
+          s""","basis":"$basis","suite_sec":${suiteMap(k)}""" +
+            reason + quiet + idlePart
+        } else if (forkFailed.contains(k))
+          s""","basis":"suite","suite_sec":${suiteMap(k)}""" +
+            s""","idle_error":true"""
+        else ""
+        val split = if (k == "q_k2b_ms_container") k2bSplit else ""
+        s""""$k":{"sec":$v$extra$split}"""
+      }.mkString("{", ",", "}")
+      val partial = if (complete) "" else ""","partial":true"""
+      val fullJson =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs$partial}"""
+      val fw = new java.io.FileWriter("BENCH_FULL.json")
+      try fw.write(fullJson + "\n") finally fw.close()
+
+      // BENCH_NOTES_GEN.md: the per-artifact facts, GENERATED from
+      // the data just shipped — the r15 notes hand-claimed a worst
+      // ratio the committed artifact contradicted; generated prose
+      // cannot go stale against its own artifact.
+      val gen = new StringBuilder
+      gen ++= "# BENCH_NOTES_GEN - generated from BENCH_FULL.json " +
+        "by graft.Bench (do not hand-edit)\n\n"
+      if (!complete)
+        gen ++= "**PARTIAL artifact** - the spot-check pass is still " +
+          "running; figures below are complete for the suite pass " +
+          "and for every entry already spot-checked.\n\n"
+      gen ++= f"Headline: $total%.2f s over ${results.size} gates at " +
+        s"`$sfDir` ($runs timed runs per query, median).\n\n"
+      val checked = (attempts.keySet ++ suiteBased).toSeq.sorted
+      gen ++= s"Idle spot-check candidates: ${slowest.size} " +
+        s"(threshold ${idleThresholdSec} s + 5 slowest); " +
+        s"processed so far: ${checked.size}. " +
+        s"Contamination gate: idle/suite <= $contaminationRatio, up to " +
+        s"$maxIdleAttempts attempts, else basis=suite. Global wall " +
+        s"budget: $wallBudgetSec s (fork execution included).\n\n"
+      if (checked.nonEmpty) {
+        gen ++= "| query | suite s | idle best s | shipped | basis | " +
+          "ratio | attempts (sec @ load) |\n|---|---|---|---|---|---|---|\n"
+        checked.foreach { n =>
+          val as = attempts.getOrElse(n, Vector.empty)
+          val idleBest =
+            if (as.isEmpty) Double.NaN else as.map(_.sec).min
+          val basis =
+            if (suiteBased.contains(n))
+              "suite:" + suiteReason.getOrElse(n, "contaminated")
+            else "idle"
+          val shipped = results.toMap.apply(n)
+          val ratio = idleBest / suiteMap(n)
+          val alist = as.map(a =>
+            f"${a.sec}%.2f@${a.loadBefore}%.1f").mkString(", ")
+          gen ++= f"| $n | ${suiteMap(n)}%.2f | $idleBest%.2f | " +
+            f"$shipped%.2f | $basis | $ratio%.2f | $alist |\n"
+        }
+        val shippedRatios = checked.filterNot(suiteBased.contains)
+          .filter(attempts.contains)
+          .map(n => attempts(n).map(_.sec).min / suiteMap(n))
+        if (shippedRatios.nonEmpty)
+          gen ++= f"\nWorst shipped idle/suite ratio: " +
+            f"${shippedRatios.max}%.2f.\n"
+        if (suiteBased.nonEmpty)
+          gen ++= s"\nSuite-based entries: " + suiteBased.toSeq.sorted
+            .map(n => s"$n (${suiteReason.getOrElse(n, "contaminated")})")
+            .mkString(", ") + ".\n"
+      }
+      if (forkFailed.nonEmpty)
+        gen ++= s"\nIdle fork FAILED (entry ships suite figure, " +
+          s"`idle_error` in artifact): " +
+          s"${forkFailed.toSeq.sorted.mkString(", ")}.\n"
+      val gw = new java.io.FileWriter("BENCH_NOTES_GEN.md")
+      try gw.write(gen.toString) finally gw.close()
+      fullJson
+    }
+    emitArtifacts(complete = false)
+
+    // SLOWEST FIRST: when the wall budget cuts the pass short, the
+    // entries that dominate the headline have already been idle-
+    // verified; only the cheap tail falls back to labelled suite
+    // figures
+    slowest.toSeq.sortBy(n => (-suiteMap(n), n)).foreach { n =>
       def best: Option[Double] =
         attempts.get(n).map(_.map(_.sec).min)
-      // a crashed fork and a contaminated fork draw from the SAME
-      // attempt budget: keep forking (after the bounded quiet wait,
-      // except before the very first try) until an attempt lands
-      // under the gate or the budget runs out
-      var tries = 0
-      while ((best.isEmpty ||
-          best.exists(_ > contaminationRatio * suiteMap(n))) &&
-          tries < maxIdleAttempts) {
-        // wait for quiet only after a HOT measurement — a crashed
-        // fork carries no contamination signal, and paying the
-        // up-to-300 s wait before every re-fork would turn a
-        // deterministic crasher into ~15 min of pure waiting
-        if (tries > 0 && best.nonEmpty) {
-          best.foreach(b => System.err.println(
-            f"[bench] idle-JVM $n best attempt is " +
-              f"${b / suiteMap(n)}%.1fx its suite figure — suspected " +
-              "load contamination, waiting for quiet + re-fork"))
-          val wait = math.min(300, quietWaitBudgetSec)
-          val t0 = System.nanoTime()
-          val quiet = wait > 0 && awaitQuiet(maxWaitSec = wait)
-          quietWaitBudgetSec -=
-            ((System.nanoTime() - t0) / 1e9).toInt
-          if (!quiet)
-            System.err.println(s"[bench] $n: machine never went " +
-              s"quiet (remaining global wait budget " +
-              s"$quietWaitBudgetSec s); forking anyway")
-        } else if (tries > 0) {
-          // crashed fork (no measurement): retry after a short FIXED
-          // backoff — back-to-back retries of a load-induced crash
-          // (e.g. OOM on a contended machine) would burn the whole
-          // attempt budget in seconds without ever sampling a quiet
-          // window; the crash carries no contamination signal, so the
-          // full 300 s quiet wait is not warranted either
-          Thread.sleep(15000)
-        }
-        forkAttempt(n) match {
-          case Some(a) =>
-            System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
-              f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
-            attempts(n) = attempts.getOrElse(n, Vector.empty) :+ a
-            // a QUIET-machine attempt that still exceeds the gate is
-            // NOT contamination — it is structural fresh-JVM cost
-            // (codegen-heavy composed pipelines are janino-compile-
-            // bound in a cold JVM: every run regenerates sources with
-            // fresh expr ids, so the compile never amortises within
-            // one query's lifetime, while the warm suite JVM has a
-            // JIT-hot compiler). Re-forking cannot change it; ship
-            // the suite figure now instead of burning the budget.
-            if (a.loadBefore >= 0 && a.loadBefore < 2.0 &&
-                a.loadAfter < 2.0 &&
-                a.sec > contaminationRatio * suiteMap(n)) {
-              System.err.println(s"[bench] $n: quiet-machine attempt " +
-                "still above the gate — structural fresh-JVM cost, " +
-                "shipping basis=suite without further forks")
-              tries = maxIdleAttempts
-            }
-          case None =>
-            System.err.println(s"[bench] idle-JVM $n: fork produced " +
-              "no measurement")
-        }
-        tries += 1
-      }
-      if (best.isEmpty) forkFailed += n
-      else if (best.exists(_ > contaminationRatio * suiteMap(n))) {
+      // per-fork hard bound: a healthy fork is ~2 JVM/session
+      // startups + 5 runs of the query; anything far beyond that is a
+      // hung or thrashing child and gets killed rather than billed
+      // against the whole bench
+      val maxForkSec = math.min(math.max(90.0, 60.0 + 10.0 * suiteMap(n)),
+        math.max(60.0, remainingSec)).toInt
+      val estForkSec = 40.0 + 6.0 * suiteMap(n)
+      if (remainingSec < estForkSec) {
         suiteBased += n
-        System.err.println(f"[bench] $n: best idle " +
-          f"${best.get}%.3f s is still > ${contaminationRatio}x the " +
-          f"suite figure ${suiteMap(n)}%.3f s after $tries attempts " +
-          "— shipping the suite figure, basis=suite")
+        suiteReason(n) = "wall_budget"
+        System.err.println(f"[bench] $n: ${remainingSec}%.0f s of wall " +
+          f"budget left < ~$estForkSec%.0f s fork estimate — shipping " +
+          "the suite figure, basis=suite (wall_budget)")
+      } else {
+        // a crashed fork and a contaminated fork draw from the SAME
+        // attempt budget: keep forking (after the bounded quiet wait,
+        // except before the very first try) until an attempt lands
+        // under the gate, the budget runs out, or a quiet-machine
+        // attempt proves the gap structural
+        var tries = 0
+        var structural = false
+        while ((best.isEmpty ||
+            best.exists(_ > contaminationRatio * suiteMap(n))) &&
+            tries < maxIdleAttempts && !structural &&
+            remainingSec > estForkSec) {
+          // wait for quiet only after a HOT measurement — a crashed
+          // fork carries no contamination signal, and paying the
+          // up-to-300 s wait before every re-fork would turn a
+          // deterministic crasher into ~15 min of pure waiting
+          if (tries > 0 && best.nonEmpty) {
+            best.foreach(b => System.err.println(
+              f"[bench] idle-JVM $n best attempt is " +
+                f"${b / suiteMap(n)}%.1fx its suite figure — suspected " +
+                "load contamination, waiting for quiet + re-fork"))
+            val wait = math.min(300.0, math.min(
+              quietWaitBudgetSec.toDouble,
+              remainingSec - estForkSec)).toInt
+            val t0 = System.nanoTime()
+            val quiet = wait > 0 && awaitQuiet(maxWaitSec = wait)
+            quietWaitBudgetSec -=
+              ((System.nanoTime() - t0) / 1e9).toInt
+            if (!quiet)
+              System.err.println(s"[bench] $n: machine never went " +
+                s"quiet (remaining global wait budget " +
+                s"$quietWaitBudgetSec s); forking anyway")
+          } else if (tries > 0) {
+            // crashed fork (no measurement): retry after a short FIXED
+            // backoff — back-to-back retries of a load-induced crash
+            // (e.g. OOM on a contended machine) would burn the whole
+            // attempt budget in seconds without ever sampling a quiet
+            // window; the crash carries no contamination signal, so
+            // the full 300 s quiet wait is not warranted either
+            Thread.sleep(15000)
+          }
+          forkAttempt(n, maxForkSec) match {
+            case Some(a) =>
+              System.err.println(f"[bench] idle-JVM $n: ${a.sec}%.3f s " +
+                f"(suite ${suiteMap(n)}%.3f s, load ${a.loadBefore}%.2f)")
+              attempts(n) = attempts.getOrElse(n, Vector.empty) :+ a
+              if (a.loadBefore >= 0 && a.loadBefore < quietLoad &&
+                  a.loadAfter >= 0 && a.loadAfter < quietLoad) {
+                quietIdleSec(n) =
+                  math.min(quietIdleSec.getOrElse(n, a.sec), a.sec)
+                // a QUIET-machine attempt that still exceeds the gate
+                // is NOT contamination — it is structural fresh-JVM
+                // cost (codegen-heavy composed pipelines are janino-
+                // compile-bound in a cold JVM: every run regenerates
+                // sources with fresh expr ids, so the compile never
+                // amortises within one query's lifetime, while the
+                // warm suite JVM has a JIT-hot compiler). Re-forking
+                // cannot change it; ship the suite figure now instead
+                // of burning the budget — the quiet idle figure stays
+                // in the artifact as quiet_idle_sec.
+                if (a.sec > contaminationRatio * suiteMap(n)) {
+                  System.err.println(s"[bench] $n: quiet-machine " +
+                    "attempt still above the gate — structural " +
+                    "fresh-JVM cost, shipping basis=suite without " +
+                    "further forks")
+                  structural = true
+                }
+              }
+            case None =>
+              System.err.println(s"[bench] idle-JVM $n: fork produced " +
+                "no measurement")
+          }
+          tries += 1
+        }
+        if (best.isEmpty) forkFailed += n
+        else if (best.exists(_ > contaminationRatio * suiteMap(n))) {
+          suiteBased += n
+          suiteReason(n) =
+            if (structural) "structural" else "contaminated"
+          System.err.println(f"[bench] $n: best idle " +
+            f"${best.get}%.3f s is still > ${contaminationRatio}x the " +
+            f"suite figure ${suiteMap(n)}%.3f s after $tries attempts " +
+            s"— shipping the suite figure, basis=suite " +
+            s"(${suiteReason(n)})")
+        }
       }
+      emitArtifacts(complete = false)
     }
-    // spot-checked queries report the idle number (never the warm
-    // suite figure — no min-folding against suite); among the idle
-    // ATTEMPTS the lower wins, since both are the same methodology and
-    // the gap between them is recorded load, not engine cost. Entries
-    // whose every idle attempt ran hot fall back to the suite figure,
-    // explicitly labelled.
-    val idle: Map[String, Double] = attempts.view
-      .filterKeys(!suiteBased.contains(_))
-      .mapValues(_.map(_.sec).min).toMap
-    val results = suite.map { case (n, v) =>
-      n -> idle.getOrElse(n, v)
-    }
+
+    val results = shippedResults
     val total = results.map(_._2).sum
-
-    // q_k2b cost attribution: the one gate that pays a full container
-    // write per timed run records where those seconds go (stats from
-    // this JVM's last suite run — the idle fork re-times the whole
-    // query, the SPLIT shape is run-invariant)
-    val k2bSplit = graft.sinks.MsContainer.lastWriteStats.map { st =>
-      f""","container_split":{"encode_cpu_sec":${st.encodeCpuSec}%.4f,""" +
-        f""""part_write_cpu_sec":${st.partWriteCpuSec}%.4f,""" +
-        f""""main_job_sec":${st.mainJobSec}%.4f,""" +
-        f""""assemble_sec":${st.assembleSec}%.4f}"""
-    }.getOrElse("")
-
-    // full-precision artifact -> file (the stdout capture is 2000B).
-    // Spot-checked entries carry their basis ("idle" = fresh-JVM
-    // figure shipped, "suite" = every idle attempt ran hot and the
-    // warm-suite figure is shipped) plus every attempt's load record.
-    val fullQs = results.map { case (k, v) =>
-      val extra = if (attempts.contains(k)) {
-        val basis = if (suiteBased.contains(k)) "suite" else "idle"
-        val idleBest = attempts(k).map(_.sec).min
-        s""","basis":"$basis","suite_sec":${suiteMap(k)}""" +
-          s""","idle_sec":$idleBest""" +
-          attempts(k).map(_.json).mkString(""","idle_attempts":[""", ",", "]")
-      } else if (forkFailed.contains(k))
-        s""","basis":"suite","suite_sec":${suiteMap(k)}""" +
-          s""","idle_error":true"""
-      else ""
-      val split = if (k == "q_k2b_ms_container") k2bSplit else ""
-      s""""$k":{"sec":$v$extra$split}"""
-    }.mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs}"""
-    val fw = new java.io.FileWriter("BENCH_FULL.json")
-    try fw.write(fullJson + "\n") finally fw.close()
+    val fullJson = emitArtifacts(complete = true)
     println(fullJson)
-
-    // BENCH_NOTES_GEN.md: the per-artifact facts, GENERATED from the
-    // data just shipped — the r15 notes hand-claimed a worst ratio the
-    // committed artifact contradicted; generated prose cannot go stale
-    // against its own artifact.
-    val gen = new StringBuilder
-    gen ++= "# BENCH_NOTES_GEN - generated from BENCH_FULL.json " +
-      "by graft.Bench (do not hand-edit)\n\n"
-    gen ++= f"Headline: $total%.2f s over ${results.size} gates at " +
-      s"`$sfDir` ($runs timed runs per query, median).\n\n"
-    val checked = attempts.keys.toSeq.sorted
-    gen ++= s"Idle spot-checked entries: ${checked.size} " +
-      s"(threshold ${idleThresholdSec} s + 5 slowest). " +
-      s"Contamination gate: idle/suite <= $contaminationRatio, up to " +
-      s"$maxIdleAttempts attempts, else basis=suite.\n\n"
-    if (checked.nonEmpty) {
-      gen ++= "| query | suite s | idle best s | shipped | basis | " +
-        "ratio | attempts (sec @ load) |\n|---|---|---|---|---|---|---|\n"
-      checked.foreach { n =>
-        val as = attempts(n)
-        val idleBest = as.map(_.sec).min
-        val basis = if (suiteBased.contains(n)) "suite" else "idle"
-        val shipped = results.toMap.apply(n)
-        val ratio = idleBest / suiteMap(n)
-        val alist = as.map(a =>
-          f"${a.sec}%.2f@${a.loadBefore}%.1f").mkString(", ")
-        gen ++= f"| $n | ${suiteMap(n)}%.2f | $idleBest%.2f | " +
-          f"$shipped%.2f | $basis | $ratio%.2f | $alist |\n"
-      }
-      val shippedRatios = checked.filterNot(suiteBased.contains)
-        .map(n => attempts(n).map(_.sec).min / suiteMap(n))
-      if (shippedRatios.nonEmpty)
-        gen ++= f"\nWorst shipped idle/suite ratio: " +
-          f"${shippedRatios.max}%.2f.\n"
-      if (suiteBased.nonEmpty)
-        gen ++= s"\nSuite-based entries (every idle attempt hot): " +
-          s"${suiteBased.toSeq.sorted.mkString(", ")}.\n"
-    }
-    if (forkFailed.nonEmpty)
-      gen ++= s"\nIdle fork FAILED (entry ships suite figure, " +
-        s"`idle_error` in artifact): " +
-        s"${forkFailed.toSeq.sorted.mkString(", ")}.\n"
-    val gw = new java.io.FileWriter("BENCH_NOTES_GEN.md")
-    try gw.write(gen.toString) finally gw.close()
 
     // final line: compact, must fit the 2000-char tail window whole.
     // Keys drop the uniform "q_" prefix; values are 2-decimal seconds
