@@ -842,8 +842,11 @@ object SparkEntry {
     // hot-bucket shape AQE's skew split must absorb at scale (the
     // SkewAndExtensionsSpec proves the split fires; this gate pins
     // that the ANSWER is skew-invariant)
+    // hotBucketCap = 0 EXPLICITLY: this gate exists to measure the
+    // unguarded shape; production callers get the derived cap default
     "q_d11_skew_lsh" -> ((s, dir) =>
-      Dedup.lshCandidates(Dedup.skewBoilerplate(docs(s, dir)))),
+      Dedup.lshCandidates(Dedup.skewBoilerplate(docs(s, dir)),
+        hotBucketCap = 0)),
 
     // the PRODUCTION answer to d11's stress: hot band buckets
     // (> 64 docs) are excluded from pair generation — a constant-
@@ -890,8 +893,9 @@ object SparkEntry {
 
     "q_m3_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(docs(s, dir))),
+    // hotBucketCap = 0 EXPLICITLY (stress gate, same rule as q_d11)
     "q_m5_phash_neardup" -> ((s, dir) =>
-      Multimodal.phashNearDup(docs(s, dir))),
+      Multimodal.phashNearDup(docs(s, dir), hotBucketCap = 0)),
     "q_m4_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(docs(s, dir))),
 

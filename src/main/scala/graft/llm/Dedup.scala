@@ -29,6 +29,23 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumPerms / NumBands
 
+  /** Sentinel for `hotBucketCap`: derive the cap from the corpus size
+    * in-plan as `greatest(MinDerivedCap, ceil(sqrt(n_docs)))` — the
+    * PRODUCTION default. A constant-fraction duplicate class (cookie
+    * banners at α·n docs) exceeds √n for any α at scale, so the
+    * quadratic bucket is always excluded at 100 TB, while small-corpus
+    * behaviour stays effectively uncapped through the floor. Pass 0 to
+    * disable the guard EXPLICITLY (the d11/m5 stress gates do, to keep
+    * measuring the unguarded shape), or a positive constant for a
+    * fixed cap (q_d14 pins 64).
+    */
+  val DerivedCap: Int = -1
+
+  /** Floor of the derived cap — below this corpus size the guard is
+    * inert, so tiny test corpora see the uncapped candidate set.
+    */
+  val MinDerivedCap: Int = 64
+
   /** Exact dedup: group on md5(text); keep the smallest doc_id
     * (deterministic canonical representative).
     */
@@ -84,21 +101,24 @@ object Dedup {
     * fraction of equal minhash components (the unbiased Jaccard
     * estimate).
     *
-    * `hotBucketCap` (0 = off, the gate-default) is the production
-    * skew guard: a band bucket holding more than `cap` docs is
+    * `hotBucketCap` ([[DerivedCap]] = derive from corpus size, the
+    * PRODUCTION default; 0 = explicitly off; >0 = fixed) is the
+    * skew guard: a band bucket holding more than the cap docs is
     * EXCLUDED from pair generation. A bucket of size m contributes
     * C(m, 2) pairs — a boilerplate class that is a constant FRACTION
     * of the corpus makes the pair count QUADRATIC in corpus size
     * (measured: q_d11's stamped corpus runs 52× at 10× data,
     * SCALE.md round-18), and at 100 TB that one bucket IS the job.
     * Over-cap buckets are by definition near-identical text en
-    * masse — the boilerplate CENSUS ([[boilerplateCensus]], q_d7) is
+    * masse — the boilerplate CENSUS ([[boilerplate]], q_d7) is
     * the right operator for them, at linear cost; the cap routes
     * them there instead of paying C(m, 2). The cap check is a
     * map-side-combined count on the SAME key as the pair join — the
-    * hot bucket's pairs are never materialised anywhere.
+    * hot bucket's pairs are never materialised anywhere; the derived
+    * threshold adds only a broadcast of the 1-row corpus count.
     */
-  def lshCandidates(docs: DataFrame, hotBucketCap: Int = 0): DataFrame =
+  def lshCandidates(docs: DataFrame,
+                    hotBucketCap: Int = DerivedCap): DataFrame =
     lshCandidatesFromSig(
       minhashSignatures(docs).localCheckpoint(eager = false),
       hotBucketCap)
@@ -110,19 +130,30 @@ object Dedup {
     * [[hashedShingles]]).
     */
   def lshCandidatesFromSig(sig: DataFrame,
-                           hotBucketCap: Int = 0): DataFrame = {
+                           hotBucketCap: Int = DerivedCap): DataFrame = {
     val allBands = (0 until NumBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
         col(s"band$b").as("band_hash"))
     }.reduce(_ unionAll _)
     val bands =
-      if (hotBucketCap <= 0) allBands
+      if (hotBucketCap == 0) allBands
       else {
         val sizes = allBands.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__bucket_n"))
-          .where(col("__bucket_n") <= hotBucketCap)
-        allBands.join(sizes, Seq("band_idx", "band_hash"))
-          .drop("__bucket_n")
+        val capped =
+          if (hotBucketCap > 0)
+            sizes.where(col("__bucket_n") <= hotBucketCap)
+          else
+            // derived cap: one 1-row broadcast of the corpus count;
+            // ceil(sqrt(n)) is IEEE-exact on both engines, so the
+            // DuckDB twin ties bit-for-bit
+            sizes.crossJoin(broadcast(
+                sig.select(count(lit(1)).as("__n_docs"))))
+              .where(col("__bucket_n") <= greatest(
+                lit(MinDerivedCap.toLong),
+                ceil(sqrt(col("__n_docs")))))
+        allBands.join(capped.select("band_idx", "band_hash"),
+          Seq("band_idx", "band_hash"))
       }
     val pairs = bands.as("a")
       .join(bands.as("b"),
@@ -371,10 +402,19 @@ object Dedup {
   /** Duplicate clusters: exact connected components over the LSH
     * candidate graph (the DuckDB twin is a recursive-CTE transitive
     * closure — both sides compute the true per-component minimum id).
+    *
+    * Inherits the [[lshCandidates]] hot-bucket guard with the same
+    * derived production default: without it, a constant-fraction
+    * boilerplate class makes THIS composed step quadratic at scale
+    * (the exact shape SCALE.md round-18 measured) — and the
+    * over-cap class it excludes is exact-duplicate-grade text that
+    * [[exact]] dedup already collapses linearly, so the composed
+    * pipelines lose nothing by routing it there.
     */
   def duplicateClusters(docs: DataFrame,
-                        maxIters: Int = 100): DataFrame = {
-    val pairs = lshCandidates(docs).select("doc1", "doc2")
+                        maxIters: Int = 100,
+                        hotBucketCap: Int = DerivedCap): DataFrame = {
+    val pairs = lshCandidates(docs, hotBucketCap).select("doc1", "doc2")
       .localCheckpoint(true)
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionAll(pairs.select(col("doc2").as("a"), col("doc1").as("b")))

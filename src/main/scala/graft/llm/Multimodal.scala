@@ -262,7 +262,7 @@ object Multimodal {
     * queries; see graft.llm.Dedup.hashedShingles).
     */
   def phashNearDup(docs: DataFrame, maxDist: Int = 6,
-                   hotBucketCap: Int = 0): DataFrame = {
+                   hotBucketCap: Int = Dedup.DerivedCap): DataFrame = {
     val ph = perceptualHash(docs).toDF().localCheckpoint(eager = false)
     val allBands = (0 to 3).map { k =>
       ph.select(col("doc_id"), lit(k).as("band_idx"),
@@ -274,14 +274,25 @@ object Multimodal {
     // low-entropy on near-uniform corpora; measured 28x at 10x data,
     // SCALE.md round-18). Over-cap buckets are the mass-duplicate
     // class the exact-dedup/census operators already handle linearly.
+    // Default = Dedup.DerivedCap (greatest(64, ceil(sqrt(n))) derived
+    // in-plan); pass 0 to disable explicitly (the q_m5 stress gate
+    // does, to keep measuring the unguarded shape).
     val bands =
-      if (hotBucketCap <= 0) allBands
+      if (hotBucketCap == 0) allBands
       else {
         val sizes = allBands.groupBy("band_idx", "band_val")
           .agg(count(lit(1)).as("__bucket_n"))
-          .where(col("__bucket_n") <= hotBucketCap)
-        allBands.join(sizes, Seq("band_idx", "band_val"))
-          .drop("__bucket_n")
+        val capped =
+          if (hotBucketCap > 0)
+            sizes.where(col("__bucket_n") <= hotBucketCap)
+          else
+            sizes.crossJoin(broadcast(
+                ph.select(count(lit(1)).as("__n_docs"))))
+              .where(col("__bucket_n") <= greatest(
+                lit(Dedup.MinDerivedCap.toLong),
+                ceil(sqrt(col("__n_docs")))))
+        allBands.join(capped.select("band_idx", "band_val"),
+          Seq("band_idx", "band_val"))
       }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

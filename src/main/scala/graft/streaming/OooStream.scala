@@ -211,6 +211,161 @@ object OooStream {
         GroupStateTimeout.EventTimeTimeout)(funUpdate(drops))
   }
 
+  // ---- sequence packing -------------------------------------------------
+
+  /** PackStream.Doc + event time. Packing is order-SENSITIVE by
+    * construction (running offsets), so the watermark contract here is
+    * the strongest of the family: documents are folded strictly in
+    * (ts_us, doc_id) order once their event time falls at or below the
+    * watermark — any arrival permutation within the lateness packs
+    * bit-identically. The batch twin's doc_id ordering is recovered
+    * whenever event time is doc_id-monotone per source (shard-ordered
+    * ingestion), which is the parity the spec pins.
+    */
+  case class TPdoc(source: String, doc_id: Long, n_tok: Long,
+                   ts_us: Long, ts: java.sql.Timestamp)
+  case class PackEv(source: String, doc_id: Long, n_tok: Long,
+                    ts_us: Long)
+  case class PackOoo(pending: Seq[PackEv], st: PackStream.PackState,
+                     frontierUs: Long)
+
+  private[streaming] def packUpdate(budget: Long,
+                                    drops: Option[LongAccumulator])
+      (source: String, events: Iterator[TPdoc],
+       state: GroupState[PackOoo])
+      : Iterator[PackStream.Packed] = {
+    val st0 = state.getOption.getOrElse(
+      PackOoo(Seq.empty, PackStream.PackState(0L, 0L, 0L),
+        Long.MinValue))
+    val out = List.newBuilder[PackStream.Packed]
+    if (state.hasTimedOut) {
+      var st = st0.st
+      st0.pending.sortBy(e => (e.ts_us, e.doc_id)).foreach { e =>
+        val (next, emitted) = PackStream.advance(budget)(source, st,
+          PackStream.Doc(source, e.doc_id, e.n_tok))
+        st = next
+        out ++= emitted
+      }
+      // the running offsets are PERMANENT per-source state (the next
+      // shard continues the token stream) — retain them plus the
+      // frontier, exactly the funnel rule; no new timeout is armed
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      state.update(PackOoo(Seq.empty, st,
+        math.max(st0.frontierUs, wmUs + 1)))
+      return out.result().iterator
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val arrivals = events
+      .map(t => PackEv(t.source, t.doc_id, t.n_tok, t.ts_us)).toSeq
+    val (ready, hold, late) = frontierSplit(st0.pending, arrivals,
+      st0.frontierUs, wmUs, (_: PackEv).ts_us, (_: PackEv).doc_id)
+    if (late.nonEmpty) drops.foreach(_.add(late.size.toLong))
+    var st = st0.st
+    ready.foreach { e =>
+      val (next, emitted) = PackStream.advance(budget)(source, st,
+        PackStream.Doc(source, e.doc_id, e.n_tok))
+      st = next
+      out ++= emitted
+    }
+    state.update(PackOoo(hold, st, math.max(st0.frontierUs, wmUs + 1)))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp((hold.map(_.ts_us).max + 1L) / 1000L + 1L)
+    out.result().iterator
+  }
+
+  /** Watermark-reordered sequence packing over an event-time stream. */
+  def packed(docs: Dataset[PackEv], budget: Long, latenessSec: Long,
+             drops: Option[LongAccumulator] = None)
+      : Dataset[PackStream.Packed] = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$latenessSec seconds")
+      .as[TPdoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(packUpdate(budget, drops))
+  }
+
+  // ---- first-wins exact dedup ---------------------------------------------
+
+  /** The in-order twin (DedupStream's `dropDuplicates`) keeps the
+    * ARRIVAL-first row per content hash — under disorder that is the
+    * wrong winner. This variant defines the winner as the event-time
+    * minimum within the lateness: min (ts_us, event_id) per hash,
+    * emitted once its timestamp falls at or below the watermark.
+    * State per hash is the pending buffer while in flight, then the
+    * O(1) emitted flag + frontier FOREVER — the same unbounded-store
+    * invariant the in-order twin's dropDuplicates (and the batch hash
+    * aggregate) already holds; the bounded alternative is the Bloom
+    * screen ([[DedupStream.bloomProbeStream]]).
+    */
+  case class DEv(content_hash: String, event_id: Long, ts_us: Long)
+  case class TDev(content_hash: String, event_id: Long, ts_us: Long,
+                  ts: java.sql.Timestamp)
+  case class DedupEv(event_id: Long, ts_us: Long)
+  case class DedupOoo(pending: Seq[DedupEv], emitted: Boolean,
+                      frontierUs: Long)
+  case class Winner(content_hash: String, event_id: Long, ts_us: Long)
+
+  private[streaming] def dedupUpdate(drops: Option[LongAccumulator])
+      (hash: String, events: Iterator[TDev],
+       state: GroupState[DedupOoo])
+      : Iterator[Winner] = {
+    val st0 = state.getOption.getOrElse(
+      DedupOoo(Seq.empty, emitted = false, Long.MinValue))
+    val out = List.newBuilder[Winner]
+    def fold(ready: Seq[DedupEv], emitted: Boolean): Boolean = {
+      var em = emitted
+      ready.foreach { e =>
+        if (!em) { out += Winner(hash, e.event_id, e.ts_us); em = true }
+        // em == true: a within-lateness duplicate, dropped by
+        // DEFINITION of dedup — not a late drop, not counted
+      }
+      em
+    }
+    if (state.hasTimedOut) {
+      val em = fold(st0.pending.sortBy(e => (e.ts_us, e.event_id)),
+        st0.emitted)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // emitted flag + frontier persist forever (see scaladoc)
+      state.update(DedupOoo(Seq.empty, em,
+        math.max(st0.frontierUs, wmUs + 1)))
+      return out.result().iterator
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val arrivals = events
+      .map(t => DedupEv(t.event_id, t.ts_us)).toSeq
+    val (ready, hold, late) = frontierSplit(st0.pending, arrivals,
+      st0.frontierUs, wmUs, (_: DedupEv).ts_us, (_: DedupEv).event_id)
+    if (late.nonEmpty) drops.foreach(_.add(late.size.toLong))
+    val em = fold(ready, st0.emitted)
+    state.update(DedupOoo(hold, em, math.max(st0.frontierUs, wmUs + 1)))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp((hold.map(_.ts_us).max + 1L) / 1000L + 1L)
+    out.result().iterator
+  }
+
+  /** Watermark-reordered first-wins dedup over an event-time stream:
+    * one Winner row per content hash, the (ts_us, event_id) minimum
+    * within the allowed lateness.
+    */
+  def firstWins(events: Dataset[DEv], latenessSec: Long,
+                drops: Option[LongAccumulator] = None)
+      : Dataset[Winner] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$latenessSec seconds")
+      .as[TDev]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(dedupUpdate(drops))
+  }
+
   // ---- resample + forward fill ------------------------------------------
 
   case class TRev(user_id: Long, event_id: Long, ts_us: Long,

@@ -31,11 +31,38 @@ object PackStream {
   case class Packed(source: String, seq_id: Long, n_docs: Long,
                     n_starts: Long, n_tokens: Long)
 
-  /** The per-source state transition — pure, testable without a
-    * stream. Mirrors seqPack's span arithmetic: a doc starting at
-    * offset `cum` with `n` tokens overlaps sequences
+  /** Pure single-document transition — ONE definition shared by the
+    * in-order twin and [[OooStream]]'s watermark-reordered variant.
+    * Mirrors seqPack's span arithmetic: a doc starting at offset
+    * `cum` with `n` tokens overlaps sequences
     * floor(cum/B)..floor((cum+n-1)/B) and closes every one whose
     * upper boundary it reaches.
+    */
+  def advance(budget: Long)(source: String, st: PackState, doc: Doc)
+      : (PackState, Seq[Packed]) = {
+    val out = List.newBuilder[Packed]
+    val start = st.cum
+    val end = start + doc.n_tok
+    val first = start / budget
+    val last = (end - 1) / budget
+    var docsOpen = st.openDocs
+    var startsOpen = st.openStarts
+    var s = first
+    while (s <= last) {
+      docsOpen += 1
+      if (s == first) startsOpen += 1
+      if (end >= (s + 1) * budget) {
+        out += Packed(source, s, docsOpen, startsOpen, budget)
+        docsOpen = 0L
+        startsOpen = 0L
+      }
+      s += 1
+    }
+    (PackState(end, docsOpen, startsOpen), out.result())
+  }
+
+  /** The per-source state transition — pure, testable without a
+    * stream.
     */
   def updateSource(budget: Long)(source: String, docs: Iterator[Doc],
                                  state: GroupState[PackState])
@@ -44,24 +71,9 @@ object PackStream {
     var st = state.getOption.getOrElse(PackState(0L, 0L, 0L))
     val out = List.newBuilder[Packed]
     docs.toSeq.sortBy(_.doc_id).foreach { doc =>
-      val start = st.cum
-      val end = start + doc.n_tok
-      val first = start / budget
-      val last = (end - 1) / budget
-      var docsOpen = st.openDocs
-      var startsOpen = st.openStarts
-      var s = first
-      while (s <= last) {
-        docsOpen += 1
-        if (s == first) startsOpen += 1
-        if (end >= (s + 1) * budget) {
-          out += Packed(source, s, docsOpen, startsOpen, budget)
-          docsOpen = 0L
-          startsOpen = 0L
-        }
-        s += 1
-      }
-      st = PackState(end, docsOpen, startsOpen)
+      val (next, emitted) = advance(budget)(source, st, doc)
+      st = next
+      out ++= emitted
     }
     state.update(st)
     out.result().iterator

@@ -24,6 +24,42 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(out.columns.toSet.contains("n_subword_est"))
   }
 
+  test("hot-bucket guard: a skewBoilerplate corpus through the " +
+    "composed pipeline stays sublinear in candidate pairs") {
+    import graft.llm.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val skewed = Dedup.skewBoilerplate(docs) // every 5th doc identical
+    val hot = n / 5 // size of the one quadratic band bucket
+    assert(hot > Dedup.MinDerivedCap &&
+      hot > math.ceil(math.sqrt(n.toDouble)).toLong,
+      s"fixture too small to exercise the guard (n=$n)")
+    // unguarded stress shape: the boilerplate bucket contributes all
+    // C(hot, 2) pairs
+    val uncapped = Dedup.lshCandidates(skewed, hotBucketCap = 0).count()
+    assert(uncapped >= hot * (hot - 1) / 2)
+    // production DEFAULT (derived cap): the quadratic bucket is
+    // excluded, candidates stay at most linear in the corpus
+    val capped = Dedup.lshCandidates(skewed).count()
+    assert(capped < uncapped / 4 && capped <= 4L * n,
+      s"derived cap did not bound candidates: capped=$capped " +
+        s"uncapped=$uncapped n=$n")
+    // the composed pipeline inherits the guard through
+    // duplicateClusters — AND loses nothing: the boilerplate class is
+    // exact-duplicate text, so the exact-dedup screen still collapses
+    // it to one canonical representative
+    val out = DocPipeline(skewed).cache()
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val stamped = skewed
+      .where(col("text") === Dedup.BoilerplateText)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((survivors & stamped).size <= 1,
+      "exact dedup must collapse the boilerplate class without the " +
+        "cluster stage")
+    out.unpersist()
+  }
+
   test("curation: packed tokens equal the tokens of exactly the docs " +
     "that pass ALL four screens") {
     import graft.llm.{Corpus, Dedup}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{RfiCell, RfiStrategy}
-import graft.streaming.{FunnelStream, OooStream, ResampleStream, RfiStream, SessionStream}
+import graft.streaming.{FunnelStream, OooStream, PackStream, ResampleStream, RfiStream, SessionStream}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -238,6 +238,142 @@ class OooStreamSpec extends AnyFunSuite {
     assert(buckets(a) == expected, s"shuffled: ${buckets(a)}")
     assert(buckets(b) == expected, s"in-order: ${buckets(b)}")
     assert(dropsA == 0L && dropsB == 0L)
+  }
+
+  // ---- sequence packing ---------------------------------------------------
+
+  private def pEv(src: String, id: Long, nTok: Long, tsSec: Long) =
+    OooStream.PackEv(src, id, nTok, sec(tsSec))
+
+  test("packing: cross-batch disorder within lateness packs " +
+    "bit-identically to in-order arrival; the in-order twin " +
+    "documents the miss") {
+    val lateness = 900L
+    val budget = 100L
+    // s1 docs (doc_id = ts order): doc 1 is 150 tokens (SPANS the
+    // seq-0/1 boundary), doc 2 is 50 and closes seq 1. Folded in ts
+    // order: seq 0 = {doc1} (1 doc, 1 start), seq 1 = {doc1 spill,
+    // doc2} (2 docs, 1 start). Folded in the shuffled ARRIVAL order
+    // the boundary lands inside doc 1 differently: seq 0 = {doc2,
+    // doc1} (2 docs, 2 starts), seq 1 = {doc1 spill} (1 doc, 0
+    // starts) — the counter divergence the reorder buffer absorbs.
+    val inOrder = Seq(
+      Seq(pEv("s1", 1, 150, 100)),
+      Seq(pEv("s1", 2, 50, 700)),
+      Seq(pEv("zz", 9, 1, 100000)), Seq(pEv("zz", 10, 1, 100001)))
+    val shuffled = Seq(
+      Seq(pEv("s1", 2, 50, 700)),
+      Seq(pEv("s1", 1, 150, 100)),
+      Seq(pEv("zz", 9, 1, 100000)), Seq(pEv("zz", 10, 1, 100001)))
+    def packs(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(_._1 != "zz").toSet
+    val (a, dropsA) = drain[OooStream.PackEv, PackStream.Packed](
+      inOrder, (ds, acc) => OooStream.packed(ds, budget, lateness,
+        Some(acc)))
+    val (b, dropsB) = drain[OooStream.PackEv, PackStream.Packed](
+      shuffled, (ds, acc) => OooStream.packed(ds, budget, lateness,
+        Some(acc)))
+    val expected = Set(("s1", 0L, 1L, 1L, 100L), ("s1", 1L, 2L, 1L, 100L))
+    assert(packs(a) == expected, s"in-order: ${packs(a)}")
+    assert(packs(b) == expected, s"shuffled: ${packs(b)}")
+    assert(dropsA == 0L && dropsB == 0L)
+
+    // the same shuffled arrival through the IN-ORDER twin folds doc 2
+    // first, so the sequence boundaries land differently — the
+    // contract gap the ooo variant closes
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val input = MemoryStream[PackStream.Doc]
+    val name = nextName()
+    val q = PackStream.packed(input.toDS(), budget).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    shuffled.foreach { b =>
+      input.addData(b.map(e => PackStream.Doc(e.source, e.doc_id,
+        e.n_tok)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val tw = spark.table(name).collect().toSeq
+    assert(packs(tw) != expected,
+      "in-order twin mis-packs this arrival (documented)")
+  }
+
+  test("packing: a doc arriving beyond the lateness is dropped and " +
+    "counted; running offsets survive the idle flush") {
+    val lateness = 600L
+    val budget = 100L
+    val batches = Seq(
+      Seq(pEv("s1", 1, 60, 100), pEv("zz", 8, 1, 2000)),
+      Seq(pEv("zz", 9, 1, 3000)), // s1 idle: timeout flush fires
+      // doc 2 continues s1's token stream AFTER the flush (ts above
+      // watermark, nothing late): cum offset 60 must have survived
+      Seq(pEv("s1", 2, 60, 2800)),
+      // doc at ts 200 arrives when the watermark is far past — late
+      Seq(pEv("s1", 7, 999, 200), pEv("zz", 10, 1, 100000)),
+      Seq(pEv("zz", 11, 1, 100001)))
+    val (rows, drops) = drain[OooStream.PackEv, PackStream.Packed](
+      batches, (ds, acc) => OooStream.packed(ds, budget, lateness,
+        Some(acc)))
+    val packs = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(_._1 != "zz").toSet
+    // 60 + 60 tokens: seq 0 closes with both docs contributing —
+    // only possible if PackState survived the idle timeout
+    assert(packs == Set(("s1", 0L, 2L, 2L, 100L)), s"got $packs")
+    assert(drops == 1L, "the late doc must be counted, not folded")
+  }
+
+  // ---- first-wins dedup -----------------------------------------------------
+
+  private def dEv(h: String, id: Long, tsSec: Long) =
+    OooStream.DEv(h, id, sec(tsSec))
+
+  test("dedup: the winner is the (ts, id) minimum within lateness " +
+    "regardless of arrival order; the in-order twin keeps the " +
+    "arrival-first row (documented)") {
+    val lateness = 900L
+    // h1's true winner (ts 100, id 4) ARRIVES after the ts-700 copy
+    val shuffled = Seq(
+      Seq(dEv("h1", 5, 700), dEv("h2", 6, 200)),
+      Seq(dEv("h1", 4, 100)),
+      Seq(dEv("zz", 9, 100000)), Seq(dEv("zz", 10, 100001)))
+    val inOrder = Seq(
+      Seq(dEv("h1", 4, 100), dEv("h2", 6, 200)),
+      Seq(dEv("h1", 5, 700)),
+      Seq(dEv("zz", 9, 100000)), Seq(dEv("zz", 10, 100001)))
+    def winners(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 != "zz").toSet
+    val expected = Set(("h1", 4L, sec(100)), ("h2", 6L, sec(200)))
+    val (a, dropsA) = drain[OooStream.DEv, OooStream.Winner](
+      shuffled, (ds, acc) => OooStream.firstWins(ds, lateness, Some(acc)))
+    val (b, dropsB) = drain[OooStream.DEv, OooStream.Winner](
+      inOrder, (ds, acc) => OooStream.firstWins(ds, lateness, Some(acc)))
+    assert(winners(a) == expected, s"shuffled: ${winners(a)}")
+    assert(winners(b) == expected, s"in-order: ${winners(b)}")
+    assert(dropsA == 0L && dropsB == 0L)
+  }
+
+  test("dedup: a beyond-lateness copy of an emitted hash is counted, " +
+    "never re-emitted; the emitted flag survives the flush") {
+    val lateness = 600L
+    val batches = Seq(
+      Seq(dEv("h1", 1, 100), dEv("zz", 8, 2000)),
+      Seq(dEv("zz", 9, 3000)), // h1 flushes, winner emitted
+      // a very late copy with a SMALLER (ts, id) than the winner —
+      // without the frontier it would steal the win and duplicate h1
+      Seq(dEv("h1", 0, 50), dEv("zz", 10, 100000)),
+      Seq(dEv("zz", 11, 100001)))
+    val (rows, drops) = drain[OooStream.DEv, OooStream.Winner](
+      batches, (ds, acc) => OooStream.firstWins(ds, lateness, Some(acc)))
+    val winners = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 != "zz")
+    assert(winners == Seq(("h1", 1L, sec(100))), s"got $winners")
+    assert(drops == 1L, "the late copy must be counted")
   }
 
   // ---- RFI window frontier -----------------------------------------------
