@@ -770,6 +770,14 @@ object SparkEntry {
     "q_sim16_ann_staleness" -> ((s, dir) =>
       Similarity.indexStalenessReport(emb(s, dir),
         fixtureScale = true)),
+    // the repair step q_sim16's statistic calls for: incremental
+    // re-encode of post-training arrivals (the stale leg SERVES from
+    // the incrementally-built index) + hottest-cell split retrained
+    // on members only; occupancy before/after + exact hit counts of
+    // stale vs rebalanced vs fresh serving
+    "q_sim17_ann_rebalance" -> ((s, dir) =>
+      Similarity.indexRebalanceReport(emb(s, dir),
+        fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1221,6 +1229,7 @@ object SparkEntry {
     "q_sim15_ann_residual_rerank" ->
       LlmOracles.sim15IvfPqResidualRerank(),
     "q_sim16_ann_staleness" -> LlmOracles.sim16Staleness(),
+    "q_sim17_ann_rebalance" -> LlmOracles.sim17Rebalance(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

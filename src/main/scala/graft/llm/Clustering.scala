@@ -336,7 +336,8 @@ object Clustering {
   private[graft] def kmeansCtes(k: Int, iters: Int, dim: Int,
                                 prefix: String = "", withE: Boolean = true,
                                 trainSrc: String = "e",
-                                assignSrc: String = "e")
+                                assignSrc: String = "e",
+                                seedRank: Boolean = false)
                                (implicit d: Dialect): (String, String) = {
     def score(cv: String) =
       s"round((${listFoldSumDouble(listTransformIdx("e.qv",
@@ -348,9 +349,20 @@ object Clustering {
     if (withE) ctes ++= s"""WITH e AS (
        |  SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
        |""".stripMargin
-    ctes ++= s"""${p}c0 AS (
-       |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM $trainSrc
-       |  WHERE vec_id < $k)""".stripMargin
+    // seed rule: `vec_id < k` for the raw-corpus twins (vec_ids are
+    // dense from 0); `seedRank` seeds the k SMALLEST vec_ids instead —
+    // required when trainSrc is a derived pool (e.g. one hot cell's
+    // members) whose vec_ids are arbitrary
+    if (seedRank)
+      ctes ++= s"""${p}c0 AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cid, qv AS cv FROM (
+         |    SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn
+         |    FROM $trainSrc)
+         |  WHERE rn <= $k)""".stripMargin
+    else
+      ctes ++= s"""${p}c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM $trainSrc
+         |  WHERE vec_id < $k)""".stripMargin
     // assignments a1..a{iters+1}; centroid updates after the first
     // `iters` of them — so the output is the extra assignment against
     // the fully-trained centroid set, mirroring kmeansAssign's

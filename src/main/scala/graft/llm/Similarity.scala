@@ -1156,6 +1156,134 @@ object Similarity {
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_total"))))
   }
 
+  // ---- incremental index maintenance (q_sim17) -----------------------
+
+  /** Split the single hottest cell of `cents` (occupancy of the GROWN
+    * corpus, max count, tie → min cid) into two sub-centroids via a
+    * deterministic 2-means over that cell's members only (seeds = the
+    * two smallest member vec_ids, `iters` Lloyd rounds on the same
+    * exact micro-unit arithmetic as [[graft.llm.Clustering]]).
+    * Returns the rebalanced centroid set: the hot cid keeps
+    * sub-centroid 0, sub-centroid 1 appends as cid = |cents| — cids
+    * stay dense 0..k, so the residual machinery applies unchanged.
+    *
+    * Scale shape: one occupancy aggregate (k rows collected — model
+    * state), `iters` Lloyd passes over ONE cell's members (the
+    * hot-cell fraction of the corpus, not the corpus), zero new
+    * corpus-scale shuffles.
+    */
+  def rebalanceHotCell(embq: DataFrame,
+                       cents: Array[(Int, Array[Double])],
+                       iters: Int, dim: Int)
+      : (Array[(Int, Array[Double])], Int) = {
+    val assigned = embq
+      .withColumn("cell", pqCodeExprD(cents, col("qv")))
+    val occ = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val hotCid = cents.map(_._1)
+      .maxBy(c => (occ.getOrElse(c, 0L), -c.toLong))
+    val pool = assigned.where(col("cell") === hotCid)
+      .select("vec_id", "qv").cache()
+    try {
+      val seeds = pool.orderBy("vec_id").limit(2).collect()
+        .map(_.getSeq[Double](1).toArray)
+      require(seeds.length == 2,
+        s"rebalanceHotCell: hot cell $hotCid has < 2 members")
+      var sub: Array[(Int, Array[Double])] =
+        Array((0, seeds(0)), (1, seeds(1)))
+      for (_ <- 0 until iters)
+        sub = Clustering.lloydStep(pool, sub, dim)
+      val rebal = cents.map { case (cid, v) =>
+        if (cid == hotCid) (cid, sub(0)._2) else (cid, v)
+      } :+ (cents.length, sub(1)._2)
+      (rebal, hotCid)
+    } finally pool.unpersist(false)
+  }
+
+  /** The REPAIR step the staleness report (q_sim16) calls for — both
+    * maintenance operations a 100 TB index runs between full
+    * retrains:
+    *
+    *  - INCREMENTAL RE-ENCODE: post-training arrivals are encoded
+    *    into the EXISTING stale model and unioned with the old index
+    *    (the index projection is row-local, so the incremental build
+    *    is EXACTLY the from-scratch encode under the same model —
+    *    this gate serves the stale leg from the incrementally-built
+    *    index, so any divergence would break the hash);
+    *  - CELL REBALANCE ([[rebalanceHotCell]]): the hottest cell of
+    *    the grown corpus splits into two retrained sub-centroids
+    *    (members-only 2-means); residual codebooks retrain against
+    *    the rebalanced cells on the OLD corpus only — the whole
+    *    repair never runs corpus-scale training.
+    *
+    * Output (all BIGINT, hash-gated): one row per rebalanced cell
+    * (0..k) with `n_before` / `n_after` occupancy of the grown corpus
+    * under the stale vs rebalanced coarse quantiser, plus summary
+    * columns `stale_hits` / `rebal_hits` / `fresh_hits` /
+    * `truth_total` — exact ground-truth top-k hits of the three
+    * serving paths. The SimilaritySpec pins the recall ordering
+    * stale ≤ rebalanced ≤ fresh.
+    */
+  def indexRebalanceReport(emb: DataFrame, nCentroids: Int = 16,
+                           nProbe: Int = 2, nCodes: Int = 16,
+                           m: Int = 8, iters: Int = 2,
+                           nQueries: Int = 8, k: Int = 5,
+                           dim: Int = 64,
+                           oldCut: Int = StalenessOldCut,
+                           fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("indexRebalanceReport", nCentroids,
+      fixtureScale)
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.DoubleVecDot.register(s)
+    val embOld = emb.where(col("vec_id") < oldCut)
+    val embNew = emb.where(col("vec_id") >= oldCut)
+    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
+      m, iters, dim)
+    val fresh = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val embq = quantised(emb)
+    val (rebalCents, _) = rebalanceHotCell(embq, stale.cents, iters,
+      dim)
+    val rebal = IvfPqResidualModel.fromCentroids(rebalCents, embOld,
+      nCodes, m, iters, dim)
+    val queries = embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    // the stale leg serves from the INCREMENTALLY-maintained index:
+    // old-corpus encode ∪ new-arrivals encode under the same model
+    val staleIdx = ivfPqResidualIndex(embOld, stale, m, dim)
+      .unionAll(ivfPqResidualIndex(embNew, stale, m, dim))
+    def served(idx: DataFrame, model: IvfPqResidualModel): DataFrame =
+      ivfPqResidualSearch(idx, queries, model, nProbe, k, m, dim)
+        .select("qid", "vec_id")
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select("qid", "vec_id")
+    def hits(pairs: DataFrame, name: String): DataFrame =
+      truth.join(pairs, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as(name))
+    def occ(cents: Array[(Int, Array[Double])],
+            name: String): DataFrame =
+      embq.withColumn("cell", pqCodeExprD(cents, col("qv")))
+        .groupBy("cell").agg(count(lit(1)).as(name))
+        .select(col("cell").cast("long").as("cell"), col(name))
+    val cells = (0 to nCentroids).map(_.toLong).toDF("cell")
+    cells
+      .join(occ(stale.cents, "n_before_raw"), Seq("cell"), "left")
+      .join(occ(rebalCents, "n_after_raw"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before_raw"), lit(0L)).as("n_before"),
+        coalesce(col("n_after_raw"), lit(0L)).as("n_after"))
+      .crossJoin(broadcast(hits(served(staleIdx, stale), "stale_hits")))
+      .crossJoin(broadcast(hits(
+        served(ivfPqResidualIndex(emb, rebal, m, dim), rebal),
+        "rebal_hits")))
+      .crossJoin(broadcast(hits(
+        served(ivfPqResidualIndex(emb, fresh, m, dim), fresh),
+        "fresh_hits")))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_total"))))
+  }
+
   /** Gate shape: nProbe = nCentroids/2 and r = 32·k measure recall
     * 1.0 on the fixture (the spec pins ≥0.95) — the point of the
     * stage: a SMALL exact budget (r ≪ corpus) erases the ADC

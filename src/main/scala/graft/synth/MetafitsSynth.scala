@@ -59,7 +59,13 @@ object MetafitsSynth {
             deripple: Boolean = false,
             pointingDeg: Option[(Double, Double)] = None,
             phaseDeg: Option[(Double, Double)] = None,
-            quackTimS: Option[Double] = None): String = {
+            quackTimS: Option[Double] = None,
+            // channelisation overrides: the legacy 10 kHz class
+            // (reference obs 1196175296_mwa_ord, 128 fine chans per
+            // coarse, /root/reference/src/io/mwaf.rs:434-439) writes
+            // FINECHAN 10.0 / NCHANS 128·NumCoarse here
+            fineChanWidthHz: Double = Obs.FineChanWidthHz,
+            nChans: Int = Obs.NumChans): String = {
     val nIn = Obs.NumAnts * 2
 
     val centreCards =
@@ -74,8 +80,8 @@ object MetafitsSynth {
       card("NAXIS", "0"),
       card("GPSTIME", Obs.GpsStart.toString),
       card("INTTIME", Obs.IntTimeS.toString),
-      card("FINECHAN", (Obs.FineChanWidthHz / 1000.0).toString),
-      card("NCHANS", Obs.NumChans.toString),
+      card("FINECHAN", (fineChanWidthHz / 1000.0).toString),
+      card("NCHANS", nChans.toString),
       card("NSCANS", Obs.NumTimesteps.toString),
       card("QUACKTIM",
         quackTimS.getOrElse(Obs.FlagInitSteps * Obs.IntTimeS).toString),
@@ -85,7 +91,7 @@ object MetafitsSynth {
       // centre such that reconstruction lands chan-0 on BaseFreqHz:
       // base = FREQCENT − width·nChans/2, rounded to integer Hz
       card("FREQCENT", ((Obs.BaseFreqHz +
-        Obs.FineChanWidthHz * Obs.NumChans / 2.0) / 1e6).toString),
+        fineChanWidthHz * nChans / 2.0) / 1e6).toString),
       card("CABLEDEL", if (cableApplied) "1" else "0"),
       card("GEODEL", if (geometryApplied) "1" else "0"),
       card("CORR_VER", corrVersion.toString),

@@ -264,6 +264,57 @@ class CliSpec extends AnyFunSuite {
       "complete coarse channel keeps unflagged cells at the same times")
   }
 
+  test("legacy 10 kHz end-to-end: 128-fine-chan gpubox through the " +
+    "CLI to a multi-word mwaf write and MwafReader round trip") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the reference's own legacy class (obs 1196175296_mwa_ord: 128
+    // fine chans per coarse at 10 kHz, CORR_VER 1 —
+    // /root/reference/src/io/mwaf.rs:434-439) through entry point 1:
+    // gpubox -> corrections -> mwaf write -> read-back
+    val dir = Files.createTempDirectory("cli_legacy")
+    val gbx = dir.resolve("vis").toString
+    Files.createDirectories(dir.resolve("vis"))
+    graft.sources.FitsGpubox.writeFixture(
+      s"$gbx/gpubox00.fits", 0, 16, 8, 128, 16)
+    graft.sources.FitsGpubox.writeFixture(
+      s"$gbx/gpubox01.fits", 1, 16, 8, 128, 16)
+    val metafits = graft.synth.MetafitsSynth.write(
+      dir.resolve("obs.metafits").toString,
+      corrVersion = 1,
+      fineChanWidthHz = 10000.0,
+      nChans = 128 * graft.model.Obs.NumCoarse)
+    val flagDir = dir.resolve("flags").toString
+    Files.createDirectories(dir.resolve("flags"))
+
+    val cfg = Cli.parse(Seq("--gpubox", gbx, "-m", metafits,
+      "--flag-out", flagDir, "--no-geometric-delay")).toOption.get
+    val logged = scala.collection.mutable.ArrayBuffer[String]()
+    val n = Cli.run(spark, cfg, logged += _)
+    assert(n > 0)
+    assert(logged.exists(_.contains("writing mwaf flags")))
+
+    val back = graft.sources.MwafReader.read(spark, flagDir)
+    // the legacy width survives the container loop: 128 fine chans =
+    // FOUR 32-bit FLAGS words per (t, bl) row (Sinks.MwafWordChans),
+    // NCHANS header intact
+    assert(back.select("n_chans").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(128L))
+    assert(back.selectExpr("size(flag_words) AS w").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    // both gpubox coarse channels produced a file
+    assert(back.select("cc").distinct().count() == 2)
+    // the 80 kHz default edge width = 8 fine chans per side at
+    // 10 kHz, so channels 120..127 are statically flagged — bits
+    // that only exist in the LAST flag word (a <=64-chan bitmask
+    // would have silently truncated them)
+    assert(back.where(expr("flag_words[3] != 0")).count() ===
+      back.count(), "top-edge static flags must land in word 3 on " +
+      "every row")
+    // and the first word carries the bottom-edge flags
+    assert(back.where(expr("flag_words[0] != 0")).count() ===
+      back.count())
+  }
+
   test("channel flag decorators, resolutions, pfb and phase centre") {
     import org.apache.spark.sql.functions.col
     val cfg = Cli.parse(Seq("-d", "/data",

@@ -393,6 +393,43 @@ class SimilaritySpec extends AnyFunSuite {
       r.getLong(4) == freshHits && r.getLong(5) == total))
   }
 
+  test("incremental maintenance (q_sim17): recall ordering stale <= " +
+    "rebalanced <= fresh; incremental re-encode equals the " +
+    "from-scratch encode; the hot cell actually splits") {
+    import org.apache.spark.sql.functions.col
+    val rep = Similarity.indexRebalanceReport(emb, fixtureScale = true)
+      .collect().sortBy(_.getLong(0))
+    assert(rep.length == 17, "k+1 rows after the hot-cell split")
+    val corpus = emb.count()
+    // both occupancy columns partition the grown corpus exactly
+    assert(rep.map(_.getLong(1)).sum == corpus)
+    assert(rep.map(_.getLong(2)).sum == corpus)
+    // the new cell (cid = k) exists only after the rebalance and is
+    // non-empty: the split actually moved members
+    val newCell = rep.last
+    assert(newCell.getLong(0) == 16L && newCell.getLong(1) == 0L &&
+      newCell.getLong(2) > 0L, "sub-centroid 1 must take members")
+    // the REPAIR ordering the operator exists for
+    val (st, rb, fr) = (rep.head.getLong(3), rep.head.getLong(4),
+      rep.head.getLong(5))
+    assert(st <= rb && rb <= fr,
+      s"recall must order stale $st <= rebalanced $rb <= fresh $fr")
+
+    // incremental re-encode exactness: new arrivals encoded into the
+    // EXISTING model, unioned with the old index, equal the
+    // from-scratch full-corpus encode under the same model row-by-row
+    val oldCut = Similarity.StalenessOldCut
+    val embOld = emb.where(col("vec_id") < oldCut)
+    val embNew = emb.where(col("vec_id") >= oldCut)
+    val model = Similarity.IvfPqResidualModel.train(embOld)
+    val incremental = Similarity.ivfPqResidualIndex(embOld, model)
+      .unionAll(Similarity.ivfPqResidualIndex(embNew, model))
+    val scratch = Similarity.ivfPqResidualIndex(emb, model)
+    assert(incremental.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(incremental).isEmpty,
+      "incremental index build must equal the from-scratch encode")
+  }
+
   test("multi-table LSH: 1 table matches the single-bucket index, " +
     "recall rises with table count") {
     def ids(df: org.apache.spark.sql.DataFrame) = df
