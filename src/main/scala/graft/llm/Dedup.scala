@@ -190,12 +190,13 @@ object Dedup {
     * joins are the q_d4 shapes over the same lazily-checkpointed
     * shingle frame; output is candidate-sized.
     */
-  def minhashAccuracy(docs: DataFrame): DataFrame = {
+  def minhashAccuracy(docs: DataFrame,
+                      hotBucketCap: Int = DerivedCap): DataFrame = {
     val hs = hashedShingles(docs).localCheckpoint(eager = false)
     val sig = minhashSignaturesFromHs(hs).localCheckpoint(eager = false)
     // est_jaccard = n_matches/16 is dyadic, so the ×16 round-trip is
     // exact — no float error re-deriving the integer match count
-    val est = lshCandidatesFromSig(sig)
+    val est = lshCandidatesFromSig(sig, hotBucketCap)
       .withColumn("n_matches",
         round(col("est_jaccard") * NumPerms).cast("long"))
       .select("doc1", "doc2", "n_matches")
@@ -273,13 +274,15 @@ object Dedup {
     * textbook two-stage near-dup pipeline (cheap recall stage, exact
     * verify stage touches only candidate pairs, never n²).
     */
-  def ngramJaccardCandidates(docs: DataFrame): DataFrame = {
+  def ngramJaccardCandidates(docs: DataFrame,
+                             hotBucketCap: Int = DerivedCap): DataFrame = {
     val hs = hashedShingles(docs).localCheckpoint(eager = false)
     val sh = Corpus.explodeNoInfer(hs, col("hs"), "sh", col("doc_id"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = lshCandidatesFromSig(
-      minhashSignaturesFromHs(hs).localCheckpoint(eager = false))
+      minhashSignaturesFromHs(hs).localCheckpoint(eager = false),
+      hotBucketCap)
       .select("doc1", "doc2")
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1"))

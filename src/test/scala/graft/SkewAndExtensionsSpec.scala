@@ -75,8 +75,10 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // baseline: default session planning
-    val base = rows(Dedup.lshCandidates(skewed))
+    // baseline: default session planning; hotBucketCap = 0 EXPLICITLY
+    // — this spec exists to prove AQE splits the unguarded hot join
+    // (the production derived-cap default would exclude the bucket)
+    val base = rows(Dedup.lshCandidates(skewed, hotBucketCap = 0))
     assert(base.size > 4900, s"hot bucket should yield C(100,2)+ pairs")
     // skew-tuned: force the band self-join through a shuffle join and
     // lower the AQE skew thresholds so sf0.01's hot partition counts
@@ -101,7 +103,7 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "8KB")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
-      val df = Dedup.lshCandidates(skewed)
+      val df = Dedup.lshCandidates(skewed, hotBucketCap = 0)
       val split = rows(df)
       assert(split == base,
         "skew-split plan changed the candidate set")
@@ -124,7 +126,7 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc1", "doc2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val uncapped = pairs(Dedup.lshCandidates(skewed))
+    val uncapped = pairs(Dedup.lshCandidates(skewed, hotBucketCap = 0))
     val capped = pairs(Dedup.lshCandidates(skewed, hotBucketCap = 64))
     assert(capped.subsetOf(uncapped), "the cap may only remove pairs")
     // the C(100, 2) boilerplate-x-boilerplate blow-up is exactly what
@@ -148,11 +150,14 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     val docs = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
     val skewed = Dedup.skewBoilerplate(docs)
-    val acc = Dedup.minhashAccuracy(skewed)
+    // hotBucketCap = 0 on BOTH: the estimator is graded on the
+    // identical boilerplate pairs the production default would route
+    // to exact dedup instead
+    val acc = Dedup.minhashAccuracy(skewed, hotBucketCap = 0)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
         r.getLong(6), r.getLong(7)))
-    val cand = Dedup.lshCandidates(skewed)
+    val cand = Dedup.lshCandidates(skewed, hotBucketCap = 0)
       .select("doc1", "doc2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(acc.map(t => (t._1, t._2)).toSet == cand,
