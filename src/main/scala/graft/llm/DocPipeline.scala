@@ -59,9 +59,11 @@ object DocPipeline {
 
   /** Curation-to-packing composition — the end-to-end "raw corpus in,
     * training sequences out" flow of a modern data stack, chaining
-    * FOUR of the oracle-gated screens with the packer:
+    * FIVE of the oracle-gated screens with the packer:
     *
-    *   Gopher quality rules ∧ exact-dedup keep-first ∧
+    *   Gopher quality rules ∧ exact-dedup keep-first ∧ near-dup
+    *   cluster pruning (keep each LSH cluster's minimum — the
+    *   hot-bucket-guarded [[Dedup.duplicateClusters]]) ∧
     *   benchmark-decontamination ∧ DSIR importance selection
     *   → concat-and-chunk sequence packing of the survivors
     *
@@ -95,11 +97,19 @@ object DocPipeline {
       .where(!col("contaminated")).select("doc_id")
     val sel = Corpus.dsirScore(d)
       .where(col("selected") === 1).select("doc_id")
+    // near-dup cluster pruning (the DocPipeline.apply rule): each LSH
+    // candidate cluster keeps its minimum doc_id; inherits the
+    // derived hot-bucket guard, so a boilerplate class can never make
+    // this screen quadratic at scale
+    val nearDrop = Dedup.duplicateClusters(d)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
     val surv = d
       .join(good, Seq("doc_id"), "left_semi")
       .join(keep, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
       .join(sel, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
     Corpus.seqPack(surv, budget)
   }
 }

@@ -76,11 +76,14 @@ class DocPipelineSpec extends AnyFunSuite {
       .where(!col("contaminated")).select("doc_id")
     val sel = Corpus.dsirScore(docs)
       .where(col("selected") === 1).select("doc_id")
+    val nearDrop = Dedup.duplicateClusters(docs)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val surv = docs
       .join(good, Seq("doc_id"), "left_semi")
       .join(keep, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
       .join(sel, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
     val survTok = surv
       .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
       .agg(sum("n")).head().getLong(0)
