@@ -866,6 +866,14 @@ object SparkEntry {
       Dedup.lshCandidates(Dedup.skewBoilerplate(docs(s, dir)),
         hotBucketCap = 64)),
 
+    // cluster pruning under the PRODUCTION derived cap on the skew
+    // corpus: the boilerplate bucket's quadratic edge set is excluded,
+    // so the stamped class clusters as singletons (exact dedup owns
+    // it) while organic chains still close — hash-gated against the
+    // recursive-CTE closure with the identical derived threshold
+    "q_d15_skew_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(Dedup.skewBoilerplate(docs(s, dir)))),
+
     // composed doc-prep pipeline (rows-only gate; each stage is
     // individually oracle-gated above)
     "q_doc_pipeline" -> ((s, dir) =>
@@ -1273,6 +1281,7 @@ object SparkEntry {
     "q_d10_span_clean" -> graft.llm.Corpus.spanDedupCleanSql(),
     "q_d11_skew_lsh" -> LlmOracles.d11SkewLsh,
     "q_d14_lsh_hot_cap" -> LlmOracles.d14LshHotCap(64),
+    "q_d15_skew_clusters" -> LlmOracles.d15SkewClusters,
     "q_d12_minhash_accuracy" -> LlmOracles.d12MinhashAccuracy,
     "q_d13_bloom_dedup" -> LlmOracles.d13BloomDedup(),
     "q_d7_boilerplate" -> LlmOracles.d7Boilerplate,
