@@ -131,6 +131,11 @@ object Dedup {
     */
   def lshCandidatesFromSig(sig: DataFrame,
                            hotBucketCap: Int = DerivedCap): DataFrame = {
+    // any OTHER negative would silently enable the derived cap under
+    // the pre-r19 "<= 0 means off" contract — fail loudly instead
+    require(hotBucketCap >= 0 || hotBucketCap == DerivedCap,
+      s"hotBucketCap must be >= 0 (0 = explicitly off) or " +
+        s"Dedup.DerivedCap ($DerivedCap); got $hotBucketCap")
     val allBands = (0 until NumBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
         col(s"band$b").as("band_hash"))
@@ -425,26 +430,82 @@ object Dedup {
       .withColumnRenamed("lab", "cluster_id")
   }
 
-  /** Embedding near-duplicates: cosine similarity above `thr` for pairs
-    * sharing a sign-projection LSH bucket ([[Similarity.bucketSql]] —
-    * the same 8-hyperplane key sim2 searches with).
-    *
-    * Scale shape: the pair join is keyed on the BUCKET, whose expected
-    * cell size is n/2^planes and shrinks geometrically with more
-    * planes — unlike a semantic attribute (label, domain, language),
-    * whose cells grow WITH the corpus and turn the within-cell pair
-    * join quadratic. Recall is the LSH recall: only same-bucket pairs
-    * are compared, the standard near-dup tradeoff.
+  /** Default expected LSH cell size for [[embeddingNearDup]]'s derived
+    * plane count: with n ≤ targetCell·2^NumPlanes the derivation picks
+    * the minimum 8 planes; beyond that the plane count grows with the
+    * corpus so cell size — and therefore per-row join fan-out — stays
+    * constant.
     */
-  def embeddingNearDup(emb: DataFrame, thr: Double): DataFrame = {
+  val DefaultTargetCell = 128
+
+  /** Embedding near-duplicates: cosine similarity above `thr` for pairs
+    * sharing a sign-projection LSH bucket, with the plane count DERIVED
+    * from the corpus size in-plan.
+    *
+    * Scale shape (the round-19 `weak` fix): a FIXED plane count makes
+    * the expected cell size n/2^planes — linear in n — so the
+    * same-bucket self-join materialises Θ(n²/2^planes) pairs: the
+    * pair-generating-join class SCALE.md round-18 measured as fatal.
+    * Two guards close it, both derived in-plan from one 1-row
+    * broadcast corpus count (the [[DerivedCap]] lockstep pattern, twin
+    * identical):
+    *
+    *  1. the effective bucket is `fullBucket % 2^p` where the
+    *     [[Similarity.MaxPlanes]]-bit `fullBucket` is row-local and
+    *     p = [[Similarity.derivedModulusSql]](n, targetCell) — so the
+    *     expected cell stays ≤ targetCell and the join is
+    *     Θ(n·targetCell), linear;
+    *  2. the derived hot-bucket cap (greatest(64, ceil(√n))) excludes
+    *     skew cells that geometry alone can't bound — a mass-duplicate
+    *     embedding class (one vector repeated α·n times) lands in ONE
+    *     cell regardless of plane count; those are exact-dup-grade and
+    *     route to [[exact]]/census linearly, same rationale as
+    *     [[lshCandidates]].
+    *
+    * Recall is the LSH recall (only same-bucket pairs compared); more
+    * planes lower per-pair recall exactly as a production multi-table
+    * LSH expects — [[Similarity.lshMultiTopK]] is the
+    * recall-recovery path.
+    */
+  def embeddingNearDup(emb: DataFrame, thr: Double,
+                       targetCell: Int = DefaultTargetCell,
+                       hotBucketCap: Int = DerivedCap): DataFrame = {
+    require(hotBucketCap >= 0 || hotBucketCap == DerivedCap,
+      s"hotBucketCap must be >= 0 (0 = explicitly off) or " +
+        s"Dedup.DerivedCap ($DerivedCap); got $hotBucketCap")
     import graft.llm.TextExprs.SparkD
     graft.functions.FloatVecDot.register(emb.sparkSession)
+    val nVec = emb.select(count(lit(1)).as("__n_vec"))
+    // bucket fold (MaxPlanes × dim) is the expensive row-local stage
+    // and this frame feeds sizes + both join sides → one lazy
+    // plan-private localCheckpoint (never .cache(); see hashedShingles)
     val withB = emb
-      .withColumn("bucket", Similarity.bucketExpr("embedding"))
+      .withColumn("__fb", expr(
+        Similarity.bucketSqlPlanes("embedding",
+          Similarity.MaxPlanes)(SparkD)))
       .withColumn("nrm", expr(Similarity.normSql("embedding")(SparkD)))
-    val e1 = withB.select(col("vec_id").as("id1"), col("bucket"),
+      .crossJoin(broadcast(nVec))
+      .withColumn("bucket", col("__fb") % expr(
+        Similarity.derivedModulusSql("__n_vec", targetCell)))
+      .select("vec_id", "embedding", "nrm", "bucket", "__n_vec")
+      .localCheckpoint(eager = false)
+    val kept =
+      if (hotBucketCap == 0) withB
+      else {
+        val sizes = withB.groupBy("bucket")
+          .agg(count(lit(1)).as("__bucket_n"),
+            max("__n_vec").as("__n"))
+        val thrCol =
+          if (hotBucketCap > 0) lit(hotBucketCap.toLong)
+          else greatest(lit(MinDerivedCap.toLong),
+            ceil(sqrt(col("__n"))))
+        withB.join(
+          sizes.where(col("__bucket_n") <= thrCol).select("bucket"),
+          Seq("bucket"))
+      }
+    val e1 = kept.select(col("vec_id").as("id1"), col("bucket"),
       col("embedding").as("e1"), col("nrm").as("n1"))
-    val e2 = withB.select(col("vec_id").as("id2"), col("bucket"),
+    val e2 = kept.select(col("vec_id").as("id2"), col("bucket"),
       col("embedding").as("e2"), col("nrm").as("n2"))
     e1.join(e2, Seq("bucket"))
       .where(col("id1") < col("id2"))

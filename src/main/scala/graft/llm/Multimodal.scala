@@ -263,6 +263,9 @@ object Multimodal {
     */
   def phashNearDup(docs: DataFrame, maxDist: Int = 6,
                    hotBucketCap: Int = Dedup.DerivedCap): DataFrame = {
+    require(hotBucketCap >= 0 || hotBucketCap == Dedup.DerivedCap,
+      s"hotBucketCap must be >= 0 (0 = explicitly off) or " +
+        s"Dedup.DerivedCap (${Dedup.DerivedCap}); got $hotBucketCap")
     val ph = perceptualHash(docs).toDF().localCheckpoint(eager = false)
     val allBands = (0 to 3).map { k =>
       ph.select(col("doc_id"), lit(k).as("band_idx"),

@@ -56,6 +56,15 @@ object Similarity {
   /** Number of sign-projection hyperplanes (bucket bits). */
   val NumPlanes = 8
 
+  /** Widest plane count any derived-plane operator can select
+    * ([[derivedModulusSql]] clamps here): 2^24 cells covers a
+    * targetCell·2^24 ≈ 2-billion-vector corpus at the default cell
+    * size before the cap binds — a compile-time constant to raise for
+    * larger deployments. Kept well under 63 so the bucket id stays a
+    * plain BIGINT bit-sum on both engines.
+    */
+  val MaxPlanes = 24
+
   /** Deterministic integer hyperplane component for plane j, 0-based
     * dim d: ((j*64 + d) * 37 mod 19) - 9, in [-9, 9].
     */
@@ -86,6 +95,67 @@ object Similarity {
   }
 
   def bucketExpr(v: String): Column = expr(bucketSql(v)(SparkD))
+
+  /** Hyperplane component for the WIDE plane family used by
+    * [[bucketSqlPlanes]]: a multiplicative (Knuth) hash of
+    * (plane, dim) reduced to [-9, 9]. [[planeComponent]]'s mod-19
+    * family yields only 19 DISTINCT planes (documented at
+    * [[lshMultiTopK]]) — fine for the fixed-8-plane gates, fatal for
+    * a derived plane count that must keep adding INDEPENDENT bits as
+    * the corpus grows (planes 19+ would duplicate planes 0+, and even
+    * below 19 the shifted-copy correlation concentrates occupancy).
+    * The multiplicative hash is SQUARED mod the prime before the
+    * mod-19 reduction: a purely linear hash leaves consecutive dims
+    * an arithmetic progression mod 19 (the same periodicity disease,
+    * measured mean pairwise plane |cos| 0.31), while the quadratic
+    * residue step decorrelates them (mean |cos| 0.09, bucket
+    * occupancy within ~2x of Poisson at 12 planes). All-integer (max
+    * intermediate < 10^12, exact BIGINT on both engines), so Spark
+    * and the DuckDB twin tie bit-for-bit.
+    */
+  def planeComponentWide(j: Int, dExpr: String): String = {
+    val h = s"((($j * 64 + $dExpr) * 2654435761) % 1000003)"
+    s"($h * $h % 1000003 % 19 - 9)"
+  }
+
+  /** FULL-WIDTH bucket id over the first `nPlanes` planes of the WIDE
+    * family ([[planeComponentWide]]), bit b with weight 2^b — so for
+    * any p ≤ nPlanes the p-plane bucket is exactly `bucket % 2^p`
+    * (the low p bits). This is what lets an operator compute ONE
+    * row-local [[MaxPlanes]]-bit bucket and choose the effective
+    * plane count from the corpus size in-plan
+    * ([[derivedModulusSql]]) without changing the SQL shape.
+    */
+  def bucketSqlPlanes(v: String, nPlanes: Int)
+                     (implicit d: Dialect): String = {
+    require(nPlanes >= 1 && nPlanes <= MaxPlanes,
+      s"nPlanes must be in [1, $MaxPlanes], got $nPlanes")
+    val bits = (0 until nPlanes).map { b =>
+      val dot = listFoldSumDouble(listTransformIdx(v, (x, i) =>
+        s"CAST($x AS DOUBLE) * ${planeComponentWide(b, s"($i - 1)")}"))
+      s"(CASE WHEN $dot > 0 THEN ${1L << b} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** The derived-plane MODULUS: 2^p for the smallest p in
+    * [[[NumPlanes]], [[MaxPlanes]]] with n ≤ targetCell·2^p — i.e.
+    * expected cell size stays ≤ `targetCell` as the corpus grows, so a
+    * same-bucket pair join is Θ(n·targetCell), LINEAR in n, instead of
+    * Θ(n²/2^NumPlanes) under a fixed plane count. Pure integer CASE
+    * chain (all products precomputed as BIGINT literals), so Spark and
+    * DuckDB tie bit-for-bit — the same lockstep trick as
+    * [[graft.llm.Dedup.DerivedCap]]. `nExpr` must be a BIGINT corpus
+    * count in scope (a 1-row broadcast on the Spark side, a scalar
+    * subquery in the twin).
+    */
+  def derivedModulusSql(nExpr: String, targetCell: Int): String = {
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    val whens = (NumPlanes until MaxPlanes).map { p =>
+      s"WHEN $nExpr <= ${targetCell.toLong * (1L << p)} THEN ${1L << p}"
+    }.mkString(" ")
+    s"(CASE $whens ELSE ${1L << MaxPlanes} END)"
+  }
 
   /** Exact top-k neighbours for each query vector (queries = `vec_id <
     * nQueries`), self excluded. Rank determinism: round(cos, 6) desc then

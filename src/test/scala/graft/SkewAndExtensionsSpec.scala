@@ -249,4 +249,117 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
     assert(streamed == got, "streaming bloom probe must match batch")
   }
+
+  // ---- embeddingNearDup derived-plane scaling (round-20 q_d5 fix) ----
+
+  /** Deterministic pseudo-random embeddings: dim-16, each component a
+    * sin of a SQUARED Knuth-hash of (vec_id, d) so components
+    * decorrelate and the bucket distribution is near-uniform. The
+    * square matters: sin(a + c_d) is a fixed linear combination of
+    * (sin a, cos a), so a linear hash puts the whole corpus on a 2-D
+    * ellipse with only ~2·planes reachable sign patterns — testing the
+    * hot-bucket CAP instead of the plane derivation. Row-local, no
+    * data files needed.
+    */
+  private def synthEmb(n: Int) = spark.range(n)
+    .select(col("id").as("vec_id"))
+    .withColumn("embedding", expr(
+      "transform(sequence(0, 15), d -> " +
+        "CAST(sin(CAST(pmod(pmod(vec_id * 2654435761 + " +
+        "CAST(d AS BIGINT) * 1013904223, 1000003) * " +
+        "pmod(vec_id * 2654435761 + CAST(d AS BIGINT) * 1013904223, " +
+        "1000003), 1000003) AS DOUBLE)) AS FLOAT))"))
+
+  test("bucketSqlPlanes: low-bit masking identity — 24-plane bucket " +
+    "mod 2^p IS the p-plane bucket, and the wide family fills all bits") {
+    import graft.llm.{Similarity, TextExprs}
+    implicit val d: TextExprs.Dialect = TextExprs.SparkD
+    val e = synthEmb(200)
+    val got = e.select(
+      expr(Similarity.bucketSqlPlanes("embedding", Similarity.MaxPlanes))
+        .as("fb"),
+      expr(Similarity.bucketSqlPlanes("embedding", 8)).as("b8"),
+      expr(Similarity.bucketSqlPlanes("embedding", 12)).as("b12"))
+      .collect()
+    assert(got.forall(r =>
+      r.getLong(0) % 256 == r.getLong(1) &&
+        r.getLong(0) % 4096 == r.getLong(2)),
+      "masking identity must hold for every row")
+    assert(got.map(_.getLong(0)).exists(_ >= (1L << 23)),
+      "24-plane buckets must actually use the high bits")
+  }
+
+  test("embeddingNearDup: candidate pairs grow SUBLINEARLY in corpus " +
+    "size under the derived plane count (the round-19 weak fix)") {
+    import graft.llm.Dedup
+    // thr = -2 keeps every same-bucket pair => the count IS the
+    // candidate volume; targetCell = 4 makes the derivation bind
+    // inside test sizes (p: 8 -> 12 between n = 1024 and 10240)
+    def pairs(n: Int, tc: Int): Long =
+      Dedup.embeddingNearDup(synthEmb(n), -2.0, targetCell = tc).count()
+    val p1 = pairs(1000, 4)
+    val p10 = pairs(10000, 4)
+    assert(p1 > 0, "small corpus must produce candidates")
+    // fixed-plane quadratic shape would give ~100x; derived planes keep
+    // expected cell size <= targetCell so growth is ~linear (allow 25x
+    // for bucket-occupancy variance)
+    assert(p10 < 25L * p1,
+      s"candidate growth must be sublinear: n x10 gave $p1 -> $p10 " +
+        s"(${p10.toDouble / p1}x)")
+    // control: freezing the plane count at 8 (huge targetCell) on the
+    // same 10k corpus shows the quadratic volume the derivation avoids
+    val pFixed = pairs(10000, 1 << 20)
+    assert(pFixed > 3L * p10,
+      s"fixed 8-plane shape must be substantially larger " +
+        s"($pFixed vs derived $p10)")
+  }
+
+  test("embeddingNearDup: derived result is IDENTICAL to the historic " +
+    "fixed-8-plane shape below the derivation knee, and unexpected " +
+    "negative hotBucketCap sentinels fail loudly") {
+    import graft.llm.Dedup
+    val e = synthEmb(500) // 500 <= 128 * 256 => p stays 8
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val derived = key(Dedup.embeddingNearDup(e, 0.3))
+    val fixed8 = key(Dedup.embeddingNearDup(e, 0.3,
+      targetCell = 1 << 20)) // modulus pinned at 2^8
+    assert(derived == fixed8,
+      "below the knee the derived plane count must be exactly 8")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(e, 0.3, hotBucketCap = -2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatesFromSig(e, hotBucketCap = -7)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.phashNearDup(e, hotBucketCap = -3)
+    }
+  }
+
+  test("oracle MATERIALIZED rewrite: anchored to CTE heads only, " +
+    "idempotent, and loud on a non-CTE 'AS ('") {
+    import graft.oracle.LlmOracles.materialized
+    val in = "WITH a AS (SELECT 1),\nb AS (SELECT round(x, 6) AS y " +
+      "FROM a), c AS (WITH RECURSIVE r AS (SELECT 2) SELECT * FROM r)" +
+      "\nSELECT * FROM c"
+    val out = materialized(in)
+    assert(out == ("WITH a AS MATERIALIZED (SELECT 1),\n" +
+      "b AS MATERIALIZED (SELECT round(x, 6) AS y FROM a), " +
+      "c AS MATERIALIZED (WITH RECURSIVE r AS MATERIALIZED (SELECT 2) " +
+      "SELECT * FROM r)\nSELECT * FROM c"))
+    assert(materialized(out) == out, "must be idempotent")
+    // a non-CTE occurrence (string literal) must FAIL LOUDLY instead of
+    // being silently rewritten (the pre-r20 blind replace) or silently
+    // left to change twin behaviour
+    intercept[IllegalArgumentException] {
+      materialized("WITH a AS (SELECT 'x AS (' AS lit) SELECT * FROM a")
+    }
+    // the init-time requires have already run for every shipped twin
+    // (object LlmOracles evaluates them as vals) — touching one proves
+    // the whole object initialised loudly-clean
+    assert(SparkEntry.oracleSql("q_d5_embedding_neardup")
+      .contains("AS MATERIALIZED ("))
+  }
 }
