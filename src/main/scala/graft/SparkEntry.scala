@@ -778,6 +778,11 @@ object SparkEntry {
     "q_sim17_ann_rebalance" -> ((s, dir) =>
       Similarity.indexRebalanceReport(emb(s, dir),
         fixtureScale = true)),
+    "q_sim18_ann_multi_repair" -> ((s, dir) =>
+      Similarity.indexMultiRepairReport(emb(s, dir),
+        fixtureScale = true)),
+    "q_sim19_ann_maintenance" -> ((s, dir) =>
+      Similarity.indexMaintenance(emb(s, dir), fixtureScale = true)),
     "q_emb_pipeline" -> ((s, dir) =>
       Clustering.embPipeline(emb(s, dir), fixtureScale = true)),
 
@@ -1238,6 +1243,8 @@ object SparkEntry {
       LlmOracles.sim15IvfPqResidualRerank(),
     "q_sim16_ann_staleness" -> LlmOracles.sim16Staleness(),
     "q_sim17_ann_rebalance" -> LlmOracles.sim17Rebalance(),
+    "q_sim18_ann_multi_repair" -> LlmOracles.sim18MultiRepair(),
+    "q_sim19_ann_maintenance" -> LlmOracles.sim19Maintenance(),
     "q_sim5_kmeans" -> graft.llm.Clustering.kmeansSql(),
     "q_sim6_semdedup" -> graft.llm.Clustering.semdedupSql(),
     "q_sim7_cluster_sample" -> graft.llm.Clustering.clusterSampleSql(),

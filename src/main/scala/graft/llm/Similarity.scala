@@ -1354,6 +1354,247 @@ object Similarity {
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_total"))))
   }
 
+  /** The next maintenance rung after [[rebalanceHotCell]]: repair the
+    * top-`splits` occupancy-skewed cells AND merge the `splits` most
+    * underfull ones, keeping k BOUNDED (a split-only policy grows the
+    * centroid set — and so probe cost — without limit as repairs
+    * accumulate).
+    *
+    * Deterministic policy, twin-reproducible from integer occupancy
+    * counts alone:
+    *  - hot set = top-`splits` cids by (count desc, cid asc); each
+    *    splits via the same members-only 2-means as
+    *    [[rebalanceHotCell]] (seeds = two smallest member vec_ids);
+    *  - cold set = bottom-`splits` cids by (count asc, cid asc),
+    *    hot-disjoint; the i-th cold cid's centroid is REPLACED by the
+    *    i-th hot split's sub-centroid 1 (pairing by rank). The merge
+    *    is implicit: the deleted underfull centroid's members
+    *    re-assign to their nearest surviving centroid at the next
+    *    full assignment — no explicit nearest-merge pass needed, and
+    *    cids stay dense 0..k-1 so every downstream residual/serving
+    *    shape applies unchanged.
+    *
+    * Scale shape: one k-row occupancy collect (model state), `splits`
+    * bounded 2-means loops over single cells' members, zero
+    * corpus-scale shuffles — [[rebalanceHotCell]]'s budget times
+    * `splits`.
+    */
+  def rebalanceCellsMerge(embq: DataFrame,
+                          cents: Array[(Int, Array[Double])],
+                          iters: Int, dim: Int, splits: Int = 2)
+      : (Array[(Int, Array[Double])], Seq[Int], Seq[Int]) = {
+    require(splits >= 1 && 2 * splits <= cents.length,
+      s"splits $splits needs 2*splits <= k=${cents.length}")
+    val assigned = embq
+      .withColumn("cell", pqCodeExprD(cents, col("qv")))
+      .localCheckpoint(eager = false)
+    val occ = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val hot = cents.map(_._1)
+      .sortBy(c => (-occ.getOrElse(c, 0L), c.toLong)).take(splits).toSeq
+    val cold = cents.map(_._1).filterNot(hot.contains)
+      .sortBy(c => (occ.getOrElse(c, 0L), c.toLong)).take(splits).toSeq
+    require(cold.length == splits,
+      s"rebalanceCellsMerge: needs $splits hot-disjoint cold cells")
+    val subPairs = hot.map { hcid =>
+      val pool = assigned.where(col("cell") === hcid)
+        .select("vec_id", "qv").cache()
+      try {
+        val seeds = pool.orderBy("vec_id").limit(2).collect()
+          .map(_.getSeq[Double](1).toArray)
+        require(seeds.length == 2,
+          s"rebalanceCellsMerge: hot cell $hcid has < 2 members")
+        var sub: Array[(Int, Array[Double])] =
+          Array((0, seeds(0)), (1, seeds(1)))
+        for (_ <- 0 until iters)
+          sub = Clustering.lloydStep(pool, sub, dim)
+        (sub(0)._2, sub(1)._2)
+      } finally pool.unpersist(false)
+    }
+    val repl: Map[Int, Array[Double]] =
+      hot.zip(subPairs.map(_._1)).toMap ++
+        cold.zip(subPairs.map(_._2)).toMap
+    (cents.map { case (cid, v) => (cid, repl.getOrElse(cid, v)) },
+      hot, cold)
+  }
+
+  /** q_sim18: the multi-cell repair + merge report — occupancy of the
+    * grown corpus per cell (0..k-1, k CONSTANT — the bounded-k
+    * invariant is structural: the output has exactly k rows) under
+    * the stale vs multi-repaired coarse quantiser, plus exact
+    * ground-truth hits of the stale / multi-repaired / fresh serving
+    * paths. Residual books retrain on the OLD corpus against the
+    * repaired cells ([[IvfPqResidualModel.fromCentroids]]) — the
+    * repair never trains corpus-scale, exactly as q_sim17.
+    */
+  def indexMultiRepairReport(emb: DataFrame, nCentroids: Int = 16,
+                             nProbe: Int = 2, nCodes: Int = 16,
+                             m: Int = 8, iters: Int = 2,
+                             nQueries: Int = 8, k: Int = 5,
+                             dim: Int = 64,
+                             oldCut: Int = StalenessOldCut,
+                             splits: Int = 2,
+                             fixtureScale: Boolean = false)
+      : DataFrame = {
+    Clustering.requireScaledK("indexMultiRepairReport", nCentroids,
+      fixtureScale)
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.DoubleVecDot.register(s)
+    val embOld = emb.where(col("vec_id") < oldCut)
+    val embNew = emb.where(col("vec_id") >= oldCut)
+    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
+      m, iters, dim)
+    val fresh = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
+      iters, dim)
+    val embq = quantised(emb)
+    val (multiCents, _, _) = rebalanceCellsMerge(embq, stale.cents,
+      iters, dim, splits)
+    require(multiCents.length == nCentroids,
+      "multi-repair must keep k bounded")
+    val multi = IvfPqResidualModel.fromCentroids(multiCents, embOld,
+      nCodes, m, iters, dim)
+    val queries = embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    val staleIdx = ivfPqResidualIndex(embOld, stale, m, dim)
+      .unionAll(ivfPqResidualIndex(embNew, stale, m, dim))
+    def served(idx: DataFrame, model: IvfPqResidualModel): DataFrame =
+      ivfPqResidualSearch(idx, queries, model, nProbe, k, m, dim)
+        .select("qid", "vec_id")
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select("qid", "vec_id")
+    def hits(pairs: DataFrame, name: String): DataFrame =
+      truth.join(pairs, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as(name))
+    def occ(cs: Array[(Int, Array[Double])], name: String): DataFrame =
+      embq.withColumn("cell", pqCodeExprD(cs, col("qv")))
+        .groupBy("cell").agg(count(lit(1)).as(name))
+        .select(col("cell").cast("long").as("cell"), col(name))
+    val cells = (0 until nCentroids).map(_.toLong).toDF("cell")
+    cells
+      .join(occ(stale.cents, "n_before_raw"), Seq("cell"), "left")
+      .join(occ(multiCents, "n_after_raw"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before_raw"), lit(0L)).as("n_before"),
+        coalesce(col("n_after_raw"), lit(0L)).as("n_after"))
+      .crossJoin(broadcast(hits(served(staleIdx, stale), "stale_hits")))
+      .crossJoin(broadcast(hits(
+        served(ivfPqResidualIndex(emb, multi, m, dim), multi),
+        "multi_hits")))
+      .crossJoin(broadcast(hits(
+        served(ivfPqResidualIndex(emb, fresh, m, dim), fresh),
+        "fresh_hits")))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_total"))))
+  }
+
+  /** q_sim19: the COMPOSED maintenance flow a production index runs —
+    * monitor → threshold → repair → verify — in one operator. q_sim16
+    * measures staleness, q_sim17/18 repair; this gate proves the
+    * TRIGGER logic that connects them:
+    *
+    *  1. MONITOR: occupancy of the grown corpus under the stale
+    *     coarse quantiser (one k-row model-sized collect — the
+    *     established monitor shape);
+    *  2. THRESHOLD: all-BIGINT skew test
+    *     `maxN · k · trigDen > trigNum · totalN` (the hottest cell
+    *     exceeds trigNum/trigDen × the mean cell) — integer
+    *     arithmetic, so Spark and the DuckDB twin decide identically;
+    *  3. REPAIR (only when triggered): [[rebalanceHotCell]] +
+    *     residual books retrained on the old corpus — exactly the
+    *     q_sim17 step; an untriggered report leaves the model
+    *     UNTOUCHED (n_after = n_before, stale serving);
+    *  4. VERIFY: exact ground-truth hits of the SERVED model (stale
+    *     or repaired, whichever step 3 chose).
+    *
+    * Output (all BIGINT, hash-gated): one row per cell 0..k (the
+    * split cell k is 0/0 when untriggered, so the schema is
+    * branch-invariant): `n_before` / `n_after` occupancy, `triggered`
+    * (0/1), `served_hits` / `truth_total`.
+    */
+  def indexMaintenance(emb: DataFrame, nCentroids: Int = 16,
+                       nProbe: Int = 2, nCodes: Int = 16,
+                       m: Int = 8, iters: Int = 2,
+                       nQueries: Int = 8, k: Int = 5,
+                       dim: Int = 64,
+                       oldCut: Int = StalenessOldCut,
+                       trigNum: Int = 6, trigDen: Int = 5,
+                       fixtureScale: Boolean = false): DataFrame = {
+    Clustering.requireScaledK("indexMaintenance", nCentroids,
+      fixtureScale)
+    require(trigNum >= 1 && trigDen >= 1,
+      s"trigger ratio must be positive, got $trigNum/$trigDen")
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.DoubleVecDot.register(s)
+    val embOld = emb.where(col("vec_id") < oldCut)
+    val embNew = emb.where(col("vec_id") >= oldCut)
+    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
+      m, iters, dim)
+    val embq = quantised(emb)
+    // 1. MONITOR — k-row collect, model-sized by construction
+    val occ = embq
+      .withColumn("cell", pqCodeExprD(stale.cents, col("qv")))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val totalN = occ.values.sum
+    val maxN = (0 until nCentroids).map(c => occ.getOrElse(c, 0L)).max
+    // 2. THRESHOLD — exact integer skew test
+    val triggered =
+      maxN * nCentroids * trigDen > trigNum.toLong * totalN
+    val queries = embq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    def served(idx: DataFrame, model: IvfPqResidualModel): DataFrame =
+      ivfPqResidualSearch(idx, queries, model, nProbe, k, m, dim)
+        .select("qid", "vec_id")
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select("qid", "vec_id")
+    def hits(pairs: DataFrame): DataFrame =
+      truth.join(pairs, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("served_hits"))
+    // 3. REPAIR or keep; 4. VERIFY the served model
+    val (afterOcc, servedHits) =
+      if (triggered) {
+        val (rebalCents, _) = rebalanceHotCell(embq, stale.cents,
+          iters, dim)
+        val rebal = IvfPqResidualModel.fromCentroids(rebalCents,
+          embOld, nCodes, m, iters, dim)
+        val occA = embq
+          .withColumn("cell", pqCodeExprD(rebalCents, col("qv")))
+          .groupBy("cell").agg(count(lit(1)).as("n_after_raw"))
+          .select(col("cell").cast("long").as("cell"),
+            col("n_after_raw"))
+        (occA,
+          hits(served(ivfPqResidualIndex(emb, rebal, m, dim), rebal)))
+      } else {
+        // untouched: the stale model keeps serving from its
+        // incrementally-maintained index (q_sim17's stale leg)
+        val occA = embq
+          .withColumn("cell", pqCodeExprD(stale.cents, col("qv")))
+          .groupBy("cell").agg(count(lit(1)).as("n_after_raw"))
+          .select(col("cell").cast("long").as("cell"),
+            col("n_after_raw"))
+        val staleIdx = ivfPqResidualIndex(embOld, stale, m, dim)
+          .unionAll(ivfPqResidualIndex(embNew, stale, m, dim))
+        (occA, hits(served(staleIdx, stale)))
+      }
+    val beforeOcc = embq
+      .withColumn("cell", pqCodeExprD(stale.cents, col("qv")))
+      .groupBy("cell").agg(count(lit(1)).as("n_before_raw"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_before_raw"))
+    val cells = (0 to nCentroids).map(_.toLong).toDF("cell")
+    cells
+      .join(beforeOcc, Seq("cell"), "left")
+      .join(afterOcc, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before_raw"), lit(0L)).as("n_before"),
+        coalesce(col("n_after_raw"), lit(0L)).as("n_after"),
+        lit(if (triggered) 1L else 0L).as("triggered"))
+      .crossJoin(broadcast(servedHits))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("truth_total"))))
+  }
+
   /** Gate shape: nProbe = nCentroids/2 and r = 32·k measure recall
     * 1.0 on the fixture (the spec pins ≥0.95) — the point of the
     * stage: a SMALL exact budget (r ≪ corpus) erases the ADC

@@ -71,6 +71,51 @@ object PlanAudit {
       }
     }
 
+    /** Listener tally over ALL jobs a gate runs — the in-plan audit
+      * above sees only the FINAL frame's tree, which is blind to
+      * checkpoint-severed iteration (connectedComponents eagerly
+      * localCheckpoints every round, so d6/d15 reported "0 data
+      * shuffles" while the real per-round join+aggregate exchanges —
+      * the actual cost — ran behind the checkpoints). Every stage
+      * that writes shuffle output is one executed exchange map-stage,
+      * loops and driver-side isEmpty probes included.
+      */
+    class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+      @volatile var stages = 0
+      @volatile var records = 0L
+      @volatile var jobs = 0
+      def reset(): Unit = { stages = 0; records = 0L; jobs = 0 }
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.recordsWritten > 0) {
+          stages += 1
+          records += m.shuffleWriteMetrics.recordsWritten
+        }
+      }
+    }
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    /** Build + run a gate at `dirX` with the tally wrapped around the
+      * WHOLE lifecycle (construction runs eager checkpoints/collects;
+      * execution runs the final plan) — returns (per-exchange records
+      * of the final plan, executed shuffle stages, shuffled records,
+      * jobs).
+      */
+    def measureAt(name: String, dirX: String)
+        : (Seq[Long], Int, Long, Int) = {
+      tally.reset()
+      val dfX = graft.SparkEntry.queries(name)(spark, dirX)
+      val recs = exchangeRecords(dfX)
+      Thread.sleep(500) // listener bus drain (async events)
+      (recs, tally.stages, tally.records, tally.jobs)
+    }
+
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.001, local[8])\n\n")
     sb.append("Generated by `graft.tools.PlanAudit`. For each " +
@@ -86,7 +131,15 @@ object PlanAudit {
       "1000x more at 100 TB); one whose records stay flat is " +
       "MODEL-scale (vocabulary/bucket/centroid aggregates — bounded " +
       "regardless of corpus size). A raw exchange count conflates " +
-      "the two; the growth column is the honest scale signal.\n")
+      "the two; the growth column is the honest scale signal.\n\n" +
+      "Additionally, a SparkListener tallies shuffle-write stages " +
+      "and records over ALL jobs a gate runs — construction, eager " +
+      "checkpoints, training collects, and iterative closures " +
+      "included. The in-plan audit sees only the final frame's tree " +
+      "and is blind to checkpoint-severed loops (d6/d15's " +
+      "connectedComponents localCheckpoints every round); the " +
+      "`executed over ALL jobs` line is the true per-gate shuffle " +
+      "work, with the loop-vs-final split stated.\n")
     picks.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString()
@@ -120,25 +173,48 @@ object PlanAudit {
         else (dir, "/root/testdata/sf0.01", "sf0.001→sf0.01")
       val scaleNote =
         try {
-          val lo = exchangeRecords(
-            graft.SparkEntry.queries(name)(spark, loDir))
-          val hi = exchangeRecords(
-            graft.SparkEntry.queries(name)(spark, hiDir))
-          if (lo.length == hi.length && lo.nonEmpty) {
-            val tagged = lo.zip(hi).map { case (a, b) =>
-              val ratio = if (a > 0) b.toDouble / a else
-                (if (b > 0) Double.PositiveInfinity else 1.0)
-              val cls = if (ratio >= 3.0) "corpus" else "model"
-              f"$cls(${a}→$b)"
-            }
-            val nCorpus = tagged.count(_.startsWith("corpus"))
-            Some(s"- shuffle records $pairLabel " +
-              s"[${tagged.mkString(", ")}] — $nCorpus corpus-scale, " +
-              s"${tagged.length - nCorpus} model-scale\n")
-          } else if (lo.isEmpty) None
-          else Some(s"- shuffle growth: plan shape differs across " +
-            s"SFs (${lo.length} vs ${hi.length} exchanges) — not " +
-            "positionally comparable\n")
+          val (lo, loStages, loRecs, loJobs) = measureAt(name, loDir)
+          val (hi, hiStages, hiRecs, hiJobs) = measureAt(name, hiDir)
+          val inPlanStages = hi.length
+          // loop-vs-final split: stages beyond the final plan's own
+          // exchanges ran during CONSTRUCTION — eager checkpoints,
+          // training collects, iterative closures. The in-plan audit
+          // alone under-reports any gate with a checkpoint-severed
+          // loop (d6/d15's connectedComponents).
+          val execNote =
+            Some(s"- executed over ALL jobs (loops/checkpoints " +
+              s"included): $loStages shuffle stages / $loRecs rows / " +
+              s"$loJobs jobs at lo; $hiStages / $hiRecs / $hiJobs at " +
+              s"hi — final plan itself has $inPlanStages exchanges, " +
+              s"so ${(hiStages - inPlanStages).max(0)} stage(s) ran " +
+              s"behind construction/iteration\n")
+          val growth =
+            if (lo.length == hi.length && lo.nonEmpty) {
+              val tagged = lo.zip(hi).map { case (a, b) =>
+                val ratio = if (a > 0) b.toDouble / a else
+                  (if (b > 0) Double.PositiveInfinity else 1.0)
+                val cls = if (ratio >= 3.0) "corpus" else "model"
+                f"$cls(${a}→$b)"
+              }
+              val nCorpus = tagged.count(_.startsWith("corpus"))
+              Some(s"- shuffle records $pairLabel " +
+                s"[${tagged.mkString(", ")}] — $nCorpus corpus-scale, " +
+                s"${tagged.length - nCorpus} model-scale\n")
+            } else if (lo.isEmpty) None
+            else Some(s"- shuffle growth: plan shape differs across " +
+              s"SFs (${lo.length} vs ${hi.length} exchanges) — not " +
+              "positionally comparable\n")
+          // total executed-records growth classifies the LOOP cost
+          // too (positional per-exchange growth can't see it)
+          val loopGrowth =
+            if (loRecs > 0)
+              Some(f"- executed-records growth $pairLabel: " +
+                f"${hiRecs.toDouble / loRecs}%.1fx " +
+                s"(${if (hiRecs.toDouble / loRecs >= 3.0) "corpus"
+                else "model"}-scale in total)\n")
+            else None
+          Some(growth.getOrElse("") + execNote.getOrElse("") +
+            loopGrowth.getOrElse(""))
         } catch {
           case e: Exception =>
             Some(s"- shuffle growth measurement failed: " +
