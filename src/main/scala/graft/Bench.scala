@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * the write-heavy sink queries late in the alphabet historically
   * showed 2-6x inflation from it. So after the suite pass, every
   * query at or above SPARK_GRAFT_IDLE_THRESHOLD seconds (default
-  * 1.5, and always at least the 5 slowest) is RE-MEASURED in a
+  * 3.0, and always at least the 5 slowest) is RE-MEASURED in a
   * freshly forked idle JVM (same classpath/JVM flags, 2 JIT warm-up
   * discards + median of >=3, one query per process). Spot-checked
   * queries report the idle figure in EITHER direction — no
@@ -350,8 +350,16 @@ object Bench {
     // fresh-JVM cost is the number the judge's own QBench re-runs
     // measure, free of 100+ queries of accumulated
     // code-cache/GC/page-cache state
+    // 3.0, not the old 1.5: at 137 gates a 1.5 s threshold nominates
+    // ~38 candidates, and one heavyweight fork costs ~100 s — the
+    // 2100 s wall can NEVER verify half of 38 after a ~1000 s suite
+    // pass, so the tail always ships wall_budget. ~17 candidates at
+    // 3.0 s covers every headline-dominating entry AND is a set the
+    // budget can actually get through (r20 measured: 9 processed in
+    // the leftover ~800 s); a 1.5-3 s entry's warm-suite figure is
+    // the steady state anyway (IdleConverge, BENCH_NOTES round-17).
     val idleThresholdSec = sys.env
-      .getOrElse("SPARK_GRAFT_IDLE_THRESHOLD", "1.5").toDouble
+      .getOrElse("SPARK_GRAFT_IDLE_THRESHOLD", "3.0").toDouble
     // suite results accumulate here so the artifact can be (re)emitted
     // WHILE the suite pass runs — a kill at any point leaves a
     // parseable partial artifact (the r18 failure mode was a kill
@@ -488,7 +496,7 @@ object Bench {
         s"(threshold ${idleThresholdSec} s + 5 slowest); " +
         s"processed so far: ${checked.size}. " +
         s"Contamination gate: idle/suite <= $contaminationRatio, up to " +
-        s"$maxIdleAttempts attempts (2 when every fork dies — a " +
+        s"$maxIdleAttempts attempts (2 when every fork dies - a " +
         s"double no-measurement failure is structural, not load), " +
         s"per-candidate slice of the remaining wall budget. Global " +
         s"wall budget: $wallBudgetSec s (fork execution included).\n\n"
