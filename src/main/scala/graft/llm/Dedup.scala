@@ -475,14 +475,17 @@ object Dedup {
         s"Dedup.DerivedCap ($DerivedCap); got $hotBucketCap")
     import graft.llm.TextExprs.SparkD
     graft.functions.FloatVecDot.register(emb.sparkSession)
+    graft.functions.SignBucketWide.register(emb.sparkSession)
     val nVec = emb.select(count(lit(1)).as("__n_vec"))
-    // bucket fold (MaxPlanes × dim) is the expensive row-local stage
-    // and this frame feeds sizes + both join sides → one lazy
-    // plan-private localCheckpoint (never .cache(); see hashedShingles)
+    // the MaxPlanes-bit bucket is the expensive row-local stage: the
+    // codegen'd SignBucketWide fuses the 24 × dim fold into one Java
+    // loop (the SQL HOF form runs 1536 interpreted lambda calls per
+    // row — spec-pinned bit-identical); the frame feeds sizes + both
+    // join sides → one lazy plan-private localCheckpoint (never
+    // .cache(); see hashedShingles)
     val withB = emb
       .withColumn("__fb", expr(
-        Similarity.bucketSqlPlanes("embedding",
-          Similarity.MaxPlanes)(SparkD)))
+        s"sign_bucket_wide(embedding, ${Similarity.MaxPlanes})"))
       .withColumn("nrm", expr(Similarity.normSql("embedding")(SparkD)))
       .crossJoin(broadcast(nVec))
       .withColumn("bucket", col("__fb") % expr(

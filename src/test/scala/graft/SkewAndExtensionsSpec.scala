@@ -275,11 +275,14 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     import graft.llm.{Similarity, TextExprs}
     implicit val d: TextExprs.Dialect = TextExprs.SparkD
     val e = synthEmb(200)
+    graft.functions.SignBucketWide.register(spark)
     val got = e.select(
       expr(Similarity.bucketSqlPlanes("embedding", Similarity.MaxPlanes))
         .as("fb"),
       expr(Similarity.bucketSqlPlanes("embedding", 8)).as("b8"),
-      expr(Similarity.bucketSqlPlanes("embedding", 12)).as("b12"))
+      expr(Similarity.bucketSqlPlanes("embedding", 12)).as("b12"),
+      expr(s"sign_bucket_wide(embedding, ${Similarity.MaxPlanes})")
+        .as("fbx"))
       .collect()
     assert(got.forall(r =>
       r.getLong(0) % 256 == r.getLong(1) &&
@@ -287,6 +290,11 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
       "masking identity must hold for every row")
     assert(got.map(_.getLong(0)).exists(_ >= (1L << 23)),
       "24-plane buckets must actually use the high bits")
+    // the codegen'd expression IS the SQL fold, bit for bit — this
+    // parity is what lets embeddingNearDup serve the fused loop while
+    // the DuckDB twin keeps evaluating the HOF form
+    assert(got.forall(r => r.getLong(0) == r.getLong(3)),
+      "SignBucketWide must equal the SQL bucket on every row")
   }
 
   test("embeddingNearDup: candidate pairs grow SUBLINEARLY in corpus " +
