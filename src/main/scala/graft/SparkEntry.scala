@@ -890,6 +890,16 @@ object SparkEntry {
     "q_curation_pipeline" -> ((s, dir) =>
       graft.llm.DocPipeline.curation(docs(s, dir))),
 
+    // the SERVE side of the curation flow (q_k1e/q_k1f mirror-split
+    // shape): the five screens' verdicts are corpus-level reusable
+    // state, materialised ONCE per JVM/dir as a (source)-bucketed
+    // (source, doc_id)-sorted table — the timed runs pack straight
+    // from it with no exchange and no sort. Output-identical to
+    // q_curation_pipeline, so it shares the oracle verbatim.
+    "q_curation_serve" -> ((s, dir) =>
+      graft.llm.Corpus.seqPack(
+        s.table(ensureCurationSurvivors(s, dir)))),
+
     // -- LLM-data pipeline: multimodal --------------------------------
     "q_m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(docs(s, dir))),
@@ -1061,6 +1071,23 @@ object SparkEntry {
       table
     })
 
+  /** Once-per-JVM/dir curation-survivor table (the q_k1f pattern on
+    * the document side): the five screens' verdicts are corpus-level
+    * REUSABLE state — production materialises them once and serves
+    * many packing/mixture jobs; bucketed+sorted on the packer's
+    * window key so the serve path runs with no exchange and no sort.
+    */
+  private val curationMirrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureCurationSurvivors(s: SparkSession,
+                                      dir: String): String =
+    curationMirrors.computeIfAbsent(dir, d => {
+      val table = s"curation_surv_${math.abs(d.hashCode).toString}"
+      graft.sinks.Sinks.writeSourceDocMirror(
+        graft.llm.DocPipeline.survivors(docs(s, d)), table)
+      table
+    })
+
   /** Scratch path for the q_k1b uvfits write-then-read-back gate; one
     * per JVM, overwritten per invocation (verify + every bench run).
     */
@@ -1228,6 +1255,7 @@ object SparkEntry {
     "q_d6_dup_clusters" -> LlmOracles.d6DupClusters,
     "q_doc_pipeline" -> LlmOracles.docPipeline,
     "q_curation_pipeline" -> LlmOracles.curationPipeline(),
+    "q_curation_serve" -> LlmOracles.curationPipeline(),
     "q_sim1_ann_bruteforce" -> LlmOracles.sim1BruteForce,
     "q_sim2_ann_lsh" -> LlmOracles.sim2LshTopK,
     "q_sim3_ann_ivf" -> LlmOracles.sim3IvfTopK,

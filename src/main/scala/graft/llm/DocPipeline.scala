@@ -87,7 +87,15 @@ object DocPipeline {
     * window. Nothing quadratic, no driver state beyond the screens'
     * own bounded models.
     */
-  def curation(docs: DataFrame, budget: Int = 512): DataFrame = {
+  /** The BUILD side of the curation flow: the five corpus-level
+    * screens composed into the survivor frame, WITHOUT the packer —
+    * the reusable state a production pipeline materialises once and
+    * serves many packing/mixture jobs from (the q_k1e/q_k1f
+    * mirror-split shape). [[curation]] is exactly
+    * `seqPack(survivors(docs))`, so a survivors table written once
+    * and packed later is output-identical to the composed gate.
+    */
+  def survivors(docs: DataFrame): DataFrame = {
     val d = docs.localCheckpoint(eager = false)
     val good = TextAnalysis.gopherFilter(d)
       .where(col("pass") === 1).select("doc_id")
@@ -104,12 +112,14 @@ object DocPipeline {
     val nearDrop = Dedup.duplicateClusters(d)
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    val surv = d
+    d
       .join(good, Seq("doc_id"), "left_semi")
       .join(keep, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
       .join(sel, Seq("doc_id"), "left_semi")
       .join(nearDrop, Seq("doc_id"), "left_anti")
-    Corpus.seqPack(surv, budget)
   }
+
+  def curation(docs: DataFrame, budget: Int = 512): DataFrame =
+    Corpus.seqPack(survivors(docs), budget)
 }

@@ -264,6 +264,20 @@ object Sinks {
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
 
+  /** Write a document frame bucketed+sorted on the packer's window
+    * key — `seqPack` partitions its window by `source` and orders by
+    * `doc_id`, so a (source)-bucketed, (source, doc_id)-sorted table
+    * serves the packer with NEITHER an exchange NOR a sort: the scan's
+    * own output partitioning/ordering satisfies the window's required
+    * distribution. The doc-side twin of [[writeTimeChanMirror]].
+    */
+  def writeSourceDocMirror(df: DataFrame, table: String,
+                           buckets: Int = 8): Unit = {
+    dropTableAndLocation(df, table)
+    df.write.bucketBy(buckets, "source").sortBy("source", "doc_id")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
   /** Write a frame as the parquet mirror of the uvfits sink: partitioned
     * by coarse channel (mirrors one-gpubox-per-file granularity and the
     * picket-fence fan-out, /root/reference/src/cli.rs:1524-1574).

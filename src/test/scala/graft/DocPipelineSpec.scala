@@ -96,6 +96,33 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(surv.where(col("doc_id") % 97 === 0).count() == 0)
   }
 
+  test("curation build/serve split: packing a materialised survivor " +
+    "mirror equals the composed pipeline, and the serve plan needs " +
+    "neither exchange nor sort before its window") {
+    import graft.llm.{Corpus, DocPipeline}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val composed = DocPipeline.curation(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val table = "curation_surv_spec"
+    graft.sinks.Sinks.writeSourceDocMirror(
+      DocPipeline.survivors(docs), table)
+    val servedDf = Corpus.seqPack(spark.table(table))
+    val served = servedDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(served == composed,
+      "serve-from-mirror must equal the composed pipeline")
+    // the bucketed+sorted mirror satisfies the packer window's
+    // required distribution AND ordering: no shuffle exchange, no
+    // explicit sort before the window in the executed plan
+    val plan = servedDf.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"serve plan must not shuffle:\n${plan.take(600)}")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("fast fingerprint: deterministic, discriminating, shingle-stable") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
