@@ -50,7 +50,9 @@ object PlanAudit {
       "q_k1f_mirror_serve_order", "q_sim16_ann_staleness",
       "q_k3_mwaf_bitmask", "q_d14_lsh_hot_cap",
       "q_sim17_ann_rebalance", "q_d6_dup_clusters",
-      "q_d15_skew_clusters")
+      "q_d15_skew_clusters", "q_d5_embedding_neardup",
+      "q_sim18_ann_multi_repair", "q_sim19_ann_maintenance",
+      "q_curation_serve")
 
     /** Execute the plan and return the records written by each
       * shuffle exchange, in plan-tree order. Running the
