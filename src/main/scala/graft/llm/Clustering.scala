@@ -49,28 +49,22 @@ object Clustering {
   /** Cosine-scale rescale of micro-unit² dot products. */
   private val Scale = 1.0e12
 
-  /** Sequential half squared norm of a driver-held centroid — the same
-    * element-order fold as `double_dot(cv, cv) / 2` and the oracle's
-    * `list_reduce` twin.
-    */
-  private def halfNorm2(cv: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-    s / 2.0
-  }
+  // (the half-squared-norm fold — same element order as
+  // `double_dot(cv, cv) / 2` and the oracle's `list_reduce` twin —
+  // now lives in graft.functions.CellTopK.rankD)
 
   /** Ranked (ns, cid) struct array over a literal centroid set;
-    * element 1 after array_sort is the winning cell. `ns` is the
-    * negated rounded score so the sort is (score desc, cid asc) —
-    * round never yields −0.0, so negation cannot split a tie.
+    * element 1 is the winning cell. `ns` is the negated rounded score
+    * so the order is (score desc, cid asc) — round never yields −0.0,
+    * so negation cannot split a tie. Fused into ONE codegen'd
+    * expression ([[graft.functions.CellTopK]]) whose generated source
+    * is centroid-independent: the per-iteration array_sort/struct form
+    * inlined the k half-norm literals, recompiling janino sources
+    * every Lloyd round; bit-identical output (spec-pinned, oracle-
+    * gated).
     */
   private def cellSort(cents: Array[(Int, Array[Double])]): Column =
-    array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(
-        (-round((call_function("double_dot", col("qv"), lit(cv))
-          - lit(halfNorm2(cv))) / lit(Scale), 6)).as("ns"),
-        lit(cid).as("cid"))
-    }: _*))
+    graft.functions.CellTopK.rankD(col("qv"), cents, Scale, 1)
 
   /** One Lloyd step over the quantised corpus: zero-shuffle literal
     * argmin assignment, then ONE map-side-combined aggregate of
@@ -98,26 +92,35 @@ object Clustering {
     */
   def train(emb: DataFrame, k: Int, iters: Int,
             dim: Int): Array[(Int, Array[Double])] = {
-    graft.functions.DoubleVecDot.register(emb.sparkSession)
     implicit val d: Dialect = SparkD
     val embq = emb
       .select(col("vec_id"), expr(quantSql("embedding")).as("qv"))
       .cache()
-    try {
-      var cents: Array[(Int, Array[Double])] = embq
-        .where(col("vec_id") < k)
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      require(cents.nonEmpty, "kmeans train: empty seed centroid set")
-      cents.find(_._2.length != dim).foreach { case (cid, v) =>
-        throw new IllegalArgumentException(
-          s"kmeans train: dim=$dim but seed vector $cid has " +
-            s"${v.length} elements")
-      }
-      for (_ <- 0 until iters) cents = lloydStep(embq, cents, dim)
-      cents
-    } finally embq.unpersist(false)
+    try trainQ(embq, k, iters, dim)
+    finally embq.unpersist(false)
+  }
+
+  /** [[train]] over an ALREADY-quantised `(vec_id, qv)` frame, with
+    * materialisation policy left to the caller — the seam that lets
+    * [[graft.llm.Similarity.IvfPqTrainedModel.train]] share one
+    * quantised frame between concurrent trainings.
+    */
+  private[llm] def trainQ(embq: DataFrame, k: Int, iters: Int,
+                          dim: Int): Array[(Int, Array[Double])] = {
+    graft.functions.DoubleVecDot.register(embq.sparkSession)
+    var cents: Array[(Int, Array[Double])] = embq
+      .where(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "kmeans train: empty seed centroid set")
+    cents.find(_._2.length != dim).foreach { case (cid, v) =>
+      throw new IllegalArgumentException(
+        s"kmeans train: dim=$dim but seed vector $cid has " +
+          s"${v.length} elements")
+    }
+    for (_ <- 0 until iters) cents = lloydStep(embq, cents, dim)
+    cents
   }
 
   /** Final cluster assignment after `iters` Lloyd iterations from the

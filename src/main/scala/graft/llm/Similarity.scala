@@ -213,26 +213,22 @@ object Similarity {
     ivfTopKWith(emb, cents, nProbe, nQueries, k)
   }
 
-  // same sequential float→double fold as float_dot(ce, ce) — the value
-  // must be bit-identical to the oracle's cn2
-  private def halfNorm2(v: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-    s / 2.0
-  }
+  // (the sequential float→double half-norm fold now lives in
+  // graft.functions.CellTopK.rankF — same element order as
+  // float_dot(ce, ce), bit-identical to the oracle's cn2)
 
-  /** Per-row cell ranking over a literal centroid set: array_sort by
+  /** Per-row top-`nTop` cell ranking over a literal centroid set,
     * (score desc, cid asc) via (−score, cid) — round(x,6) never yields
-    * −0.0, so negation can't split a tie. Zero exchanges.
+    * −0.0, so negation can't split a tie. Zero exchanges. ONE fused
+    * codegen'd expression ([[graft.functions.CellTopK]]) in place of
+    * the array_sort-of-structs form: bit-identical output
+    * (spec-pinned), centroid-independent generated source (no janino
+    * recompile per trained model), one tight loop per row.
     */
   private def cellRankExpr(cents: Array[(Int, Array[Float])],
-                           vecCol: Column = col("embedding")): Column =
-    array_sort(array(cents.toIndexedSeq.map { case (cid, ce) =>
-      struct(
-        (-round(call_function("float_dot", vecCol, lit(ce))
-          - lit(halfNorm2(ce)), 6)).as("ns"),
-        lit(cid).as("cid"))
-    }: _*))
+                           vecCol: Column = col("embedding"),
+                           nTop: Int = 1): Column =
+    graft.functions.CellTopK.rankF(vecCol, cents, nTop)
 
   /** One Lloyd step: assign every vector to its nearest centroid (the
     * zero-shuffle literal argmax) and recompute centroids as per-cell
@@ -287,14 +283,14 @@ object Similarity {
                   nProbe: Int = 2, nQueries: Int = 8,
                   k: Int = 5): DataFrame = {
     graft.functions.FloatVecDot.register(emb.sparkSession)
-    val cellRank = cellRankExpr(cents)
     val assigned = emb
-      .withColumn("cell", element_at(cellRank, 1).getField("cid"))
+      .withColumn("cell",
+        element_at(cellRankExpr(cents), 1).getField("cid"))
       .withColumn("nrm", expr(normSql("embedding")(SparkD)))
       .select("vec_id", "embedding", "cell", "nrm")
     val probes = broadcast(emb.where(col("vec_id") < nQueries)
       .withColumn("cell",
-        explode(slice(cellRank, 1, nProbe).getField("cid")))
+        explode(cellRankExpr(cents, nTop = nProbe).getField("cid")))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("cell"))
       .withColumn("qn", expr(normSql("qe")(SparkD))))
@@ -452,14 +448,8 @@ object Similarity {
     */
   private def pqCodeExpr(codebooks: Array[Array[(Int, Array[Float])]],
                          vecCol: Column, s: Int, subDim: Int): Column =
-    element_at(array_sort(array(codebooks(s).toIndexedSeq
-      .map { case (cid, cw) =>
-      struct(
-        (-round(call_function("float_dot",
-          slice(vecCol, s * subDim + 1, subDim), lit(cw))
-          - lit(halfNorm2(cw)), 6)).as("ns"),
-        lit(cid).as("cid"))
-    }: _*)), 1).getField("cid")
+    element_at(graft.functions.CellTopK.rankF(vecCol, codebooks(s),
+      nTop = 1, offset = s * subDim), 1).getField("cid")
 
   /** IVF-PQ (coarse cells + asymmetric-distance scoring over codes):
     * the composition that actually indexes a 100 TB corpus. The IVF
@@ -557,7 +547,7 @@ object Similarity {
     val subDim = dim / m
     val probes = broadcast(queries
       .withColumn("cell",
-        explode(slice(cellRankExpr(model.cents, col("qe")), 1, nProbe)
+        explode(cellRankExpr(model.cents, col("qe"), nTop = nProbe)
           .getField("cid")))
       .select(col("qid"), col("qe"), col("cell")))
     val pruned =
@@ -601,15 +591,9 @@ object Similarity {
 
   // ---- trained-codebook PQ, exact end-to-end (q_sim11) -------------
 
-  /** Half squared norm of a driver-held double codeword, sequential
-    * fold (same element order as `double_dot(cw, cw) / 2` and the
-    * oracle's `list_reduce`).
-    */
-  private def halfNorm2d(v: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i) * v(i); i += 1 }
-    s / 2.0
-  }
+  // (the double half-norm fold — same element order as
+  // `double_dot(cw, cw) / 2` and the oracle's `list_reduce` — now
+  // lives in graft.functions.CellTopK.rankD)
 
   /** Ranked (ns, cid) struct array of a micro-unit vector against
     * literal DOUBLE centroids/codewords: round((dot − ‖c‖²/2) / 1e12,
@@ -618,20 +602,18 @@ object Similarity {
     * set. Zero exchanges.
     */
   private def cellSortD(cw: Array[(Int, Array[Double])],
-                        sv: Column): Column =
-    array_sort(array(cw.toIndexedSeq.map { case (cid, v) =>
-      struct(
-        (-round((call_function("double_dot", sv, lit(v))
-          - lit(halfNorm2d(v))) / lit(1.0e12), 6)).as("ns"),
-        lit(cid).as("cid"))
-    }: _*))
+                        sv: Column, nTop: Int = 1): Column =
+    graft.functions.CellTopK.rankD(sv, cw, 1.0e12, nTop)
 
   /** Per-subspace code / cell over literal DOUBLE codebooks on the
-    * micro-unit grid (winner of [[cellSortD]]).
+    * micro-unit grid (winner of [[cellSortD]]); `offset` selects the
+    * subspace start inside the full vector without materialising a
+    * slice per row.
     */
   private def pqCodeExprD(cw: Array[(Int, Array[Double])],
-                          sv: Column): Column =
-    element_at(cellSortD(cw, sv), 1).getField("cid")
+                          sv: Column, offset: Int = 0): Column =
+    element_at(graft.functions.CellTopK.rankD(sv, cw, 1.0e12,
+      nTop = 1, offset = offset), 1).getField("cid")
 
   /** Micro-unit quantised projection shared by the trained-PQ train
     * and search passes.
@@ -692,15 +674,27 @@ object Similarity {
   def pqTrainedCodebooks(emb: DataFrame, nCodes: Int = 16, m: Int = 8,
                          iters: Int = 2, dim: Int = 64)
       : Array[Array[(Int, Array[Double])]] = {
-    graft.functions.DoubleVecDot.register(emb.sparkSession)
-    val subDim = dim / m
-    require(subDim * m == dim, s"dim $dim not divisible by m $m")
     // Clustering.train's pattern: training is fully materialised
     // inside this call (seeds + one aggregate per iteration), so the
     // quantised corpus caches for its duration and unpersists before
     // return — the session CacheManager stays empty for the caller
     val embq = quantised(emb).cache()
-    try {
+    try pqTrainedCodebooksQ(embq, nCodes, m, iters, dim)
+    finally embq.unpersist(false)
+  }
+
+  /** [[pqTrainedCodebooks]] over an ALREADY-quantised `(vec_id, qv)`
+    * frame, leaving materialisation policy to the caller — the seam
+    * that lets [[IvfPqTrainedModel.train]] share ONE quantised frame
+    * between its two concurrent trainings instead of double-caching
+    * the same canonical plan from two threads.
+    */
+  private[llm] def pqTrainedCodebooksQ(embq: DataFrame, nCodes: Int,
+                                       m: Int, iters: Int, dim: Int)
+      : Array[Array[(Int, Array[Double])]] = {
+    graft.functions.DoubleVecDot.register(embq.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible by m $m")
     val seeds = embq.where(col("vec_id") < nCodes)
       .select(col("vec_id").cast("int"), col("qv"))
       .collect()
@@ -718,7 +712,28 @@ object Similarity {
         (cid, v.slice(s * subDim, (s + 1) * subDim))
       })
     lloydSubspaceBooks(embq, "qv", books, m, subDim, iters)
-    } finally embq.unpersist(false)
+  }
+
+  /** Run two INDEPENDENT model trainings concurrently from driver
+    * threads (optimization-guide §2.6, overlap independent jobs):
+    * each training is a chain of tiny model-scale jobs whose tasks
+    * leave most cores idle, so the scheduler back-fills one
+    * training's idle capacity with the other's jobs and the wall
+    * clock approaches max(a, b) instead of a + b. Results are
+    * unchanged — each closure depends only on its own input — and a
+    * failure in either propagates to the caller.
+    */
+  private[llm] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fa = Future(a)
+      val fb = Future(b)
+      (Await.result(fa, scala.concurrent.duration.Duration.Inf),
+        Await.result(fb, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** The per-subspace Lloyd loop shared by [[pqTrainedCodebooks]]
@@ -736,8 +751,8 @@ object Similarity {
     for (_ <- 0 until iters) {
       val stacked = frame.select(explode(array((0 until m).map(s =>
         struct(lit(s).as("s"),
-          pqCodeExprD(books(s),
-            slice(col(vcol), s * subDim + 1, subDim)).as("code"),
+          pqCodeExprD(books(s), col(vcol),
+            offset = s * subDim).as("code"),
           slice(col(vcol), s * subDim + 1, subDim).as("sv"))
       ): _*)).as("x"))
         .select(col("x.s"), col("x.code"), col("x.sv"))
@@ -779,8 +794,8 @@ object Similarity {
     val books = pqTrainedCodebooks(emb, nCodes, m, iters, dim)
     val embq = quantised(emb)
     val coded = embq.select(col("vec_id") +: (0 until m).map(s =>
-      pqCodeExprD(books(s),
-        slice(col("qv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
+      pqCodeExprD(books(s), col("qv"),
+        offset = s * subDim).as(s"c$s")): _*)
     val q = broadcast(embq.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qe")))
     adcTopKD(coded.join(q, col("vec_id") =!= col("qid")),
@@ -809,11 +824,23 @@ object Similarity {
       books: Array[Array[(Int, Array[Double])]])
 
   object IvfPqTrainedModel {
+    /** The coarse-centroid and PQ-codebook trainings are INDEPENDENT
+      * (both read only the quantised corpus), so they run
+      * concurrently ([[inParallel]]) over ONE shared lazily-
+      * checkpointed quantised frame — plan-private (never the session
+      * CacheManager), materialised once, reclaimed when unreachable.
+      * Identical models to the sequential form.
+      */
     def train(emb: DataFrame, nCentroids: Int = 16, nCodes: Int = 16,
               m: Int = 8, iters: Int = 2,
-              dim: Int = 64): IvfPqTrainedModel =
-      IvfPqTrainedModel(Clustering.train(emb, nCentroids, iters, dim),
-        pqTrainedCodebooks(emb, nCodes, m, iters, dim))
+              dim: Int = 64): IvfPqTrainedModel = {
+      graft.functions.DoubleVecDot.register(emb.sparkSession)
+      val embq = quantised(emb).localCheckpoint(eager = false)
+      val (cents, books) = inParallel(
+        Clustering.trainQ(embq, nCentroids, iters, dim),
+        pqTrainedCodebooksQ(embq, nCodes, m, iters, dim))
+      IvfPqTrainedModel(cents, books)
+    }
   }
 
   /** Corpus-resident index frame for the trained model: `(vec_id,
@@ -832,8 +859,8 @@ object Similarity {
       col("vec_id") +:
         pqCodeExprD(model.cents, col("qv")).as("cell") +:
         (0 until m).map(s =>
-          pqCodeExprD(model.books(s),
-            slice(col("qv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
+          pqCodeExprD(model.books(s), col("qv"),
+            offset = s * subDim).as(s"c$s")): _*)
   }
 
   /** ADC search over a prebuilt [[ivfPqTrainedIndex]] frame.
@@ -849,7 +876,7 @@ object Similarity {
     val subDim = dim / m
     val probes = broadcast(queries
       .withColumn("cell",
-        explode(slice(cellSortD(model.cents, col("qe")), 1, nProbe)
+        explode(cellSortD(model.cents, col("qe"), nTop = nProbe)
           .getField("cid")))
       .select(col("qid"), col("qe"), col("cell")))
     val pruned =
@@ -1011,8 +1038,8 @@ object Similarity {
     require(subDim * m == dim, s"dim $dim not divisible by m $m")
     residualFrame(quantised(emb), model.cents, model.centsQ).select(
       col("vec_id") +: col("cell") +: (0 until m).map(s =>
-        pqCodeExprD(model.books(s),
-          slice(col("rv"), s * subDim + 1, subDim)).as(s"c$s")): _*)
+        pqCodeExprD(model.books(s), col("rv"),
+          offset = s * subDim).as(s"c$s")): _*)
   }
 
   /** ADC search over a prebuilt [[ivfPqResidualIndex]]. The candidate
@@ -1031,7 +1058,7 @@ object Similarity {
     val subDim = dim / m
     val probes = broadcast(queries
       .withColumn("cell",
-        explode(slice(cellSortD(model.cents, col("qe")), 1, nProbe)
+        explode(cellSortD(model.cents, col("qe"), nTop = nProbe)
           .getField("cid")))
       .select(col("qid"), col("qe"), col("cell")))
     val pruned =
@@ -1191,10 +1218,12 @@ object Similarity {
     import s.implicits._
     graft.functions.DoubleVecDot.register(s)
     val embOld = emb.where(col("vec_id") < oldCut)
-    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
-      m, iters, dim)
-    val fresh = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
-      iters, dim)
+    // stale and fresh trainings are independent (distinct input
+    // frames, so no shared cache entries) — run them concurrently
+    val (stale, fresh) = inParallel(
+      IvfPqResidualModel.train(embOld, nCentroids, nCodes, m, iters,
+        dim),
+      IvfPqResidualModel.train(emb, nCentroids, nCodes, m, iters, dim))
     val embq = quantised(emb)
     val queries = embq.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qe"))
@@ -1309,10 +1338,12 @@ object Similarity {
     graft.functions.DoubleVecDot.register(s)
     val embOld = emb.where(col("vec_id") < oldCut)
     val embNew = emb.where(col("vec_id") >= oldCut)
-    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
-      m, iters, dim)
-    val fresh = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
-      iters, dim)
+    // stale and fresh trainings are independent — run concurrently
+    // (the rebalance chain below still needs stale first)
+    val (stale, fresh) = inParallel(
+      IvfPqResidualModel.train(embOld, nCentroids, nCodes, m, iters,
+        dim),
+      IvfPqResidualModel.train(emb, nCentroids, nCodes, m, iters, dim))
     val embq = quantised(emb)
     val (rebalCents, _) = rebalanceHotCell(embq, stale.cents, iters,
       dim)
@@ -1444,10 +1475,11 @@ object Similarity {
     graft.functions.DoubleVecDot.register(s)
     val embOld = emb.where(col("vec_id") < oldCut)
     val embNew = emb.where(col("vec_id") >= oldCut)
-    val stale = IvfPqResidualModel.train(embOld, nCentroids, nCodes,
-      m, iters, dim)
-    val fresh = IvfPqResidualModel.train(emb, nCentroids, nCodes, m,
-      iters, dim)
+    // stale and fresh trainings are independent — run concurrently
+    val (stale, fresh) = inParallel(
+      IvfPqResidualModel.train(embOld, nCentroids, nCodes, m, iters,
+        dim),
+      IvfPqResidualModel.train(emb, nCentroids, nCodes, m, iters, dim))
     val embq = quantised(emb)
     val (multiCents, _, _) = rebalanceCellsMerge(embq, stale.cents,
       iters, dim, splits)
