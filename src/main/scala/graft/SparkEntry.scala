@@ -1062,11 +1062,21 @@ object SparkEntry {
     * ConcurrentHashMap.computeIfAbsent gives once-only semantics even
     * if gates ever run concurrently.
     */
+  /** Collision-free table-name suffix for a data dir: full MD5 hex.
+    * (`math.abs(hashCode)` was the old scheme — abs(Int.MinValue)
+    * stays negative, and two dirs with colliding hashCodes would
+    * share one table name, the second build overwriting the first
+    * while the cache still served it for the other dir.)
+    */
+  private def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private val k1fMirrors =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureK1fMirror(s: SparkSession, dir: String): String =
     k1fMirrors.computeIfAbsent(dir, d => {
-      val table = s"vis_k1f_mirror_${math.abs(d.hashCode).toString}"
+      val table = s"vis_k1f_mirror_${dirTag(d)}"
       Sinks.writeTimeChanMirror(weighted(s, d), table)
       table
     })
@@ -1082,7 +1092,7 @@ object SparkEntry {
   private def ensureCurationSurvivors(s: SparkSession,
                                       dir: String): String =
     curationMirrors.computeIfAbsent(dir, d => {
-      val table = s"curation_surv_${math.abs(d.hashCode).toString}"
+      val table = s"curation_surv_${dirTag(d)}"
       graft.sinks.Sinks.writeSourceDocMirror(
         graft.llm.DocPipeline.survivors(docs(s, d)), table)
       table

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Codegen'd sign-projection LSH bucket over the WIDE (quadratic-
   * residue) plane family — the full `nPlanes`-bit bucket of an
@@ -36,9 +36,26 @@ case class SignBucketWide(child: Expression, nPlanes: Int)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  /** Wrong-typed input (e.g. ARRAY<DOUBLE>) must fail ANALYSIS, not
+    * silently misread bytes through getFloat (AbstractDataType is
+    * private[sql], so this is the checkInputDataTypes spelling of
+    * ExpectsInputTypes).
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "sign_bucket_wide expects ARRAY<FLOAT>, got " +
+          other.catalogString)
+    }
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    SignBucketWide.requireDim(n)
     var bucket = 0L
     var j = 0
     while (j < nPlanes) {
@@ -68,6 +85,7 @@ case class SignBucketWide(child: Expression, nPlanes: Int)
       val bucket = ctx.freshName("bucket")
       s"""
          |int $n = $v.numElements();
+         |graft.functions.SignBucketWide.requireDim($n);
          |long $bucket = 0L;
          |for (int $j = 0; $j < $nPlanes; $j++) {
          |  double $acc = 0.0;
@@ -87,6 +105,23 @@ case class SignBucketWide(child: Expression, nPlanes: Int)
 }
 
 object SignBucketWide {
+  /** The plane-component hash strides by a HARD-CODED 64 dims
+    * (`(j*64 + d) * 2654435761`, mirrored in
+    * [[graft.llm.Similarity.planeComponentWide]]): for an embedding
+    * with more than 64 dims, plane j at dim d would collide with
+    * plane j+1 at dim d−64, silently correlating "independent"
+    * planes. Every current corpus is dim-64 by contract; this guard
+    * makes a wider one fail LOUDLY instead of degrading bucket
+    * quality (called from both eval and generated code).
+    */
+  def requireDim(n: Int): Unit =
+    if (n > 64)
+      throw new IllegalArgumentException(
+        s"sign_bucket_wide: embedding has $n dims but the plane " +
+          "family strides by 64 — planes would alias for dim > 64; " +
+          "widen the stride in planeComponentWide/SignBucketWide " +
+          "together before raising the dim")
+
   /** Register `sign_bucket_wide(v, nPlanes)` (nPlanes a foldable INT
     * literal) in the session's function registry.
     */

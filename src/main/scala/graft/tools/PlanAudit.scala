@@ -86,10 +86,25 @@ object PlanAudit {
       @volatile var stages = 0
       @volatile var records = 0L
       @volatile var jobs = 0
+      // sentinel-drain machinery: the listener bus is one ordered
+      // queue, so observing the end of a marked no-shuffle job proves
+      // every EARLIER event has been delivered — deterministic, unlike
+      // the fixed 500 ms sleep this replaces (an async bus draining
+      // slower under load silently undercounted executed stages)
+      @volatile var drainSeen = false
+      private val drainJobs =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       def reset(): Unit = { stages = 0; records = 0L; jobs = 0 }
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc == "__planaudit_drain__") drainJobs.add(j.jobId)
+        else jobs += 1
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (drainJobs.remove(j.jobId)) drainSeen = true
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted)
           : Unit = {
@@ -114,7 +129,16 @@ object PlanAudit {
       tally.reset()
       val dfX = graft.SparkEntry.queries(name)(spark, dirX)
       val recs = exchangeRecords(dfX)
-      Thread.sleep(500) // listener bus drain (async events)
+      // deterministic bus drain: run a marked no-shuffle sentinel job
+      // (the tally skips it) and wait until ITS end event is observed —
+      // the ordered bus then guarantees every earlier event landed
+      tally.drainSeen = false
+      spark.sparkContext.setJobDescription("__planaudit_drain__")
+      spark.range(1).count()
+      spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (!tally.drainSeen && System.nanoTime() < deadline)
+        Thread.sleep(20)
       (recs, tally.stages, tally.records, tally.jobs)
     }
 

@@ -297,6 +297,27 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
       "SignBucketWide must equal the SQL bucket on every row")
   }
 
+  test("sign_bucket_wide: dim > 64 fails LOUDLY (the plane family " +
+    "strides by 64, so wider embeddings would alias planes), and a " +
+    "non-float array fails analysis instead of misreading bytes") {
+    import spark.implicits._
+    graft.functions.SignBucketWide.register(spark)
+    val wide = Seq(Seq.tabulate(128)(i => i.toFloat)).toDF("embedding")
+    val ex = intercept[Exception] {
+      wide.select(expr("sign_bucket_wide(embedding, 8)")).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString(" | ")
+    assert(rootMsg(ex).contains("strides by 64"),
+      s"expected the dim guard, got: ${rootMsg(ex).take(200)}")
+    val dbl = Seq(Seq(1.0, 2.0)).toDF("embedding")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      dbl.select(expr("sign_bucket_wide(embedding, 8)")).collect()
+    }
+  }
+
   test("embeddingNearDup: candidate pairs grow SUBLINEARLY in corpus " +
     "size under the derived plane count (the round-19 weak fix)") {
     import graft.llm.Dedup
