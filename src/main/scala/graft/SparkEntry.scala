@@ -42,9 +42,10 @@ object SparkEntry {
     * rule).
     */
   private def quantForAvg(pre: DataFrame): DataFrame =
-    (0 until 8).foldLeft(pre)((df, k) =>
-      df.withColumn(s"v$k", floor(col(s"v$k") * 1.0e6 + 0.5)))
-      .withColumn("weight", floor(col("weight") * 112.0 + 0.5))
+    pre.withColumns(
+      (0 until 8).map(k =>
+        s"v$k" -> floor(col(s"v$k") * 1.0e6 + 0.5)).toMap +
+        ("weight" -> floor(col("weight") * 112.0 + 0.5)))
 
   private def flagged(s: SparkSession, dir: String): DataFrame =
     FlagOps.setFlags(VisSynth.vis(s, dir), Dims.timestep(s),

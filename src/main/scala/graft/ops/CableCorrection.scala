@@ -68,22 +68,30 @@ object CableCorrection {
     // entire stage — measured 2.27 s collapsed vs 1.0 s split on
     // q_s2b at sf0.1. Split per-operator consume functions keep every
     // generated method small and the stage inside whole-stage codegen.
+    // each batch of independent columns lands in ONE withColumns call:
+    // a chained per-column withColumn re-analyzes the whole growing
+    // plan every step (quadratic driver time over a ~60-step composed
+    // chain — measured ~2.2 s of the pp gates' construction); the
+    // batched form analyzes once per stage and produces the same
+    // Project structure, so the deliberate trig/rotate stage split
+    // above is untouched
     val auto = col("ant1") === col("ant2")
-    val withTrig = pols.zipWithIndex.foldLeft(joined) {
-      case (df, ((_, _, dl), p)) =>
+    val withTrig = joined.withColumns(
+      pols.zipWithIndex.flatMap { case ((_, _, dl), p) =>
         val th = theta(dl)
-        df.withColumn(s"tc$p", cos(th)).withColumn(s"ts$p", sin(th))
-    }
-    val rotated = pols.zipWithIndex.foldLeft(withTrig) {
-      case (df, ((ri, ii, _), p)) =>
-        df.withColumn(s"n$ri", when(auto, col(s"v$ri")).otherwise(
-            col(s"v$ri") * col(s"tc$p") - col(s"v$ii") * col(s"ts$p")))
-          .withColumn(s"n$ii", when(auto, col(s"v$ii")).otherwise(
+        Seq(s"tc$p" -> cos(th), s"ts$p" -> sin(th))
+      }.toMap)
+    val rotated = withTrig.withColumns(
+      pols.zipWithIndex.flatMap { case ((ri, ii, _), p) =>
+        Seq(
+          s"n$ri" -> when(auto, col(s"v$ri")).otherwise(
+            col(s"v$ri") * col(s"tc$p") - col(s"v$ii") * col(s"ts$p")),
+          s"n$ii" -> when(auto, col(s"v$ii")).otherwise(
             col(s"v$ri") * col(s"ts$p") + col(s"v$ii") * col(s"tc$p")))
-    }
-    val replaced = (0 until 8).foldLeft(rotated) { (df, k) =>
-      df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
-    }
+      }.toMap)
+    val replaced = rotated.withColumns(
+      (0 until 8).map(k => s"v$k" -> col(s"n$k")).toMap)
+      .drop((0 until 8).map(k => s"n$k"): _*)
     replaced.drop("lx1", "ly1", "lx2", "ly2")
       .drop((0 until 4).flatMap(p => Seq(s"tc$p", s"ts$p")): _*)
   }

@@ -28,9 +28,12 @@ object DigitalGains {
       (Seq(2, 3), col("g1x") * col("g2y")),
       (Seq(4, 5), col("g1y") * col("g2x")),
       (Seq(6, 7), col("g1y") * col("g2y")))
-    val divided = pols.foldLeft(joined) { case (df, (ks, g)) =>
-      ks.foldLeft(df)((d, k) => d.withColumn(s"v$k", col(s"v$k") / g))
-    }
+    // one withColumns (not a per-column fold): chained withColumn
+    // re-analyzes the whole plan per step
+    val divided = joined.withColumns(
+      pols.flatMap { case (ks, g) =>
+        ks.map(k => s"v$k" -> col(s"v$k") / g)
+      }.toMap)
     divided.drop("g1x", "g1y", "g2x", "g2y")
   }
 }

@@ -68,15 +68,13 @@ object GeometryCorrection {
     val t = timestep.select("t")
     val a = antenna.select("ant", "east_m", "north_m", "height_m")
     val ha = lit(Ha0) + col("t") * DHa
-    val xyz = t.crossJoin(a)
-      .withColumn("xc",
-        -col("north_m") * math.sin(LatRad)
-          + col("height_m") * math.cos(LatRad))
-      .withColumn("yc", col("east_m"))
-      .withColumn("zc",
-        col("north_m") * math.cos(LatRad)
-          + col("height_m") * math.sin(LatRad))
-      .withColumn("sh", sin(ha)).withColumn("ch", cos(ha))
+    val xyz = t.crossJoin(a).withColumns(Map(
+      "xc" -> (-col("north_m") * math.sin(LatRad)
+        + col("height_m") * math.cos(LatRad)),
+      "yc" -> col("east_m"),
+      "zc" -> (col("north_m") * math.cos(LatRad)
+        + col("height_m") * math.sin(LatRad)),
+      "sh" -> sin(ha), "ch" -> cos(ha)))
     xyz.select(col("t"), col("ant"),
       (col("sh") * col("xc") + col("ch") * col("yc")).as("u_m"),
       (lit(-math.sin(DecRad)) * col("ch") * col("xc")
@@ -138,17 +136,22 @@ object GeometryCorrection {
     val th = theta(col("w1") - col("w2"))
     val cs = cos(th)
     val sn = sin(th)
-    val rotated = (0 until 4).foldLeft(
-      joined.withColumn("cs", cs).withColumn("sn", sn)) { (df, p) =>
-      val (ri, ii) = (2 * p, 2 * p + 1)
-      df.withColumn(s"n$ri",
-          col(s"v$ri") * col("cs") - col(s"v$ii") * col("sn"))
-        .withColumn(s"n$ii",
-          col(s"v$ri") * col("sn") + col(s"v$ii") * col("cs"))
-    }
-    val replaced = (0 until 8).foldLeft(rotated) { (df, k) =>
-      df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
-    }
+    // one withColumns per stage (not per-column folds): chained
+    // withColumn re-analyzes the whole plan per step — quadratic
+    // driver time over the composed preprocess chain
+    val rotated = joined
+      .withColumns(Map("cs" -> cs, "sn" -> sn))
+      .withColumns((0 until 4).flatMap { p =>
+        val (ri, ii) = (2 * p, 2 * p + 1)
+        Seq(
+          s"n$ri" -> (col(s"v$ri") * col("cs")
+            - col(s"v$ii") * col("sn")),
+          s"n$ii" -> (col(s"v$ri") * col("sn")
+            + col(s"v$ii") * col("cs")))
+      }.toMap)
+    val replaced = rotated.withColumns(
+      (0 until 8).map(k => s"v$k" -> col(s"n$k")).toMap)
+      .drop((0 until 8).map(k => s"n$k"): _*)
     replaced.drop("w1", "w2", "cs", "sn")
   }
 }

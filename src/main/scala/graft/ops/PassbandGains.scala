@@ -122,9 +122,11 @@ object PassbandGains {
     */
   def apply(vis: DataFrame, pfbGain: DataFrame): DataFrame = {
     val joined = vis.join(broadcast(pfbGain), Seq("fc"))
-    val divided = (0 until 8).foldLeft(joined) { (df, k) =>
-      df.withColumn(s"v$k", col(s"v$k") / col("pfb_gain"))
-    }
+    // one withColumns (not a per-column fold): chained withColumn
+    // re-analyzes the whole plan per step
+    val divided = joined.withColumns(
+      (0 until 8).map(k => s"v$k" -> col(s"v$k") / col("pfb_gain"))
+        .toMap)
     val weighted =
       if (divided.columns.contains("weight"))
         divided.withColumn("weight", col("weight") * col("pfb_gain"))

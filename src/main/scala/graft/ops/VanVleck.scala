@@ -111,8 +111,11 @@ object VanVleck {
       (0, 1, col("sx1"), col("sx2")), (2, 3, col("sx1"), col("sy2")),
       (4, 5, col("sy1"), col("sx2")), (6, 7, col("sy1"), col("sy2")))
 
-    val corrected = polSigma.foldLeft(joined) {
-      case (df, (ri, ii, sa, sb)) =>
+    // one withColumns per stage (not per-column folds): chained
+    // withColumn re-analyzes the whole plan per step — quadratic
+    // driver time over the composed preprocess chain
+    val corrected = joined.withColumns(polSigma.flatMap {
+      case (ri, ii, sa, sb) =>
         val crossRe = scale * vvCross(col(s"v$ri") / scale, sa, sb)
         val crossIm = scale * vvCross(col(s"v$ii") / scale, sa, sb)
         val (autoRe, autoIm) = (ri: @unchecked) match {
@@ -121,16 +124,15 @@ object VanVleck {
           case 2 => (scale * autoXy, scale * autoXyIm)
           case 4 => (scale * autoXy, -(scale * autoXyIm))
         }
-        df.withColumn(s"n$ri",
-            when(!hasSigma, col(s"v$ri"))
-              .when(isAuto, autoRe).otherwise(crossRe))
-          .withColumn(s"n$ii",
-            when(!hasSigma, col(s"v$ii"))
-              .when(isAuto, autoIm).otherwise(crossIm))
-    }
-    val replaced = (0 until 8).foldLeft(corrected) { (df, k) =>
-      df.withColumn(s"v$k", col(s"n$k")).drop(s"n$k")
-    }
+        Seq(
+          s"n$ri" -> when(!hasSigma, col(s"v$ri"))
+            .when(isAuto, autoRe).otherwise(crossRe),
+          s"n$ii" -> when(!hasSigma, col(s"v$ii"))
+            .when(isAuto, autoIm).otherwise(crossIm))
+    }.toMap)
+    val replaced = corrected.withColumns(
+      (0 until 8).map(k => s"v$k" -> col(s"n$k")).toMap)
+      .drop((0 until 8).map(k => s"n$k"): _*)
     replaced.drop("sx1", "sy1", "sx2", "sy2")
   }
 

@@ -70,10 +70,13 @@ object VisSynth {
       .withColumn("chan", col("cc") * FineChansPerCoarse + col("fc"))
       .withColumn("freq_hz",
         lit(BaseFreqHz) + col("chan") * FineChanWidthHz)
-    val withVis = (0 until 8).foldLeft(withCoords) { (df, k) =>
-      df.withColumn(s"v$k",
-        ((col("seed") * (k + 3)) % 1997).cast("double") / 128.0 - 7.5)
-    }
+    // one withColumns (not a per-column fold): chained withColumn
+    // re-analyzes the whole plan per step, and this scan is the root
+    // of every vis-family query
+    val withVis = withCoords.withColumns((0 until 8).map(k =>
+      s"v$k" ->
+        (((col("seed") * (k + 3)) % 1997).cast("double") / 128.0 - 7.5))
+      .toMap)
     withVis.select("t", "ant1", "ant2", "bl", "cc", "fc", "chan",
       "freq_hz", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7", "w")
   }
