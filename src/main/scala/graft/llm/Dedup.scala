@@ -80,18 +80,20 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFromHs(hashedShingles(docs))
 
-  /** Signatures from a pre-hashed (doc_id, hs) frame. */
+  /** Signatures from a pre-hashed (doc_id, hs) frame. One batched
+    * withColumns per dependency level (not 20 chained withColumn
+    * calls, each re-analyzing the whole plan).
+    */
   def minhashSignaturesFromHs(base: DataFrame): DataFrame = {
-    val withMh = (0 until NumPerms).foldLeft(base) { (df, j) =>
-      df.withColumn(s"mh$j", expr(listMin(listTransform("hs",
-        h => permute(h, j)))))
-    }
-    val withBands = (0 until NumBands).foldLeft(withMh) { (df, b) =>
+    val withMh = base.withColumns((0 until NumPerms).map(j =>
+      s"mh$j" -> expr(listMin(listTransform("hs",
+        h => permute(h, j))))).toMap)
+    val withBands = withMh.withColumns((0 until NumBands).map { b =>
       val h = (0 until RowsPerBand)
         .map(r => s"mh${b * RowsPerBand + r}")
         .reduce((acc, m) => s"(($acc) * 31 + $m)")
-      df.withColumn(s"band$b", expr(h))
-    }
+      s"band$b" -> expr(h)
+    }.toMap)
     val cols = Seq("doc_id") ++ (0 until NumPerms).map(j => s"mh$j") ++
       (0 until NumBands).map(b => s"band$b")
     withBands.select(cols.head, cols.tail: _*)

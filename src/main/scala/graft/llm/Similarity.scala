@@ -1428,7 +1428,10 @@ object Similarity {
       .sortBy(c => (occ.getOrElse(c, 0L), c.toLong)).take(splits).toSeq
     require(cold.length == splits,
       s"rebalanceCellsMerge: needs $splits hot-disjoint cold cells")
-    val subPairs = hot.map { hcid =>
+    // the per-hot-cell 2-means loops are independent (each reads only
+    // its own cell's members) — run them concurrently from driver
+    // threads, same rationale as [[inParallel]]
+    def splitCell(hcid: Int): (Array[Double], Array[Double]) = {
       val pool = assigned.where(col("cell") === hcid)
         .select("vec_id", "qv").cache()
       try {
@@ -1442,6 +1445,17 @@ object Similarity {
           sub = Clustering.lloydStep(pool, sub, dim)
         (sub(0)._2, sub(1)._2)
       } finally pool.unpersist(false)
+    }
+    val subPairs = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(splits.min(4))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = hot.map(h => Future(splitCell(h)))
+        fs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     }
     val repl: Map[Int, Array[Double]] =
       hot.zip(subPairs.map(_._1)).toMap ++
@@ -1697,7 +1711,13 @@ object Similarity {
         .localCheckpoint(eager = false)
       val tQ = quantised(emb).where(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("qv").as("qe"))
-      val rm = IvfPqResidualModel.fromCentroids(tm.cents, emb)
+      // the residual-book training shares tm's centroids but is
+      // otherwise independent of the raw-vector rows below — overlap
+      // it with the brute-force truth's checkpoint materialisation
+      // ([[inParallel]] rationale)
+      val (rm, _) = inParallel(
+        IvfPqResidualModel.fromCentroids(tm.cents, emb),
+        truth.count())
       // NOTE the q_sim8 DuckDB twin is FIXED at the 16-centroid gate
       // shape (its inner sim3/sim10/sim12/sim13/sim14 bodies all
       // derive from the vec_id < 16 seed rule, and the rerank row
