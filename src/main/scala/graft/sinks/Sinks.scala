@@ -260,7 +260,19 @@ object Sinks {
   def writeTimeChanMirror(df: DataFrame, table: String,
                           buckets: Int = 32): Unit = {
     dropTableAndLocation(df, table)
-    df.write.bucketBy(buckets, "t", "chan").sortBy("t", "chan")
+    // repartition on the BUCKET columns with numPartitions = buckets:
+    // repartition's HashPartitioning (pmod(murmur3(t, chan), n)) IS
+    // Spark's bucket-id function, so each write task holds exactly one
+    // bucket — the write (sort + encode) parallelises across `buckets`
+    // tasks and emits exactly one file per bucket, where the previous
+    // shape left the whole sort+write on however many tasks the
+    // upstream happened to have (ONE, over a single-split source —
+    // the mirror build was a single-threaded 600 k-row sort at sf0.1,
+    // and at real scale a task-count × buckets small-file explosion).
+    // Row content, bucket assignment and per-file sort order are
+    // unchanged — the mirror is byte-compatible for every reader.
+    df.repartition(buckets, col("t"), col("chan"))
+      .write.bucketBy(buckets, "t", "chan").sortBy("t", "chan")
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
 
@@ -274,7 +286,11 @@ object Sinks {
   def writeSourceDocMirror(df: DataFrame, table: String,
                            buckets: Int = 8): Unit = {
     dropTableAndLocation(df, table)
-    df.write.bucketBy(buckets, "source").sortBy("source", "doc_id")
+    // same bucket-aligned repartition as [[writeTimeChanMirror]]:
+    // one write task per bucket, exactly one file per bucket (the
+    // unaligned shape wrote up to tasks × buckets files)
+    df.repartition(buckets, col("source"))
+      .write.bucketBy(buckets, "source").sortBy("source", "doc_id")
       .format("parquet").mode("overwrite").saveAsTable(table)
   }
 
