@@ -311,6 +311,45 @@ object Bench {
     }
   }
 
+  /** Queries that appeared in the PREVIOUS driver artifact's compact
+    * line (BENCH_r21.json parsed.queries — keys without the `q_`
+    * prefix). The compact final line can only fit ~75 of 138 entries,
+    * and r21's PERF diff read nine healthy queries as
+    * "dropped_from_bench" purely because they got fast enough to fall
+    * off the slowest-first map (VERDICT r21 §compact-line artifact).
+    * Force-including last round's map keys makes round-over-round
+    * status independent of the 2000-char window: a query leaves the
+    * map only by actually leaving the suite.
+    */
+  private val priorCompactKeys: Set[String] = Set(
+    "a1_avg", "c1_cable", "c2_geometry", "c2b_geometry_app",
+    "c4_passband", "c4c_passband_legacy", "c5_pipeline", "c5_van_vleck",
+    "c6_calibration", "curation_pipeline", "d10_span_clean",
+    "d11_skew_lsh", "d12_minhash_accuracy", "d14_lsh_hot_cap",
+    "d15_skew_clusters", "d2_minhash_lsh", "d3_simhash",
+    "d4_ngram_jaccard", "d6_dup_clusters", "d7_boilerplate",
+    "d8_repeated_spans", "doc_pipeline", "e3_asof_join",
+    "e4_props_stats", "e5_resample", "emb_pipeline",
+    "h1_pricing_summary", "h2_revenue_rollup", "h3_top_revenue",
+    "k1_uvfits_order", "k1b_uvw", "k1c_antenna_table",
+    "k1d_uvfits_data", "k1e_mirror_uvfits_order",
+    "k1f_mirror_serve_order", "k2_ms_order", "k2b_ms_container",
+    "pp2_preprocess_skips", "pp3_preprocess_avg",
+    "pp4_mirror_preprocess", "pp_full_preprocess", "r1_sumthreshold",
+    "r1_threshold_flags", "r1b_strategy", "r1c_background",
+    "r1d_gaussian_bg", "r1e_rms_flaggers", "r1f_rms_inloop",
+    "s2b_metafits_pipeline", "s4_mwaf_roundtrip", "sim11_ann_pq_trained",
+    "sim12_ann_ivfpq_trained", "sim13_ann_ivfpq_residual",
+    "sim14_ann_ivfpq_rerank", "sim15_ann_residual_rerank",
+    "sim16_ann_staleness", "sim17_ann_rebalance",
+    "sim18_ann_multi_repair", "sim19_ann_maintenance", "sim2_ann_lsh",
+    "sim4_ann_pq", "sim5_kmeans", "sim6_semdedup",
+    "sim7_cluster_sample", "sim8_ann_recall", "sim9_ann_lsh_multi",
+    "t11_contamination", "t13_bpe_pairs", "t14_bigram_nll",
+    "t17_bpe_train", "t18_bpe_apply", "t20_perceptron",
+    "t20b_perceptron_apply", "t21_dsir", "t4_fingerprint", "t5_tfidf",
+    "t7_repetition")
+
   /** Seconds at 2 decimals, trailing zeros trimmed ("0.10" -> "0.1"). */
   private def compactSec(v: Double): String = {
     val s = f"$v%.2f"
@@ -374,7 +413,22 @@ object Bench {
         cpuBusyFrac()
       }
     val suiteWaitedSec = (System.nanoTime() - suiteWaitT0) / 1e9
-    val suiteContaminated = busyAtSuiteStart >= 0.25
+    // the contamination verdict is never committed off ONE 500 ms
+    // sample (ADVICE r21: a transient spike right after a successful
+    // awaitQuiet stamped genuinely quiet multi-minute suites): a first
+    // sample over the bar re-samples twice more and the verdict takes
+    // the MINIMUM — persistent external load stays >= 0.25 across all
+    // three, a spike does not
+    val suiteContaminated = busyAtSuiteStart >= 0.25 && {
+      val resampled = (1 to 2).map { _ =>
+        Thread.sleep(1000); cpuBusyFrac()
+      }.min
+      if (resampled < 0.25)
+        System.err.println(f"[bench] initial busy sample " +
+          f"$busyAtSuiteStart%.3f was a transient spike (re-sampled " +
+          f"$resampled%.3f) — suite not stamped contaminated")
+      resampled >= 0.25
+    }
     var loadAfterSuite = -1.0
 
     val ordered = SparkEntry.queries.keys.toSeq.sorted
@@ -767,8 +821,13 @@ object Bench {
     // forked run's stdout, inside the same 2000-char capture window
     if (line.length <= 1890) println(line)
     else {
-      // degrade: keep the slowest queries, note how many were omitted
-      val bySlow = results.sortBy(-_._2)
+      // degrade: LAST ROUND'S compact-map keys first (so a query can
+      // never read as dropped_from_bench merely by getting fast, the
+      // r21 PERF artifact), then the slowest of the rest; note how
+      // many were omitted
+      val bySlow = results.sortBy { case (k, v) =>
+        (!priorCompactKeys.contains(k.stripPrefix("q_")), -v)
+      }
       val kept = new StringBuilder
       var n = 0
       val budget = 1800

@@ -41,6 +41,18 @@ import org.apache.spark.sql.types._
   *    `nTop` — exactly `slice(array_sort(...), 1, nTop)`: scores are
   *    never −0.0 (BigDecimal rounding normalises), so negation cannot
   *    split a tie and plain double comparison matches the struct sort.
+  *
+  * Documented parity GAPS vs the replaced SQL form (ADVICE r21) —
+  * both unreachable on the gated corpora (non-null, finite, dim-64
+  * micro-unit vectors), recorded so nobody extends the expression to a
+  * nullable/NaN domain expecting bit parity:
+  *  - a NULL input vector yields a NULL ranking array (nullIntolerant),
+  *    where `array_sort(array(struct(...)))` returned a non-null array
+  *    whose winner was the smallest cid with null ns;
+  *  - a NaN dot/score compares false against every bound in the
+  *    insertion below, so a NaN can occupy an early slot while the
+  *    buffer is still filling, where Spark's struct sort orders NaN
+  *    greatest (last among ascending ns).
   */
 final class CellTopKKernel(val cids: Array[Int],
                            val mat: Array[Array[Double]],
@@ -59,6 +71,12 @@ final class CellTopKKernel(val cids: Array[Int],
     "CellTopKKernel: cids must be strictly increasing")
 
   private val k = mat.length
+  // elements the input vector must carry for the dot loops below —
+  // UnsafeArrayData's getFloat/getDouble are unbounded, so a
+  // shorter-than-expected vector would silently read adjacent memory
+  // (the SignBucketWide.requireDim failure mode); checked LOUDLY per
+  // row in topK (ADVICE r21)
+  private val minElems = offset + mat.iterator.map(_.length).max
 
   /** Spark RoundBase's DoubleType branch, verbatim semantics. */
   private def round6(x: Double): Double =
@@ -67,6 +85,10 @@ final class CellTopKKernel(val cids: Array[Int],
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def topK(v: ArrayData): ArrayData = {
+    require(v.numElements() >= minElems,
+      s"cell_topk: input vector has ${v.numElements()} elements, " +
+        s"need >= $minElems (offset $offset + codeword dim) — a " +
+        "short vector would silently misread adjacent memory")
     val topNs = new Array[Double](nTop)
     val topCid = new Array[Int](nTop)
     var filled = 0

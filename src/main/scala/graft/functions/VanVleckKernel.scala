@@ -135,10 +135,56 @@ object VanVleckKernel {
     val k = math.abs(khat)
     val x = Array.tabulate(7)(i => (i + 0.5) / sigmaX)
     val y = Array.tabulate(7)(i => (i + 0.5) / sigmaY)
+    // Per-solve product tables: the pdf term's factors xi·yk and
+    // xi²+yk² are ρ-independent, and the Newton loop evaluates the
+    // pdf ~12× per iteration (11 Simpson nodes + the derivative) —
+    // hoisting them out of the per-ρ loop removes 2 multiplies, 1 add
+    // and the ij→(i,j) div/mod per term WITHOUT touching rounding:
+    // a = ((xi·yk)·ρ)/d and b = (xi²+yk²)/(2d) associate exactly as
+    // the reference-order [[pdf]] writes them, so every partial is the
+    // same IEEE double (parity pinned bitwise by VanVleckKernelSpec's
+    // fast-vs-reference grid).
+    val xy = new Array[Double](49)
+    val x2y2 = new Array[Double](49)
+    var ij0 = 0
+    while (ij0 < 49) {
+      val xi = x(ij0 / 7)
+      val yk = y(ij0 % 7)
+      xy(ij0) = xi * yk
+      x2y2(ij0) = xi * xi + yk * yk
+      ij0 += 1
+    }
+    // [[pdf]] with the hoisted tables — identical op order per term.
+    def pdfP(rho: Double): Double = {
+      val d = math.max(1.0 - rho * rho, 1e-20)
+      val d2 = 2.0 * d
+      var r = 0.0
+      var ij = 0
+      while (ij < 49) {
+        val a = xy(ij) * rho / d
+        val b = x2y2(ij) / d2
+        r += math.exp(a - b) + math.exp(-a - b)
+        ij += 1
+      }
+      r / (math.Pi * math.sqrt(d))
+    }
+    // [[corrcorrectSimp]] over pdfP — same ascending-si fold.
+    def simpP(rho: Double): Double = {
+      val h = rho / 10
+      var sum = 0.0
+      var si = 0
+      while (si <= 10) {
+        val w =
+          if (si == 0 || si == 10) 1.0 else if (si % 2 == 1) 4.0 else 2.0
+        sum += w * pdfP(si * h)
+        si += 1
+      }
+      sum * h / 3.0
+    }
     val tol = 1e-12
     var guess = k / (sigmaX * sigmaY)
     if (guess < 0.0 || guess >= 1.0) return khat
-    var delta = corrcorrectSimp(guess, x, y) - k
+    var delta = simpP(guess) - k
     var count = 0
     // Escape guard: a Newton step leaving ρ ∈ [0, 1) fails to khat
     // IMMEDIATELY. Inside [0,1) every pdf exponent is ≤ 0 (the quadratic
@@ -151,10 +197,10 @@ object VanVleckKernel {
     // (van_vleck.rs:736-748); the guard short-circuits the burn.
     // !(…≤tol) keeps a NaN δ iterating rather than exiting with garbage.
     while (!(math.abs(delta) <= tol)) {
-      val step = guess - delta / pdf(x, y, guess)
+      val step = guess - delta / pdfP(guess)
       if (!(step >= 0.0 && step < 1.0)) return khat
       guess = step
-      delta = corrcorrectSimp(guess, x, y) - k
+      delta = simpP(guess) - k
       count += 1
       // At the cap, accept the iterate when the residual is sub-nano:
       // near the ρ→1 boundary Newton falls into a slowly-damping

@@ -635,19 +635,22 @@ object Similarity {
   private def adcTopKD(pairs: DataFrame,
                        books: Array[Array[(Int, Array[Double])]],
                        m: Int, subDim: Int, k: Int,
-                       cellDot: Option[Column] = None): DataFrame = {
-    val cwLit: Array[Column] = Array.tabulate(m)(s =>
-      typedLit(books(s).map(_._2.toSeq).toSeq))
-    // with a cell term (residual encoding) the fold starts from the
+                       centsQ: Option[Array[(Int, Array[Double])]] = None)
+      : DataFrame = {
+    // ONE fused codegen expression for the whole candidate score
+    // (graft.functions.AdcScore — the CellTopK pattern): with a cell
+    // term (residual encoding) the fold starts from the
     // query·centroid dot — ((cd + d0) + d1)…, exactly the twin's
-    // list_prepend(cd, …) left fold
-    val scoreCol = (cellDot.toSeq ++ (0 until m).map { s =>
-      call_function("double_dot",
-        slice(col("qe"), s * subDim + 1, subDim),
-        element_at(cwLit(s), col(s"c$s") + 1))
-    }).reduce(_ + _)
-    val scored = pairs
-      .withColumn("pq_score", round(scoreCol / lit(1.0e12), 6))
+    // list_prepend(cd, …) left fold; parity with the previous
+    // slice/element_at/double_dot stack is bit-exact (spec-pinned)
+    val codeCols = (0 until m).map(s => col(s"c$s"))
+    val scoreCol = centsQ match {
+      case Some(cq) => graft.functions.AdcScore.scoreWithCell(
+        col("qe"), col("cell"), codeCols, books, cq, subDim, 1.0e12)
+      case None => graft.functions.AdcScore.score(
+        col("qe"), codeCols, books, subDim, 1.0e12)
+    }
+    val scored = pairs.withColumn("pq_score", scoreCol)
     val w = Window.partitionBy("qid")
       .orderBy(col("pq_score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -724,15 +727,27 @@ object Similarity {
     * failure in either propagates to the caller.
     */
   private[llm] def inParallel[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise}
+    import scala.util.Failure
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try {
       val fa = Future(a)
       val fb = Future(b)
-      (Await.result(fa, scala.concurrent.duration.Duration.Inf),
-        Await.result(fb, scala.concurrent.duration.Duration.Inf))
+      // fail-FAST completion (ADVICE r21): either side's failure
+      // resolves the awaited promise immediately — the old
+      // Await(fa) → Await(fb) sequence sat on a hung first training
+      // while the second had already failed
+      val p = Promise[(A, B)]()
+      fa.onComplete { case Failure(e) => p.tryFailure(e); case _ => }
+      fb.onComplete { case Failure(e) => p.tryFailure(e); case _ => }
+      fa.zip(fb).onComplete(p.tryComplete)
+      try Await.result(p.future,
+        scala.concurrent.duration.Duration.Inf)
+      catch {
+        case e: Throwable => pool.shutdownNow(); throw e
+      }
     } finally pool.shutdown()
   }
 
@@ -835,6 +850,17 @@ object Similarity {
               m: Int = 8, iters: Int = 2,
               dim: Int = 64): IvfPqTrainedModel = {
       graft.functions.DoubleVecDot.register(emb.sparkSession)
+      // checkpoint-block lifetime (ADVICE r21): the lazy localCheckpoint
+      // blocks are reclaimed by the ContextCleaner once `embq` becomes
+      // unreachable — i.e. when this call returns (nothing retains the
+      // frame; the returned model is plain driver arrays). That is the
+      // designed policy, not a leak: an explicit release would need an
+      // eager checkpoint (a corpus-scale job at construction time even
+      // when the trainings' own first jobs could fold it in) or a
+      // fragile reach-around into the materialised RDD. Bounded by the
+      // quantised-corpus size per in-flight training, zero on return;
+      // never registered in the session CacheManager (the bench
+      // asserts that after every gate).
       val embq = quantised(emb).localCheckpoint(eager = false)
       val (cents, books) = inParallel(
         Clustering.trainQ(embq, nCentroids, iters, dim),
@@ -1068,12 +1094,9 @@ object Similarity {
           .map(_.getInt(0))
         index.where(col("cell").isin(cells.toIndexedSeq: _*))
       }
-    val cqLit = typedLit(model.centsQ.map(_._2.toSeq).toSeq)
-    val cellDot = call_function("double_dot", col("qe"),
-      element_at(cqLit, col("cell") + 1))
     adcTopKD(probes.join(pruned, Seq("cell"))
       .where(col("vec_id") =!= col("qid")),
-      model.books, m, subDim, k, Some(cellDot))
+      model.books, m, subDim, k, Some(model.centsQ))
   }
 
   def ivfPqResidualTopK(emb: DataFrame, nCentroids: Int = 16,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.{VanVleckKernel, VanVleckVectors}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** C5 `correct_van_vleck` (/root/reference/src/van_vleck.rs:159-306) as a
@@ -27,38 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object VanVleck {
 
-  private val vvAutoUdf = udf((s: Double) => VanVleckKernel.vanVleckAuto(s))
-
-  /** Memoised cross kernel: correlator inputs are quantised (f32 khat,
-    * sigma from a small auto population), so distinct (khat, sx, sy)
-    * triples are orders of magnitude fewer than cells. A per-executor
-    * bounded cache turns ~10 Simpson integrations per cell into a hash
-    * probe. Deterministic function ⇒ cache-safe under retries.
+  /** Both kernels run as codegen'd Catalyst expressions
+    * ([[graft.functions.VanVleckCross]] / [[graft.functions.VanVleckAuto]],
+    * the CellTopK reference-object pattern): no ScalaUDF boxing in the
+    * hot path, generated source stable across plans, and the cross
+    * memo is per-thread open addressing on raw IEEE bits — the shared
+    * `ConcurrentHashMap[(Double, Double, Double, Boolean), Double]` it
+    * replaces allocated a boxed tuple per probe and serialised cold
+    * 32-thread population on its bin locks (computeIfAbsent runs the
+    * whole Newton+Simpson integration while holding the bin — the r21
+    * 32-core pp3 pathology). Identical results: the kernel is a pure
+    * function of the raw bits, and the expression reproduces the
+    * primitive-arg UDF's null-in → null-out semantics.
     */
-  @transient private lazy val crossCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Double, Double, Double, Boolean), Double]()
-  private val CacheCap = 1 << 20
+  private def vvAuto(s: Column): Column =
+    graft.functions.VanVleckExprs.auto(s)
 
-  private def cachedCross(k: Double, sx: Double, sy: Double,
-                          refCap: Boolean): Double = {
-    val key = (k, sx, sy, refCap)
-    if (crossCache.size >= CacheCap)
-      VanVleckKernel.vanVleckCrossInt(k, sx, sy, refCap)
-    else
-      crossCache.computeIfAbsent(key,
-        _ => VanVleckKernel.vanVleckCrossInt(k, sx, sy, refCap))
-  }
-
-  /** Cross-kernel UDF with the iteration-cap policy threaded through:
-    * refCap = true (the DEFAULT, which the oracle gates pin)
+  /** Cross-kernel expression with the iteration-cap policy threaded
+    * through: refCap = true (the DEFAULT, which the oracle gates pin)
     * reproduces the reference bit-for-bit — abandon to khat at the
     * 100-iteration cap (van_vleck.rs:723-730); false opts into the
     * engine-stable acceptance of a sub-nano residual at the cap.
     */
-  private def vvCrossUdf(refCap: Boolean) =
-    udf((k: Double, sx: Double, sy: Double) =>
-      cachedCross(k, sx, sy, refCap))
+  private def vvCrossFn(refCap: Boolean)
+      : (Column, Column, Column) => Column =
+    graft.functions.VanVleckExprs.cross(refCap)
 
   /** Derive the per-(t, ant, chan) σ table from auto rows.
     * `sighatExpr` maps an auto component column to σ̂ (for real data:
@@ -75,8 +68,8 @@ object VanVleck {
       .groupBy(col("t"), col("ant1").as("ant"), col("chan"))
       .agg(max(abs(col("v0"))).as("pxx"), max(abs(col("v6"))).as("pyy"))
       .select(col("t"), col("ant"), col("chan"),
-        vvAutoUdf(sqrt(col("pxx") / sampleScale)).as("sigma_x"),
-        vvAutoUdf(sqrt(col("pyy") / sampleScale)).as("sigma_y"))
+        vvAuto(sqrt(col("pxx") / sampleScale)).as("sigma_x"),
+        vvAuto(sqrt(col("pyy") / sampleScale)).as("sigma_y"))
   }
 
   /** Apply the full correction. Rows whose antennas lack σ (flagged) pass
@@ -86,7 +79,7 @@ object VanVleck {
   def apply(vis: DataFrame, flaggedAnts: Seq[Long],
             sampleScale: Double,
             referenceCapFallback: Boolean = true): DataFrame = {
-    val vvCross = vvCrossUdf(referenceCapFallback)
+    val vvCross = vvCrossFn(referenceCapFallback)
     val sigma = sigmaTable(vis, flaggedAnts, sampleScale)
     val s1 = sigma.select(col("t"), col("ant").as("ant1"), col("chan"),
       col("sigma_x").as("sx1"), col("sigma_y").as("sy1"))
@@ -153,7 +146,7 @@ object VanVleck {
     }
     rows.toDF("idx", "sighat_in", "sigma_pub")
       .select(col("idx"),
-        round(vvAutoUdf(col("sighat_in")), 6).as("sigma_rec"),
+        round(vvAuto(col("sighat_in")), 6).as("sigma_rec"),
         round(sighatUdf(col("sigma_pub")), 6).as("sighat_fwd"),
         round(sighatPrimeUdf(col("sigma_pub")), 6).as("prime_fwd"))
   }
@@ -175,6 +168,6 @@ object VanVleck {
         (lit(1.0) + ((col("ant2") * 23 + col("chan") * 11) % 64)
           .cast("double") / 128.0).as("sy"))
       .withColumn("kappa_u",
-        floor(vvCrossUdf(refCap = true)(col("khat"), col("sx"),
+        floor(vvCrossFn(refCap = true)(col("khat"), col("sx"),
           col("sy")) * 1.0e6 + 0.5))
 }

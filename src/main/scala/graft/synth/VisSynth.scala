@@ -51,6 +51,14 @@ object VisSynth {
     * coordinates are legitimate repeated samples of the same cell.
     */
   def vis(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE (r22, measured-and-reverted): the single-row-group fixture
+    // file scans as ONE task, so this scan's projection (the whole
+    // correction chain) runs single-threaded at fixture SF. A
+    // scale-adaptive round-robin repartition (graft.sources.ScanPar)
+    // was measured SLOWER end-to-end at sf0.1 (pp3 job time 3.4 s →
+    // 4.5 s: the extra corpus exchange + AQE stage outweighs the
+    // parallelism on a warm kernel memo); at real scale row groups
+    // outnumber cores and the question is moot. Kept single-scan.
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val a1r = col("l_suppkey") % NumAnts
     val a2r = col("l_partkey") % NumAnts
