@@ -380,10 +380,24 @@ object Dedup {
     */
   def connectedComponents(edgesIn: DataFrame,
                           maxIters: Int = 100): DataFrame = {
-    val edges = edgesIn.select("a", "b").localCheckpoint(true)
+    // r22 exchange elision (guide §2.4 "two operations keyed the same
+    // way can share one exchange"): the edge set is STATIC across
+    // rounds yet the old loop re-shuffled it by `b` every round, and
+    // the label join re-shuffled labels by `doc_id` right after the
+    // aggregate had already produced that partitioning. Pinning both
+    // checkpoints to an explicit hash partitioning (localCheckpoint
+    // preserves outputPartitioning through LogicalRDD; explicit
+    // numPartitions keeps AQE from coalescing one side out of
+    // alignment) makes every round's joins co-partitioned: the only
+    // per-round corpus-scale exchange left is the neighbor-min
+    // aggregate itself. Labels are vertex-sized, so broadcasting them
+    // instead would NOT scale — co-partitioning is the 100 TB shape.
+    val nPart = edgesIn.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = edgesIn.select("a", "b")
+      .repartition(nPart, col("b")).localCheckpoint(true)
     val vertices = edges.select(col("a").as("doc_id")).distinct()
     var labels = vertices.withColumn("lab", col("doc_id"))
-      .localCheckpoint(true)
+      .repartition(nPart, col("doc_id")).localCheckpoint(true)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {

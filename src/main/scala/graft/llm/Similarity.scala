@@ -751,6 +751,27 @@ object Similarity {
     } finally pool.shutdown()
   }
 
+  /** N-way sibling of [[inParallel]]: run independent thunks on a
+    * bounded driver pool (guide §2.6 — enough in flight to back-fill
+    * task-scheduler idle time, not so many they fight), await ALL in
+    * order. Any failure propagates (later thunks may still run to
+    * completion first — they are bounded Spark jobs).
+    */
+  private[llm] def inParallelAll[A](tasks: Seq[() => A],
+                                    threads: Int = 4): Seq[A] = {
+    if (tasks.isEmpty) return Seq.empty
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(threads, tasks.length))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = tasks.map(t => Future(t()))
+      try fs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
+    } finally pool.shutdown()
+  }
+
   /** The per-subspace Lloyd loop shared by [[pqTrainedCodebooks]]
     * (raw micro vectors) and [[IvfPqResidualModel]] (residual
     * vectors): each iteration is ONE scan of `frame` — the m
@@ -1715,6 +1736,11 @@ object Similarity {
       .select("qid", "vec_id").localCheckpoint(eager = false)
     def ids(df: DataFrame, method: String): DataFrame =
       df.select(lit(method).as("method"), col("qid"), col("vec_id"))
+    // register BOTH vector functions up front: the arm builders run
+    // on driver threads below, and the session registry write is the
+    // one non-thread-safe step
+    graft.functions.DoubleVecDot.register(spark)
+    graft.functions.FloatVecDot.register(spark)
     // train the coarse quantiser + raw-vector codebooks ONCE and
     // serve every trained-family row from them (training is
     // driver-looped corpus scans — the expensive part):
@@ -1726,47 +1752,68 @@ object Similarity {
     // own serving dial (nProbe = cells/2, exact re-rank of the ADC
     // top-32k) — the row that shows a small exact budget restores
     // recall ≈ 1.0
-    val trained: (DataFrame, DataFrame, DataFrame, DataFrame) = {
-      Clustering.requireScaledK("annRecall(trained)", nCentroids,
-        fixtureScale)
-      val tm = IvfPqTrainedModel.train(emb, nCentroids)
-      val tIdx = ivfPqTrainedIndex(emb, tm)
-        .localCheckpoint(eager = false)
-      val tQ = quantised(emb).where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("qv").as("qe"))
-      // the residual-book training shares tm's centroids but is
-      // otherwise independent of the raw-vector rows below — overlap
-      // it with the brute-force truth's checkpoint materialisation
-      // ([[inParallel]] rationale)
-      val (rm, _) = inParallel(
-        IvfPqResidualModel.fromCentroids(tm.cents, emb),
-        truth.count())
-      // NOTE the q_sim8 DuckDB twin is FIXED at the 16-centroid gate
-      // shape (its inner sim3/sim10/sim12/sim13/sim14 bodies all
-      // derive from the vec_id < 16 seed rule, and the rerank row
-      // probes 16/2 = 8 cells); a non-default nCentroids here is
-      // spec-only — the Spark matrix stays self-consistent but has no
-      // oracle at that shape
-      (ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = tm.cents.length, k = k),
-        ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = nProbe, k = k),
-        ivfPqResidualSearch(ivfPqResidualIndex(emb, rm), tQ, rm,
-          nProbe = nProbe, k = k),
-        ivfPqRerankSearch(tIdx, quantised(emb), tQ, tm,
-          nProbe = tm.cents.length / 2, r = 32 * k, k = k))
-    }
-    val got = ids(lshTopK(emb, nQueries, k), "lsh")
-      .unionByName(ids(lshMultiTopK(emb, nQueries, k, nTables),
-        "lsh_multi"))
-      .unionByName(ids(ivfTopK(emb, nCentroids, nProbe, nQueries, k,
-        fixtureScale), "ivf"))
-      .unionByName(ids(ivfPqTopK(emb, nCentroids, nProbe,
-        nQueries = nQueries, k = k, fixtureScale = fixtureScale),
-        "ivfpq"))
-      .unionByName(ids(pqTopK(emb, nQueries = nQueries, k = k), "pq"))
-      .unionByName(ids(trained._1, "pq_trained"))
-      .unionByName(ids(trained._2, "ivfpq_trained"))
-      .unionByName(ids(trained._3, "ivfpq_residual"))
-      .unionByName(ids(trained._4, "ivfpq_rerank"))
+    // CONCURRENT matrix assembly (optimization-guide §2.6, the r22
+    // restructure): the nine arms and the three model trainings are
+    // mutually independent except trained-family → tm and residual →
+    // tm.cents, yet the r21 shape ran "train everything, then execute
+    // one 9-arm union plan" — the union's arm subtrees executed
+    // largely back-to-back and the trainings idled most cores
+    // (PhaseProbe: 2.9 s construct + 2.5 s exec). Here driver threads
+    // overlap (a) the truth materialisation, (b) the five seed-family
+    // arms — EAGER localCheckpoints, each a tiny frame — and (c) the
+    // coarse+codebook training; the residual training and the four
+    // trained-family arms follow as soon as their model half is
+    // ready. Results are identical: every arm is the same
+    // deterministic frame, merely materialised early (plan-private
+    // checkpoints, never the session CacheManager), and the final
+    // union reads the checkpointed blocks.
+    Clustering.requireScaledK("annRecall(trained)", nCentroids,
+      fixtureScale)
+    val seedArms: Seq[(String, () => DataFrame)] = Seq(
+      ("lsh", () => lshTopK(emb, nQueries, k)),
+      ("lsh_multi", () => lshMultiTopK(emb, nQueries, k, nTables)),
+      ("ivf", () => ivfTopK(emb, nCentroids, nProbe, nQueries, k,
+        fixtureScale)),
+      ("ivfpq", () => ivfPqTopK(emb, nCentroids, nProbe,
+        nQueries = nQueries, k = k, fixtureScale = fixtureScale)),
+      ("pq", () => pqTopK(emb, nQueries = nQueries, k = k)))
+    val (tm, seedDone) = inParallel(
+      IvfPqTrainedModel.train(emb, nCentroids),
+      inParallelAll(
+        (() => { truth.count(); null: DataFrame }) +:
+          seedArms.map { case (m, build) =>
+            () => ids(build(), m).localCheckpoint()
+          }, threads = 6))
+    val tIdx = ivfPqTrainedIndex(emb, tm)
+      .localCheckpoint(eager = false)
+    val tQ = quantised(emb).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    // NOTE the q_sim8 DuckDB twin is FIXED at the 16-centroid gate
+    // shape (its inner sim3/sim10/sim12/sim13/sim14 bodies all
+    // derive from the vec_id < 16 seed rule, and the rerank row
+    // probes 16/2 = 8 cells); a non-default nCentroids here is
+    // spec-only — the Spark matrix stays self-consistent but has no
+    // oracle at that shape
+    val (residualArm, trainedRaw) = inParallel(
+      {
+        // residual training AND its arm on one thread: the arm is the
+        // training's only consumer, so chaining them keeps the whole
+        // residual path overlapped with the trained-family arms
+        val rm = IvfPqResidualModel.fromCentroids(tm.cents, emb)
+        ids(ivfPqResidualSearch(ivfPqResidualIndex(emb, rm), tQ, rm,
+          nProbe = nProbe, k = k), "ivfpq_residual").localCheckpoint()
+      },
+      inParallelAll(Seq(
+        () => ids(ivfPqTrainedSearch(tIdx, tQ, tm,
+          nProbe = tm.cents.length, k = k), "pq_trained")
+          .localCheckpoint(),
+        () => ids(ivfPqTrainedSearch(tIdx, tQ, tm, nProbe = nProbe,
+          k = k), "ivfpq_trained").localCheckpoint(),
+        () => ids(ivfPqRerankSearch(tIdx, quantised(emb), tQ, tm,
+          nProbe = tm.cents.length / 2, r = 32 * k, k = k),
+          "ivfpq_rerank").localCheckpoint())))
+    val got = (seedDone.drop(1) ++ trainedRaw :+ residualArm)
+      .reduce(_ unionByName _)
     val hits = got.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("n_hits"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
