@@ -68,6 +68,13 @@ object SparkEntry {
   private def weighted(s: SparkSession, dir: String): DataFrame =
     WeightOps.flagToWeight(flagged(s, dir))
 
+  /** RFI detection exchange width for the standalone r1 gates — the
+    * session's shuffle width, like Preprocess.applyRfi pins for the
+    * composed chains (RfiFlag.detectAndFlag groupParallelism doc).
+    */
+  private def rfiPar(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
+
   /** Flagship: the COMPLETE preprocessing pipeline on sf0.001 in the
     * reference's stage order (graft.ops.Preprocess): synth scan → static
     * flags → weights → Van Vleck → cable → digital gains → passband →
@@ -357,7 +364,11 @@ object SparkEntry {
       VanVleck.crossParity(VisSynth.vis(s, dir))),
 
     // -- RFI -----------------------------------------------------------
-    "q_r1_sumthreshold" -> ((s, dir) => RfiFlag(flagged(s, dir))),
+    // rfiPar: the detection kernel's exchange width (see
+    // RfiFlag.detectAndFlag groupParallelism — CPU-bound per group,
+    // so AQE byte-coalescing starves it)
+    "q_r1_sumthreshold" -> ((s, dir) =>
+      RfiFlag(flagged(s, dir), RfiStrategy(), rfiPar(s))),
 
     // non-default loadable strategy: yy image, mad_k 5, direction
     // weights — parsed from the same key=value surface RfiStrategy
@@ -365,7 +376,7 @@ object SparkEntry {
     "q_r1b_strategy" -> ((s, dir) =>
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
         "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
-          "sir_eta_time = 0.3\nsir_eta_chan = 0.1"))),
+          "sir_eta_time = 0.3\nsir_eta_chan = 0.1"), rfiPar(s))),
 
     "q_r1_threshold_flags" -> ((s, dir) =>
       ThresholdFlag(VisSynth.vis(s, dir))),
@@ -395,7 +406,7 @@ object SparkEntry {
     "q_r1e_rms_flaggers" -> ((s, dir) =>
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
         "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
-          "ch_rms_flag_low = true\nts_rms_final = 1.03"))),
+          "ch_rms_flag_low = true\nts_rms_final = 1.03"), rfiPar(s))),
 
     // R1f: the same RMS flaggers at their IN-LOOP call sites — the
     // placement a strategy's loop body implies (channel pass per-pol
@@ -406,7 +417,7 @@ object SparkEntry {
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
         "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
           "ch_rms_flag_low = true\nts_rms_in_loop = true\n" +
-          "ch_rms_in_loop = true"))),
+          "ch_rms_in_loop = true"), rfiPar(s))),
 
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>

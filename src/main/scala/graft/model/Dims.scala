@@ -30,9 +30,15 @@ import org.apache.spark.sql.functions._
 object Dims {
   import Obs._
 
+  // All dims here are MODEL-sized (8-128 rows, independent of corpus
+  // SF), so every range is pinned to ONE partition: at default
+  // parallelism each broadcast build ran as a 32-task job (~50 ms of
+  // pure scheduling), and a vis-chain gate builds ~10 of these dims
+  // sequentially before its first corpus job.
+
   /** Antenna table: flagged bit, per-pol electrical lengths, ENH position. */
   def antenna(spark: SparkSession): DataFrame =
-    spark.range(NumAnts).select(
+    spark.range(0, NumAnts, 1, 1).select(
       col("id").as("ant"),
       (col("id") === FlaggedAnt).as("ant_flagged"),
       (lit(42.0) + col("id") * 13.25).as("elec_len_x_m"),
@@ -45,7 +51,7 @@ object Dims {
     * (reference finalise_flag_settings, /root/reference/src/flags.rs:165-172).
     */
   def timestep(spark: SparkSession): DataFrame =
-    spark.range(NumTimesteps).select(
+    spark.range(0, NumTimesteps, 1, 1).select(
       col("id").as("t"),
       (lit(GpsStart) + col("id") * 2).as("gps_s"),
       (lit(GpsStart).cast("double") + col("id") * 2.0 + 1.0).as("centroid_s"),
@@ -59,7 +65,7 @@ object Dims {
     * DC flagging /root/reference/src/flags.rs:128-131).
     */
   def chan(spark: SparkSession): DataFrame =
-    spark.range(NumChans).select(
+    spark.range(0, NumChans, 1, 1).select(
       col("id").as("chan"),
       floor(col("id") / FineChansPerCoarse).as("cc"),
       (col("id") % FineChansPerCoarse).as("fc"),
@@ -94,7 +100,7 @@ object Dims {
     * (reference correct_digital_gains, /root/reference/src/corrections.rs:356-365).
     */
   def digitalGain(spark: SparkSession): DataFrame =
-    spark.range(NumAnts.toLong * NumCoarse).select(
+    spark.range(0, NumAnts.toLong * NumCoarse, 1, 1).select(
       floor(col("id") / NumCoarse).as("ant"),
       (col("id") % NumCoarse).as("cc"))
       .withColumn("m", (col("ant") * NumCoarse + col("cc")) % 16)
@@ -108,7 +114,7 @@ object Dims {
     * semantics separately).
     */
   def pfbGain(spark: SparkSession): DataFrame =
-    spark.range(FineChansPerCoarse).select(
+    spark.range(0, FineChansPerCoarse, 1, 1).select(
       col("id").as("fc"),
       (((col("id") * 37) % 23 + 100).cast("double") / 112.0).as("pfb_gain"))
 
@@ -136,7 +142,7 @@ object Dims {
     * rationals in [-1, 1.4].
     */
   def calsol(spark: SparkSession): DataFrame = {
-    val base = spark.range(NumAnts.toLong * NumCoarse).select(
+    val base = spark.range(0, NumAnts.toLong * NumCoarse, 1, 1).select(
       floor(col("id") / NumCoarse).as("ant"),
       (col("id") % NumCoarse).as("cc"))
     val withJ = (0 until 8).foldLeft(base) { (df, k) =>

@@ -157,8 +157,12 @@ case class Preprocess(vanVleck: Boolean = false,
     */
   private def applyRfi(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // pin the detection exchange to the session's shuffle width: the
+    // kernel is CPU-bound per baseline group, and AQE's byte-sized
+    // coalescing starves it (see detectAndFlag's groupParallelism doc)
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
     if (rfiFused)
-      return RfiFlag.detectAndFlag(df, rfiStrategy, rfiBandpass)
+      return RfiFlag.detectAndFlag(df, rfiStrategy, rfiBandpass, par)
     val detectInput = rfiBandpass match {
       case Some(pb) =>
         (0 until 8).foldLeft(df.join(broadcast(pb), Seq("fc"))) {

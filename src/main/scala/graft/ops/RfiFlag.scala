@@ -239,8 +239,19 @@ object RfiFlag {
   def apply(visFlagged: DataFrame, madK: Double = 6.0): DataFrame =
     run(visFlagged, RfiStrategy(madK = madK))
 
+  /** Strategy variant with the `bl` exchange width pinned — see
+    * [[detectAndFlag]]'s `groupParallelism` doc. Kept separate from
+    * the 2-arg apply so the bucketed-source call sites (which must
+    * plan ZERO exchanges, BucketedMirrorSpec) keep the planner-default
+    * path.
+    */
+  def apply(visFlagged: DataFrame, strategy: RfiStrategy,
+            groupParallelism: Int): DataFrame =
+    run(visFlagged, strategy, groupParallelism)
+
   private def run(visFlagged: DataFrame,
-                  strategy: RfiStrategy): DataFrame = {
+                  strategy: RfiStrategy,
+                  groupParallelism: Int = 0): DataFrame = {
     val spark = visFlagged.sparkSession
     import spark.implicits._
     // one amplitude per selected polarisation image, in strategy order
@@ -258,9 +269,14 @@ object RfiFlag {
     // ALWAYS plans an AppendColumns + hash Exchange — over a source
     // bucketed by bl, the column key lets the planner elide the
     // shuffle entirely (the 100 TB layout; measured in SCALE.md)
-    cells.groupBy(col("bl")).as[Long, RfiCell].flatMapGroups { (bl, it) =>
-      detectGroup(bl, it.toArray, strategy)
-    }.toDF()
+    val clustered =
+      if (groupParallelism > 0)
+        cells.repartition(groupParallelism, col("bl"))
+      else cells
+    clustered.groupBy(col("bl")).as[Long, RfiCell]
+      .flatMapGroups { (bl, it) =>
+        detectGroup(bl, it.toArray, strategy)
+      }.toDF()
   }
 
   /** FUSED detect-and-flag: run the per-baseline detection and emit
@@ -281,7 +297,20 @@ object RfiFlag {
     * `amps` the kernel sees.
     */
   def detectAndFlag(visFlagged: DataFrame, strategy: RfiStrategy,
-                    rfiBandpass: Option[DataFrame] = None): DataFrame = {
+                    rfiBandpass: Option[DataFrame] = None,
+                    // > 0 pins the `bl` exchange to that many
+                    // partitions (repartition-by-col, exempt from AQE
+                    // coalescing). The detection kernel is CPU-bound
+                    // per GROUP, not per byte: AQE's byte-sized
+                    // coalescing legitimately folds the model-sized
+                    // shuffle to 2-3 partitions and then the whole
+                    // Newton/SumThreshold grid work convoys on 3
+                    // cores (measured 0.73 s of pp3's 3.5 s at c32).
+                    // 0 = leave to the planner — REQUIRED for
+                    // bl-bucketed sources, whose scan clustering
+                    // already satisfies the grouping with ZERO
+                    // exchanges (BucketedMirrorSpec).
+                    groupParallelism: Int = 0): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val ampCols = strategy.pols.map { p =>
       val (ri, ii) = RfiStrategy.PolComps(p)
@@ -310,7 +339,11 @@ object RfiFlag {
     val ampsI = inSchema.fieldIndex("amps")
     require(flagI < n && blI < n && tI < n && chanI < n,
       "detectAndFlag: key/flag columns must precede the appended amps")
-    withAmps.groupBy(col("bl"))
+    val clustered =
+      if (groupParallelism > 0)
+        withAmps.repartition(groupParallelism, col("bl"))
+      else withAmps
+    clustered.groupBy(col("bl"))
       .as[Long, Row](Encoders.scalaLong, Encoders.row(inSchema))
       .flatMapGroups { (bl: Long, it: Iterator[Row]) =>
         val rows = it.toArray

@@ -300,7 +300,7 @@ object MetafitsReader {
   def timestep(spark: SparkSession, mf: Metafits,
                flagEnd: Int = 1): DataFrame = {
     val it = mf.intTimeS
-    spark.range(mf.nScans).select(
+    spark.range(0, mf.nScans, 1, 1).select(
       col("id").as("t"),
       (lit(mf.obsId) + (col("id") * it).cast("long")).as("gps_s"),
       (lit(mf.obsId.toDouble) + col("id") * it + it / 2)
@@ -320,7 +320,7 @@ object MetafitsReader {
     // MWA centre frequencies are integer Hz, so snap the reconstructed
     // chan-0 centre to the grid the container means
     val base = math.round(mf.freqCentHz - w * (mf.nChans / 2.0)).toDouble
-    spark.range(mf.nChans).select(
+    spark.range(0, mf.nChans, 1, 1).select(
       col("id").as("chan"),
       floor(col("id") / fpc).as("cc"),
       (col("id") % fpc).as("fc"),
