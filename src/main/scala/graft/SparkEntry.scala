@@ -68,11 +68,13 @@ object SparkEntry {
   private def weighted(s: SparkSession, dir: String): DataFrame =
     WeightOps.flagToWeight(flagged(s, dir))
 
-  /** RFI detection exchange width for the standalone r1 gates — the
-    * session's shuffle width, like Preprocess.applyRfi pins for the
-    * composed chains (RfiFlag.detectAndFlag groupParallelism doc).
+  /** CPU-bound kernel exchange width for the standalone gates (RFI
+    * detection, Van Vleck σ solve) — the session's shuffle width,
+    * like Preprocess pins for the composed chains (see
+    * RfiFlag.detectAndFlag groupParallelism / VanVleck.sigmaTable
+    * sigmaParallelism docs).
     */
-  private def rfiPar(s: SparkSession): Int =
+  private def kernelPar(s: SparkSession): Int =
     s.sessionState.conf.numShufflePartitions
 
   /** Flagship: the COMPLETE preprocessing pipeline on sf0.001 in the
@@ -347,7 +349,9 @@ object SparkEntry {
 
     "q_c5_van_vleck" -> ((s, dir) =>
       VanVleck(VisSynth.vis(s, dir), flaggedAnts = Seq(7L),
-        sampleScale = 2.0)
+        sampleScale = 2.0, sigmaParallelism = kernelPar(s),
+        broadcastSigma =
+          VanVleck.sigmaFitsBroadcast(graft.model.SynthDims, s))
         .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)),
 
     "q_c5_sigma" -> ((s, dir) => VanVleck.sigmaParity(s)),
@@ -357,18 +361,21 @@ object SparkEntry {
     // Newton twin)
     "q_c5_pipeline" -> ((s, dir) =>
       VanVleck(VisSynth.vis(s, dir).where(col("t") < 4 && col("chan") < 2),
-        flaggedAnts = Seq(7L), sampleScale = 2.0)
+        flaggedAnts = Seq(7L), sampleScale = 2.0,
+        sigmaParallelism = kernelPar(s),
+        broadcastSigma =
+          VanVleck.sigmaFitsBroadcast(graft.model.SynthDims, s))
         .select(col("t") +: col("bl") +: col("chan") +: microComps(): _*)),
 
     "q_c5_cross" -> ((s, dir) =>
       VanVleck.crossParity(VisSynth.vis(s, dir))),
 
     // -- RFI -----------------------------------------------------------
-    // rfiPar: the detection kernel's exchange width (see
+    // kernelPar: the detection kernel's exchange width (see
     // RfiFlag.detectAndFlag groupParallelism — CPU-bound per group,
     // so AQE byte-coalescing starves it)
     "q_r1_sumthreshold" -> ((s, dir) =>
-      RfiFlag(flagged(s, dir), RfiStrategy(), rfiPar(s))),
+      RfiFlag(flagged(s, dir), RfiStrategy(), kernelPar(s))),
 
     // non-default loadable strategy: yy image, mad_k 5, direction
     // weights — parsed from the same key=value surface RfiStrategy
@@ -376,7 +383,7 @@ object SparkEntry {
     "q_r1b_strategy" -> ((s, dir) =>
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
         "mad_k = 5.0\npols = yy\ntime_weight = 2.0\nchan_weight = 0.5\n" +
-          "sir_eta_time = 0.3\nsir_eta_chan = 0.1"), rfiPar(s))),
+          "sir_eta_time = 0.3\nsir_eta_chan = 0.1"), kernelPar(s))),
 
     "q_r1_threshold_flags" -> ((s, dir) =>
       ThresholdFlag(VisSynth.vis(s, dir))),
@@ -406,7 +413,7 @@ object SparkEntry {
     "q_r1e_rms_flaggers" -> ((s, dir) =>
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
         "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
-          "ch_rms_flag_low = true\nts_rms_final = 1.03"), rfiPar(s))),
+          "ch_rms_flag_low = true\nts_rms_final = 1.03"), kernelPar(s))),
 
     // R1f: the same RMS flaggers at their IN-LOOP call sites — the
     // placement a strategy's loop body implies (channel pass per-pol
@@ -417,7 +424,7 @@ object SparkEntry {
       RfiFlag(flagged(s, dir), RfiStrategy.parse(
         "ts_rms_threshold = 1.02\nch_rms_threshold = 1.01\n" +
           "ch_rms_flag_low = true\nts_rms_in_loop = true\n" +
-          "ch_rms_in_loop = true"), rfiPar(s))),
+          "ch_rms_in_loop = true"), kernelPar(s))),
 
     // -- sinks ---------------------------------------------------------
     "q_k1_uvfits_order" -> ((s, dir) =>
@@ -1200,6 +1207,18 @@ object SparkEntry {
     fin.toString
   }
 
+  // NOTE (r22, measured-and-reverted): a scale-adaptive scan spread
+  // here (hash-repartition on the unique id to defaultParallelism
+  // when the scan is narrower — the fixture corpora are single-
+  // row-group files, so heavy per-doc stages run as 1-task jobs,
+  // JobProbe evidence in OPTIMIZATION_r22.md) measured SLOWER on
+  // every llm gate at sf0.1/c32: doc 3.8→5.1 s, curation 6.0→6.9,
+  // d6 2.8→3.3, sim8 4.7→4.9. The composed pipelines already overlap
+  // their single-task stages from driver threads, and the extra
+  // exchange + 32-task stages add more scheduling than the
+  // parallelism buys at 500-row corpus size. At real scale row
+  // groups outnumber cores and the question is moot (same verdict as
+  // VisSynth's ScanPar note).
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 

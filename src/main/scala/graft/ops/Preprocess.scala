@@ -93,6 +93,23 @@ case class Preprocess(vanVleck: Boolean = false,
     val doCable = cable && !meta.cableApplied
     val doGeometry = geometry && !meta.geometryApplied
     val antenna = meta.antenna(spark)
+    val par = spark.sessionState.conf.numShufflePartitions
+    // ONE corpus exchange for the whole kernel-bearing chain (guide
+    // §2.4): hash(bl, par) at the top (a) spreads the Van Vleck cross
+    // kernel — with σ broadcast there is otherwise NO exchange
+    // between the scan and RFI, so a narrow scan runs the whole
+    // Newton/Simpson chain on its own width (measured: 4.7 s on 3
+    // tasks at sf0.1/c32) — (b) satisfies RFI's groupBy(bl)
+    // clustering, so its own pinned exchange is skipped, and (c)
+    // satisfies the averaging groupBy(t_out, bl, c_out) clustering
+    // (bl ⊆ keys), so the chain's output aggregate is exchange-free
+    // too. Chains without kernels (pure fused projections) keep the
+    // scan's own layout — an exchange would be pure cost there.
+    val kernelBearing = rfi || vanVleck
+    val spreadVis =
+      if (kernelBearing && par > 0)
+        vis.repartition(par, org.apache.spark.sql.functions.col("bl"))
+      else vis
     val pfb = pfbExternal.getOrElse(pfbVersion
       .map(v => Dims.pfbGainReal(spark, v, pfbOversampled,
         meta.fineChansPerCoarse))
@@ -100,14 +117,22 @@ case class Preprocess(vanVleck: Boolean = false,
     def uvw = uvwTable(spark)
     val stages: Seq[(Boolean, DataFrame => DataFrame)] = Seq(
       (vanVleck, df => VanVleck(df, meta.flaggedAnts(spark),
-        sampleScale, vvReferenceCapFallback)),
+        sampleScale, vvReferenceCapFallback,
+        // σ-solve width: CPU-bound per cell, see sigmaTable's doc.
+        // A model-sized shuffle even over bucketed mirrors — the
+        // Newton spread is worth the trivial extra exchange there.
+        spark.sessionState.conf.numShufflePartitions,
+        // broadcast σ when the CONTAINER bounds it under the
+        // threshold (VanVleck.sigmaFitsBroadcast — Catalyst's own
+        // estimate never fires here)
+        VanVleck.sigmaFitsBroadcast(meta, spark))),
       (doCable, df => CableCorrection(df, antenna)),
       (digitalGains, df => DigitalGains(df, meta.digitalGain(spark))),
       (passband, df => PassbandGains(df, pfb)),
       (rfi, df => applyRfi(df)),
       (doGeometry, df => GeometryCorrection(df, uvw)),
       (calibrate, df => Calibration(df, calsolTable(spark))))
-    stages.foldLeft(vis) { case (df, (enabled, stage)) =>
+    stages.foldLeft(spreadVis) { case (df, (enabled, stage)) =>
       if (enabled) df.transform(stage) else df
     }
   }
@@ -157,12 +182,11 @@ case class Preprocess(vanVleck: Boolean = false,
     */
   private def applyRfi(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // pin the detection exchange to the session's shuffle width: the
-    // kernel is CPU-bound per baseline group, and AQE's byte-sized
-    // coalescing starves it (see detectAndFlag's groupParallelism doc)
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    // groupParallelism = 0: the chain's top-level hash(bl, par)
+    // repartition (apply) already satisfies the detection grouping,
+    // so pinning here would only add a second bl exchange
     if (rfiFused)
-      return RfiFlag.detectAndFlag(df, rfiStrategy, rfiBandpass, par)
+      return RfiFlag.detectAndFlag(df, rfiStrategy, rfiBandpass)
     val detectInput = rfiBandpass match {
       case Some(pb) =>
         (0 until 8).foldLeft(df.join(broadcast(pb), Seq("fc"))) {

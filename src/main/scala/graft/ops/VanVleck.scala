@@ -58,16 +58,36 @@ object VanVleck {
     * sqrt(component / sampleScale)).
     */
   def sigmaTable(vis: DataFrame, flaggedAnts: Seq[Long],
-                 sampleScale: Double): DataFrame = {
+                 sampleScale: Double,
+                 // > 0 re-spreads the aggregate's output before the
+                 // Newton kernel projection: the σ solve is CPU-bound
+                 // per CELL, so AQE's byte-sized coalescing of the
+                 // model-sized agg exchange runs ~100k Newton solves
+                 // on 2-3 tasks (and the projection sits under BOTH
+                 // s1/s2 broadcast builds — JobProbe: 2 × 3-task jobs
+                 // carrying ~1.1 s of pp3 at c32). The re-spread is a
+                 // model-sized shuffle (T×A×C rows), trivial bytes.
+                 // 0 = planner default, keeps the bucketed-source
+                 // plans exchange-free (BucketedMirrorSpec).
+                 sigmaParallelism: Int = 0): DataFrame = {
     val autos = vis
       .where(col("ant1") === col("ant2"))
       .where(!col("ant1").isin(flaggedAnts: _*))
     // one sigma per (t, ant, chan): repeated samples of a cell reduce by
     // max BEFORE the iterative kernel, so the kernel runs once per cell
-    autos
+    val agg = autos
       .groupBy(col("t"), col("ant1").as("ant"), col("chan"))
       .agg(max(abs(col("v0"))).as("pxx"), max(abs(col("v6"))).as("pyy"))
-      .select(col("t"), col("ant"), col("chan"),
+    // spread keys (t, chan), NOT the agg's own (t, ant, chan): a
+    // repartition matching the aggregate's grouping exactly is
+    // removed as redundant by the optimizer (the agg's exchange
+    // already provides it) and the kernel projection then runs on
+    // the AQE-coalesced width
+    val spread =
+      if (sigmaParallelism > 0)
+        agg.repartition(sigmaParallelism, col("t"), col("chan"))
+      else agg
+    spread.select(col("t"), col("ant"), col("chan"),
         vvAuto(sqrt(col("pxx") / sampleScale)).as("sigma_x"),
         vvAuto(sqrt(col("pyy") / sampleScale)).as("sigma_y"))
   }
@@ -76,15 +96,40 @@ object VanVleck {
     * through unchanged, as in the reference's `_ => {}` arm
     * (van_vleck.rs:298-300).
     */
+  /** Whether the σ table PROVABLY fits a broadcast, decided from
+    * container metadata alone (guide §3.1 "use an explicit hint when
+    * you know a side is small"): σ has at most nScans·nAnts·nChans
+    * rows — a bound known a priori from the metafits/model, never
+    * from Catalyst's estimate, which derives σ's size from the
+    * corpus scan and therefore NEVER auto-broadcasts it (measured:
+    * both σ joins ran as SortMergeJoin with full-corpus
+    * (t, ant, chan) exchanges even under AQE). ~48 B/row = 3 longs +
+    * 2 doubles + row overhead. A real 240-scan 128-tile 3072-chan
+    * obs is ~94M cells → stays on the co-located SMJ path.
+    */
+  def sigmaFitsBroadcast(meta: graft.model.MetaSource,
+                         spark: SparkSession): Boolean = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 &&
+      meta.nScans.toLong * meta.nAnts * meta.nChans * 48L <= thr
+  }
+
   def apply(vis: DataFrame, flaggedAnts: Seq[Long],
             sampleScale: Double,
-            referenceCapFallback: Boolean = true): DataFrame = {
+            referenceCapFallback: Boolean = true,
+            sigmaParallelism: Int = 0,
+            broadcastSigma: Boolean = false): DataFrame = {
     val vvCross = vvCrossFn(referenceCapFallback)
-    val sigma = sigmaTable(vis, flaggedAnts, sampleScale)
-    val s1 = sigma.select(col("t"), col("ant").as("ant1"), col("chan"),
-      col("sigma_x").as("sx1"), col("sigma_y").as("sy1"))
-    val s2 = sigma.select(col("t"), col("ant").as("ant2"), col("chan"),
-      col("sigma_x").as("sx2"), col("sigma_y").as("sy2"))
+    val sigma = sigmaTable(vis, flaggedAnts, sampleScale,
+      sigmaParallelism)
+    val hint: DataFrame => DataFrame =
+      if (broadcastSigma) broadcast else identity
+    val s1 = hint(sigma.select(col("t"), col("ant").as("ant1"),
+      col("chan"),
+      col("sigma_x").as("sx1"), col("sigma_y").as("sy1")))
+    val s2 = hint(sigma.select(col("t"), col("ant").as("ant2"),
+      col("chan"),
+      col("sigma_x").as("sx2"), col("sigma_y").as("sy2")))
     val joined = vis
       .join(s1, Seq("t", "ant1", "chan"), "left")
       .join(s2, Seq("t", "ant2", "chan"), "left")

@@ -39,7 +39,10 @@ object JobProbe {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(e.properties).flatMap(p =>
               Option(p.getProperty("callSite.short"))))
-            .getOrElse("")
+            .getOrElse("") +
+            " | " + e.stageInfos.map(si =>
+              s"${si.name.takeWhile(_ != ' ')}:${si.numTasks}")
+              .mkString(",")
           jobs(e.jobId) = J(e.jobId, e.time, desc = d,
             nTasks = e.stageInfos.map(_.numTasks).sum)
         }
@@ -69,7 +72,7 @@ object JobProbe {
           if (prevEnd > 0) (j.start - prevEnd).max(0L) / 1e3 else 0.0
         prevEnd = if (j.end > 0) j.end.max(prevEnd) else prevEnd
         println(f"[job] ${j.id}%4d  dur=$dur%7.3f s  gapBefore=" +
-          f"$gapBefore%6.3f s  tasks=${j.nTasks}%4d  ${j.desc.take(90)}")
+          f"$gapBefore%6.3f s  tasks=${j.nTasks}%4d  ${j.desc.take(160)}")
       }
     }
     spark.stop()
